@@ -1,0 +1,65 @@
+"""Phase A end-to-end: pages → triples, P/R ≥ 0.95 vs the corpus oracle
+(BASELINE.md correctness gate), plus canonicalization unit behavior."""
+
+import pandas as pd
+
+from ttmf_ray.sources.pages import CorpusSpec, oracle_triples, pages_dataset
+from ttmf_ray.stages.canonicalize import norm_key
+from ttmf_ray.pipelines.kg_construct import kg_construct, mentions_from_pages
+
+
+def _pr(got: set, want: set) -> tuple[float, float]:
+    if not got or not want:
+        return 0.0, 0.0
+    tp = len(got & want)
+    return tp / len(got), tp / len(want)
+
+
+def test_norm_key():
+    assert norm_key("ABRELIN  CORVANN") == "abrelin corvann"
+    assert norm_key(" Venmorel Labs.") == "venmorel labs"
+    assert norm_key("harkin & sole") == "harkin & sole"
+
+
+def test_phase_a_precision_recall():
+    spec = CorpusSpec(seed=42, n_pages=400)
+    edges = kg_construct(pages_dataset(spec)).to_pandas()
+    got = set(map(tuple, edges[["subj", "pred", "obj"]].itertuples(index=False)))
+    want = oracle_triples(spec)
+    p, r = _pr(got, want)
+    assert p >= 0.95, f"precision {p} got={len(got)} want={len(want)}"
+    assert r >= 0.95, f"recall {r}"
+    # with the titlecase policy on this corpus, extraction is exact
+    assert p == 1.0 and r == 1.0
+
+
+def test_dedup_no_duplicate_edges():
+    spec = CorpusSpec(seed=42, n_pages=300)
+    edges = kg_construct(pages_dataset(spec)).to_pandas()
+    assert not edges.duplicated(["subj", "pred", "obj"]).any()
+
+
+def test_salted_alias_build_matches_unsalted():
+    from ttmf_ray.stages.canonicalize import build_alias_table
+
+    spec = CorpusSpec(seed=42, n_pages=200)
+    mentions = mentions_from_pages(pages_dataset(spec))
+    a0 = build_alias_table(
+        mentions, ["subj_surface", "obj_surface"], policy="titlecase", n_salt=0
+    ).to_pandas().sort_values("norm_key").reset_index(drop=True)
+    a8 = build_alias_table(
+        mentions, ["subj_surface", "obj_surface"], policy="titlecase", n_salt=8
+    ).to_pandas().sort_values("norm_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a0, a8)
+
+
+def test_frequency_policy_elects_deterministically():
+    import ray.data as rd
+
+    from ttmf_ray.stages.canonicalize import build_alias_table
+
+    rows = [{"subj_surface": s, "obj_surface": s}
+            for s in ["Foo Bar", "Foo Bar", "FOO BAR", "foo  bar"]]
+    ds = rd.from_items(rows)
+    alias = build_alias_table(ds, ["subj_surface"], policy="frequency").to_pandas()
+    assert alias.loc[alias["norm_key"] == "foo bar", "canonical"].iloc[0] == "Foo Bar"

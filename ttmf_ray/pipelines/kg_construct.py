@@ -1,0 +1,157 @@
+"""Phase A — KG construction over Common-Crawl-style pages (SURVEY.md §7.1).
+
+    read pages (url, warc_ts, html, text, lang)
+      → extract_text (pinned, byte-identical per url)      [stateless tasks]
+      → filter lang == "en"                                [vectorized]
+      → sentence split                                     [stateless tasks]
+      → triple extraction (compiled patterns)              [actor pool]
+      → canonicalization (salted groupby clustering +
+        broadcast alias map)                               [shuffle + bcast]
+      → exact dedup groupby(subj, pred, obj)               [shuffle]
+      → edges parquet (+ per-shard manifest when resumable)
+
+Every stage is Arrow-in/Arrow-out ``map_batches``; the only all-to-all
+exchanges are the alias build (pre-combined per batch) and the final dedup
+(pre-combined per batch) — both shuffle signature-sized rows, never pages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..context import Broadcast
+from ..stages.canonicalize import CanonicalizeTriples, build_alias_table
+from ..stages.dedup import distinct_rows
+from ..stages.extract import extract_text_batch, sentences_batch
+from ..stages.text import filter_lang
+from ..stages.triples import TripleExtractor
+
+
+def extract_pages(pages_ds):
+    """pages → + extracted_text column (the byte-identical invariant)."""
+    return pages_ds.map_batches(
+        extract_text_batch, batch_format="pyarrow", batch_size=1024
+    )
+
+
+def mentions_from_pages(pages_ds, *, lang: str = "en",
+                        concurrency: tuple[int, int] | int = (1, 4)):
+    """pages → surface-form mention triples (url, sent_id, subj/pred/obj).
+
+    The extractor pool autoscales (min, max) so several pools coexist on a
+    small cluster without reserving every CPU (a fixed-size pool per stage
+    can deadlock the streaming executor when pools sum past the cluster).
+    """
+    extracted = extract_pages(pages_ds)
+    sents = extracted.map_batches(
+        lambda b: filter_lang(b, lang=lang), batch_format="pyarrow"
+    ).map_batches(sentences_batch, batch_format="pyarrow", batch_size=1024)
+    return sents.map_batches(
+        TripleExtractor,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
+def edges_from_mentions(mentions_ds, *, policy: str = "titlecase",
+                        n_salt: int = 0, keep_url: bool = False):
+    """mentions → canonicalized, deduplicated (subj, pred, obj) edge table."""
+    # the alias table is a small wide-agg result; materialize to pandas for
+    # broadcast (its size is O(#distinct surfaces), not O(corpus))
+    alias = build_alias_table(
+        mentions_ds, ["subj_surface", "obj_surface"],
+        policy=policy, n_salt=n_salt,
+    ).to_pandas()
+    bc = Broadcast(alias)
+    canon = mentions_ds.map_batches(
+        CanonicalizeTriples,
+        fn_constructor_kwargs={"alias_bc": bc},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+    if keep_url:
+        return distinct_rows(canon, ["subj", "pred", "obj", "url"])
+    return distinct_rows(
+        canon.map_batches(
+            lambda b: b.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+        ),
+        ["subj", "pred", "obj"],
+    )
+
+
+def kg_construct(pages_ds, **kw):
+    """Full phase A: pages Dataset → deduped edge Dataset.
+
+    Mentions are materialized once (they are O(#fact sentences), far smaller
+    than pages) because both the alias build and the canonicalize pass
+    consume them; without this the page-parse stages would run twice.
+    """
+    mentions = mentions_from_pages(pages_ds).materialize()
+    return edges_from_mentions(mentions, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Resumable variant: shard-at-a-time with manifest (tests/test_resume.py)
+# ---------------------------------------------------------------------------
+
+def kg_construct_resumable(spec, out_dir: str, *, n_shards: int = 8,
+                           fail_after_shards: int | None = None) -> dict:
+    """Phase A over the synthetic corpus, resumable per page-id shard.
+
+    Each shard is an independent page-id range (pure-function corpus ⇒ the
+    fingerprint is just (seed, range)); a killed run resumes by processing
+    only shards absent from the manifest.  Returns counters.
+    """
+    import ray.data as rd
+
+    from ..sources.pages import CorpusSpec, pages_batch
+    from ..state import manifest as mf
+
+    assert isinstance(spec, CorpusSpec)
+    per = (spec.n_pages + n_shards - 1) // n_shards
+    shards = {
+        sid: f"s{spec.seed}:{sid * per}:{min((sid + 1) * per, spec.n_pages)}"
+        for sid in range(n_shards)
+    }
+    todo = mf.resume_shards(out_dir, shards)
+    done_before = n_shards - len(todo)
+
+    processed = 0
+    for sid in todo:
+        if fail_after_shards is not None and processed >= fail_after_shards:
+            raise RuntimeError(f"injected failure after {processed} shards")
+        t0 = mf.now()
+        lo, hi = sid * per, min((sid + 1) * per, spec.n_pages)
+        seed, n_pages = spec.seed, spec.n_pages
+
+        def gen(batch: pa.Table, lo=lo) -> pa.Table:
+            local = CorpusSpec(seed=seed, n_pages=n_pages)
+            ids = batch.column("id").to_numpy() + lo
+            return pages_batch(local, ids)
+
+        pages = rd.range(hi - lo, override_num_blocks=max(1, (hi - lo) // 1000)) \
+            .map_batches(gen, batch_format="pyarrow")
+        edges = kg_construct(pages)
+        table = pa.Table.from_pandas(
+            edges.to_pandas().sort_values(["subj", "pred", "obj"]),
+            preserve_index=False,
+        )
+        rows = mf.write_shard_parquet(table, out_dir, sid)
+        mf.commit_shard(out_dir, mf.ShardRecord(
+            shard_id=sid,
+            input_fingerprint=shards[sid],
+            rows_in=hi - lo,
+            rows_out=rows,
+            counters={"pages": hi - lo, "edges": rows},
+            wall_sec=mf.now() - t0,
+            finished_at=mf.now(),
+        ))
+        processed += 1
+
+    return {
+        "shards_total": n_shards,
+        "shards_skipped": done_before,
+        "shards_processed": processed,
+    }

@@ -1,0 +1,167 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — a numpy matmul per batch against a
+broadcast query matrix (queries are ``ray.put`` once; each batch computes
+``batch_vecs @ queries.T`` and keeps per-query partial top-k; partials merge
+in one tiny reduce).  Scale path: IVF — a seeded k-means coarse quantizer
+assigns each vector to a centroid bucket; queries probe the ``n_probe``
+nearest buckets only.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..context import Broadcast
+
+
+def _l2norm(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteTopK:
+    """map_batches stage: per-batch cosine partial top-k per query."""
+
+    def __init__(self, queries_bc: Broadcast, *, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        q = np.asarray(queries_bc.get(), dtype=np.float64)
+        self.q = _l2norm(q)  # (nq, d)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column(self.vec_col).to_pylist()]
+        )
+        ids = batch.column(self.id_col).to_numpy()
+        sims = _l2norm(vecs) @ self.q.T  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            top = np.argpartition(-sims[:, qi], k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top].tolist())
+            out_sim.extend(sims[top, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Final reduce of per-batch partial top-k rows (tiny driver-side table).
+
+    Deterministic tie-break: (-cosine, vec_id).
+    """
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        rows = sorted(
+            zip(g["cosine"], g["vec_id"]), key=lambda t: (-t[0], t[1])
+        )[:k]
+        for sim, vid in rows:
+            out.append((int(qid), int(vid), float(sim)))
+    return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+
+
+def brute_topk(ds, queries: np.ndarray, k: int, **stage_kw) -> pd.DataFrame:
+    """End-to-end brute-force cosine top-k (small final result → pandas)."""
+    bc = Broadcast(queries)
+    partials = ds.map_batches(
+        BruteTopK,
+        fn_constructor_kwargs={"queries_bc": bc, "k": k, **stage_kw},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=4,
+    ).to_pandas()
+    return merge_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (scale path): seeded k-means buckets + probe-limited search
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(sample: np.ndarray, n_centroids: int, *, iters: int = 10,
+               seed: int = 13) -> np.ndarray:
+    """Tiny seeded k-means on a driver-side sample (coarse quantizer)."""
+    rng = np.random.default_rng(seed)
+    x = _l2norm(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    cents = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                v = x[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IVFAssign:
+    """map_batches stage: tag each vector with its centroid bucket."""
+
+    def __init__(self, cents_bc: Broadcast, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        self.cents = np.asarray(cents_bc.get(), dtype=np.float64)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _l2norm(
+            np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch.column(self.vec_col).to_pylist()])
+        )
+        bucket = np.argmax(vecs @ self.cents.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int, *, n_centroids: int = 16,
+             n_probe: int = 4, sample_size: int = 2048, seed: int = 13,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF ANN: assign buckets, search only the n_probe closest buckets.
+
+    The bucket filter is a vectorized map_batches predicate (no shuffle);
+    at real scale the assignment is written once as a partitioned parquet
+    and queries read only their probed partitions.
+    """
+    sample = np.stack([
+        np.asarray(v, dtype=np.float64)
+        for v in ds.limit(sample_size).to_pandas()[vec_col]
+    ])
+    cents = kmeans_fit(sample, n_centroids, seed=seed)
+    q = _l2norm(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    allowed = np.unique(probe)
+
+    cents_bc = Broadcast(cents)
+    tagged = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"cents_bc": cents_bc, "id_col": id_col,
+                               "vec_col": vec_col},
+        batch_format="pyarrow", batch_size=4096, concurrency=2,
+    )
+
+    allowed_set = set(int(x) for x in allowed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch.column("bucket"),
+                        value_set=pa.array(sorted(allowed_set), pa.int32()))
+        return batch.filter(mask)
+
+    filtered = tagged.map_batches(keep, batch_format="pyarrow")
+    res = brute_topk(filtered, queries, k, id_col=id_col, vec_col=vec_col)
+    # mask out results from buckets a given query did not probe? brute_topk
+    # already searched only filtered rows; per-query probe masks differ, but
+    # searching a superset only improves recall — acceptable for ANN.
+    return res
