@@ -1,0 +1,123 @@
+"""Graph-stage unit tests: CSR build, subgraph BFS, personalized PageRank
+(conformance vs an independent literal re-implementation of the pinned
+reference formulas — SURVEY.md §5's duplicated-implementation strategy),
+threshold sweeps, degrees/depth features."""
+
+import numpy as np
+
+from ttmf_ray.functions.transe import threshold_sweep
+from ttmf_ray.stages.graph import (_bfs_subgraph, build_csr,
+                                   personalized_pagerank)
+
+
+def _literal_ppr(n, edges, core=0, alpha=0.85, max_iter=500, eps=1e-5):
+    """Independent row-by-row port of pagerank.py:18-85 semantics."""
+    out = {u: [] for u in range(n)}
+    inc = {u: [] for u in range(n)}
+    for u, v, w in edges:
+        out[u].append((v, w))
+        inc[v].append((u, w))
+    # dangling fix
+    for u in range(n):
+        if not out[u]:
+            out[u].append((u, 0.5))
+            inc[u].append((u, 0.5))
+            if u != core:
+                out[u].append((core, 0.5))
+                inc[core].append((u, 0.5))
+    pr = {u: 0.0 for u in range(n)}
+    pr[core] = 1.0
+    damping = (1 - alpha) / n
+    for _ in range(max_iter):
+        change = 0.0
+        new = {}
+        for v in range(n):
+            rank = damping
+            for (u, w) in inc[v]:
+                rank += alpha * pr[u] * w
+            new[v] = rank
+            change += abs(rank - pr[v])
+        pr = new
+        if change < eps:
+            break
+    return np.array([pr[u] for u in range(n)])
+
+
+def test_ppr_matches_literal_reference_formula():
+    edges = [(0, 1, 0.6), (0, 2, 0.4), (1, 3, 1.0), (2, 3, 0.5),
+             (2, 4, 0.5), (3, 0, 1.0)]  # node 4 dangling
+    n = 5
+    esrc = np.array([e[0] for e in edges])
+    edst = np.array([e[1] for e in edges])
+    ew = np.array([e[2] for e in edges])
+    got = personalized_pagerank(n, esrc, edst, ew, 0)
+    want = _literal_ppr(n, edges, 0)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    assert got[0] > 0.1  # core retains mass
+
+
+def test_csr_and_bfs_subgraph():
+    # chain with parallel edges: 0→1 (two rels), 1→2, 2→3, 3→4, 4→5
+    h = np.array([0, 0, 1, 2, 3, 4])
+    t = np.array([1, 1, 2, 3, 4, 5])
+    r = np.array([0, 1, 0, 0, 0, 0])
+    csr = build_csr(h, t, r, 6)
+    assert csr.cnt[csr.indptr[0]] == 2  # parallel rels counted
+    glob, esrc, edst, ew, depth_of, trunc = _bfs_subgraph(csr, 0, depth=4)
+    # nodes within distance 4: 0,1,2,3,4 (5 is at distance 5)
+    assert set(glob.tolist()) == {0, 1, 2, 3, 4}
+    assert not trunc
+    # expanded nodes are distance ≤3 → edge 3→4 present, 4→5 absent
+    assert depth_of.max() == 4
+    # row-normalized weights: node 0 has a single neighbor → weight 1.0
+    assert np.allclose(ew[esrc == 0], 1.0)
+
+
+def test_bfs_truncation_reported():
+    # star: 0 → 1..99
+    h = np.zeros(99, dtype=np.int64)
+    t = np.arange(1, 100, dtype=np.int64)
+    r = np.zeros(99, dtype=np.int64)
+    csr = build_csr(h, t, r, 100)
+    glob, *_, trunc = _bfs_subgraph(csr, 0, depth=4, max_nodes=10)
+    assert trunc and len(glob) == 10
+
+
+def test_threshold_sweep_asc():
+    # reference scan: values asc, running +1/-1 on previous flag
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    f = np.array([1, 1, -1, -1])
+    assert threshold_sweep(v, f) == 2.5
+    # all negatives first → threshold stays below the minimum
+    f2 = np.array([-1, -1, 1, 1])
+    assert threshold_sweep(v, f2) == v[0] - 0.01
+
+
+def test_threshold_sweep_desc():
+    v = np.array([0.9, 0.7, 0.2, 0.1])
+    f = np.array([1, 1, -1, -1])
+    assert threshold_sweep(v, f, descending=True) == (0.7 + 0.2) / 2
+    f2 = np.array([-1, -1, 1, 1])
+    assert threshold_sweep(v, f2, descending=True) == 0.9 + 0.01
+
+
+def test_graph_features_stage_end_to_end():
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.stages.graph import graph_features_for_heads
+
+    h = np.array([0, 1, 1, 2])
+    t = np.array([1, 2, 3, 0])
+    r = np.array([0, 0, 1, 0])
+    csr = build_csr(h, t, r, 4)
+    out = graph_features_for_heads(
+        rd.from_pandas(pd.DataFrame({"head": [0]})), csr, concurrency=1
+    ).to_pandas().set_index("node")
+    assert set(out.index) == {0, 1, 2, 3}
+    assert out.loc[0, "depth"] == 0
+    assert out.loc[1, "depth"] == 1
+    assert out.loc[2, "depth"] == 2 and out.loc[3, "depth"] == 2
+    # out-degree of node 1 within subgraph = 2
+    assert out.loc[1, "out_n"] == 2
+    assert abs(out["pr"].sum() - 1.0) < 0.2  # mass roughly conserved

@@ -1,0 +1,84 @@
+"""Phase B end-to-end: corrupted-triple detection on the synthetic KG —
+the estimator must separate flag=1 from flag=-1 (SURVEY.md §5 item 4)."""
+
+import numpy as np
+import pytest
+
+from ttmf_ray.functions.transe import TransEConfig
+from ttmf_ray.pipelines.kg_construct import kg_construct
+from ttmf_ray.pipelines.trust import TrustConfig, trust_pipeline
+from ttmf_ray.sources.pages import CorpusSpec, pages_dataset
+
+
+@pytest.fixture(scope="module")
+def trust_result():
+    spec = CorpusSpec(seed=42, n_pages=600)
+    edges = kg_construct(pages_dataset(spec))
+    cfg = TrustConfig(
+        transe=TransEConfig(dim=32, epochs=60, lr=0.02),
+        ptranse=TransEConfig(dim=32, epochs=20, lr=0.01, loss="logistic"),
+    )
+    return trust_pipeline(edges, cfg)
+
+
+def test_detection_separates_corrupted(trust_result):
+    assert trust_result["accuracy"] >= 0.70, trust_result["accuracy"]
+    assert trust_result["max_f1"] >= 0.70, trust_result["max_f1"]
+    st = trust_result["scored_test"]
+    assert st[st.flag == 1]["conf"].mean() > st[st.flag == -1]["conf"].mean()
+
+
+def test_vocab_ids_sorted_and_stable(trust_result):
+    ev = trust_result["ent_vocab"]
+    assert list(ev["name"]) == sorted(ev["name"])
+    assert list(ev["id"]) == list(range(len(ev)))
+
+
+def test_thresholds_exist_per_key(trust_result):
+    assert len(trust_result["theta_r"]) >= 5   # most relations covered
+    assert len(trust_result["theta_h"]) >= 10
+
+
+def test_pr_sweep_table_shape(trust_result):
+    sw = trust_result["pr_sweep"]
+    assert list(sw.columns) == ["threshold", "precision", "recall", "f1"]
+    assert len(sw) == 50
+    assert ((sw["precision"] >= 0) & (sw["precision"] <= 1)).all()
+
+
+def test_negative_sampler_deterministic():
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.functions.sampling import labeled_examples
+
+    pos = pd.DataFrame({"h": [0, 1, 2], "t": [1, 2, 0], "r": [0, 0, 1]})
+    gold = frozenset([(0, 1, 0), (1, 2, 0), (2, 0, 1)])
+    a = labeled_examples(rd.from_pandas(pos), gold, n_entities=10).to_pandas()
+    b = labeled_examples(rd.from_pandas(pos), gold, n_entities=10).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["h", "t", "r", "flag"]).reset_index(drop=True),
+        b.sort_values(["h", "t", "r", "flag"]).reset_index(drop=True),
+    )
+    assert (a["flag"].to_numpy() == 1).sum() == 3
+    assert (a["flag"].to_numpy() == -1).sum() == 3
+    # no generated negative collides with the gold set
+    negs = a[a.flag == -1][["h", "t", "r"]].itertuples(index=False)
+    assert all(tuple(x) not in gold for x in negs)
+
+
+def test_split_deterministic_and_disjoint():
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.functions.sampling import split_edges
+
+    df = pd.DataFrame({
+        "h": np.arange(1000) % 97,
+        "t": np.arange(1000) % 89,
+        "r": np.arange(1000) % 7,
+    })
+    tr, va, te = split_edges(rd.from_pandas(df))
+    n_tr, n_va, n_te = tr.count(), va.count(), te.count()
+    assert n_tr + n_va + n_te == 1000
+    assert n_tr > 600 and n_va > 20 and n_te > 20

@@ -1,0 +1,185 @@
+"""Splits + negative-example generation (SURVEY.md O4/O5/O6/D4).
+
+The reference's corruption sampling is UNSEEDED (`Data.java:60`,
+`process_triples.py:53`); ours is seeded per (seed, partition) so every
+output is reproducible — tests depend on it (SURVEY.md §7.5 item 7).
+
+Split is an arithmetic hash of the triple ids (no shuffle, no RNG):
+``bucket = mix(h, t, r) % 10`` → train(0-7)/valid(8)/test(9) by default —
+the deterministic stand-in for the reference's seeded sklearn split
+(`train_test_split.py:33`, random_state=628).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..context import Broadcast
+
+# Knuth-style multiplicative constants; the formula is fixed because the
+# DuckDB oracle mirrors it literally in SQL (no library hash involved).
+_A, _B, _C = 2654435761, 40503, 2246822519
+_MOD = 1 << 31
+
+
+def split_bucket(h: np.ndarray, t: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """bucket in [0, 10): ((h*A + t*B + r*C) mod 2^31) mod 10 — SQL-mirrored."""
+    v = (
+        h.astype(np.int64) * _A + t.astype(np.int64) * _B + r.astype(np.int64) * _C
+    ) % _MOD
+    return (v % 10).astype(np.int32)
+
+
+def add_split_column(batch: pa.Table) -> pa.Table:
+    b = split_bucket(
+        batch.column("h").to_numpy(),
+        batch.column("t").to_numpy(),
+        batch.column("r").to_numpy(),
+    )
+    split = np.where(b < 8, "train", np.where(b == 8, "valid", "test"))
+    return batch.append_column("split", pa.array(split, pa.string()))
+
+
+def split_edges(ds):
+    """(h,t,r) Dataset → (train_ds, valid_ds, test_ds) by arithmetic hash."""
+    import pyarrow.compute as pc
+
+    tagged = ds.map_batches(add_split_column, batch_format="pyarrow")
+
+    def part(name):
+        return tagged.map_batches(
+            lambda t, name=name: t.filter(
+                pc.equal(t.column("split"), pa.scalar(name))
+            ).drop_columns(["split"]),
+            batch_format="pyarrow",
+        )
+
+    return part("train"), part("valid"), part("test")
+
+
+class NegativeSampler:
+    """map_batches actor: 1:1 head-or-tail corruption with flag ±1 (D4).
+
+    Replicates `KGE/src/data/Data.java:52-77` semantics: for each positive
+    (flag 1) emit one corrupted copy (flag -1) with head or tail replaced
+    (p=0.5) by a uniform entity, re-drawn while the corrupt triple exists
+    in the gold set (membership via a broadcast frozenset — at larger
+    scale swap for a Bloom filter, same stage shape).
+    Seeded per (seed, h, t, r) — order-independent, resume-stable.
+    """
+
+    def __init__(self, gold_bc: Broadcast, *, n_entities: int, seed: int = 628):
+        self.gold = gold_bc.get()  # frozenset[(h, t, r)]
+        self.n_entities = n_entities
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.pages import mix64
+
+        h = batch.column("h").to_numpy()
+        t = batch.column("t").to_numpy()
+        r = batch.column("r").to_numpy()
+        n = len(h)
+        oh = np.empty(2 * n, dtype=np.int32)
+        ot = np.empty(2 * n, dtype=np.int32)
+        orr = np.empty(2 * n, dtype=np.int32)
+        ofl = np.empty(2 * n, dtype=np.int8)
+        ne, gold, seed = self.n_entities, self.gold, self.seed
+        for i in range(n):
+            hi, ti, ri = int(h[i]), int(t[i]), int(r[i])
+            oh[2 * i], ot[2 * i], orr[2 * i], ofl[2 * i] = hi, ti, ri, 1
+            corrupt_head = mix64(seed, 1, hi, ti, ri) % 2 == 0
+            draw = 0
+            while True:
+                e = mix64(seed, 2, hi, ti, ri, draw) % ne
+                cand = (e, ti, ri) if corrupt_head else (hi, e, ri)
+                if cand not in gold:
+                    break
+                draw += 1
+            oh[2 * i + 1], ot[2 * i + 1] = cand[0], cand[1]
+            orr[2 * i + 1], ofl[2 * i + 1] = ri, -1
+        return pa.table(
+            {
+                "h": pa.array(oh),
+                "t": pa.array(ot),
+                "r": pa.array(orr),
+                "flag": pa.array(ofl),
+            }
+        )
+
+
+def labeled_examples(pos_ds, gold: frozenset, *, n_entities: int, seed: int = 628):
+    """Positive (h,t,r) Dataset → labeled (h,t,r,flag) with 1:1 negatives."""
+    bc = Broadcast(gold)
+    return pos_ds.map_batches(
+        NegativeSampler,
+        fn_constructor_kwargs={"gold_bc": bc, "n_entities": n_entities,
+                               "seed": seed},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+
+
+def label_onehot(batch: pa.Table) -> pa.Table:
+    """flag 1 → [0,1], else [1,0] (`PrecessData.py:150-153`)."""
+    fl = batch.column("flag").to_numpy()
+    onehot = np.zeros((len(fl), 2), dtype=np.int8)
+    onehot[fl == 1, 1] = 1
+    onehot[fl != 1, 0] = 1
+    return batch.append_column(
+        "label", pa.FixedSizeListArray.from_arrays(onehot.reshape(-1), 2)
+    )
+
+
+class KGCNegatives:
+    """k-per-positive corruption for one slot (hr_/h_t/_rt files, D4 variant).
+
+    Replicates `process_triples.py:35-63`: dedup on the kept columns,
+    then per kept-pair emit ``k`` uniform draws over the value vocab plus
+    the original value (all with label 1, as the reference does).
+    ``slot``: 2 = corrupt r's... — in reference terms target column 2 is
+    'r' of the (h, t, r) layout; we name slots "tail"/"rel"/"head".
+    """
+
+    def __init__(self, *, slot: str, vocab_size: int, k: int = 5, seed: int = 628):
+        assert slot in ("head", "tail", "rel")
+        self.slot, self.vocab_size, self.k, self.seed = slot, vocab_size, k, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.pages import mix64
+
+        h = batch.column("h").to_numpy()
+        t = batch.column("t").to_numpy()
+        r = batch.column("r").to_numpy()
+        rows = []
+        seen = set()
+        for hi, ti, ri in zip(h.tolist(), t.tolist(), r.tolist()):
+            kept = {
+                "head": (ti, ri), "tail": (hi, ri), "rel": (hi, ti)
+            }[self.slot]
+            if kept in seen:
+                continue
+            seen.add(kept)
+            draws = [
+                mix64(self.seed, 3, hi, ti, ri, j) % self.vocab_size
+                for j in range(self.k)
+            ]
+            orig = {"head": hi, "tail": ti, "rel": ri}[self.slot]
+            for v in draws + [orig]:
+                if self.slot == "head":
+                    rows.append((v, ti, ri))
+                elif self.slot == "tail":
+                    rows.append((hi, v, ri))
+                else:
+                    rows.append((hi, ti, v))
+        arr = np.asarray(rows, dtype=np.int32).reshape(-1, 3)
+        return pa.table(
+            {
+                "h": pa.array(arr[:, 0]),
+                "t": pa.array(arr[:, 1]),
+                "r": pa.array(arr[:, 2]),
+                "flag": pa.array(np.ones(len(arr), dtype=np.int8)),
+            }
+        )

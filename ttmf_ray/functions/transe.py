@@ -1,0 +1,215 @@
+"""TransE training + translation-energy features + threshold sweeps
+(SURVEY.md T7 / M5 / M6 / A3).
+
+The trainer is a from-scratch numpy SGD reimplementation of the semantics
+of the reference's Java trainer (`KGE/src/approaches/TransE.java:245-325`):
+margin ranking loss max(0, margin + d(pos) − d(neg)) with L2 distance,
+uniform head-or-tail corruption per positive, entity vectors re-normalized
+to the unit ball each epoch, dev-loss model selection.  Hyperparameters
+default to the reference's (`KGE_config_template.properties:6-13`): k=100,
+epochs=50, margin=1.0, lr=0.001.
+
+It runs DRIVER-SIDE over materialized id triples — inherently sequential
+SGD does not map to Ray Data (SURVEY.md §7.5 item 4); at real scale the
+same step function applies data-parallel with periodic parameter averaging
+over ``ds.iter_batches`` shards.  Everything downstream consumes the
+embedding matrices via one ``ray.put``.
+
+A PTransE-flavored logistic-loss mode matches the second trainer's shape
+(`PTransE.java:279-451`): σ(bias − ½‖h+r−t‖²) with multiple negatives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..context import Broadcast
+
+
+@dataclass
+class TransEConfig:
+    dim: int = 100
+    epochs: int = 50
+    margin: float = 1.0
+    lr: float = 0.001
+    seed: int = 17
+    loss: str = "margin"          # "margin" (TransE) | "logistic" (PTransE-ish)
+    bias: float = 7.0             # logistic mode (KGE_config bias=7.0)
+    neg_per_pos: int = 1          # 15 in reference PTransE; 1 default for speed
+    batch_size: int = 4096
+
+
+def train_transe(
+    triples: np.ndarray,          # (n, 3) int arrays of (h, t, r)
+    n_entities: int,
+    n_relations: int,
+    cfg: TransEConfig = TransEConfig(),
+    dev_triples: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (entity2vec, relation2vec); dev-loss best-epoch selection."""
+    rng = np.random.default_rng(cfg.seed)
+    bound = 6.0 / np.sqrt(cfg.dim)
+    E = rng.uniform(-bound, bound, size=(n_entities, cfg.dim))
+    R = rng.uniform(-bound, bound, size=(n_relations, cfg.dim))
+    R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12)
+
+    h, t, r = triples[:, 0], triples[:, 1], triples[:, 2]
+    n = len(h)
+    best = (np.inf, E.copy(), R.copy())
+
+    def dev_loss(E, R):
+        if dev_triples is None or len(dev_triples) == 0:
+            return None
+        d = E[dev_triples[:, 0]] + R[dev_triples[:, 2]] - E[dev_triples[:, 1]]
+        return float(np.linalg.norm(d, axis=1).mean())
+
+    for epoch in range(cfg.epochs):
+        # unit-ball renorm of entities each epoch (reference renorms per epoch)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        np.divide(E, np.maximum(norms, 1.0), out=E)
+
+        perm = rng.permutation(n)
+        for start in range(0, n, cfg.batch_size):
+            idx = perm[start : start + cfg.batch_size]
+            bh, bt, br = h[idx], t[idx], r[idx]
+            # corrupt head or tail uniformly
+            corrupt_head = rng.random(len(idx)) < 0.5
+            neg_e = rng.integers(0, n_entities, size=len(idx))
+            nh = np.where(corrupt_head, neg_e, bh)
+            nt = np.where(corrupt_head, bt, neg_e)
+
+            d_pos = E[bh] + R[br] - E[bt]
+            d_neg = E[nh] + R[br] - E[nt]
+            if cfg.loss == "margin":
+                pos_n = np.linalg.norm(d_pos, axis=1)
+                neg_n = np.linalg.norm(d_neg, axis=1)
+                viol = cfg.margin + pos_n - neg_n > 0
+                if not viol.any():
+                    continue
+                gp = d_pos[viol] / np.maximum(pos_n[viol, None], 1e-12)
+                gn = d_neg[viol] / np.maximum(neg_n[viol, None], 1e-12)
+                lr = cfg.lr
+                np.add.at(E, bh[viol], -lr * gp)
+                np.add.at(E, bt[viol], lr * gp)
+                np.add.at(R, br[viol], -lr * gp)
+                np.add.at(E, nh[viol], lr * gn)
+                np.add.at(E, nt[viol], -lr * gn)
+                np.add.at(R, br[viol], lr * gn)
+            else:  # logistic, PTransE-shaped: maximize log σ(e) / log(1−σ(e))
+                for dd, hh, tt, target in ((d_pos, bh, bt, 1.0), (d_neg, nh, nt, 0.0)):
+                    e = np.clip(cfg.bias - 0.5 * (dd * dd).sum(axis=1), -30, 30)
+                    p = 1.0 / (1.0 + np.exp(-e))
+                    # Δθ = lr·(target−p)·de/dθ with de/dE[h]=de/dR=−dd, de/dE[t]=+dd
+                    g = (p - target)[:, None] * dd * cfg.lr
+                    np.add.at(E, hh, g)
+                    np.add.at(E, tt, -g)
+                    np.add.at(R, br, g)
+
+        dl = dev_loss(E, R)
+        if dl is not None and dl < best[0]:
+            best = (dl, E.copy(), R.copy())
+
+    if dev_triples is not None and best[0] < np.inf:
+        return best[1], best[2]
+    return E, R
+
+
+# ---------------------------------------------------------------------------
+# Energy + confidence features (M5/M6) — vectorized map_batches
+# ---------------------------------------------------------------------------
+
+def transe_energy(E: np.ndarray, R: np.ndarray, h, t, r) -> np.ndarray:
+    """transV = ‖E[h] + R[r] − E[t]‖₂ — the (h, t, r) column-order energy
+    of `TransConfidence.py:37-38` (tri[0]=h, tri[1]=t, tri[2]=r)."""
+    d = E[np.asarray(h)] + R[np.asarray(r)] - E[np.asarray(t)]
+    return np.linalg.norm(d, axis=1)
+
+
+class TransEFeature:
+    """map_batches stage: + transV and conf_transe = θ_r − transV (M6).
+
+    The sigmoid on `TransConfidence.py:80` is dead code (overwritten on
+    line 81); the live feature is the raw margin.  Missing relation → θ=0
+    (`TransConfidence.py:73-76`).
+    """
+
+    def __init__(self, emb_bc: Broadcast, thresholds: dict[int, float] | None = None):
+        E, R = emb_bc.get()
+        self.E, self.R = E, R
+        self.thr = thresholds or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy()
+        t = batch.column("t").to_numpy()
+        r = batch.column("r").to_numpy()
+        v = transe_energy(self.E, self.R, h, t, r)
+        theta = np.fromiter(
+            (self.thr.get(int(x), 0.0) for x in r), dtype=np.float64, count=len(r)
+        )
+        out = batch.append_column("transV", pa.array(v))
+        return out.append_column("conf_transe", pa.array(theta - v))
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweeps (A3 asc / A4 desc)
+# ---------------------------------------------------------------------------
+
+def threshold_sweep(values: np.ndarray, flags: np.ndarray,
+                    *, descending: bool = False) -> float:
+    """The reference's optimal-split sweep (`TransConfidence.py:8-26` asc,
+    `ResourceRankConfidence.py:61-79` desc).
+
+    Sort by value (asc or desc); θ starts at v[0]∓0.01; scanning i=1..n-1
+    with running score += (flag[i-1]==1 ? +1 : -1); strictly-greater score
+    moves θ to the midpoint (v[i]+v[i-1])/2.
+
+    Tie order: ties are broken by (value, flag) — deterministic, unlike the
+    reference's input-order-stable sort (SURVEY.md §5 acceptance is
+    estimator-level, ties in float features are measure-zero).
+    """
+    order = np.lexsort((flags, values))
+    if descending:
+        order = np.lexsort((flags, -values))
+    v = values[order]
+    f = flags[order]
+    thr = v[0] - 0.01 if not descending else v[0] + 0.01
+    best, cur = 0, 0
+    for i in range(1, len(v)):
+        cur += 1 if f[i - 1] == 1 else -1
+        if cur > best:
+            thr = (v[i] + v[i - 1]) / 2.0
+            best = cur
+    return float(thr)
+
+
+def per_key_thresholds(ds, *, key: str, value: str,
+                       descending: bool = False) -> dict[int, float]:
+    """groupby(key).map_groups(threshold_sweep) → {key: θ} (A3/A4).
+
+    The labeled dev table is small; the dict result broadcasts downstream.
+    """
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        thr = threshold_sweep(
+            g[value].to_numpy(dtype=np.float64),
+            g["flag"].to_numpy(),
+            descending=descending,
+        )
+        return pd.DataFrame({key: [g[key].iloc[0]], "theta": [thr]})
+
+    out = ds.groupby(key).map_groups(sweep, batch_format="pandas").to_pandas()
+    return dict(zip(out[key].astype(int), out["theta"].astype(float)))
+
+
+def tc_accuracy(values: np.ndarray, flags: np.ndarray,
+                thetas: np.ndarray, *, below_is_positive: bool = True) -> float:
+    """Triple-classification accuracy (`TransConfidence.py:86-94`)."""
+    if below_is_positive:
+        pred_pos = values <= thetas
+    else:
+        pred_pos = values >= thetas
+    right = (pred_pos & (flags == 1)) | (~pred_pos & (flags == -1))
+    return float(right.mean())

@@ -1,0 +1,137 @@
+"""Vocab build + id mapping (SURVEY.md A1/M1/M2/S3).
+
+The reference enumerates a Python set to assign ids
+(/root/reference/get_triples/process_triples.py:83-84) — a
+nondeterministic order.  Here ids are SORT-ASSIGNED: the id of a name is
+its rank in the lexicographically sorted distinct-name list, which is
+reproducible across runs/resumes (SURVEY.md §7.5 item 3).
+
+The distinct set is computed distributed (per-batch combiner + groupby);
+the final rank assignment broadcasts the sorted name array and maps ids
+via ``np.searchsorted`` per batch — valid while the vocabulary fits a
+node (far beyond FB15K scale; for larger vocabs swap the broadcast for a
+sort + per-block offset cumsum, same ordering semantics).
+
+Column-order quirk replicated from the reference: id-mapped triples are
+``(h, t, r)`` — head, TAIL, relation —
+(/root/reference/get_triples/process_triples.py:18-24 reorders [[0,2,1]]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..context import Broadcast
+from ..stages.dedup import distinct_rows
+
+
+def distinct_values(ds, cols: list[str]):
+    """Distinct union of the values appearing in ``cols`` → Dataset['name']."""
+
+    def project(t: pa.Table) -> pa.Table:
+        arrs = [t.column(c) for c in cols]
+        names = pa.concat_arrays(
+            [a.combine_chunks().cast(pa.string()) for a in arrs]
+        )
+        return pa.table({"name": names.unique()})
+
+    return distinct_rows(
+        ds.map_batches(project, batch_format="pyarrow"), ["name"]
+    )
+
+
+def build_vocab(edges_ds) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """edge Dataset (subj, pred, obj) → (entity_vocab, relation_vocab).
+
+    Each vocab is a pandas DataFrame (name, id) with sort-assigned ids —
+    entity names from subj ∪ obj (the reference's head∪tail union, D1),
+    relation names from pred.
+    """
+    ents = sorted(distinct_values(edges_ds, ["subj", "obj"]).to_pandas()["name"])
+    rels = sorted(distinct_values(edges_ds, ["pred"]).to_pandas()["name"])
+    ent_df = pd.DataFrame({"name": ents, "id": np.arange(len(ents), dtype=np.int32)})
+    rel_df = pd.DataFrame({"name": rels, "id": np.arange(len(rels), dtype=np.int32)})
+    return ent_df, rel_df
+
+
+class IdMapper:
+    """map_batches stage: (subj, pred, obj) strings → (h, t, r) int32.
+
+    Broadcast sorted-name arrays; ids via searchsorted (vectorized).
+    Note the (h, t, r) column order (head, tail, relation).
+    """
+
+    def __init__(self, ent_bc: Broadcast, rel_bc: Broadcast):
+        self.ents = np.asarray(ent_bc.get(), dtype=object)
+        self.rels = np.asarray(rel_bc.get(), dtype=object)
+
+    def _lookup(self, sorted_names: np.ndarray, values: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(sorted_names, values)
+        idx = np.clip(idx, 0, len(sorted_names) - 1)
+        miss = sorted_names[idx] != values
+        out = idx.astype(np.int32)
+        out[miss] = -1
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subs = np.asarray(batch.column("subj").to_pylist(), dtype=object)
+        preds = np.asarray(batch.column("pred").to_pylist(), dtype=object)
+        objs = np.asarray(batch.column("obj").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "h": pa.array(self._lookup(self.ents, subs)),
+                "t": pa.array(self._lookup(self.ents, objs)),
+                "r": pa.array(self._lookup(self.rels, preds)),
+            }
+        )
+
+
+def id_map_edges(edges_ds, ent_df: pd.DataFrame, rel_df: pd.DataFrame):
+    """Edges (strings) → id-mapped (h, t, r) Dataset (drops unmappable rows)."""
+    import pyarrow.compute as pc
+
+    ent_bc = Broadcast(ent_df["name"].to_numpy(dtype=object))
+    rel_bc = Broadcast(rel_df["name"].to_numpy(dtype=object))
+    mapped = edges_ds.map_batches(
+        IdMapper,
+        fn_constructor_kwargs={"ent_bc": ent_bc, "rel_bc": rel_bc},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=(1, 4),
+    )
+    return mapped.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(pc.greater_equal(t.column("h"), 0),
+                        pc.greater_equal(t.column("t"), 0)),
+                pc.greater_equal(t.column("r"), 0),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+class IdUnmapper:
+    """Inverse map (M2): (h, t, r[, ...]) ints → strings for reports."""
+
+    def __init__(self, ent_bc: Broadcast, rel_bc: Broadcast):
+        self.ents = np.asarray(ent_bc.get(), dtype=object)
+        self.rels = np.asarray(rel_bc.get(), dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy()
+        t = batch.column("t").to_numpy()
+        r = batch.column("r").to_numpy()
+        out = pa.table(
+            {
+                "subj": pa.array(self.ents[h], pa.string()),
+                "pred": pa.array(self.rels[r], pa.string()),
+                "obj": pa.array(self.ents[t], pa.string()),
+            }
+        )
+        for name in batch.column_names:
+            if name not in ("h", "t", "r"):
+                out = out.append_column(name, batch.column(name))
+        return out

@@ -163,13 +163,28 @@ class CorpusSpec:
 
 
 def fact(spec: CorpusSpec, j: int) -> tuple[int, int, int]:
-    """Global fact j → (subj_eid, rel_id, obj_eid); pure function, skewed subj."""
+    """Global fact j → (subj_eid, rel_id, obj_eid); pure function.
+
+    Structure (FB15K-like, so trustworthiness features have signal):
+    - subject popularity ~ U^3 → hub subjects (hot keys / skew tests);
+    - entities live in communities (rank % n_comm); the object stays in
+      the subject's community w.p. 0.85 → dense intra-community directed
+      subnetworks give true triples reachable paths / PageRank flow that
+      uniformly-corrupted triples lack.
+    """
     r = mix64(spec.seed, 101, j) % len(RELATIONS)
     rel = RELATIONS[r]
     nk = spec.n_entities // 3  # entities per kind
+    n_comm = max(2, nk // 20)  # ~20 entities of each kind per community
     # subject popularity ~ U^3 → hub subjects (hot keys)
     srank = int(u01(spec.seed, 102, j) ** 3 * nk) % nk
-    orank = mix64(spec.seed, 103, j) % nk
+    if u01(spec.seed, 104, j) < 0.85:
+        # same community: ranks sharing srank's residue class mod n_comm
+        per_comm = (nk + n_comm - 1) // n_comm
+        step = mix64(spec.seed, 103, j) % per_comm
+        orank = (srank % n_comm + step * n_comm) % nk
+    else:
+        orank = mix64(spec.seed, 103, j) % nk
     s = srank * 3 + rel.subj_kind
     o = orank * 3 + rel.obj_kind
     if s == o:  # self-loops only possible for same-kind relations; bump obj
