@@ -1,0 +1,77 @@
+"""Driver-mimic parity: queries() vs oracle_sql() via DuckDB at sf0.001.
+
+The driver runs the full set at sf0.01; this keeps a representative
+subset in the fast suite so regressions surface before a round ends.
+"""
+
+import pytest
+
+import os
+import sys
+
+import __ray_entry__ as entrymod
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_harness import compare, duckdb_con, to_pandas  # noqa: E402
+
+SUBSET = [
+    "kg_edges_relational",
+    "kg_edges_idmapped",
+    "docs_exact_dedup",
+    "docs_quality",
+    "events_thresholds",
+    "tpch_q1",
+    "ann_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duckdb_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, sf_dir, con):
+    ray_df = to_pandas(entrymod.queries()[name](sf_dir))
+    sql_df = con.execute(entrymod.oracle_sql()[name]).df()
+    problems = compare(name, ray_df, sql_df)
+    assert not problems, problems
+
+
+def test_every_query_has_callable_and_sql_is_subset():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
+
+
+def test_minhash_finds_planted_dups(sf_dir):
+    from ttmf_ray.pipelines.corpus_queries import docs_minhash_dedup
+
+    pairs = docs_minhash_dedup(sf_dir)
+    # planted mutants are doc_id + 10_000_000; expect most recovered
+    planted = pairs[pairs["b"] - pairs["a"] == 10_000_000]
+    assert len(planted) >= 20  # 25 planted at sf0.001
+    assert (planted["jaccard"] >= 0.5).all()
+
+
+def test_lang_detect_on_known_snippets():
+    # the driver's documents table has English-shaped text for every lang
+    # tag, so the detector is asserted on real-language snippets instead
+    from ttmf_ray.stages.text import detect_lang
+
+    assert detect_lang("the cat sat on the mat and it was happy") == "en"
+    assert detect_lang("le chat est dans la maison et il dort pour une heure") == "fr"
+    assert detect_lang("der Hund ist in dem Haus und die Katze auch") == "de"
+    assert detect_lang("el perro es grande y la casa es blanca por los campos") == "es"
+    assert detect_lang("12345 67890 !!!") == "und"
+
+
+def test_ivf_recall_vs_brute(sf_dir):
+    from ttmf_ray.pipelines.corpus_queries import embeddings_ivf_topk
+    from ttmf_ray.pipelines.relational import ann_topk
+
+    brute = set(ann_topk(sf_dir)["vec_id"])
+    ivf = set(embeddings_ivf_topk(sf_dir)["vec_id"])
+    # ANN: recall ≥ 0.5 of the exact top-10 (probing 4/16 buckets)
+    assert len(brute & ivf) >= 5, (brute, ivf)

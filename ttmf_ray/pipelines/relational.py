@@ -1,0 +1,375 @@
+"""Oracle-checked pipelines over the driver's TPC-H-ish tables.
+
+These exercise the engine's relational operator surface (projection,
+broadcast join, groupby aggregate with per-batch partials, sort/limit,
+window bucketing, dedup) with exact DuckDB SQL mirrors in
+``__ray_entry__.oracle_sql`` — column names, types (int64/float64) and
+rounding are matched on both sides.
+
+The KG-from-relational queries derive a (subj, pred, obj) edge table from
+customer/supplier/nation/region/orders — the same edge-table data model
+phase A produces from web pages, so vocab build / id-mapping / splits /
+negative sampling are verifiable against ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..context import Broadcast
+from ..stages.dedup import distinct_rows
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir.rstrip('/')}/{name}.parquet",
+                           columns=columns)
+
+
+def _small_map(sf_dir: str, name: str, key: str, val: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/{name}.parquet",
+                      columns=[key, val])
+    return dict(zip(t.column(key).to_pylist(), t.column(val).to_pylist()))
+
+
+# ---------------------------------------------------------------------------
+# KG edges from relational tables
+# ---------------------------------------------------------------------------
+
+def kg_edges_relational(sf_dir: str):
+    """(subj, pred, obj) edges: customers/suppliers→nation, nation→region,
+    orders→customer.  Small sides broadcast; distinct via hash-partition
+    dedup."""
+    nation = _small_map(sf_dir, "nation", "n_nationkey", "n_name")
+    region = _small_map(sf_dir, "region", "r_regionkey", "r_name")
+    n2r = _small_map(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    customer_name = _small_map(sf_dir, "customer", "c_custkey", "c_name")
+    nation_bc, cust_bc = Broadcast(nation), Broadcast(customer_name)
+
+    def cust_edges(b: pa.Table) -> pa.Table:
+        nmap = nation_bc.get()
+        objs = [nmap[k] for k in b.column("c_nationkey").to_pylist()]
+        n = b.num_rows
+        return pa.table({
+            "subj": b.column("c_name").cast(pa.string()),
+            "pred": pa.array(["in_nation"] * n, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+        })
+
+    def supp_edges(b: pa.Table) -> pa.Table:
+        nmap = nation_bc.get()
+        objs = [nmap[k] for k in b.column("s_nationkey").to_pylist()]
+        n = b.num_rows
+        return pa.table({
+            "subj": b.column("s_name").cast(pa.string()),
+            "pred": pa.array(["in_nation"] * n, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+        })
+
+    def order_edges(b: pa.Table) -> pa.Table:
+        cmap = cust_bc.get()
+        subs = [f"order_{k}" for k in b.column("o_orderkey").to_pylist()]
+        objs = [cmap[k] for k in b.column("o_custkey").to_pylist()]
+        return pa.table({
+            "subj": pa.array(subs, pa.string()),
+            "pred": pa.array(["placed_by"] * b.num_rows, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+        })
+
+    c = _read(sf_dir, "customer", ["c_name", "c_nationkey"]).map_batches(
+        cust_edges, batch_format="pyarrow")
+    s = _read(sf_dir, "supplier", ["s_name", "s_nationkey"]).map_batches(
+        supp_edges, batch_format="pyarrow")
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        order_edges, batch_format="pyarrow")
+    nr = rd.from_items([
+        {"subj": nation[k], "pred": "in_region", "obj": region[n2r[k]]}
+        for k in sorted(nation)
+    ])
+    return distinct_rows(c.union(s).union(o).union(nr),
+                         ["subj", "pred", "obj"])
+
+
+def kg_vocab_entities(sf_dir: str) -> pd.DataFrame:
+    """Distinct entity names (subj ∪ obj) with sort-assigned int64 ids."""
+    from ..functions.vocab import build_vocab
+
+    # materialize once: build_vocab consumes the edge pipeline twice
+    ent_df, _ = build_vocab(kg_edges_relational(sf_dir).materialize())
+    out = ent_df.copy()
+    out["id"] = out["id"].astype(np.int64)
+    return out[["name", "id"]]
+
+
+def kg_edges_idmapped(sf_dir: str) -> pd.DataFrame:
+    """Edges id-mapped to (h, t, r) — note the head/TAIL/relation order."""
+    from ..functions.vocab import build_vocab, id_map_edges
+
+    edges = kg_edges_relational(sf_dir).materialize()
+    ent_df, rel_df = build_vocab(edges)
+    out = id_map_edges(edges, ent_df, rel_df).to_pandas()
+    return out.astype({"h": np.int64, "t": np.int64, "r": np.int64})
+
+
+def kg_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic arithmetic-hash split → per-split counts."""
+    from ..functions.sampling import add_split_column
+    from ..functions.vocab import build_vocab, id_map_edges
+
+    edges = kg_edges_relational(sf_dir).materialize()
+    ent_df, rel_df = build_vocab(edges)
+    ids = id_map_edges(edges, ent_df, rel_df)
+    tagged = ids.map_batches(add_split_column, batch_format="pyarrow")
+    out = tagged.groupby("split").count().to_pandas()
+    out = out.rename(columns={"count()": "n"})
+    return out.astype({"n": np.int64}).sort_values("split").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Documents / text-analysis queries
+# ---------------------------------------------------------------------------
+
+def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import exact_dedup_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup_docs(ds, id_col="doc_id", text_col="text").to_pandas()
+    return out.astype({"doc_id": np.int64, "n_dups": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_quality(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: quality_batch(b, id_col="doc_id", text_col="text"),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns})
+
+
+def docs_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-lang doc count + total whitespace tokens (partial-agg pattern)."""
+    from ..stages.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b, id_col="doc_id", text_col="text")
+        df = pd.DataFrame({
+            "lang": b.column("lang").to_pylist(),
+            "ws": t.column("ws_tokens").to_numpy(),
+        })
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("ws", "size"), sum_tokens=("ws", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_tokens", alias_name="sum_tokens"))
+        .to_pandas()
+    )
+    return out.astype({"n_docs": np.int64, "sum_tokens": np.int64}) \
+        .sort_values("lang").reset_index(drop=True)
+
+
+def lang_counts(sf_dir: str) -> pd.DataFrame:
+    out = _read(sf_dir, "documents", ["lang"]).groupby("lang").count() \
+        .to_pandas().rename(columns={"count()": "n"})
+    return out.astype({"n": np.int64}).sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregate; threshold sweep with SQL mirror
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h windows per event_type: count + sum(value) (rounded)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()  # µs since epoch
+        hour = (ts // 3_600_000_000) * 3600
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "hour_epoch": hour,
+            "value": b.column("value").to_numpy(),
+        })
+        g = df.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.astype({"n": np.int64, "hour_epoch": np.int64}) \
+        .sort_values(["event_type", "hour_epoch"]).reset_index(drop=True)
+
+
+def events_thresholds(sf_dir: str) -> pd.DataFrame:
+    """Per-event_type optimal-split threshold (A3 sweep, SQL-mirrored).
+
+    Labels: flag = +1 when user_id is even else −1 — a deterministic
+    pseudo-label so the sweep itself is the thing under test.
+    """
+    from ..functions.transe import threshold_sweep
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        flags = np.where(g["user_id"].to_numpy() % 2 == 0, 1, -1)
+        thr = threshold_sweep(g["value"].to_numpy(np.float64), flags)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "theta": [round(float(thr), 6)]})
+
+    out = ds.groupby("event_type").map_groups(sweep, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style aggregates / joins / top-k
+# ---------------------------------------------------------------------------
+
+def tpch_q1(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": b.column("l_returnflag").to_pylist(),
+            "l_linestatus": b.column("l_linestatus").to_pylist(),
+            "qty": b.column("l_quantity").to_numpy(),
+            "price": b.column("l_extendedprice").to_numpy(),
+            "rev": b.column("l_extendedprice").to_numpy()
+            * (1 - b.column("l_discount").to_numpy()),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_price=("price", "sum"),
+            sum_rev=("rev", "sum"), n=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_price", alias_name="sum_price"),
+                   Sum("sum_rev", alias_name="sum_rev"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(0).astype(np.int64)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["sum_rev"] = out["sum_rev"].round(2)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation revenue — broadcast dimension joins."""
+    nation = _small_map(sf_dir, "nation", "n_nationkey", "n_name")
+    cust_nation = _small_map(sf_dir, "customer", "c_custkey", "c_nationkey")
+    nb, cb = Broadcast(nation), Broadcast(cust_nation)
+
+    def tag(b: pa.Table) -> pa.Table:
+        nmap, cmap = nb.get(), cb.get()
+        names = [nmap[cmap[k]] for k in b.column("o_custkey").to_pylist()]
+        df = pd.DataFrame({"n_name": names,
+                           "total": b.column("o_totalprice").to_numpy()})
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("total", "sum"), n_orders=("total", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def top_parts(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"])
+        .sort(["p_size", "p_partkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    return out.astype({"p_partkey": np.int64, "p_size": np.int64})
+
+
+def part_supplier_pairs(sf_dir: str) -> pd.DataFrame:
+    """Distinct (partkey, suppkey) pairs + duplicate count — exact dedup."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("l_partkey", "count")]
+        ).rename_columns(["l_partkey", "l_suppkey", "n"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return out.astype({"l_partkey": np.int64, "l_suppkey": np.int64,
+                       "n": np.int64}) \
+        .sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+
+
+def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Brute-force cosine top-k vs the embedding of vec_id=0 (SQL mirror
+    via list_cosine_similarity)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import brute_topk
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = None
+    for batch in t.to_batches():
+        ids = batch.column("vec_id").to_numpy()
+        hit = np.nonzero(ids == 0)[0]
+        if len(hit):
+            q = np.asarray(batch.column("embedding").to_pylist()[hit[0]],
+                           dtype=np.float64)
+            break
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_topk(ds, q[None, :], k)
+    out = out[out["query_id"] == 0][["vec_id", "cosine"]]
+    out["cosine"] = out["cosine"].round(5)
+    return out.astype({"vec_id": np.int64}).sort_values("vec_id") \
+        .reset_index(drop=True)

@@ -79,6 +79,7 @@ def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFram
 def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     """Edge Dataset (subj, pred, obj) → scored conf_test + metrics."""
     # ---- vocab + ids (A1/M1) -------------------------------------------
+    edges_ds = edges_ds.materialize()  # consumed 3x (ents, rels, id-map)
     ent_df, rel_df = build_vocab(edges_ds)
     n_ent, n_rel = len(ent_df), len(rel_df)
     ids_df = id_map_edges(edges_ds, ent_df, rel_df).to_pandas()

@@ -80,7 +80,7 @@ def brute_topk(ds, queries: np.ndarray, k: int, **stage_kw) -> pd.DataFrame:
         fn_constructor_kwargs={"queries_bc": bc, "k": k, **stage_kw},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=4,
+        concurrency=(1, 4),
     ).to_pandas()
     return merge_topk(partials, k)
 
@@ -148,7 +148,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int, *, n_centroids: int = 16,
         IVFAssign,
         fn_constructor_kwargs={"cents_bc": cents_bc, "id_col": id_col,
                                "vec_col": vec_col},
-        batch_format="pyarrow", batch_size=4096, concurrency=2,
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 2),
     )
 
     allowed_set = set(int(x) for x in allowed)

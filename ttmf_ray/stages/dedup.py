@@ -55,10 +55,13 @@ def distinct_rows(ds, cols: list[str]):
     def batch_distinct(t: pa.Table) -> pa.Table:
         return t.select(cols).group_by(cols).aggregate([])
 
+    # hash-shuffle aggregate (count, discarded) — much faster than a
+    # per-group map_groups head(1) when groups are numerous and tiny
     return (
         ds.map_batches(batch_distinct, batch_format="pyarrow")
         .groupby(cols)
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .count()
+        .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
     )
 
 
@@ -89,19 +92,16 @@ def exact_dedup_docs(ds, *, id_col: str, text_col: str):
         )
         return g.rename_columns(["content_hash", "keep_id", "n"])
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": [int(g["keep_id"].min())],
-                "n_dups": [int(g["n"].sum())],
-            }
-        )
+    from ray.data.aggregate import Min, Sum
 
     return (
         ds.map_batches(sig, batch_format="pyarrow")
         .map_batches(combine, batch_format="pyarrow")
         .groupby("content_hash")
-        .map_groups(reduce_group, batch_format="pandas")
+        .aggregate(Min("keep_id", alias_name="doc_id"),
+                   Sum("n", alias_name="n_dups"))
+        .map_batches(lambda t: t.select(["doc_id", "n_dups"]),
+                     batch_format="pyarrow")
     )
 
 

@@ -53,6 +53,13 @@ def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 _EN_STOP = sorted(_LANG_PROFILES["en"])
 _PUNCT_CLASS = r"[.,!?;:]"
 _PUNCT_RX = re.compile(_PUNCT_CLASS)
+# pinned whitespace tokenizer — explicit ASCII class so the DuckDB oracle
+# (string_split_regex with the same class) matches token-for-token
+_WS_RX = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    return [t for t in _WS_RX.split(text) if t]
 
 
 def quality_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
@@ -71,7 +78,7 @@ def quality_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
     stop_cnt = np.empty(len(texts), dtype=np.int64)
     stops = set(_EN_STOP)
     for i, t in enumerate(texts):
-        toks = t.split()
+        toks = ws_tokens(t)
         n_tokens[i] = len(toks)
         punct_cnt[i] = len(_PUNCT_RX.findall(t))
         stop_cnt[i] = sum(
@@ -95,7 +102,9 @@ _BPE_RX = re.compile(r"[A-Za-z]{1,4}|[0-9]{1,3}|\S")
 
 def token_count_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
     texts = batch.column(text_col).to_pylist()
-    ws = np.fromiter((len(t.split()) for t in texts), dtype=np.int64, count=len(texts))
+    ws = np.fromiter(
+        (len(ws_tokens(t)) for t in texts), dtype=np.int64, count=len(texts)
+    )
     bpe = np.fromiter(
         (len(_BPE_RX.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
     )
