@@ -1,0 +1,144 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...throughputs}
+
+Headline = phase A (pages → extract → triples → canonicalize → dedup)
++ phase B (TTMF trust scoring) on the corpus sized off the sf dir —
+"triples extracted + scored".  The synthetic corpus parquet is
+materialized once under /tmp (untimed; also warms the page cache so the
+timed runs measure compute + shuffle, not first-touch disk reads).
+
+``--scaling``: runs the same job in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (the sandbox stand-in for N vs 4N nodes) and
+reports both throughputs + scaling efficiency (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    from ttmf_ray.context import tune_data_context
+    from ttmf_ray.functions.transe import TransEConfig
+    from ttmf_ray.pipelines.kg_construct import kg_construct
+    from ttmf_ray.pipelines.trust import TrustConfig, trust_pipeline
+    from ttmf_ray.sources.pages import ensure_pages_parquet, spec_for_sf_dir
+
+    tune_data_context(target_max_block_size=2 * 1024 * 1024)
+
+    spec = spec_for_sf_dir(sf_dir)
+    corpus_path = ensure_pages_parquet(spec)  # untimed, cached
+    queries: dict[str, float] = {}
+
+    # --- phase A -----------------------------------------------------------
+    t0 = time.time()
+    edges = kg_construct(rd.read_parquet(corpus_path)).materialize()
+    n_edges = edges.count()
+    queries["kg_construct"] = round(time.time() - t0, 3)
+
+    # --- phase B -----------------------------------------------------------
+    t0 = time.time()
+    cfg = TrustConfig(
+        transe=TransEConfig(dim=50, epochs=20, lr=0.02,
+                            batch_size=4096),
+        ptranse=TransEConfig(dim=50, epochs=4, lr=0.02, loss="logistic",
+                             batch_size=8192),
+        path_max_paths=5000,
+        kge_workers=8,
+    )
+    res = trust_pipeline(edges, cfg)
+    n_scored = len(res["scored_test"])
+    queries["trust_scoring"] = round(time.time() - t0, 3)
+
+    # --- component benchmarks ---------------------------------------------
+    from ttmf_ray.pipelines.relational import (ann_topk, docs_exact_dedup,
+                                               tpch_q1)
+
+    t0 = time.time()
+    docs_exact_dedup(sf_dir)
+    queries["docs_exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tpch_q1(sf_dir)
+    queries["tpch_q1"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ann_topk(sf_dir)
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    from ttmf_ray.pipelines.corpus_queries import docs_minhash_dedup
+
+    t0 = time.time()
+    docs_minhash_dedup(sf_dir)
+    queries["minhash_dedup"] = round(time.time() - t0, 3)
+
+    headline = queries["kg_construct"] + queries["trust_scoring"]
+    out = {
+        "metric": "end-to-end triples extracted+scored (phase A + B) over "
+                  f"{spec.n_pages} synthetic Common-Crawl-style pages",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": spec.n_pages,
+        "n_edges": n_edges,
+        "n_scored": n_scored,
+        "pages_per_sec": round(spec.n_pages / queries["kg_construct"], 1),
+        "triples_per_sec": round(n_edges / headline, 1),
+        "accuracy": round(res["accuracy"], 4),
+        "max_f1": round(res["max_f1"], 4),
+        "trust_timings": res.get("timings", {}),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes, two parallelism levels (8 vs 32)."""
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    thr_lo = r_lo["n_edges"] / r_lo["value"]
+    thr_hi = r_hi["n_edges"] / r_hi["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (triples/s at 32 cpus vs 8 cpus, "
+                  "fresh processes, same input)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "triples_per_sec_lo": round(thr_lo, 1),
+        "triples_per_sec_hi": round(thr_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

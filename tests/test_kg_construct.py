@@ -46,10 +46,10 @@ def test_salted_alias_build_matches_unsalted():
     mentions = mentions_from_pages(pages_dataset(spec))
     a0 = build_alias_table(
         mentions, ["subj_surface", "obj_surface"], policy="titlecase", n_salt=0
-    ).to_pandas().sort_values("norm_key").reset_index(drop=True)
+    ).sort_values("norm_key").reset_index(drop=True)
     a8 = build_alias_table(
         mentions, ["subj_surface", "obj_surface"], policy="titlecase", n_salt=8
-    ).to_pandas().sort_values("norm_key").reset_index(drop=True)
+    ).sort_values("norm_key").reset_index(drop=True)
     pd.testing.assert_frame_equal(a0, a8)
 
 
@@ -61,5 +61,5 @@ def test_frequency_policy_elects_deterministically():
     rows = [{"subj_surface": s, "obj_surface": s}
             for s in ["Foo Bar", "Foo Bar", "FOO BAR", "foo  bar"]]
     ds = rd.from_items(rows)
-    alias = build_alias_table(ds, ["subj_surface"], policy="frequency").to_pandas()
+    alias = build_alias_table(ds, ["subj_surface"], policy="frequency")
     assert alias.loc[alias["norm_key"] == "foo bar", "canonical"].iloc[0] == "Foo Bar"

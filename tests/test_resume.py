@@ -1,0 +1,62 @@
+"""Exact-resume: kill mid-run, re-submit, identical output, no
+double-counted partitions (BASELINE.md correctness gate)."""
+
+import glob
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ttmf_ray.pipelines.kg_construct import (kg_construct,
+                                             kg_construct_resumable)
+from ttmf_ray.sources.pages import CorpusSpec, pages_dataset
+from ttmf_ray.state.manifest import completed_shards
+
+
+def _edges_on_disk(out_dir):
+    parts = sorted(glob.glob(f"{out_dir}/shard=*/part-*.parquet"))
+    df = pd.concat([pq.read_table(p).to_pandas() for p in parts])
+    return df.drop_duplicates().sort_values(["subj", "pred", "obj"]) \
+        .reset_index(drop=True)
+
+
+def test_resume_after_injected_failure(tmp_path):
+    spec = CorpusSpec(seed=42, n_pages=300)
+    out = str(tmp_path / "edges")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        kg_construct_resumable(spec, out, n_shards=4, fail_after_shards=2)
+    assert len(completed_shards(out)) == 2
+
+    r = kg_construct_resumable(spec, out, n_shards=4)
+    assert r == {"shards_total": 4, "shards_skipped": 2,
+                 "shards_processed": 2}
+
+    # re-running again is a no-op (no double-processing)
+    r2 = kg_construct_resumable(spec, out, n_shards=4)
+    assert r2["shards_processed"] == 0
+
+    # resumed output == single-shot output (as distinct triple sets)
+    resumed = _edges_on_disk(out)
+    direct = kg_construct(pages_dataset(spec)).to_pandas() \
+        .sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, direct)
+
+    # manifests carry lineage + counters
+    recs = completed_shards(out)
+    assert all(rec.counters["pages"] > 0 for rec in recs.values())
+    assert all(rec.input_fingerprint.startswith("s42:") for rec in recs.values())
+
+
+def test_fingerprint_drift_triggers_rerun(tmp_path):
+    spec = CorpusSpec(seed=42, n_pages=120)
+    out = str(tmp_path / "edges")
+    kg_construct_resumable(spec, out, n_shards=2)
+
+    # same output dir, different corpus seed → all shards must re-run
+    spec2 = CorpusSpec(seed=43, n_pages=120)
+    r = kg_construct_resumable(spec2, out, n_shards=2)
+    assert r["shards_processed"] == 2
+
+    shutil.rmtree(out, ignore_errors=True)

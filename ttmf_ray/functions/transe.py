@@ -53,9 +53,9 @@ def train_transe(
     """Returns (entity2vec, relation2vec); dev-loss best-epoch selection."""
     rng = np.random.default_rng(cfg.seed)
     bound = 6.0 / np.sqrt(cfg.dim)
-    E = rng.uniform(-bound, bound, size=(n_entities, cfg.dim))
-    R = rng.uniform(-bound, bound, size=(n_relations, cfg.dim))
-    R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12)
+    E = rng.uniform(-bound, bound, size=(n_entities, cfg.dim)).astype(np.float32)
+    R = rng.uniform(-bound, bound, size=(n_relations, cfg.dim)).astype(np.float32)
+    R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12).astype(np.float32)
 
     h, t, r = triples[:, 0], triples[:, 1], triples[:, 2]
     n = len(h)
@@ -113,6 +113,114 @@ def train_transe(
         if dl is not None and dl < best[0]:
             best = (dl, E.copy(), R.copy())
 
+    if dev_triples is not None and best[0] < np.inf:
+        return best[1], best[2]
+    return E, R
+
+
+def _epoch_worker(E, R, shard, cfg_dict, round_no, wid, n_entities,
+                  local_epochs):
+    """``local_epochs`` SGD epochs over one shard from the given weights.
+
+    Module-level (not a closure) so Ray serializes only arguments; E/R
+    arrive via the object store (zero-copy reads, copied once for the
+    in-place update).  Multiple local epochs per averaging round amortize
+    the weight broadcast (local-SGD / FedAvg-style).
+    """
+    cfg = TransEConfig(**cfg_dict)
+    E = np.array(E, dtype=np.float32)  # writable local copies
+    R = np.array(R, dtype=np.float32)
+    h, t, r = shard[:, 0], shard[:, 1], shard[:, 2]
+    n = len(h)
+    for le in range(local_epochs):
+        rng = np.random.default_rng((cfg.seed, round_no, le, wid))
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        np.divide(E, np.maximum(norms, 1.0), out=E)
+        perm = rng.permutation(n)
+        for start in range(0, n, cfg.batch_size):
+            idx = perm[start: start + cfg.batch_size]
+            bh, bt, br = h[idx], t[idx], r[idx]
+            corrupt_head = rng.random(len(idx)) < 0.5
+            neg_e = rng.integers(0, n_entities, size=len(idx))
+            nh = np.where(corrupt_head, neg_e, bh)
+            nt = np.where(corrupt_head, bt, neg_e)
+            d_pos = E[bh] + R[br] - E[bt]
+            d_neg = E[nh] + R[br] - E[nt]
+            pos_n = np.linalg.norm(d_pos, axis=1)
+            neg_n = np.linalg.norm(d_neg, axis=1)
+            viol = cfg.margin + pos_n - neg_n > 0
+            if not viol.any():
+                continue
+            gp = d_pos[viol] / np.maximum(pos_n[viol, None], 1e-12)
+            gn = d_neg[viol] / np.maximum(neg_n[viol, None], 1e-12)
+            lr = cfg.lr
+            np.add.at(E, bh[viol], -lr * gp)
+            np.add.at(E, bt[viol], lr * gp)
+            np.add.at(R, br[viol], -lr * gp)
+            np.add.at(E, nh[viol], lr * gn)
+            np.add.at(E, nt[viol], -lr * gn)
+            np.add.at(R, br[viol], lr * gn)
+    return E, R
+
+
+def train_transe_distributed(
+    triples: np.ndarray,
+    n_entities: int,
+    n_relations: int,
+    cfg: TransEConfig = TransEConfig(),
+    dev_triples: np.ndarray | None = None,
+    workers: int = 8,
+    local_epochs: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Data-parallel TransE: per epoch, W Ray tasks each run one SGD epoch
+    over a disjoint shard from the current weights; the results are
+    parameter-averaged (one-shot averaging per epoch — the standard
+    synchronous local-SGD scheme).  Same margin-loss semantics as
+    ``train_transe``; this is the trainer the multi-node target uses, and
+    it is what lets the KGE stage scale with the cluster instead of
+    serializing on the driver (SURVEY.md §7.5 item 4).
+    """
+    import ray
+
+    if cfg.loss != "margin":
+        # logistic mode stays driver-side (used with few epochs)
+        return train_transe(triples, n_entities, n_relations, cfg, dev_triples)
+
+    rng = np.random.default_rng(cfg.seed)
+    bound = 6.0 / np.sqrt(cfg.dim)
+    # float32: halves the per-round weight broadcast + return traffic and
+    # speeds the scatter updates; KGE quality is insensitive to f32
+    E = rng.uniform(-bound, bound, size=(n_entities, cfg.dim)).astype(np.float32)
+    R = rng.uniform(-bound, bound, size=(n_relations, cfg.dim)).astype(np.float32)
+    R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12).astype(np.float32)
+
+    worker = ray.remote(_epoch_worker)
+    n = len(triples)
+    workers = max(1, min(workers, n // max(1, cfg.batch_size)))
+    cfg_dict = {f: getattr(cfg, f) for f in cfg.__dataclass_fields__}
+    shard_ids = rng.permutation(n)
+    shards = [
+        ray.put(np.ascontiguousarray(triples[shard_ids[w::workers]]))
+        for w in range(workers)
+    ]
+
+    best = (np.inf, E, R)
+    rounds = max(1, cfg.epochs // local_epochs)
+    for round_no in range(rounds):
+        e_ref, r_ref = ray.put(E), ray.put(R)
+        futs = [
+            worker.remote(e_ref, r_ref, shards[w], cfg_dict, round_no, w,
+                          n_entities, local_epochs)
+            for w in range(workers)
+        ]
+        results = ray.get(futs)
+        E = np.mean([x[0] for x in results], axis=0, dtype=np.float32)
+        R = np.mean([x[1] for x in results], axis=0, dtype=np.float32)
+        if dev_triples is not None and len(dev_triples):
+            d = E[dev_triples[:, 0]] + R[dev_triples[:, 2]] - E[dev_triples[:, 1]]
+            dl = float(np.linalg.norm(d, axis=1).mean())
+            if dl < best[0]:
+                best = (dl, E.copy(), R.copy())
     if dev_triples is not None and best[0] < np.inf:
         return best[1], best[2]
     return E, R
@@ -186,22 +294,58 @@ def threshold_sweep(values: np.ndarray, flags: np.ndarray,
     return float(thr)
 
 
+def thresholds_by_key(df: pd.DataFrame, *, key: str, value: str,
+                      descending: bool = False) -> dict[int, float]:
+    """Vectorized all-keys-at-once threshold sweep on a driver-side frame.
+
+    Identical semantics to ``threshold_sweep`` per key, computed with
+    grouped prefix sums instead of a per-key loop (the labeled dev table
+    has one row per example — small — but tens of thousands of DISTINCT
+    keys, which made a per-group pass the bottleneck).
+    """
+    v = df[value].to_numpy(dtype=np.float64)
+    order = np.lexsort((df["flag"].to_numpy(), -v if descending else v,
+                        df[key].to_numpy()))
+    k = df[key].to_numpy()[order]
+    vv = v[order]
+    ff = df["flag"].to_numpy()[order]
+
+    new_key = np.ones(len(k), dtype=bool)
+    new_key[1:] = k[1:] != k[:-1]
+    seg = np.cumsum(new_key) - 1              # segment id per row
+    # cur_i = sum of flags of rows strictly before i within the segment
+    cs = np.cumsum(ff)
+    first = new_key
+    base = (cs - ff)[first]                   # cumsum before each segment
+    cur = cs - ff - base[seg]                 # 0 for first row of segment
+    cand = ~first                             # sweep positions i ≥ 1
+    # per-segment max of cur over candidate positions (strict-first pick)
+    out: dict[int, float] = {}
+    n_seg = int(seg[-1]) + 1 if len(k) else 0
+    seg_max = np.full(n_seg, 0, dtype=np.int64)
+    np.maximum.at(seg_max, seg[cand], cur[cand])
+    # default threshold: first value ∓ 0.01
+    firsts = np.nonzero(first)[0]
+    for si, fi in enumerate(firsts):
+        out[int(k[fi])] = float(vv[fi] + (0.01 if descending else -0.01))
+    hit = cand & (cur == seg_max[seg]) & (seg_max[seg] > 0)
+    # first hit per segment: scan hits grouped by seg, take min index
+    hit_idx = np.nonzero(hit)[0]
+    if len(hit_idx):
+        hseg = seg[hit_idx]
+        first_hit = np.ones(len(hit_idx), dtype=bool)
+        first_hit[1:] = hseg[1:] != hseg[:-1]
+        for i in hit_idx[first_hit]:
+            out[int(k[i])] = float((vv[i] + vv[i - 1]) / 2.0)
+    return out
+
+
 def per_key_thresholds(ds, *, key: str, value: str,
                        descending: bool = False) -> dict[int, float]:
-    """groupby(key).map_groups(threshold_sweep) → {key: θ} (A3/A4).
-
-    The labeled dev table is small; the dict result broadcasts downstream.
-    """
-    def sweep(g: pd.DataFrame) -> pd.DataFrame:
-        thr = threshold_sweep(
-            g[value].to_numpy(dtype=np.float64),
-            g["flag"].to_numpy(),
-            descending=descending,
-        )
-        return pd.DataFrame({key: [g[key].iloc[0]], "theta": [thr]})
-
-    out = ds.groupby(key).map_groups(sweep, batch_format="pandas").to_pandas()
-    return dict(zip(out[key].astype(int), out["theta"].astype(float)))
+    """Dataset variant of the sweep (A3/A4): collect the (small) labeled
+    table and run the vectorized all-keys sweep driver-side."""
+    return thresholds_by_key(ds.to_pandas(), key=key, value=value,
+                             descending=descending)
 
 
 def tc_accuracy(values: np.ndarray, flags: np.ndarray,

@@ -62,7 +62,7 @@ def edges_from_mentions(mentions_ds, *, policy: str = "titlecase",
     alias = build_alias_table(
         mentions_ds, ["subj_surface", "obj_surface"],
         policy=policy, n_salt=n_salt,
-    ).to_pandas()
+    )
     bc = Broadcast(alias)
     canon = mentions_ds.map_batches(
         CanonicalizeTriples,

@@ -32,8 +32,9 @@ from ..context import Broadcast
 from ..functions.fusion import (FEATURES, FusionScorer, accuracy, pr_sweep,
                                 train_fusion)
 from ..functions.sampling import labeled_examples, split_edges
-from ..functions.transe import (TransEConfig, TransEFeature, per_key_thresholds,
-                                train_transe)
+from ..functions.transe import (TransEConfig, TransEFeature,
+                                thresholds_by_key, train_transe,
+                                train_transe_distributed, transe_energy)
 from ..functions.vocab import build_vocab, id_map_edges
 from ..stages.graph import (RR_F_MISS, RR_MISS_SENTINEL, build_csr,
                             graph_features_for_heads, rr_sigmoid_f)
@@ -51,6 +52,7 @@ class TrustConfig:
     path_keep_top: int = 50
     path_max_paths: int = 20000
     neg_seed: int = 628
+    kge_workers: int = 8  # >1 → data-parallel parameter-averaged trainer
 
 
 def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFrame:
@@ -61,16 +63,21 @@ def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFram
     side never materializes, the filter is per-batch, the result is
     bounded by |keys|.
     """
-    keys_bc = Broadcast(keys)
+    assert len(key_cols) == 2
+    packed = np.sort(np.fromiter(
+        ((int(a) << 32) | int(b) for a, b in keys), dtype=np.int64,
+        count=len(keys),
+    ))
+    keys_bc = Broadcast(packed)
 
     def keep(batch: pa.Table) -> pa.Table:
-        kset = keys_bc.get()
-        cols = [batch.column(c).to_numpy() for c in key_cols]
-        mask = np.fromiter(
-            (tuple(int(c[i]) for c in cols) in kset for i in range(batch.num_rows)),
-            dtype=bool,
-            count=batch.num_rows,
-        )
+        karr = keys_bc.get()
+        a = batch.column(key_cols[0]).to_numpy().astype(np.int64)
+        b = batch.column(key_cols[1]).to_numpy().astype(np.int64)
+        probe = (a << 32) | b
+        pos = np.searchsorted(karr, probe)
+        pos = np.clip(pos, 0, len(karr) - 1)
+        mask = karr[pos] == probe
         return batch.filter(pa.array(mask))
 
     return feature_ds.map_batches(keep, batch_format="pyarrow").to_pandas()
@@ -78,6 +85,16 @@ def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFram
 
 def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     """Edge Dataset (subj, pred, obj) → scored conf_test + metrics."""
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t = _time.time()
+
+    def _lap(name: str) -> None:
+        nonlocal _t
+        timings[name] = round(_time.time() - _t, 3)
+        _t = _time.time()
+
     # ---- vocab + ids (A1/M1) -------------------------------------------
     edges_ds = edges_ds.materialize()  # consumed 3x (ents, rels, id-map)
     ent_df, rel_df = build_vocab(edges_ds)
@@ -87,13 +104,18 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     # scale; the page corpus, which is the 100-TB object, never lands here)
     triples = ids_df[["h", "t", "r"]].to_numpy().astype(np.int64)
 
-    ids_ds = rd.from_pandas(ids_df)
-    train_ds, valid_ds, test_ds = split_edges(ids_ds)
-    train_df = train_ds.to_pandas()
-    valid_df = valid_ds.to_pandas()
-    test_df = test_ds.to_pandas()
+    # split driver-side (same arithmetic-hash semantics as split_edges —
+    # the id table is already collected; three Ray round-trips saved)
+    from ..functions.sampling import split_bucket
+
+    b = split_bucket(ids_df["h"].to_numpy(), ids_df["t"].to_numpy(),
+                     ids_df["r"].to_numpy())
+    train_df = ids_df[b < 8]
+    valid_df = ids_df[b == 8]
+    test_df = ids_df[b == 9]
 
     gold = frozenset(map(tuple, triples.tolist()))
+    _lap("vocab_ids_split")
 
     # ---- labeled examples (D4) -----------------------------------------
     conf_valid = labeled_examples(
@@ -103,22 +125,27 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
         rd.from_pandas(test_df), gold, n_entities=n_ent, seed=cfg.neg_seed + 1
     ).to_pandas()
 
+    _lap("negative_sampling")
+
     # ---- KGE training (T7) ---------------------------------------------
     tr = train_df[["h", "t", "r"]].to_numpy().astype(np.int64)
     dev = valid_df[["h", "t", "r"]].to_numpy().astype(np.int64)
-    E, R = train_transe(tr, n_ent, n_rel, cfg.transe, dev_triples=dev)
+    if cfg.kge_workers > 1:
+        E, R = train_transe_distributed(tr, n_ent, n_rel, cfg.transe,
+                                        dev_triples=dev,
+                                        workers=cfg.kge_workers)
+    else:
+        E, R = train_transe(tr, n_ent, n_rel, cfg.transe, dev_triples=dev)
     Ep, Rp = train_transe(tr, n_ent, n_rel, cfg.ptranse, dev_triples=dev)
 
-    # ---- TransE margin features (A3 + M5/M6) ---------------------------
-    emb_bc = Broadcast((E, R))
-    cv_ds = rd.from_pandas(conf_valid).map_batches(
-        TransEFeature, fn_constructor_kwargs={"emb_bc": emb_bc},
-        batch_format="pyarrow", concurrency=(1, 2),
-    )
-    theta_r = per_key_thresholds(cv_ds, key="r", value="transV")
-    def with_margin(df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.transe import transe_energy
+    _lap("kge_training")
 
+    # ---- TransE margin features (A3 + M5/M6) ---------------------------
+    cv_v = conf_valid.copy()
+    cv_v["transV"] = transe_energy(E, R, cv_v["h"].to_numpy(),
+                                   cv_v["t"].to_numpy(), cv_v["r"].to_numpy())
+    theta_r = thresholds_by_key(cv_v, key="r", value="transV")
+    def with_margin(df: pd.DataFrame) -> pd.DataFrame:
         v = transe_energy(E, R, df["h"].to_numpy(), df["t"].to_numpy(),
                           df["r"].to_numpy())
         th = df["r"].map(lambda x: theta_r.get(int(x), 0.0)).to_numpy()
@@ -129,6 +156,8 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
 
     conf_valid = with_margin(conf_valid)
     conf_test = with_margin(conf_test)
+
+    _lap("transe_features")
 
     # ---- fused graph features for conf heads (T1-T3) -------------------
     csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_ent)
@@ -150,16 +179,16 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
         for row in gf_hits.itertuples(index=False)
     }
 
+    _lap("graph_features")
+
     # ---- per-head thresholds on PR (A4, desc sweep) --------------------
     pr_rows = conf_valid.copy()
     pr_rows["pr"] = [
         float(gf_map[(h, t)].pr) if (h, t) in gf_map else 0.0
         for h, t in zip(pr_rows["h"].astype(int), pr_rows["t"].astype(int))
     ]
-    theta_h = per_key_thresholds(
-        rd.from_pandas(pr_rows[["h", "pr", "flag"]]),
-        key="h", value="pr", descending=True,
-    )
+    theta_h = thresholds_by_key(pr_rows[["h", "pr", "flag"]], key="h",
+                                value="pr", descending=True)
 
     def add_rr(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
@@ -184,6 +213,8 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
 
     conf_valid = add_rr(conf_valid)
     conf_test = add_rr(conf_test)
+
+    _lap("rr_features")
 
     # ---- reachable paths (T4/T5 + M9) ----------------------------------
     queries = pd.concat([conf_valid, conf_test])[["h", "t", "r"]] \
@@ -218,6 +249,8 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     conf_valid = add_paths(conf_valid)
     conf_test = add_paths(conf_test)
 
+    _lap("path_search")
+
     # ---- fusion train + score (T8/T6) ----------------------------------
     model = train_fusion(conf_valid)
     model_bc = Broadcast(model)
@@ -226,6 +259,7 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 2),
     ).to_pandas()
 
+    _lap("fusion_train_score")
     conf = scored["conf"].to_numpy()
     flags = scored["flag"].to_numpy()
     sweep = pr_sweep(conf, flags)
@@ -242,4 +276,5 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
         "max_f1": float(sweep["f1"].max()),
         "embeddings": (E, R),
         "csr": csr,
+        "timings": timings,
     }

@@ -385,8 +385,10 @@ def ensure_pages_parquet(spec: CorpusSpec, root: str = "/tmp/ttmf_pages") -> str
 
 
 def spec_for_sf_dir(sf_dir: str, seed: int = 42) -> CorpusSpec:
-    """Corpus size follows the driver's documents table for that scale factor."""
+    """Corpus size follows the scale factor: lineitem is the one driver
+    table that scales linearly with sf (documents does not), so
+    n_pages = lineitem/3 → 2k / 20k / 200k pages at sf 0.001/0.01/0.1."""
     import pyarrow.parquet as pq
 
-    n = pq.read_metadata(f"{sf_dir.rstrip('/')}/documents.parquet").num_rows
-    return CorpusSpec(seed=seed, n_pages=int(n) * 4)
+    n = pq.read_metadata(f"{sf_dir.rstrip('/')}/lineitem.parquet").num_rows
+    return CorpusSpec(seed=seed, n_pages=max(500, int(n) // 3))

@@ -56,31 +56,28 @@ def _partial_counts(batch: pa.Table, cols: list[str]) -> pa.Table:
     )
 
 
-def _elect(group: pd.DataFrame, policy: str) -> pd.DataFrame:
-    key = group["norm_key"].iloc[0]
-    if policy == "titlecase":
-        canonical = key.title()
-    else:
-        agg = group.groupby("surface", as_index=False)["cnt"].sum()
-        agg = agg.sort_values(["cnt", "surface"], ascending=[False, True])
-        canonical = agg["surface"].iloc[0]
-    return pd.DataFrame({"norm_key": [key], "canonical": [canonical]})
-
-
 def build_alias_table(
     mentions,  # ray.data.Dataset with surface columns
     surface_cols: list[str],
     *,
     policy: str = "frequency",
     n_salt: int = 0,
-):
-    """Dataset of (norm_key, canonical) — the alias/linking table.
+) -> pd.DataFrame:
+    """(norm_key, canonical) alias/linking table as a pandas DataFrame.
 
-    ``n_salt > 0`` forces the two-level salted aggregation (phase 1 groups on
-    (norm_key, salt), phase 2 merges the per-salt partials); with the
-    per-batch combiner already bounding reducer fan-in this is only needed
-    for extreme hub keys, but the path is exercised by tests either way.
+    Distributed part: per-batch combiner (the Counter in
+    ``_partial_counts``) + a hash-shuffle Sum over (norm_key, surface) —
+    this is where the 100-TB mention stream reduces to vocab size.  The
+    election itself is vectorized on the (small) aggregate.
+
+    ``n_salt > 1`` inserts the two-level salted aggregation for extreme
+    hub surfaces — groupby (norm_key, surface, salt) first, then merge
+    the per-salt partials — the pattern the north rule names; with the
+    combiner already bounding per-key fan-in it changes results not at
+    all (tests assert exact equality with the unsalted path).
     """
+    from ray.data.aggregate import Sum
+
     partials = mentions.map_batches(
         lambda b: _partial_counts(b, surface_cols), batch_format="pyarrow"
     )
@@ -102,19 +99,26 @@ def build_alias_table(
             )
             return b.append_column("salt", pa.array(salt))
 
-        def merge_salted(g: pd.DataFrame) -> pd.DataFrame:
-            agg = g.groupby(["norm_key", "surface"], as_index=False)["cnt"].sum()
-            return agg
-
         partials = (
             partials.map_batches(add_salt, batch_format="pyarrow")
-            .groupby(["norm_key", "salt"])
-            .map_groups(merge_salted, batch_format="pandas")
+            .groupby(["norm_key", "surface", "salt"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
         )
 
-    return partials.groupby("norm_key").map_groups(
-        lambda g: _elect(g, policy), batch_format="pandas"
+    agg = (
+        partials.groupby(["norm_key", "surface"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
     )
+    if policy == "titlecase":
+        keys = agg["norm_key"].drop_duplicates().sort_values()
+        return pd.DataFrame({"norm_key": keys.to_numpy(),
+                             "canonical": [k.title() for k in keys]})
+    agg = agg.sort_values(["norm_key", "cnt", "surface"],
+                          ascending=[True, False, True])
+    first = agg.drop_duplicates("norm_key", keep="first")
+    return pd.DataFrame({"norm_key": first["norm_key"].to_numpy(),
+                         "canonical": first["surface"].to_numpy()})
 
 
 class CanonicalizeTriples:

@@ -185,31 +185,98 @@ class MinHashLSH:
         )
 
 
-def _pairs_from_buckets(g: pd.DataFrame) -> pd.DataFrame:
-    """Bucket → candidate pairs (a < b). Caps quadratic blowup per bucket."""
-    ids = sorted(set(g["doc_id"].tolist()))
-    cap = 50  # a bucket bigger than this is a degenerate hot bucket:
-    # emit consecutive pairs only (keeps connectivity, linear output)
-    out_a: list[int] = []
-    out_b: list[int] = []
+def _bucket_pairs(ids: list[int], cap: int = 50) -> list[tuple[int, int]]:
+    """All-pairs within a bucket, capped: a bucket bigger than ``cap`` is a
+    degenerate hot bucket → consecutive pairs only (keeps the connectivity
+    union-find needs, linear output instead of quadratic)."""
+    ids = sorted(set(ids))
     if len(ids) <= cap:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-    else:
-        for i in range(len(ids) - 1):
-            out_a.append(ids[i])
-            out_b.append(ids[i + 1])
-    return pd.DataFrame({"a": out_a, "b": out_b})
+        return [(ids[i], ids[j])
+                for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    return list(zip(ids, ids[1:]))
 
 
 def candidate_pairs(bucket_rows):
-    """(band, band_hash, doc_id) rows → distinct candidate (a, b) pairs."""
-    pairs = bucket_rows.groupby(["band", "band_hash"]).map_groups(
-        _pairs_from_buckets, batch_format="pandas"
+    """(band, band_hash, doc_id) rows → distinct candidate (a, b) pairs.
+
+    Shape: global sort on the bucket key (the one shuffle — signature rows
+    only), then VECTORIZED per-batch pairing; buckets that straddle batch
+    boundaries are re-linked by one pair per boundary (driver-side, one row
+    per block — tiny), which preserves cluster connectivity exactly and
+    all-pairs recall for every non-straddling bucket.  This replaces a
+    per-group ``map_groups`` (~ms of overhead × #buckets — measured 146 s
+    at 84k buckets) with seconds of batch work.
+    """
+    import ray.data as rd
+
+    sorted_rows = bucket_rows.sort(["band", "band_hash"])
+
+    def pairs_in_batch(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy()
+        bh = t.column("band_hash").to_numpy()
+        ids = t.column("doc_id").to_numpy()
+        out_a: list[int] = []
+        out_b: list[int] = []
+        if len(ids) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "edge": pa.array([], pa.string())})
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(new)[0].tolist() + [len(ids)]
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s >= 2:
+                for a, b in _bucket_pairs(ids[s:e].tolist()):
+                    out_a.append(a)
+                    out_b.append(b)
+        # boundary markers: first/last bucket of this sorted batch
+        first_key = f"{band[0]}:{bh[0]}"
+        last_key = f"{band[-1]}:{bh[-1]}"
+        edge_rows = [
+            ("F", int(ids[: starts[1]].min()), first_key),
+            ("L", int(ids[starts[-2]:].min()), last_key),
+        ]
+        return pa.table({
+            "a": pa.array(out_a + [r[1] for r in edge_rows], pa.int64()),
+            "b": pa.array(out_b + [r[1] for r in edge_rows], pa.int64()),
+            "edge": pa.array([""] * len(out_a)
+                             + [f"{r[0]}|{r[2]}" for r in edge_rows],
+                             pa.string()),
+        })
+
+    import pyarrow.compute as pc
+
+    raw = sorted_rows.map_batches(pairs_in_batch,
+                                  batch_format="pyarrow").materialize()
+    pairs_ds = raw.map_batches(
+        lambda t: t.filter(pc.equal(t.column("edge"), pa.scalar("")))
+        .select(["a", "b"]),
+        batch_format="pyarrow",
     )
-    return distinct_rows(pairs, ["a", "b"])
+    # link straddling buckets: consecutive L|key → F|key markers with the
+    # same key get one connecting pair (markers are 2 rows per block — tiny)
+    markers = raw.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("edge"), pa.scalar(""))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # all markers sharing a key belong to ONE bucket, so linking its
+    # segment-representative ids pairwise-consecutively restores
+    # connectivity regardless of block arrival order
+    by_key: dict[str, set[int]] = {}
+    for _, row in markers.iterrows():
+        key = row["edge"].split("|", 1)[1]
+        by_key.setdefault(key, set()).add(int(row["a"]))
+    link_a: list[int] = []
+    link_b: list[int] = []
+    for ids in by_key.values():
+        ordered = sorted(ids)
+        for x, y in zip(ordered, ordered[1:]):
+            link_a.append(x)
+            link_b.append(y)
+    if link_a:
+        links = pd.DataFrame({"a": link_a, "b": link_b}).drop_duplicates()
+        pairs_ds = pairs_ds.union(rd.from_pandas(links))
+    return distinct_rows(pairs_ds, ["a", "b"])
 
 
 class JaccardVerifier:
