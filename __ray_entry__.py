@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": rel.revenue_by_nation,
         "top_parts": rel.top_parts,
         "ann_topk": rel.ann_topk,
+        # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
         "kg_construct_pages": cq.kg_construct_pages,
@@ -61,6 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivf_topk": cq.embeddings_ivf_topk,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
+        "kg_kgc_negatives": cq.kg_kgc_negatives,
+        "kg_link_prediction": cq.kg_link_prediction,
+        "kg_error_report": cq.kg_error_report,
+        "embeddings_roundtrip": cq.embeddings_roundtrip,
+        "events_sessions": rel.events_sessions,
     }
 
 
@@ -213,6 +219,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_size AS BIGINT) AS p_size,
                    ROUND(p_retailprice, 2) AS p_retailprice
             FROM part ORDER BY p_size DESC, p_partkey LIMIT 10
+        """,
+        "events_sessions": """
+            WITH ordered AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS es,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), flagged AS (
+                SELECT user_id, es, rn,
+                       CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY rn)
+                                 IS NULL
+                                 OR es - lag(es) OVER (PARTITION BY user_id
+                                                       ORDER BY rn) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ordered
+            ), tagged AS (
+                SELECT user_id, es,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY rn) - 1
+                           AS session_id
+                FROM flagged
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(es) AS BIGINT) AS start_epoch,
+                   CAST(max(es) AS BIGINT) AS end_epoch
+            FROM tagged GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..context import Broadcast
+from ..context import Broadcast, auto_pool
 
 # Knuth-style multiplicative constants; the formula is fixed because the
 # DuckDB oracle mirrors it literally in SQL (no library hash involved).
@@ -118,7 +118,7 @@ def labeled_examples(pos_ds, gold: frozenset, *, n_entities: int, seed: int = 62
                                "seed": seed},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 4),
+        concurrency=auto_pool(),
     )
 
 

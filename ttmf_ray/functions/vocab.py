@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..context import Broadcast
+from ..context import Broadcast, auto_pool
 from ..stages.dedup import distinct_rows
 
 
@@ -99,7 +99,7 @@ def id_map_edges(edges_ds, ent_df: pd.DataFrame, rel_df: pd.DataFrame):
         fn_constructor_kwargs={"ent_bc": ent_bc, "rel_bc": rel_bc},
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=(1, 4),
+        concurrency=auto_pool(),
     )
     return mapped.map_batches(
         lambda t: t.filter(

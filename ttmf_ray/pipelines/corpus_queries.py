@@ -198,3 +198,115 @@ def kg_graph_features(sf_dir: str) -> pd.DataFrame:
                        ["head", "node", "in_c", "out_c", "in_n", "out_n",
                         "depth"]}) \
         .sort_values(["head", "node"]).reset_index(drop=True)
+
+
+def _relational_kg(sf_dir: str):
+    from ..functions.vocab import build_vocab, id_map_edges
+    from ..pipelines.relational import kg_edges_relational
+
+    edges = kg_edges_relational(sf_dir).materialize()
+    ent_df, rel_df = build_vocab(edges)
+    ids = id_map_edges(edges, ent_df, rel_df).to_pandas()
+    return ent_df, rel_df, ids
+
+
+def kg_link_prediction(sf_dir: str) -> pd.DataFrame:
+    """Link-prediction eval (A9): Hits@1/10 + mean rank, raw & filtered,
+    with a short deterministic TransE fit on the relational KG."""
+    from ..functions.eval import link_prediction_eval
+    from ..functions.sampling import split_bucket
+    from ..functions.transe import TransEConfig, train_transe
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    tr_arr = ids[["h", "t", "r"]].to_numpy().astype(np.int64)
+    b = split_bucket(ids["h"].to_numpy(), ids["t"].to_numpy(),
+                     ids["r"].to_numpy())
+    train = tr_arr[b < 8]
+    test = tr_arr[b == 9][:500]
+    E, R = train_transe(train, len(ent_df), len(rel_df),
+                        TransEConfig(dim=32, epochs=25, lr=0.02,
+                                     batch_size=2048))
+    gold = frozenset(map(tuple, tr_arr.tolist()))
+    metrics = link_prediction_eval(
+        rd.from_pandas(pd.DataFrame(test, columns=["h", "t", "r"])),
+        E, R, gold)
+    out = pd.DataFrame([
+        {"metric": k, "value": round(float(v), 6)}
+        for k, v in sorted(metrics.items())
+    ])
+    return out
+
+
+def kg_error_report(sf_dir: str) -> pd.DataFrame:
+    """find_errors equivalent (O2+M2): top-20 lowest-confidence scored
+    triples unmapped back to names."""
+    from ..functions.eval import error_report
+    from ..functions.transe import TransEConfig
+    from ..pipelines.trust import TrustConfig, trust_pipeline
+    from ..pipelines.kg_construct import kg_construct
+
+    spec = _spec(sf_dir, cap=4000)
+    edges = kg_construct(pages_dataset(spec))
+    cfg = TrustConfig(
+        transe=TransEConfig(dim=32, epochs=30, lr=0.02),
+        ptranse=TransEConfig(dim=32, epochs=10, lr=0.01, loss="logistic"),
+        path_max_paths=3000,
+    )
+    res = trust_pipeline(edges, cfg)
+    ents = res["ent_vocab"]["name"].to_numpy(dtype=object)
+    rels = res["rel_vocab"]["name"].to_numpy(dtype=object)
+    return error_report(res["scored_test"], ents, rels, top_k=20)
+
+
+def kg_kgc_negatives(sf_dir: str) -> pd.DataFrame:
+    """k-per-positive KGC corruption files (hr_/h_t/_rt; D4 variant,
+    `process_triples.py:35-63`, incorrect_count=5) — seeded, deterministic."""
+    from ..functions.sampling import KGCNegatives
+    from ..stages.dedup import distinct_rows
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    test = ids.head(2000)
+    outs = []
+    for slot, vocab_size in (("tail", len(ent_df)), ("rel", len(rel_df)),
+                             ("head", len(ent_df))):
+        ds = rd.from_pandas(test)
+        neg = ds.map_batches(
+            KGCNegatives,
+            fn_constructor_kwargs={"slot": slot, "vocab_size": vocab_size,
+                                   "k": 5},
+            batch_format="pyarrow", batch_size=100000,
+            concurrency=1,
+        ).to_pandas()
+        neg["slot"] = slot
+        outs.append(neg)
+    out = pd.concat(outs, ignore_index=True)
+    return out.astype({"h": np.int64, "t": np.int64, "r": np.int64,
+                       "flag": np.int64}) \
+        .sort_values(["slot", "h", "t", "r"]).reset_index(drop=True)
+
+
+def embeddings_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Embedding writer/reader + UNK matrix assembly (S4/S5) smoke query."""
+    import tempfile
+
+    from ..functions.embeddings_io import (assemble_matrix,
+                                           read_embeddings_parquet,
+                                           write_embeddings_parquet)
+
+    rng = np.random.default_rng(7)
+    ids = np.arange(50, dtype=np.int64)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/emb.parquet"
+        write_embeddings_parquet(path, ids, vecs)
+        rids, rvecs = read_embeddings_parquet(path)
+    vocab = np.arange(60)  # 10 entries lack stored vectors → UNK row
+    W, n_unk = assemble_matrix(vocab, rids, rvecs, k=16)
+    return pd.DataFrame({
+        "stat": ["rows", "n_unk", "roundtrip_exact", "unk_shared"],
+        "value": [
+            float(W.shape[0]), float(n_unk),
+            float(np.array_equal(rvecs, vecs)),
+            float(np.array_equal(W[51], W[59])),
+        ],
+    })

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..context import Broadcast
+from ..context import Broadcast, auto_pool
 from ..stages.canonicalize import CanonicalizeTriples, build_alias_table
 from ..stages.dedup import distinct_rows
 from ..stages.extract import extract_text_batch, sentences_batch
@@ -35,7 +35,7 @@ def extract_pages(pages_ds):
 
 
 def mentions_from_pages(pages_ds, *, lang: str = "en",
-                        concurrency: tuple[int, int] | int = (1, 4)):
+                        concurrency: tuple[int, int] | int | None = None):
     """pages → surface-form mention triples (url, sent_id, subj/pred/obj).
 
     The extractor pool autoscales (min, max) so several pools coexist on a
@@ -46,11 +46,13 @@ def mentions_from_pages(pages_ds, *, lang: str = "en",
     sents = extracted.map_batches(
         lambda b: filter_lang(b, lang=lang), batch_format="pyarrow"
     ).map_batches(sentences_batch, batch_format="pyarrow", batch_size=1024)
+    from ..context import auto_pool
+
     return sents.map_batches(
         TripleExtractor,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_pool(),
     )
 
 
@@ -69,7 +71,7 @@ def edges_from_mentions(mentions_ds, *, policy: str = "titlecase",
         fn_constructor_kwargs={"alias_bc": bc},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 4),
+        concurrency=auto_pool(),
     )
     if keep_url:
         return distinct_rows(canon, ["subj", "pred", "obj", "url"])

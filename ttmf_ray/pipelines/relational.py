@@ -373,3 +373,31 @@ def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out["cosine"] = out["cosine"].round(5)
     return out.astype({"vec_id": np.int64}).sort_values("vec_id") \
         .reset_index(drop=True)
+
+
+def events_sessions(sf_dir: str, gap_sec: int = 1800) -> pd.DataFrame:
+    """Gap-based sessionization per user (the streaming-shaped operator
+    pattern: partition by key, sort by event time within the group, carry
+    windowed state — here a 30-minute inactivity gap closes a session).
+
+    SQL-mirrored: session boundaries via lag + cumulative sum.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        es = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        new_s = np.ones(len(es), dtype=np.int64)
+        new_s[1:] = (es[1:] - es[:-1] > gap_sec).astype(np.int64)
+        sid = np.cumsum(new_s) - 1
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "session_id": sid, "es": es})
+        agg = out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("es", "size"), start_epoch=("es", "min"),
+            end_epoch=("es", "max"))
+        return agg
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas") \
+        .to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)

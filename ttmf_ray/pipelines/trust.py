@@ -52,7 +52,7 @@ class TrustConfig:
     path_keep_top: int = 50
     path_max_paths: int = 20000
     neg_seed: int = 628
-    kge_workers: int = 8  # >1 → data-parallel parameter-averaged trainer
+    kge_workers: int | None = None  # None → auto (num_cpus/2); 0/1 → serial
 
 
 def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFrame:
@@ -130,10 +130,15 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     # ---- KGE training (T7) ---------------------------------------------
     tr = train_df[["h", "t", "r"]].to_numpy().astype(np.int64)
     dev = valid_df[["h", "t", "r"]].to_numpy().astype(np.int64)
-    if cfg.kge_workers > 1:
+    from ..context import num_cpus as _ncpu
+
+    kge_workers = cfg.kge_workers
+    if kge_workers is None:
+        kge_workers = max(2, _ncpu() // 2)
+    if kge_workers > 1:
         E, R = train_transe_distributed(tr, n_ent, n_rel, cfg.transe,
                                         dev_triples=dev,
-                                        workers=cfg.kge_workers)
+                                        workers=kge_workers)
     else:
         E, R = train_transe(tr, n_ent, n_rel, cfg.transe, dev_triples=dev)
     Ep, Rp = train_transe(tr, n_ent, n_rel, cfg.ptranse, dev_triples=dev)
@@ -254,9 +259,11 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     # ---- fusion train + score (T8/T6) ----------------------------------
     model = train_fusion(conf_valid)
     model_bc = Broadcast(model)
+    from ..context import auto_pool
+
     scored = rd.from_pandas(conf_test).map_batches(
         FusionScorer, fn_constructor_kwargs={"model_bc": model_bc},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 2),
+        batch_format="pyarrow", batch_size=4096, concurrency=auto_pool(0.25),
     ).to_pandas()
 
     _lap("fusion_train_score")

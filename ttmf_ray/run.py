@@ -1,0 +1,100 @@
+"""CLI entry point — the ``ray job submit`` surface (SURVEY.md S13).
+
+Usage (single node; on a cluster submit exactly this command):
+
+    ray job submit --working-dir . -- \
+        python -m ttmf_ray.run construct --pages /path/pages_parquet \
+            --out /tmp/edges --shards 16
+    python -m ttmf_ray.run trust --edges /tmp/edges_parquet --out /tmp/scores
+    python -m ttmf_ray.run e2e --sf-dir /root/testdata/sf0.001 --out /tmp/run
+
+Owns the Ray session (guarded init), unlike the library modules.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False, "ignore_reinit_error": True,
+              "logging_level": "ERROR"}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(address="local", **kw)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ttmf_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("construct", help="phase A: pages parquet → edges")
+    p1.add_argument("--pages", required=True)
+    p1.add_argument("--out", required=True)
+
+    p2 = sub.add_parser("trust", help="phase B: edges parquet → scores")
+    p2.add_argument("--edges", required=True)
+    p2.add_argument("--out", required=True)
+
+    p3 = sub.add_parser("e2e", help="synthetic corpus → edges → scores")
+    p3.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p3.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+    _init_ray(args.num_cpus)
+
+    import ray
+    import ray.data as rd
+
+    from .context import tune_data_context
+
+    tune_data_context(target_max_block_size=2 * 1024 * 1024)
+
+    if args.cmd == "construct":
+        from .pipelines.kg_construct import kg_construct
+
+        edges = kg_construct(rd.read_parquet(args.pages))
+        edges.write_parquet(args.out)
+        print(json.dumps({"edges": edges.count(), "out": args.out}))
+    elif args.cmd == "trust":
+        from .pipelines.trust import trust_pipeline
+
+        res = trust_pipeline(rd.read_parquet(args.edges))
+        rd.from_pandas(res["scored_test"]).write_parquet(args.out)
+        print(json.dumps({
+            "scored": len(res["scored_test"]),
+            "accuracy": round(res["accuracy"], 4),
+            "max_f1": round(res["max_f1"], 4),
+            "out": args.out,
+        }))
+    elif args.cmd == "e2e":
+        from .pipelines.kg_construct import kg_construct
+        from .pipelines.trust import TrustConfig, trust_pipeline
+        from .functions.transe import TransEConfig
+        from .sources.pages import ensure_pages_parquet, spec_for_sf_dir
+
+        spec = spec_for_sf_dir(args.sf_dir)
+        pages = ensure_pages_parquet(spec)
+        edges = kg_construct(rd.read_parquet(pages)).materialize()
+        edges.write_parquet(args.out + "/edges")
+        cfg = TrustConfig(transe=TransEConfig(dim=32, epochs=30, lr=0.02))
+        res = trust_pipeline(edges, cfg)
+        rd.from_pandas(res["scored_test"]).write_parquet(args.out + "/scores")
+        print(json.dumps({
+            "pages": spec.n_pages,
+            "edges": edges.count(),
+            "scored": len(res["scored_test"]),
+            "accuracy": round(res["accuracy"], 4),
+            "out": args.out,
+        }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

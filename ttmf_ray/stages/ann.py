@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..context import Broadcast
+from ..context import Broadcast, auto_pool
 
 
 def _l2norm(m: np.ndarray) -> np.ndarray:
@@ -80,7 +80,7 @@ def brute_topk(ds, queries: np.ndarray, k: int, **stage_kw) -> pd.DataFrame:
         fn_constructor_kwargs={"queries_bc": bc, "k": k, **stage_kw},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
+        concurrency=auto_pool(0.5),
     ).to_pandas()
     return merge_topk(partials, k)
 

@@ -235,8 +235,10 @@ RR_F_MISS = 0.001                                      # RRC.py:137-152
 
 def graph_features_for_heads(heads_ds, csr: CSR, *, depth: int = 4,
                              max_nodes: int = 4000,
-                             concurrency: tuple[int, int] | int = (1, 8)):
+                             concurrency: tuple[int, int] | int | None = None):
     """heads Dataset['head'] → fused per-(head, node) feature Dataset."""
+    from ..context import auto_pool
+
     bc = Broadcast(csr)
     return heads_ds.map_batches(
         GraphFeatures,
@@ -244,5 +246,5 @@ def graph_features_for_heads(heads_ds, csr: CSR, *, depth: int = 4,
                                "max_nodes": max_nodes},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_pool(),
     )

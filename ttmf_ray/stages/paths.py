@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..context import Broadcast
+from ..context import Broadcast, auto_pool
 from .graph import CSR
 
 
@@ -155,7 +155,7 @@ class PathSearch:
 
 def ranked_paths_for_queries(query_ds, csr: CSR, E: np.ndarray, R: np.ndarray,
                              *, keep_top: int = 50, max_paths: int = 20000,
-                             concurrency: tuple[int, int] | int = (1, 8)):
+                             concurrency: tuple[int, int] | int | None = None):
     """Query triples Dataset → ranked-path Dataset (sorted by head for
     actor-cache locality; the sort is a shuffle of tiny id rows only)."""
     csr_bc = Broadcast(csr)
@@ -166,5 +166,5 @@ def ranked_paths_for_queries(query_ds, csr: CSR, E: np.ndarray, R: np.ndarray,
                                "keep_top": keep_top, "max_paths": max_paths},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_pool(),
     )
