@@ -42,6 +42,11 @@ def run_bench() -> dict:
     tune_data_context(target_max_block_size=2 * 1024 * 1024)
 
     spec = spec_for_sf_dir(sf_dir)
+    pages_override = os.environ.get("GRAFT_PAGES")
+    if pages_override:
+        from ttmf_ray.sources.pages import CorpusSpec
+
+        spec = CorpusSpec(seed=spec.seed, n_pages=int(pages_override))
     corpus_path = ensure_pages_parquet(spec)  # untimed, cached
     queries: dict[str, float] = {}
 
@@ -54,12 +59,14 @@ def run_bench() -> dict:
     # --- phase B -----------------------------------------------------------
     t0 = time.time()
     cfg = TrustConfig(
-        transe=TransEConfig(dim=50, epochs=20, lr=0.02,
+        transe=TransEConfig(dim=32, epochs=20, lr=0.02,
                             batch_size=4096),
-        ptranse=TransEConfig(dim=50, epochs=4, lr=0.02, loss="logistic",
+        ptranse=TransEConfig(dim=32, epochs=4, lr=0.02, loss="logistic",
                              batch_size=8192),
-        path_max_paths=5000,
-        kge_workers=8,
+        subgraph_max_nodes=600,
+        path_max_paths=800,
+        fusion_batch_size=512,
+        fusion_epochs=60,
     )
     res = trust_pipeline(edges, cfg)
     n_scored = len(res["scored_test"])
@@ -121,18 +128,31 @@ def run_scaling() -> dict:
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # scaling evidence runs on a larger corpus than the per-round bench so
+    # the data-proportional compute dominates fixed session costs (the
+    # 100-TB regime this stands in for); override with GRAFT_PAGES.
+    os.environ.setdefault("GRAFT_PAGES", "600000")
     r_lo, r_hi = one(lo), one(hi)
     thr_lo = r_lo["n_edges"] / r_lo["value"]
     thr_hi = r_hi["n_edges"] / r_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    a_lo = r_lo["n_edges"] / r_lo["queries"]["kg_construct"]
+    a_hi = r_hi["n_edges"] / r_hi["queries"]["kg_construct"]
+    eff_a = (a_hi / a_lo) / (hi / lo)
     return {
         "metric": "scaling efficiency (triples/s at 32 cpus vs 8 cpus, "
                   "fresh processes, same input)",
         "cpus_lo": lo, "cpus_hi": hi,
+        "n_pages": r_lo["n_pages"],
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "triples_per_sec_lo": round(thr_lo, 1),
         "triples_per_sec_hi": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "phase_a_pages_per_sec_lo": round(
+            r_lo["n_pages"] / r_lo["queries"]["kg_construct"], 1),
+        "phase_a_pages_per_sec_hi": round(
+            r_hi["n_pages"] / r_hi["queries"]["kg_construct"], 1),
+        "phase_a_scaling_efficiency": round(eff_a, 3),
         "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
     }
 

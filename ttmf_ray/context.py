@@ -47,12 +47,27 @@ def num_cpus() -> int:
     return os.cpu_count() or 4
 
 
-def auto_pool(frac: float = 1.0, lo: int = 1) -> tuple[int, int]:
+def auto_pool(frac: float = 1.0, lo: int | None = None) -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the CURRENT cluster:
-    (lo, max(2, num_cpus * frac)).  Fixed small maxima silently cap
-    parallelism when the cluster grows (measured: (1, 8) pools pinned the
-    32-CPU run to 8 actors → 0.6 scaling efficiency)."""
-    return (lo, max(2, int(num_cpus() * frac)))
+    (hi/4, hi) with hi = max(2, num_cpus * frac).  Fixed small maxima
+    silently cap parallelism when the cluster grows (measured: (1, 8)
+    pools pinned the 32-CPU run to 8 actors → 0.6 scaling efficiency);
+    a min of hi/4 pre-starts a quarter of the pool so short stages do not
+    spend their whole wall ramping one actor at a time."""
+    hi = max(2, int(num_cpus() * frac))
+    if lo is None:
+        lo = max(1, hi // 4)
+    return (lo, hi)
+
+
+def spread(ds, blocks_per_cpu: int = 4):
+    """Split a small in-memory Dataset into enough blocks to feed a pool.
+
+    ``rd.from_pandas`` yields ONE block; a downstream actor-pool
+    map_batches then runs effectively serial regardless of pool size
+    (measured: a 21.5k-row single-block input pinned a 32-actor stage to
+    ~1 task at a time).  Order-preserving split (no shuffle)."""
+    return ds.repartition(max(2, num_cpus() * blocks_per_cpu))
 
 
 class Broadcast:

@@ -65,7 +65,10 @@ def train_fusion(
     (reference: batch 64, ≤200 epochs, patience 20 — `Model1.py:982,1003,
     446-447`; validation_split 0.2 — `Model1.py:486?` train loop)."""
     rng = np.random.default_rng(seed)
-    X = df[FEATURES].to_numpy(dtype=np.float64)
+    # feature hygiene: a NaN/inf leaking from any upstream stage would
+    # silently poison every weight — zero it and keep the run observable
+    X = np.nan_to_num(df[FEATURES].to_numpy(dtype=np.float64),
+                      nan=0.0, posinf=0.0, neginf=0.0)
     y = (df["flag"].to_numpy() == 1).astype(np.float64)
     mu, sd = X.mean(axis=0), X.std(axis=0)
     sd[sd == 0] = 1.0
@@ -136,9 +139,12 @@ class FusionScorer:
         self.model: FusionModel = model_bc.get()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        X = np.column_stack(
-            [batch.column(f).to_numpy().astype(np.float64)
-             for f in self.model.features]
+        X = np.nan_to_num(
+            np.column_stack(
+                [batch.column(f).to_numpy().astype(np.float64)
+                 for f in self.model.features]
+            ),
+            nan=0.0, posinf=0.0, neginf=0.0,
         )
         conf = self.model.forward(X)[:, 0]
         return batch.append_column("conf", pa.array(conf))

@@ -111,8 +111,10 @@ class NegativeSampler:
 
 def labeled_examples(pos_ds, gold: frozenset, *, n_entities: int, seed: int = 628):
     """Positive (h,t,r) Dataset → labeled (h,t,r,flag) with 1:1 negatives."""
+    from ..context import spread
+
     bc = Broadcast(gold)
-    return pos_ds.map_batches(
+    return spread(pos_ds).map_batches(
         NegativeSampler,
         fn_constructor_kwargs={"gold_bc": bc, "n_entities": n_entities,
                                "seed": seed},

@@ -83,15 +83,31 @@ def edges_from_mentions(mentions_ds, *, policy: str = "titlecase",
     )
 
 
-def kg_construct(pages_ds, **kw):
+def kg_construct(pages_ds, *, policy: str = "titlecase", **kw):
     """Full phase A: pages Dataset → deduped edge Dataset.
 
-    Mentions are materialized once (they are O(#fact sentences), far smaller
-    than pages) because both the alias build and the canonicalize pass
-    consume them; without this the page-parse stages would run twice.
+    ``policy="titlecase"`` (rule-based canonical forms) takes the fused
+    single-pass path: extract → triples → inline canonicalize →
+    in-batch distinct → ONE dedup shuffle.  Other policies need corpus
+    statistics, so mentions are materialized once (they are O(#fact
+    sentences), far smaller than pages) and consumed by the alias build
+    + canonicalize passes.
     """
+    from ..stages.canonicalize import canonicalize_inline_batch
+
+    if policy == "titlecase":
+        canon = mentions_from_pages(pages_ds).map_batches(
+            canonicalize_inline_batch, batch_format="pyarrow"
+        )
+        return distinct_rows(
+            canon.map_batches(
+                lambda b: b.select(["subj", "pred", "obj"]),
+                batch_format="pyarrow",
+            ),
+            ["subj", "pred", "obj"],
+        )
     mentions = mentions_from_pages(pages_ds).materialize()
-    return edges_from_mentions(mentions, **kw)
+    return edges_from_mentions(mentions, policy=policy, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,8 @@ class TrustConfig:
     path_max_paths: int = 20000
     neg_seed: int = 628
     kge_workers: int | None = None  # None → auto (num_cpus/2); 0/1 → serial
+    fusion_batch_size: int = 64     # reference default (Model1.py:982);
+    fusion_epochs: int = 200        # raise batch at large conf tables
 
 
 def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFrame:
@@ -134,7 +136,9 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
 
     kge_workers = cfg.kge_workers
     if kge_workers is None:
-        kge_workers = max(2, _ncpu() // 2)
+        # transfer-bound past ~8 workers (each round ships the full weight
+        # matrices per worker); cap where the speedup saturates
+        kge_workers = min(8, max(2, _ncpu() // 2))
     if kge_workers > 1:
         E, R = train_transe_distributed(tr, n_ent, n_rel, cfg.transe,
                                         dev_triples=dev,
@@ -257,11 +261,14 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     _lap("path_search")
 
     # ---- fusion train + score (T8/T6) ----------------------------------
-    model = train_fusion(conf_valid)
+    model = train_fusion(conf_valid, batch_size=cfg.fusion_batch_size,
+                         epochs=cfg.fusion_epochs)
     model_bc = Broadcast(model)
     from ..context import auto_pool
 
-    scored = rd.from_pandas(conf_test).map_batches(
+    from ..context import spread
+
+    scored = spread(rd.from_pandas(conf_test)).map_batches(
         FusionScorer, fn_constructor_kwargs={"model_bc": model_bc},
         batch_format="pyarrow", batch_size=4096, concurrency=auto_pool(0.25),
     ).to_pandas()

@@ -153,8 +153,11 @@ class CorpusSpec:
 
     @property
     def n_entities(self) -> int:
-        # ~1 entity per 2 pages, min 60 — dense enough for shared facts.
-        return max(60, self.n_pages // 2)
+        # sublinear entity growth (≈ pages^0.75, min 60): keeps KG density
+        # (facts per entity) GROWING with corpus size like real web corpora
+        # (FB15K ≈ 40 triples/entity).  A linear entity count froze density
+        # at ~3, starving TransE/graph features of signal at scale.
+        return max(60, int(self.n_pages ** 0.75))
 
     @property
     def n_facts(self) -> int:
@@ -368,7 +371,7 @@ def ensure_pages_parquet(spec: CorpusSpec, root: str = "/tmp/ttmf_pages") -> str
     """Materialize the corpus once per (seed, n_pages); return the directory."""
     import os
 
-    out = os.path.join(root, f"s{spec.seed}_n{spec.n_pages}")
+    out = os.path.join(root, f"v2_s{spec.seed}_n{spec.n_pages}")
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out

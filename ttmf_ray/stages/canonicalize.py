@@ -121,6 +121,30 @@ def build_alias_table(
                          "canonical": first["surface"].to_numpy()})
 
 
+def canonicalize_inline_batch(batch: pa.Table) -> pa.Table:
+    """Rule-policy canonicalization fused into the extraction pass.
+
+    For deterministic representative policies (titlecase of the normalized
+    key) the alias table is redundant — canonical(surface) is a pure
+    function — so phase A collapses to ONE pass over pages + one dedup
+    shuffle.  The groupby-clustering path (``build_alias_table`` +
+    ``CanonicalizeTriples``) remains the generic policy for corpus-elected
+    representatives.
+    """
+    subs = [norm_key(s).title()
+            for s in batch.column("subj_surface").to_pylist()]
+    objs = [norm_key(s).title()
+            for s in batch.column("obj_surface").to_pylist()]
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "subj": pa.array(subs, pa.string()),
+            "pred": batch.column("pred"),
+            "obj": pa.array(objs, pa.string()),
+        }
+    )
+
+
 class CanonicalizeTriples:
     """Actor-pool stage: map surface triples → canonical triples.
 

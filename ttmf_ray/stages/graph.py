@@ -234,17 +234,19 @@ RR_F_MISS = 0.001                                      # RRC.py:137-152
 
 
 def graph_features_for_heads(heads_ds, csr: CSR, *, depth: int = 4,
-                             max_nodes: int = 4000,
+                             max_nodes: int = 4000, batch_size: int = 16,
                              concurrency: tuple[int, int] | int | None = None):
     """heads Dataset['head'] → fused per-(head, node) feature Dataset."""
-    from ..context import auto_pool
+    from ..context import auto_pool, spread
 
     bc = Broadcast(csr)
+    heads_ds = spread(heads_ds)
     return heads_ds.map_batches(
         GraphFeatures,
         fn_constructor_kwargs={"csr_bc": bc, "depth": depth,
                                "max_nodes": max_nodes},
         batch_format="pyarrow",
-        batch_size=64,
+        batch_size=batch_size,  # small: a batch of hub heads must not
+        # become the straggler tail of the whole stage
         concurrency=concurrency or auto_pool(),
     )

@@ -158,13 +158,15 @@ def ranked_paths_for_queries(query_ds, csr: CSR, E: np.ndarray, R: np.ndarray,
                              concurrency: tuple[int, int] | int | None = None):
     """Query triples Dataset → ranked-path Dataset (sorted by head for
     actor-cache locality; the sort is a shuffle of tiny id rows only)."""
+    from ..context import spread
+
     csr_bc = Broadcast(csr)
     emb_bc = Broadcast((E, R))
-    return query_ds.sort("h").map_batches(
+    return spread(query_ds).sort("h").map_batches(
         PathSearch,
         fn_constructor_kwargs={"csr_bc": csr_bc, "emb_bc": emb_bc,
                                "keep_top": keep_top, "max_paths": max_paths},
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=64,
         concurrency=concurrency or auto_pool(),
     )
