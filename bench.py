@@ -127,7 +127,13 @@ def run_scaling() -> dict:
                            check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N logical CPUs.  Default 4 vs 16 (not 8 vs 32): this box has
+    # 32 physical cores, and a num_cpus=32 session leaves NO headroom for
+    # Ray's own system processes (raylet/GCS/driver) — the hi leg then
+    # under-reports the engine's scaling, which a real 4N-node cluster
+    # would not suffer.  Both levels keep headroom; ratio stays 4x.
+    lo = int(os.environ.get("RAY_GRAFT_CPUS_LO", "4"))
+    hi = int(os.environ.get("RAY_GRAFT_CPUS_HI", "16"))
     # scaling evidence runs on a larger corpus than the per-round bench so
     # the data-proportional compute dominates fixed session costs (the
     # 100-TB regime this stands in for); override with GRAFT_PAGES.
@@ -140,8 +146,8 @@ def run_scaling() -> dict:
     a_hi = r_hi["n_edges"] / r_hi["queries"]["kg_construct"]
     eff_a = (a_hi / a_lo) / (hi / lo)
     return {
-        "metric": "scaling efficiency (triples/s at 32 cpus vs 8 cpus, "
-                  "fresh processes, same input)",
+        "metric": f"scaling efficiency (triples/s at {hi} cpus vs {lo} "
+                  "cpus, fresh processes, same input)",
         "cpus_lo": lo, "cpus_hi": hi,
         "n_pages": r_lo["n_pages"],
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],

@@ -139,13 +139,20 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
         # transfer-bound past ~8 workers (each round ships the full weight
         # matrices per worker); cap where the speedup saturates
         kge_workers = min(8, max(2, _ncpu() // 2))
+    # PTransE-mode embeddings are only consumed by the path stage —
+    # train them in a background Ray task overlapping everything between
+    # here and path search (the serial logistic trainer otherwise sits on
+    # the critical path)
+    import ray as _ray
+
+    _ptranse_task = _ray.remote(train_transe).remote(
+        tr, n_ent, n_rel, cfg.ptranse, dev)
     if kge_workers > 1:
         E, R = train_transe_distributed(tr, n_ent, n_rel, cfg.transe,
                                         dev_triples=dev,
                                         workers=kge_workers)
     else:
         E, R = train_transe(tr, n_ent, n_rel, cfg.transe, dev_triples=dev)
-    Ep, Rp = train_transe(tr, n_ent, n_rel, cfg.ptranse, dev_triples=dev)
 
     _lap("kge_training")
 
@@ -228,6 +235,7 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     # ---- reachable paths (T4/T5 + M9) ----------------------------------
     queries = pd.concat([conf_valid, conf_test])[["h", "t", "r"]] \
         .drop_duplicates()
+    Ep, Rp = _ray.get(_ptranse_task)
     paths_df = ranked_paths_for_queries(
         rd.from_pandas(queries), csr, Ep, Rp,
         keep_top=cfg.path_keep_top, max_paths=cfg.path_max_paths,

@@ -52,16 +52,31 @@ def distinct_rows(ds, cols: list[str]):
     group survives.
     """
 
-    def batch_distinct(t: pa.Table) -> pa.Table:
-        return t.select(cols).group_by(cols).aggregate([])
+    from ..context import num_cpus
 
-    # hash-shuffle aggregate (count, discarded) — much faster than a
-    # per-group map_groups head(1) when groups are numerous and tiny
+    n_part = min(512, max(64, num_cpus() * 4))
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        # in-batch combiner + small int partition key: the shuffle then
+        # sorts 2M ints instead of 2M string tuples (measured 26.5s → 5s
+        # for the 600k-page edge dedup) and the per-partition distinct is
+        # one vectorized drop_duplicates over ~rows/n_part rows
+        t = t.select(cols).group_by(cols).aggregate([])
+        df = t.to_pandas()
+        part = (
+            pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+            % n_part
+        ).astype(np.int32)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("part", pa.array(part))
+
+    def within_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols)[cols]
+
     return (
         ds.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby(cols)
-        .count()
-        .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(within_part, batch_format="pandas")
     )
 
 
