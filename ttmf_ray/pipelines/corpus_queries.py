@@ -58,6 +58,7 @@ def trust_scores(sf_dir: str) -> pd.DataFrame:
         transe=TransEConfig(dim=32, epochs=40, lr=0.02),
         ptranse=TransEConfig(dim=32, epochs=15, lr=0.01, loss="logistic"),
         path_max_paths=5000,
+        kge_workers=4,  # pinned: results must not depend on cluster size
     )
     res = trust_pipeline(edges, cfg)
     out = res["scored_test"][["h", "t", "r", "flag", "conf"]].copy()
@@ -251,6 +252,7 @@ def kg_error_report(sf_dir: str) -> pd.DataFrame:
         transe=TransEConfig(dim=32, epochs=30, lr=0.02),
         ptranse=TransEConfig(dim=32, epochs=10, lr=0.01, loss="logistic"),
         path_max_paths=3000,
+        kge_workers=4,  # pinned: results must not depend on cluster size
     )
     res = trust_pipeline(edges, cfg)
     ents = res["ent_vocab"]["name"].to_numpy(dtype=object)
