@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": rel.revenue_by_nation,
         "top_parts": rel.top_parts,
         "ann_topk": rel.ann_topk,
+        "order_priority_revenue": rel.order_priority_revenue,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -219,6 +220,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_size AS BIGINT) AS p_size,
                    ROUND(p_retailprice, 2) AS p_retailprice
             FROM part ORDER BY p_size DESC, p_partkey LIMIT 10
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "events_sessions": """
             WITH ordered AS (

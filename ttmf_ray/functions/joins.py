@@ -1,0 +1,75 @@
+"""Partitioned hash join for two LARGE sides (SURVEY.md §2.4 scale path).
+
+When neither side fits a broadcast, the portable Ray Data pattern is an
+explicit bucket join: tag every row of both sides with
+``bucket = key % B``, union the tagged datasets, group by bucket, and
+join the two sides inside each group with a vectorized pandas merge
+(hot keys can be salted into sub-buckets the same way — B is the knob
+that bounds per-reducer memory).
+
+This complements the broadcast joins used everywhere else (small
+dimension sides) and the packed-key semi-join of the trust pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash_join(left, right, *, on: str, n_buckets: int = 64,
+              how: str = "inner", suffixes: tuple[str, str] = ("_l", "_r")):
+    """Dataset ⋈ Dataset on an integer key column; returns joined Dataset.
+
+    Both inputs stream; only same-bucket rows meet in one reducer.
+    ``on`` must be integer-typed (hash-partition by modulo — swap in a
+    mixing hash for adversarial key distributions).
+    """
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t.column(on).to_numpy()
+            bucket = (key % n_buckets).astype(np.int32)
+            t = t.append_column("__bucket", pa.array(bucket))
+            return t.append_column(
+                "__side", pa.array([side] * t.num_rows, pa.string())
+            )
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pyarrow")
+    rt = right.map_batches(tag("r"), batch_format="pyarrow")
+
+    # make schemas union-compatible: add each other's missing columns as null
+    lcols = [f.name for f in left.schema().base_schema
+             ] if hasattr(left.schema(), "base_schema") else left.schema().names
+    rcols = [f.name for f in right.schema().base_schema
+             ] if hasattr(right.schema(), "base_schema") else right.schema().names
+    lset = [c for c in lcols if c != on]
+    rset = [c for c in rcols if c != on]
+
+    def widen(missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            for c in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows))
+            return t
+        return fn
+
+    lt = lt.map_batches(widen(rset), batch_format="pyarrow")
+    rt = rt.map_batches(widen(lset), batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][[on] + lset].reset_index(drop=True)
+        rg = g[g["__side"] == "r"][[on] + rset].reset_index(drop=True)
+        out = lg.merge(rg, on=on, how=how, suffixes=suffixes)
+        return out
+
+    cols_order = [on] + lset + rset + ["__bucket", "__side"]
+    unioned = lt.map_batches(
+        lambda t, c=cols_order: t.select(c), batch_format="pyarrow"
+    ).union(rt.map_batches(
+        lambda t, c=cols_order: t.select(c), batch_format="pyarrow"
+    ))
+    return unioned.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )

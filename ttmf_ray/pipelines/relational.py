@@ -401,3 +401,41 @@ def events_sessions(sf_dir: str, gap_sec: int = 1800) -> pd.DataFrame:
         .to_pandas()
     return out.astype({c: np.int64 for c in out.columns}) \
         .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ orders (both large — partitioned hash join, no
+    broadcast) → revenue per order priority.  SQL-mirrored."""
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: t.append_column(
+            "rev", pa.array(t.column("l_extendedprice").to_numpy()
+                            * (1 - t.column("l_discount").to_numpy()))
+        ).select(["l_orderkey", "rev"]).rename_columns(["okey", "rev"]),
+        batch_format="pyarrow")
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.rename_columns(["okey", "o_orderpriority"]),
+                     batch_format="pyarrow")
+    joined = hash_join(li, od, on="okey")
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(
+            lambda t: pa.Table.from_pandas(partial(t.to_pandas()),
+                                           preserve_index=False),
+            batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
