@@ -41,12 +41,8 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     rt = right.map_batches(tag("r"), batch_format="pyarrow")
 
     # make schemas union-compatible: add each other's missing columns as null
-    lcols = [f.name for f in left.schema().base_schema
-             ] if hasattr(left.schema(), "base_schema") else left.schema().names
-    rcols = [f.name for f in right.schema().base_schema
-             ] if hasattr(right.schema(), "base_schema") else right.schema().names
-    lset = [c for c in lcols if c != on]
-    rset = [c for c in rcols if c != on]
+    lset = [c for c in left.schema().names if c != on]
+    rset = [c for c in right.schema().names if c != on]
 
     def widen(missing: list[str]):
         def fn(t: pa.Table) -> pa.Table:
@@ -58,10 +54,27 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     lt = lt.map_batches(widen(rset), batch_format="pyarrow")
     rt = rt.map_batches(widen(lset), batch_format="pyarrow")
 
+    # original dtypes: the null-widened union promotes e.g. int64 → float64;
+    # restore after the merge (inner join ⇒ no genuine nulls to lose)
+    dtypes: dict[str, object] = {}
+    for schema in (left.schema(), right.schema()):
+        for name, typ in zip(schema.names, schema.types):
+            try:
+                dtypes[name] = typ.to_pandas_dtype()
+            except Exception:
+                pass
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][[on] + lset].reset_index(drop=True)
         rg = g[g["__side"] == "r"][[on] + rset].reset_index(drop=True)
         out = lg.merge(rg, on=on, how=how, suffixes=suffixes)
+        for c in out.columns:
+            want = dtypes.get(c)
+            if want is not None and out[c].notna().all():
+                try:
+                    out[c] = out[c].astype(want)
+                except (TypeError, ValueError):
+                    pass
         return out
 
     cols_order = [on] + lset + rset + ["__bucket", "__side"]
