@@ -151,12 +151,13 @@ def personalized_pagerank(n: int, esrc: np.ndarray, edst: np.ndarray,
     pr = np.zeros(n)
     pr[core_local] = 1.0
     damping = (1.0 - alpha) / n
-    contrib = np.empty(n)
+    aew = alpha * ew
     for _ in range(max_iter):
-        contrib.fill(damping)
-        np.add.at(contrib, edst, alpha * pr[esrc] * ew)
+        # bincount is the fast scatter-add for the fixed edge list
+        contrib = damping + np.bincount(edst, weights=pr[esrc] * aew,
+                                        minlength=n)
         change = np.abs(contrib - pr).sum()
-        pr = contrib.copy()
+        pr = contrib
         if change < eps:
             break
     return pr
