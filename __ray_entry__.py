@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_error_report": cq.kg_error_report,
         "embeddings_roundtrip": cq.embeddings_roundtrip,
         "events_sessions": rel.events_sessions,
+        "trust_pr_sweep": cq.trust_pr_sweep,
     }
 
 

@@ -312,3 +312,31 @@ def embeddings_roundtrip(sf_dir: str) -> pd.DataFrame:
             float(np.array_equal(W[51], W[59])),
         ],
     })
+
+
+def trust_pr_sweep(sf_dir: str) -> pd.DataFrame:
+    """A6/A7: precision/recall/F sweep over thresholds 0.01..0.99 plus the
+    mean-confidence row (`Model1.py:543-586`, `TransConfidence.py:96-97`)."""
+    from ..functions.transe import TransEConfig
+    from ..pipelines.trust import TrustConfig, trust_pipeline
+
+    spec = _spec(sf_dir, cap=6000)
+    edges = kg_construct(pages_dataset(spec))
+    cfg = TrustConfig(
+        transe=TransEConfig(dim=32, epochs=40, lr=0.02),
+        ptranse=TransEConfig(dim=32, epochs=15, lr=0.01, loss="logistic"),
+        path_max_paths=5000,
+        kge_workers=4,  # pinned: results must not depend on cluster size
+    )
+    res = trust_pipeline(edges, cfg)
+    sweep = res["pr_sweep"].copy()
+    for c in ["precision", "recall", "f1"]:
+        sweep[c] = sweep[c].round(6)
+    mean_conf = float(res["scored_test"]["conf"].mean())
+    extra = pd.DataFrame({
+        "threshold": [-1.0],
+        "precision": [round(mean_conf, 6)],   # mean-confidence marker row
+        "recall": [round(res["accuracy"], 6)],
+        "f1": [round(res["max_f1"], 6)],
+    })
+    return pd.concat([sweep, extra], ignore_index=True)
