@@ -179,17 +179,18 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_ent)
     heads = sorted(set(conf_valid["h"]) | set(conf_test["h"]))
     heads_ds = rd.from_pandas(pd.DataFrame({"head": heads}))
-    gf_ds = graph_features_for_heads(
-        heads_ds, csr, depth=cfg.subgraph_depth,
-        max_nodes=cfg.subgraph_max_nodes,
-    ).materialize()
-
-    pairs = set(
-        (int(h), int(t))
-        for h, t in pd.concat([conf_valid, conf_test])[["h", "t"]]
-        .itertuples(index=False)
+    both = pd.concat([conf_valid, conf_test])
+    packed_pairs = np.unique(
+        (both["h"].to_numpy().astype(np.int64) << 32)
+        | both["t"].to_numpy().astype(np.int64)
     )
-    gf_hits = _collect_matching(gf_ds, ["head", "node"], pairs)
+    # the pair filter runs INSIDE the actors: only the (h, t) rows the
+    # feature join consumes ever leave the stage (~60x output shrink)
+    gf_hits = graph_features_for_heads(
+        heads_ds, csr, depth=cfg.subgraph_depth,
+        max_nodes=cfg.subgraph_max_nodes, pairs=packed_pairs,
+        batch_size=96,
+    ).to_pandas()
     gf_map = {
         (int(row.head), int(row.node)): row
         for row in gf_hits.itertuples(index=False)

@@ -173,10 +173,14 @@ class GraphFeatures:
     """
 
     def __init__(self, csr_bc: Broadcast, *, depth: int = 4,
-                 max_nodes: int = 4000):
+                 max_nodes: int = 4000, pairs_bc: Broadcast | None = None):
         self.csr = csr_bc.get()
         self.depth = depth
         self.max_nodes = max_nodes
+        # optional packed (head<<32|node) filter: emit only rows the
+        # downstream join will consume — the all-nodes output is ~60x
+        # bigger than the conf-pair hits and dominated the stage wall
+        self.pairs = pairs_bc.get() if pairs_bc is not None else None
 
     def one_head(self, head: int):
         glob, esrc, edst, ew, depth_of, truncated = _bfs_subgraph(
@@ -210,19 +214,25 @@ class GraphFeatures:
             o_dep.append(depth_of)
             o_tr.append(np.full(n, truncated, dtype=bool))
         cat = np.concatenate
-        return pa.table(
-            {
-                "head": pa.array(cat(o_head)),
-                "node": pa.array(cat(o_node)),
-                "pr": pa.array(cat(o_pr)),
-                "in_c": pa.array(cat(o_inc)),
-                "out_c": pa.array(cat(o_outc)),
-                "in_n": pa.array(cat(o_inn)),
-                "out_n": pa.array(cat(o_outn)),
-                "depth": pa.array(cat(o_dep)),
-                "truncated": pa.array(cat(o_tr)),
-            }
-        )
+        head_a, node_a = cat(o_head), cat(o_node)
+        cols = {
+            "head": head_a,
+            "node": node_a,
+            "pr": cat(o_pr),
+            "in_c": cat(o_inc),
+            "out_c": cat(o_outc),
+            "in_n": cat(o_inn),
+            "out_n": cat(o_outn),
+            "depth": cat(o_dep),
+            "truncated": cat(o_tr),
+        }
+        if self.pairs is not None:
+            probe = (head_a.astype(np.int64) << 32) | node_a.astype(np.int64)
+            pos = np.clip(np.searchsorted(self.pairs, probe), 0,
+                          len(self.pairs) - 1)
+            mask = self.pairs[pos] == probe
+            cols = {k: v[mask] for k, v in cols.items()}
+        return pa.table({k: pa.array(v) for k, v in cols.items()})
 
 
 def rr_sigmoid_f(pr_value: float | np.ndarray, theta: float | np.ndarray):
@@ -236,16 +246,19 @@ RR_F_MISS = 0.001                                      # RRC.py:137-152
 
 def graph_features_for_heads(heads_ds, csr: CSR, *, depth: int = 4,
                              max_nodes: int = 4000, batch_size: int = 16,
+                             pairs: "np.ndarray | None" = None,
                              concurrency: tuple[int, int] | int | None = None):
     """heads Dataset['head'] → fused per-(head, node) feature Dataset."""
     from ..context import auto_pool, spread
 
     bc = Broadcast(csr)
     heads_ds = spread(heads_ds)
+    pairs_bc = Broadcast(np.sort(pairs)) if pairs is not None else None
     return heads_ds.map_batches(
         GraphFeatures,
         fn_constructor_kwargs={"csr_bc": bc, "depth": depth,
-                               "max_nodes": max_nodes},
+                               "max_nodes": max_nodes,
+                               "pairs_bc": pairs_bc},
         batch_format="pyarrow",
         batch_size=batch_size,  # small: a batch of hub heads must not
         # become the straggler tail of the whole stage
