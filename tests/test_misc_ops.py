@@ -67,6 +67,27 @@ def test_kgc_negatives_deterministic_and_shaped():
     assert (0, 1) in rows and (1, 2) in rows
 
 
+def test_kgc_negatives_dedup_across_batches():
+    """Duplicated kept pairs split across partitions must dedup globally
+    (the per-batch seen-set leak the reference's global groupby(ix).first()
+    never had — process_triples.py:38-39)."""
+    from ttmf_ray.functions.sampling import kgc_negatives
+
+    df = pd.DataFrame({
+        "h": np.array([0, 1, 0, 5], dtype=np.int32),
+        "t": np.array([1, 2, 3, 2], dtype=np.int32),  # kept (h,r): (0,0) dup
+        "r": np.array([0, 0, 0, 0], dtype=np.int32),
+    })
+    ds = rd.from_pandas(df).repartition(4)  # duplicates land in different blocks
+    out = kgc_negatives(ds, slot="tail", vocab_size=10, k=5).to_pandas()
+    # 3 distinct kept pairs × 6 rows; representative t = min over dups
+    assert len(out) == 18
+    kept = out[["h", "r"]].drop_duplicates()
+    assert len(kept) == 3
+    originals = set(map(tuple, out[["h", "t", "r"]].values.tolist()))
+    assert (0, 1, 0) in originals  # min-t representative of the (0,_,0) dup
+
+
 def test_simhash_near_duplicates_share_band():
     from ttmf_ray.stages.dedup import hamming64, simhash64, simhash_buckets
 

@@ -40,9 +40,27 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     lt = left.map_batches(tag("l"), batch_format="pyarrow")
     rt = right.map_batches(tag("r"), batch_format="pyarrow")
 
-    # make schemas union-compatible: add each other's missing columns as null
-    lset = [c for c in left.schema().names if c != on]
-    rset = [c for c in right.schema().names if c != on]
+    # non-key columns present on BOTH sides are renamed with the suffixes
+    # BEFORE the union (a duplicate-named append_column would otherwise make
+    # the later select() raise 'Field exists 2 times in schema')
+    lraw = [c for c in left.schema().names if c != on]
+    rraw = [c for c in right.schema().names if c != on]
+    overlap = set(lraw) & set(rraw)
+    lren = {c: c + suffixes[0] for c in overlap}
+    rren = {c: c + suffixes[1] for c in overlap}
+
+    def rename(mapping: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names]
+            )
+        return fn
+
+    if overlap:
+        lt = lt.map_batches(rename(lren), batch_format="pyarrow")
+        rt = rt.map_batches(rename(rren), batch_format="pyarrow")
+    lset = [lren.get(c, c) for c in lraw]
+    rset = [rren.get(c, c) for c in rraw]
 
     def widen(missing: list[str]):
         def fn(t: pa.Table) -> pa.Table:
@@ -55,12 +73,17 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     rt = rt.map_batches(widen(lset), batch_format="pyarrow")
 
     # original dtypes: the null-widened union promotes e.g. int64 → float64;
-    # restore after the merge (inner join ⇒ no genuine nulls to lose)
+    # restore after the merge.  Inner-only: a left join's genuine nulls
+    # would make the restore schema-inconsistent across buckets.
+    if how != "inner":
+        raise ValueError("hash_join supports how='inner' only (the "
+                         "null-widened union dtype restore is unsound "
+                         "for outer joins)")
     dtypes: dict[str, object] = {}
-    for schema in (left.schema(), right.schema()):
+    for schema, ren in ((left.schema(), lren), (right.schema(), rren)):
         for name, typ in zip(schema.names, schema.types):
             try:
-                dtypes[name] = typ.to_pandas_dtype()
+                dtypes[ren.get(name, name)] = typ.to_pandas_dtype()
             except Exception:
                 pass
 

@@ -135,6 +135,9 @@ def label_onehot(batch: pa.Table) -> pa.Table:
     )
 
 
+_SLOT_ID = {"head": 11, "tail": 12, "rel": 13}
+
+
 class KGCNegatives:
     """k-per-positive corruption for one slot (hr_/h_t/_rt files, D4 variant).
 
@@ -143,6 +146,13 @@ class KGCNegatives:
     the original value (all with label 1, as the reference does).
     ``slot``: 2 = corrupt r's... — in reference terms target column 2 is
     'r' of the (h, t, r) layout; we name slots "tail"/"rel"/"head".
+
+    CONTRACT: input rows must already be distinct on the KEPT columns
+    (use :func:`kgc_negatives`, which dedups upstream with a Ray groupby
+    choosing the min non-kept value as representative) — a per-batch seen
+    set cannot dedup across batches/partitions.  Draws are keyed off the
+    kept columns only, so the output is independent of which duplicate
+    row survived the upstream dedup.  Fully vectorized.
     """
 
     def __init__(self, *, slot: str, vocab_size: int, k: int = 5, seed: int = 628):
@@ -150,38 +160,61 @@ class KGCNegatives:
         self.slot, self.vocab_size, self.k, self.seed = slot, vocab_size, k, seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sources.pages import mix64
+        from ..sources.pages import mix64_vec
 
-        h = batch.column("h").to_numpy()
-        t = batch.column("t").to_numpy()
-        r = batch.column("r").to_numpy()
-        rows = []
-        seen = set()
-        for hi, ti, ri in zip(h.tolist(), t.tolist(), r.tolist()):
-            kept = {
-                "head": (ti, ri), "tail": (hi, ri), "rel": (hi, ti)
-            }[self.slot]
-            if kept in seen:
-                continue
-            seen.add(kept)
-            draws = [
-                mix64(self.seed, 3, hi, ti, ri, j) % self.vocab_size
-                for j in range(self.k)
-            ]
-            orig = {"head": hi, "tail": ti, "rel": ri}[self.slot]
-            for v in draws + [orig]:
-                if self.slot == "head":
-                    rows.append((v, ti, ri))
-                elif self.slot == "tail":
-                    rows.append((hi, v, ri))
-                else:
-                    rows.append((hi, ti, v))
-        arr = np.asarray(rows, dtype=np.int32).reshape(-1, 3)
+        h = batch.column("h").to_numpy().astype(np.int64)
+        t = batch.column("t").to_numpy().astype(np.int64)
+        r = batch.column("r").to_numpy().astype(np.int64)
+        kept0, kept1, orig = {
+            "head": (t, r, h), "tail": (h, r, t), "rel": (h, t, r)
+        }[self.slot]
+        n, k = len(h), self.k
+        # (n, k) draw matrix, keyed (seed, 3, slot, kept0, kept1, j)
+        j = np.arange(k, dtype=np.int64)
+        draws = (
+            mix64_vec(self.seed, 3, _SLOT_ID[self.slot],
+                      kept0[:, None], kept1[:, None], j[None, :])
+            % np.uint64(self.vocab_size)
+        ).astype(np.int64)
+        vals = np.concatenate([draws, orig[:, None]], axis=1).reshape(-1)
+        rep = lambda a: np.repeat(a, k + 1)  # noqa: E731
+        out = {"h": rep(h), "t": rep(t), "r": rep(r)}
+        out[{"head": "h", "tail": "t", "rel": "r"}[self.slot]] = vals
         return pa.table(
             {
-                "h": pa.array(arr[:, 0]),
-                "t": pa.array(arr[:, 1]),
-                "r": pa.array(arr[:, 2]),
-                "flag": pa.array(np.ones(len(arr), dtype=np.int8)),
+                "h": pa.array(out["h"].astype(np.int32)),
+                "t": pa.array(out["t"].astype(np.int32)),
+                "r": pa.array(out["r"].astype(np.int32)),
+                "flag": pa.array(np.ones(n * (k + 1), dtype=np.int8)),
             }
         )
+
+
+def kgc_negatives(ds, *, slot: str, vocab_size: int, k: int = 5,
+                  seed: int = 628):
+    """(h,t,r) Dataset → KGC corruption rows for ``slot`` (global dedup).
+
+    The kept-column dedup is a Ray groupby (min non-kept value as the
+    deterministic representative — the reference's groupby(ix).first()
+    on an ordered frame, `process_triples.py:38-39`), so duplicates can
+    NOT leak across batches/partitions.
+    """
+    from ray.data.aggregate import Min
+
+    from ..context import spread
+
+    kept = {"head": ["t", "r"], "tail": ["h", "r"], "rel": ["h", "t"]}[slot]
+    other = {"head": "h", "tail": "t", "rel": "r"}[slot]
+    deduped = (
+        ds.select_columns(["h", "t", "r"])
+        .groupby(kept)
+        .aggregate(Min(other, alias_name=other))
+    )
+    return spread(deduped).map_batches(
+        KGCNegatives,
+        fn_constructor_kwargs={"slot": slot, "vocab_size": vocab_size,
+                               "k": k, "seed": seed},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=auto_pool(0.5),
+    )

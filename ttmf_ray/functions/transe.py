@@ -137,6 +137,13 @@ def _epoch_worker(E, R, shard, cfg_dict, round_no, wid, n_entities,
     R = np.array(R, dtype=np.float32)
     h, t, r = shard[:, 0], shard[:, 1], shard[:, 2]
     n = len(h)
+    # touched mask: every entity row this shard's SGD actually scatter-adds
+    # into — positives AND the uniformly drawn corruption targets (a plain
+    # h/t mask silently discarded the E[nh]/E[nt] updates at averaging
+    # time: an entity appearing only as a corruption target never moved)
+    touched = np.zeros(len(E), dtype=bool)
+    touched[h] = True
+    touched[t] = True
     for le in range(local_epochs):
         rng = np.random.default_rng((cfg.seed, round_no, le, wid))
         norms = np.linalg.norm(E, axis=1, keepdims=True)
@@ -165,11 +172,8 @@ def _epoch_worker(E, R, shard, cfg_dict, round_no, wid, n_entities,
             np.add.at(E, nh[viol], lr * gn)
             np.add.at(E, nt[viol], -lr * gn)
             np.add.at(R, br[viol], lr * gn)
-    # touched mask: entities this shard's SGD can have updated — the
-    # averaging step must not dilute their updates with untouched copies
-    touched = np.zeros(len(E), dtype=bool)
-    touched[h] = True
-    touched[t] = True
+            touched[nh[viol]] = True
+            touched[nt[viol]] = True
     return E, R, touched
 
 

@@ -263,22 +263,15 @@ def kg_error_report(sf_dir: str) -> pd.DataFrame:
 def kg_kgc_negatives(sf_dir: str) -> pd.DataFrame:
     """k-per-positive KGC corruption files (hr_/h_t/_rt; D4 variant,
     `process_triples.py:35-63`, incorrect_count=5) — seeded, deterministic."""
-    from ..functions.sampling import KGCNegatives
-    from ..stages.dedup import distinct_rows
+    from ..functions.sampling import kgc_negatives
 
     ent_df, rel_df, ids = _relational_kg(sf_dir)
     test = ids.head(2000)
     outs = []
     for slot, vocab_size in (("tail", len(ent_df)), ("rel", len(rel_df)),
                              ("head", len(ent_df))):
-        ds = rd.from_pandas(test)
-        neg = ds.map_batches(
-            KGCNegatives,
-            fn_constructor_kwargs={"slot": slot, "vocab_size": vocab_size,
-                                   "k": 5},
-            batch_format="pyarrow", batch_size=100000,
-            concurrency=1,
-        ).to_pandas()
+        neg = kgc_negatives(rd.from_pandas(test), slot=slot,
+                            vocab_size=vocab_size, k=5).to_pandas()
         neg["slot"] = slot
         outs.append(neg)
     out = pd.concat(outs, ignore_index=True)

@@ -77,6 +77,8 @@ def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFram
         a = batch.column(key_cols[0]).to_numpy().astype(np.int64)
         b = batch.column(key_cols[1]).to_numpy().astype(np.int64)
         probe = (a << 32) | b
+        if len(karr) == 0:
+            return batch.filter(pa.array(np.zeros(len(probe), dtype=bool)))
         pos = np.searchsorted(karr, probe)
         pos = np.clip(pos, 0, len(karr) - 1)
         mask = karr[pos] == probe
@@ -101,7 +103,12 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     edges_ds = edges_ds.materialize()  # consumed 3x (ents, rels, id-map)
     ent_df, rel_df = build_vocab(edges_ds)
     n_ent, n_rel = len(ent_df), len(rel_df)
-    ids_df = id_map_edges(edges_ds, ent_df, rel_df).to_pandas()
+    # canonical (h,t,r) order: to_pandas under preserve_order=False reflects
+    # block ARRIVAL order, which varies with cluster size — and SGD shard
+    # assignment / batch permutations / fusion training all consume row
+    # order, so every collected table is sorted before use
+    ids_df = id_map_edges(edges_ds, ent_df, rel_df).to_pandas() \
+        .sort_values(["h", "t", "r"], ignore_index=True)
     # (driver-side arrays: the id triple table is the KG itself — FB15K
     # scale; the page corpus, which is the 100-TB object, never lands here)
     triples = ids_df[["h", "t", "r"]].to_numpy().astype(np.int64)
@@ -122,10 +129,10 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     # ---- labeled examples (D4) -----------------------------------------
     conf_valid = labeled_examples(
         rd.from_pandas(valid_df), gold, n_entities=n_ent, seed=cfg.neg_seed
-    ).to_pandas()
+    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
     conf_test = labeled_examples(
         rd.from_pandas(test_df), gold, n_entities=n_ent, seed=cfg.neg_seed + 1
-    ).to_pandas()
+    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
 
     _lap("negative_sampling")
 
@@ -280,7 +287,7 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     scored = spread(rd.from_pandas(conf_test)).map_batches(
         FusionScorer, fn_constructor_kwargs={"model_bc": model_bc},
         batch_format="pyarrow", batch_size=4096, concurrency=auto_pool(0.25),
-    ).to_pandas()
+    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
 
     _lap("fusion_train_score")
     conf = scored["conf"].to_numpy()

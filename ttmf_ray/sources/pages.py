@@ -51,6 +51,23 @@ def u01(*xs: int) -> float:
     return mix64(*xs) / float(1 << 64)
 
 
+def mix64_vec(*xs) -> np.ndarray:
+    """Vectorized ``mix64`` — bit-identical for any mix of Python ints and
+    numpy integer arrays (broadcast together); uint64 wraparound arithmetic
+    replaces the Python-int masking."""
+    h = np.uint64(0x9E3779B97F4A7C15)
+    k1 = np.uint64(0xBF58476D1CE4E5B9)
+    k2 = np.uint64(0x94D049BB133111EB)
+    s27, s31 = np.uint64(27), np.uint64(31)
+    with np.errstate(over="ignore"):
+        for x in xs:
+            xv = np.asarray(x).astype(np.int64).astype(np.uint64)
+            h = (h ^ xv) * k1
+            h = (h ^ (h >> s27)) * k2
+            h = h ^ (h >> s31)
+    return h
+
+
 # ---------------------------------------------------------------------------
 # Closed vocabulary: entities (person / org / place) and relations.
 # ---------------------------------------------------------------------------

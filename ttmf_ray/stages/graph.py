@@ -228,9 +228,12 @@ class GraphFeatures:
         }
         if self.pairs is not None:
             probe = (head_a.astype(np.int64) << 32) | node_a.astype(np.int64)
-            pos = np.clip(np.searchsorted(self.pairs, probe), 0,
-                          len(self.pairs) - 1)
-            mask = self.pairs[pos] == probe
+            if len(self.pairs) == 0:
+                mask = np.zeros(len(probe), dtype=bool)
+            else:
+                pos = np.clip(np.searchsorted(self.pairs, probe), 0,
+                              len(self.pairs) - 1)
+                mask = self.pairs[pos] == probe
             cols = {k: v[mask] for k, v in cols.items()}
         return pa.table({k: pa.array(v) for k, v in cols.items()})
 
