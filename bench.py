@@ -65,7 +65,7 @@ def run_bench() -> dict:
                              batch_size=8192),
         subgraph_max_nodes=600,
         path_max_paths=800,
-        fusion_batch_size=512,
+        fusion_batch_size=2048,
         fusion_epochs=60,
     )
     res = trust_pipeline(edges, cfg)

@@ -54,8 +54,10 @@ def test_negative_sampler_deterministic():
 
     pos = pd.DataFrame({"h": [0, 1, 2], "t": [1, 2, 0], "r": [0, 0, 1]})
     gold = frozenset([(0, 1, 0), (1, 2, 0), (2, 0, 1)])
-    a = labeled_examples(rd.from_pandas(pos), gold, n_entities=10).to_pandas()
-    b = labeled_examples(rd.from_pandas(pos), gold, n_entities=10).to_pandas()
+    a = labeled_examples(rd.from_pandas(pos), gold, n_entities=10,
+                         n_relations=2).to_pandas()
+    b = labeled_examples(rd.from_pandas(pos), gold, n_entities=10,
+                         n_relations=2).to_pandas()
     pd.testing.assert_frame_equal(
         a.sort_values(["h", "t", "r", "flag"]).reset_index(drop=True),
         b.sort_values(["h", "t", "r", "flag"]).reset_index(drop=True),

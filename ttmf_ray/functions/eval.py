@@ -27,17 +27,23 @@ class LinkPredictionScorer:
 
     def __init__(self, emb_bc: Broadcast, gold_bc: Broadcast):
         self.E, self.R = emb_bc.get()
-        gold = gold_bc.get()
-        # gold lookup by (t, r) → heads and (h, r) → tails
-        self.by_tr: dict[tuple[int, int], np.ndarray] = {}
-        self.by_hr: dict[tuple[int, int], np.ndarray] = {}
-        tmp_tr: dict[tuple[int, int], list[int]] = {}
-        tmp_hr: dict[tuple[int, int], list[int]] = {}
-        for h, t, r in gold:
-            tmp_tr.setdefault((t, r), []).append(h)
-            tmp_hr.setdefault((h, r), []).append(t)
-        self.by_tr = {k: np.asarray(v) for k, v in tmp_tr.items()}
-        self.by_hr = {k: np.asarray(v) for k, v in tmp_hr.items()}
+        gold = np.asarray(gold_bc.get())  # (n, 3) int array of (h, t, r)
+        # gold lookup by (t,r) → heads and (h,r) → tails: sorted packed-key
+        # arrays + aligned value columns (searchsorted range probe — no
+        # per-actor Python dict build over the whole gold set)
+        h, t, r = (gold[:, 0].astype(np.int64), gold[:, 1].astype(np.int64),
+                   gold[:, 2].astype(np.int64))
+        k_tr = (t << 21) | r
+        o = np.argsort(k_tr, kind="stable")
+        self.key_tr, self.val_tr = k_tr[o], h[o]
+        k_hr = (h << 21) | r
+        o = np.argsort(k_hr, kind="stable")
+        self.key_hr, self.val_hr = k_hr[o], t[o]
+
+    def _known(self, keys: np.ndarray, vals: np.ndarray, key: int):
+        lo = np.searchsorted(keys, key, side="left")
+        hi = np.searchsorted(keys, key, side="right")
+        return vals[lo:hi] if hi > lo else None
 
     def _rank(self, energies: np.ndarray, gold_idx: int,
               known: np.ndarray | None) -> tuple[int, int]:
@@ -67,12 +73,14 @@ class LinkPredictionScorer:
             d = E + (R[ri] - E[ti])[None, :]
             e_h = np.linalg.norm(d, axis=1)
             rh_raw[i], rh_f[i] = self._rank(
-                e_h, hi, self.by_tr.get((ti, ri)))
+                e_h, hi, self._known(self.key_tr, self.val_tr,
+                                     (ti << 21) | ri))
             # corrupt tail: energies of (h, e, r)
             d = (E[hi] + R[ri])[None, :] - E
             e_t = np.linalg.norm(d, axis=1)
             rt_raw[i], rt_f[i] = self._rank(
-                e_t, ti, self.by_hr.get((hi, ri)))
+                e_t, ti, self._known(self.key_hr, self.val_hr,
+                                     (hi << 21) | ri))
         return pa.table({
             "h": batch.column("h"), "t": batch.column("t"),
             "r": batch.column("r"),
@@ -84,11 +92,15 @@ class LinkPredictionScorer:
 
 
 def link_prediction_eval(test_ds, E: np.ndarray, R: np.ndarray,
-                         gold: frozenset, *,
+                         gold, *,
                          concurrency=(1, 8)) -> dict:
-    """Dataset of test (h,t,r) → {mean_rank, hits@1, hits@10} raw+filtered."""
+    """Dataset of test (h,t,r) → {mean_rank, hits@1, hits@10} raw+filtered.
+
+    ``gold`` is an (n,3) int array (preferred) or a frozenset of tuples."""
+    if isinstance(gold, (set, frozenset)):
+        gold = np.array(sorted(gold), dtype=np.int64).reshape(-1, 3)
     emb_bc = Broadcast((E, R))
-    gold_bc = Broadcast(gold)
+    gold_bc = Broadcast(np.asarray(gold))
     ranks = test_ds.map_batches(
         LinkPredictionScorer,
         fn_constructor_kwargs={"emb_bc": emb_bc, "gold_bc": gold_bc},

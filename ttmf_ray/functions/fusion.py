@@ -1,18 +1,28 @@
 """Fusion estimator: combine TransE margin + ResourceRank features +
-reachable-path scores into one trustworthiness confidence per triple
+reachable-path evidence into one trustworthiness confidence per triple
 (SURVEY.md T6/T8; reference `Model1.py:23-160` builds a Keras net with
 three path branches + an RRank branch + the TransE scalar).
 
 Keras/TensorFlow is not available in this environment, so the estimator
-is a from-scratch numpy MLP with Adam + binary cross-entropy, seeded and
-deterministic: the same fusion role (path₁..₃ ⊕ TransE ⊕ RRank → score),
-with the path branches' RNN summarized by the ranked path scores
-(SURVEY.md §7.5 item 4 documents this deviation; acceptance is the
-estimator-level corrupted-triple detection P/R, §5 item 4).
+is a from-scratch numpy network with Adam + binary cross-entropy, seeded
+and deterministic, with the same topology role:
 
-Training runs driver-side on the (small) labeled feature table
-(`ds.to_pandas`); inference is an actor-pool ``map_batches`` stage with
-the trained weights broadcast once.
+- three PATH BRANCHES, one per top-ranked reachable path
+  (`Model1.py:23-160`, max_p=3 at `:995`): each consumes the path's
+  padded edge-id sequences (`PrecessData.py:159-197` — src/dst/rel id
+  lists padded with 0 to length 3), embeds every step with the frozen
+  PTransE matrices (concat of src/dst entity + relation vectors — the
+  reference's per-step 6×k concat, `Model1.py:23-60`), masked-mean-pools
+  over the real steps (the numpy stand-in for the SimpleRNN(100) state),
+  then Dense(tanh) → Dense(1, sigmoid) per branch;
+- the TransE margin scalar, the RRank sigmoid + 6-feature tail, and the
+  top-3 path scores as scalar features;
+- concat [branch₁..₃, scalars] → Dense(tanh) → Dense(1, sigmoid)
+  (the reference's concat → Dense(50) → Dense(2, softmax) head).
+
+Training runs driver-side on the (small) labeled feature table;
+inference is an actor-pool ``map_batches`` stage with the trained
+weights + frozen embeddings broadcast once.
 """
 
 from __future__ import annotations
@@ -33,6 +43,32 @@ FEATURES = [
     "p0_has", "p1_has", "p2_has",
 ]
 
+MAX_P = 3   # steps per path sequence (Model1.py:995)
+N_BRANCH = 3  # top-k paths fed as branches
+
+
+def seq_columns(k: int) -> list[str]:
+    """Wide-table columns of branch k's padded edge-id sequences."""
+    return ([f"p{k}_s{i}" for i in range(MAX_P)]
+            + [f"p{k}_d{i}" for i in range(MAX_P)]
+            + [f"p{k}_r{i}" for i in range(MAX_P)]
+            + [f"p{k}_len"])
+
+
+ALL_SEQ_COLUMNS = [c for k in range(N_BRANCH) for c in seq_columns(k)]
+
+
+def _extract_seqs(df: pd.DataFrame):
+    """df → list per branch of (src (B,3), dst (B,3), rel (B,3), len (B,))."""
+    out = []
+    for k in range(N_BRANCH):
+        s = df[[f"p{k}_s{i}" for i in range(MAX_P)]].to_numpy(dtype=np.int64)
+        d = df[[f"p{k}_d{i}" for i in range(MAX_P)]].to_numpy(dtype=np.int64)
+        r = df[[f"p{k}_r{i}" for i in range(MAX_P)]].to_numpy(dtype=np.int64)
+        ln = df[f"p{k}_len"].to_numpy(dtype=np.int64)
+        out.append((s, d, r, ln))
+    return out
+
 
 @dataclass
 class FusionModel:
@@ -43,9 +79,47 @@ class FusionModel:
     mu: np.ndarray
     sd: np.ndarray
     features: list[str] = field(default_factory=lambda: list(FEATURES))
+    # path branches (absent → scalar-only model)
+    emb: tuple | None = None          # frozen (Ep, Rp), PTransE matrices
+    branches: list | None = None      # per branch [Wk, bk, wk, ck]
 
-    def forward(self, X: np.ndarray) -> np.ndarray:
+    def pool(self, seq) -> np.ndarray:
+        """Masked mean over real steps of the per-step embedding concat.
+
+        The embeddings are FROZEN, so pooled vectors are a pure function
+        of the id sequences — callers precompute them once per table and
+        train/score against the pooled (B, 3·dim) matrices.
+        """
+        Ep, Rp = self.emb
+        s, d, r, ln = seq
+        mask = (np.arange(MAX_P)[None, :] < ln[:, None]).astype(np.float32)
+        denom = np.maximum(ln, 1)[:, None].astype(np.float32)
+        parts = [
+            np.einsum("bsd,bs->bd", Ep[s], mask, optimize=True) / denom,
+            np.einsum("bsd,bs->bd", Ep[d], mask, optimize=True) / denom,
+            np.einsum("bsd,bs->bd", Rp[r], mask, optimize=True) / denom,
+        ]
+        return np.concatenate(parts, axis=1).astype(np.float32)
+
+    def branch_outputs(self, pooled: list) -> tuple[np.ndarray, list]:
+        """(B, N_BRANCH) sigmoid branch outputs + cache for backprop."""
+        zs, cache = [], []
+        for k, Vm in enumerate(pooled):
+            Wk, bk, wk, ck = self.branches[k]
+            Hk = np.tanh(Vm @ Wk + bk)
+            zk = 1.0 / (1.0 + np.exp(-(Hk @ wk + ck)))
+            zs.append(zk[:, 0])
+            cache.append((Vm, Hk, zk[:, 0]))
+        return np.column_stack(zs), cache
+
+    def forward(self, X: np.ndarray, seqs=None, pooled=None) -> np.ndarray:
         Z = (X - self.mu) / self.sd
+        if self.branches is not None:
+            if pooled is None and seqs is not None:
+                pooled = [self.pool(seq) for seq in seqs]
+            if pooled is not None:
+                zb, _ = self.branch_outputs(pooled)
+                Z = np.concatenate([zb, Z], axis=1)
         H = np.tanh(Z @ self.W1 + self.b1)
         return 1.0 / (1.0 + np.exp(-(H @ self.W2 + self.b2)))
 
@@ -54,16 +128,22 @@ def train_fusion(
     df: pd.DataFrame,
     *,
     hidden: int = 16,
+    branch_hidden: int = 16,
     epochs: int = 200,
     batch_size: int = 64,
     lr: float = 0.01,
     patience: int = 20,
     seed: int = 23,
     val_frac: float = 0.2,
+    path_emb: tuple | None = None,
 ) -> FusionModel:
-    """BCE + Adam on (FEATURES → flag==1), early stop on val accuracy
-    (reference: batch 64, ≤200 epochs, patience 20 — `Model1.py:982,1003,
-    446-447`; validation_split 0.2 — `Model1.py:486?` train loop)."""
+    """BCE + Adam on (FEATURES [+ path branches] → flag==1), early stop on
+    val accuracy (reference: batch 64, ≤200 epochs, patience 20 —
+    `Model1.py:982,1003,446-447`; validation_split 0.2).
+
+    ``path_emb``: frozen (Ep, Rp) PTransE matrices — enables the per-path
+    sequence branches when the ``p{k}_*`` columns are present.
+    """
     rng = np.random.default_rng(seed)
     # feature hygiene: a NaN/inf leaking from any upstream stage would
     # silently poison every weight — zero it and keep the run observable
@@ -74,35 +154,70 @@ def train_fusion(
     sd[sd == 0] = 1.0
     Xz = (X - mu) / sd
 
+    use_paths = (path_emb is not None
+                 and all(c in df.columns for c in ALL_SEQ_COLUMNS))
+    seqs = _extract_seqs(df) if use_paths else None
     n = len(Xz)
     perm = rng.permutation(n)
     n_val = max(1, int(n * val_frac))
     vi, ti = perm[:n_val], perm[n_val:]
 
-    d = Xz.shape[1]
-    W1 = rng.standard_normal((d, hidden)) * 0.3
+    d_scalar = Xz.shape[1]
+    d_in = d_scalar + (N_BRANCH if use_paths else 0)
+    W1 = rng.standard_normal((d_in, hidden)) * 0.3
     b1 = np.zeros(hidden)
     W2 = rng.standard_normal((hidden, 1)) * 0.3
     b2 = np.zeros(1)
     params = [W1, b1, W2, b2]
+    branches = None
+    if use_paths:
+        Ep, Rp = path_emb
+        Ep = np.asarray(Ep, dtype=np.float32)
+        Rp = np.asarray(Rp, dtype=np.float32)
+        path_emb = (Ep, Rp)
+        d_step = Ep.shape[1] * 2 + Rp.shape[1]
+        branches = []
+        for _ in range(N_BRANCH):
+            Wk = rng.standard_normal((d_step, branch_hidden)) * 0.2
+            bk = np.zeros(branch_hidden)
+            wk = rng.standard_normal((branch_hidden, 1)) * 0.2
+            ck = np.zeros(1)
+            branches.append([Wk, bk, wk, ck])
+            params.extend([Wk, bk, wk, ck])
+    model = FusionModel(W1=W1, b1=b1, W2=W2, b2=b2, mu=mu, sd=sd,
+                        emb=path_emb if use_paths else None,
+                        branches=branches)
+    # pooled path vectors are embedding-frozen → precompute ONCE for the
+    # whole table (recomputing the gather+concat per batch dominated the
+    # training wall ~10x)
+    pooled_all = ([model.pool(seq) for seq in seqs] if use_paths else None)
+
     m = [np.zeros_like(p) for p in params]
     v = [np.zeros_like(p) for p in params]
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     step = 0
-
     best_acc, best_params, since = -1.0, [p.copy() for p in params], 0
 
+    def sub_pooled(idx):
+        if pooled_all is None:
+            return None
+        return [vm[idx] for vm in pooled_all]
+
     def acc(idx) -> float:
-        H = np.tanh(Xz[idx] @ W1 + b1)
-        p = 1.0 / (1.0 + np.exp(-(H @ W2 + b2)))[:, 0]
+        p = model.forward(X[idx], pooled=sub_pooled(idx))[:, 0]
         return float(((p >= 0.5) == (y[idx] == 1)).mean())
 
     for epoch in range(epochs):
         order = rng.permutation(len(ti))
-        for s in range(0, len(ti), batch_size):
-            idx = ti[order[s : s + batch_size]]
+        for s0 in range(0, len(ti), batch_size):
+            idx = ti[order[s0: s0 + batch_size]]
             xb, yb = Xz[idx], y[idx]
-            H = np.tanh(xb @ W1 + b1)
+            if use_paths:
+                zb, cache = model.branch_outputs(sub_pooled(idx))
+                Zin = np.concatenate([zb, xb], axis=1)
+            else:
+                Zin = xb
+            H = np.tanh(Zin @ W1 + b1)
             logits = H @ W2 + b2
             p = 1.0 / (1.0 + np.exp(-logits))
             gl = (p - yb[:, None]) / len(idx)       # dBCE/dlogits
@@ -110,9 +225,22 @@ def train_fusion(
             gb2 = gl.sum(axis=0)
             gH = gl @ W2.T
             gZ = gH * (1 - H * H)
-            gW1 = xb.T @ gZ
+            gZin = gZ @ W1.T
+            gW1 = Zin.T @ gZ
             gb1 = gZ.sum(axis=0)
             grads = [gW1, gb1, gW2, gb2]
+            if use_paths:
+                for k in range(N_BRANCH):
+                    Vm, Hk, zk = cache[k]
+                    gz = gZin[:, k] * zk * (1 - zk)        # through sigmoid
+                    Wk, bk, wk, ck = branches[k]
+                    gwk = Hk.T @ gz[:, None]
+                    gck = np.array([gz.sum()])
+                    gHk = gz[:, None] @ wk.T
+                    gVk = gHk * (1 - Hk * Hk)
+                    gWk = Vm.T @ gVk
+                    gbk = gVk.sum(axis=0)
+                    grads.extend([gWk, gbk, gwk, gck])
             step += 1
             for k, (pm, g) in enumerate(zip(params, grads)):
                 m[k] = beta1 * m[k] + (1 - beta1) * g
@@ -128,8 +256,9 @@ def train_fusion(
             if since >= patience:
                 break
 
-    W1, b1, W2, b2 = best_params
-    return FusionModel(W1=W1, b1=b1, W2=W2, b2=b2, mu=mu, sd=sd)
+    for pm, best in zip(params, best_params):
+        pm[...] = best
+    return model
 
 
 class FusionScorer:
@@ -146,7 +275,12 @@ class FusionScorer:
             ),
             nan=0.0, posinf=0.0, neginf=0.0,
         )
-        conf = self.model.forward(X)[:, 0]
+        seqs = None
+        if (self.model.branches is not None
+                and all(c in batch.column_names for c in ALL_SEQ_COLUMNS)):
+            df = batch.select(ALL_SEQ_COLUMNS).to_pandas()
+            seqs = _extract_seqs(df)
+        conf = self.model.forward(X, seqs)[:, 0]
         return batch.append_column("conf", pa.array(conf))
 
 

@@ -174,7 +174,35 @@ def _epoch_worker(E, R, shard, cfg_dict, round_no, wid, n_entities,
             np.add.at(R, br[viol], lr * gn)
             touched[nh[viol]] = True
             touched[nt[viol]] = True
-    return E, R, touched
+    # return only the touched rows (idx, rows) — the full-matrix return was
+    # the transfer bound of the averaging rounds at high worker counts
+    idx = np.nonzero(touched)[0]
+    return idx, E[idx], R
+
+
+def _as_partial(x):
+    """Leaf worker output (idx, rows, R) → mergeable partial
+    (idx, acc, cnt, R_sum, n_workers)."""
+    if len(x) == 5:
+        return x
+    idx, rows, R = x
+    return idx, rows, np.ones(len(idx), dtype=np.int32), R, 1
+
+
+def _combine_partials(a, b):
+    """Pairwise merge for the tree-reduce of masked averages."""
+    ia, aa, ca, Ra, wa = _as_partial(a)
+    ib, ab, cb, Rb, wb = _as_partial(b)
+    idx = np.union1d(ia, ib)
+    acc = np.zeros((len(idx), aa.shape[1]), dtype=np.float32)
+    cnt = np.zeros(len(idx), dtype=np.int32)
+    pa_ = np.searchsorted(idx, ia)
+    acc[pa_] += aa
+    cnt[pa_] += ca
+    pb = np.searchsorted(idx, ib)
+    acc[pb] += ab
+    cnt[pb] += cb
+    return idx, acc, cnt, Ra + Rb, wa + wb
 
 
 def train_transe_distributed(
@@ -218,6 +246,7 @@ def train_transe_distributed(
         for w in range(workers)
     ]
 
+    combine = ray.remote(_combine_partials)
     best = (np.inf, E, R)
     rounds = max(1, cfg.epochs // local_epochs)
     for round_no in range(rounds):
@@ -227,19 +256,33 @@ def train_transe_distributed(
                           n_entities, local_epochs)
             for w in range(workers)
         ]
-        results = ray.get(futs)
         # masked averaging: E[e] = mean over workers whose shard TOUCHED e
         # (plain mean over all workers divides each sparse update by W —
-        # measured to stall training entirely at 300k entities / 16 workers)
-        acc = np.zeros_like(E)
-        cnt = np.zeros(len(E), dtype=np.int32)
-        for Ew, _, touched in results:
-            acc[touched] += Ew[touched]
-            cnt[touched] += 1
-        keep = cnt > 0
+        # measured to stall training entirely at 300k entities / 16 workers).
+        # Workers return touched rows only.  Combining is ADAPTIVE: a
+        # pairwise TREE of Ray tasks when the weight payload × workers is
+        # big (O(log W) critical path, no W-wide driver gather), a plain
+        # driver merge when it is small (remote-task latency would
+        # dominate the tiny merges).
+        payload = n_entities * cfg.dim * 4 * workers
+        if workers > 4 and payload > 64 * 1024 * 1024:
+            level = futs
+            while len(level) > 1:
+                nxt = [combine.remote(level[i], level[i + 1])
+                       for i in range(0, len(level) - 1, 2)]
+                if len(level) % 2:
+                    nxt.append(level[-1])
+                level = nxt
+            partial = ray.get(level[0])
+        else:
+            results = ray.get(futs)
+            partial = results[0]
+            for nxt_leaf in results[1:]:
+                partial = _combine_partials(partial, nxt_leaf)
+        idx, acc, cnt, r_sum, n_w = _as_partial(partial)
         E = E.copy()
-        E[keep] = acc[keep] / cnt[keep, None]
-        R = np.mean([x[1] for x in results], axis=0, dtype=np.float32)
+        E[idx] = acc / cnt[:, None]
+        R = (r_sum / n_w).astype(np.float32)
         if dev_triples is not None and len(dev_triples):
             d = E[dev_triples[:, 0]] + R[dev_triples[:, 2]] - E[dev_triples[:, 1]]
             dl = float(np.linalg.norm(d, axis=1).mean())

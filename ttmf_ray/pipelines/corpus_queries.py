@@ -170,9 +170,10 @@ def kg_negative_samples(sf_dir: str) -> pd.DataFrame:
     edges = kg_edges_relational(sf_dir).materialize()
     ent_df, rel_df = build_vocab(edges)
     ids = id_map_edges(edges, ent_df, rel_df).to_pandas()
-    gold = frozenset(map(tuple, ids[["h", "t", "r"]].to_numpy().tolist()))
-    out = labeled_examples(rd.from_pandas(ids), gold,
-                           n_entities=len(ent_df)).to_pandas()
+    out = labeled_examples(rd.from_pandas(ids),
+                           ids[["h", "t", "r"]].to_numpy(),
+                           n_entities=len(ent_df),
+                           n_relations=len(rel_df)).to_pandas()
     return out.astype({"h": np.int64, "t": np.int64, "r": np.int64,
                        "flag": np.int64}) \
         .sort_values(["h", "t", "r", "flag"]).reset_index(drop=True)
@@ -227,7 +228,7 @@ def kg_link_prediction(sf_dir: str) -> pd.DataFrame:
     E, R = train_transe(train, len(ent_df), len(rel_df),
                         TransEConfig(dim=32, epochs=25, lr=0.02,
                                      batch_size=2048))
-    gold = frozenset(map(tuple, tr_arr.tolist()))
+    gold = tr_arr
     metrics = link_prediction_eval(
         rd.from_pandas(pd.DataFrame(test, columns=["h", "t", "r"])),
         E, R, gold)

@@ -5,21 +5,30 @@ one Ray Data DAG instead of three process pools over files).
     edges (subj, pred, obj)
       → vocab (A1, sort-assigned ids) → id-map (M1)
       → deterministic split (O4) → labeled ±1 examples (D4)
-      → TransE + PTransE-style training (T7, driver numpy)
+      → TransE + PTransE training (T7, tree-reduced local-SGD)
       → per-relation thresholds (A3) → TransE margin feature (M5/M6)
       → fused subgraph→PPR→RR features per conf head (T1-T3 actor pool)
       → per-head thresholds (A4) → rr_f / RR-6 features (M7/M8)
-      → reachable-path search + ranking (T4/T5 actor pool) → top-3 (M9/J4)
-      → fusion estimator train (T8, driver) → score (T6 actor pool)
+      → reachable-path search + ranking (T4/T5 actor pool)
+        → top-3 scores AND padded edge-id sequences (M9/J4)
+      → fusion estimator train (T8, driver; path branches over embedded
+        sequences) → score (T6 actor pool)
       → accuracy (A5) + P/R sweep (A6)
 
-The labeled/conf tables are small by construction (a split of the edge
-set); the HEAVY stages — graph features and path search — stream through
-actor pools with the CSR adjacency and embeddings broadcast once.
+Scale shape: the conf tables are small by construction (a split of the
+edge set — the KG is FB15K-scale; the page corpus, the 100-TB object,
+never lands on the driver).  The three HEAVY stages — margin-KGE
+training, graph features, and path search — have no data dependency on
+each other, so they run CONCURRENTLY: graph features and path search
+stream through actor pools (CSR + embeddings broadcast once) in driver
+threads while the driver round-trips the tree-reduced KGE averaging.
+All driver-side feature attachment is vectorized packed-key
+searchsorted — no Python dict per (h,t) pair.
 """
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -29,11 +38,10 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..context import Broadcast
-from ..functions.fusion import (FEATURES, FusionScorer, accuracy, pr_sweep,
-                                train_fusion)
-from ..functions.sampling import labeled_examples, split_edges
-from ..functions.transe import (TransEConfig, TransEFeature,
-                                thresholds_by_key, train_transe,
+from ..functions.fusion import (FEATURES, MAX_P, N_BRANCH, FusionScorer,
+                                accuracy, pr_sweep, train_fusion)
+from ..functions.sampling import labeled_examples, pack_triples, split_bucket
+from ..functions.transe import (TransEConfig, thresholds_by_key, train_transe,
                                 train_transe_distributed, transe_energy)
 from ..functions.vocab import build_vocab, id_map_edges
 from ..stages.graph import (RR_F_MISS, RR_MISS_SENTINEL, build_csr,
@@ -87,9 +95,54 @@ def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFram
     return feature_ds.map_batches(keep, batch_format="pyarrow").to_pandas()
 
 
+def _dict_to_arr(d: dict[int, float], n: int, default: float) -> np.ndarray:
+    """{id → value} → dense lookup array (vectorized fancy-index attach)."""
+    arr = np.full(n, default, dtype=np.float64)
+    if d:
+        arr[np.fromiter(d.keys(), dtype=np.int64, count=len(d))] = \
+            np.fromiter(d.values(), dtype=np.float64, count=len(d))
+    return arr
+
+
+def _packed_probe(sorted_keys: np.ndarray, probe: np.ndarray):
+    """(positions, hit_mask) of probe in sorted_keys."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), dtype=np.int64), np.zeros(len(probe), bool)
+    pos = np.clip(np.searchsorted(sorted_keys, probe), 0, len(sorted_keys) - 1)
+    return pos, sorted_keys[pos] == probe
+
+
+class _StageThread(threading.Thread):
+    """Driver thread running one Dataset consumption; re-raises on join."""
+
+    def __init__(self, fn):
+        super().__init__(daemon=True)
+        self._fn = fn
+        self.result = None
+        self.error: BaseException | None = None
+        self.seconds = 0.0
+
+    def run(self):
+        import time as _t
+        t0 = _t.time()
+        try:
+            self.result = self._fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised on join
+            self.error = e
+        self.seconds = round(_t.time() - t0, 3)
+
+    def join_result(self):
+        self.join()
+        if self.error is not None:
+            raise self.error
+        return self.result
+
+
 def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     """Edge Dataset (subj, pred, obj) → scored conf_test + metrics."""
     import time as _time
+
+    import ray as _ray
 
     timings: dict[str, float] = {}
     _t = _time.time()
@@ -109,58 +162,84 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     # order, so every collected table is sorted before use
     ids_df = id_map_edges(edges_ds, ent_df, rel_df).to_pandas() \
         .sort_values(["h", "t", "r"], ignore_index=True)
-    # (driver-side arrays: the id triple table is the KG itself — FB15K
-    # scale; the page corpus, which is the 100-TB object, never lands here)
     triples = ids_df[["h", "t", "r"]].to_numpy().astype(np.int64)
 
     # split driver-side (same arithmetic-hash semantics as split_edges —
     # the id table is already collected; three Ray round-trips saved)
-    from ..functions.sampling import split_bucket
-
     b = split_bucket(ids_df["h"].to_numpy(), ids_df["t"].to_numpy(),
                      ids_df["r"].to_numpy())
     train_df = ids_df[b < 8]
     valid_df = ids_df[b == 8]
     test_df = ids_df[b == 9]
-
-    gold = frozenset(map(tuple, triples.tolist()))
     _lap("vocab_ids_split")
 
     # ---- labeled examples (D4) -----------------------------------------
+    # gold set ships as a sorted packed-key uint64 array (8 B/triple in the
+    # object store), not a Python frozenset (~100 B/triple of driver heap)
     conf_valid = labeled_examples(
-        rd.from_pandas(valid_df), gold, n_entities=n_ent, seed=cfg.neg_seed
+        rd.from_pandas(valid_df), triples, n_entities=n_ent,
+        n_relations=n_rel, seed=cfg.neg_seed
     ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
     conf_test = labeled_examples(
-        rd.from_pandas(test_df), gold, n_entities=n_ent, seed=cfg.neg_seed + 1
+        rd.from_pandas(test_df), triples, n_entities=n_ent,
+        n_relations=n_rel, seed=cfg.neg_seed + 1
     ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
-
     _lap("negative_sampling")
 
-    # ---- KGE training (T7) ---------------------------------------------
+    # ---- the three heavy stages, OVERLAPPED ----------------------------
+    # (no data dependency: margin-KGE needs train triples; graph features
+    # need CSR + conf pairs; path search needs CSR + PTransE embeddings,
+    # which train in a background Ray task)
     tr = train_df[["h", "t", "r"]].to_numpy().astype(np.int64)
     dev = valid_df[["h", "t", "r"]].to_numpy().astype(np.int64)
     from ..context import num_cpus as _ncpu
 
     kge_workers = cfg.kge_workers
     if kge_workers is None:
-        # transfer-bound past ~8 workers (each round ships the full weight
-        # matrices per worker); cap where the speedup saturates
         kge_workers = min(8, max(2, _ncpu() // 2))
-    # PTransE-mode embeddings are only consumed by the path stage —
-    # train them in a background Ray task overlapping everything between
-    # here and path search (the serial logistic trainer otherwise sits on
-    # the critical path)
-    import ray as _ray
-
     _ptranse_task = _ray.remote(train_transe).remote(
         tr, n_ent, n_rel, cfg.ptranse, dev)
+
+    csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_ent)
+    both = pd.concat([conf_valid, conf_test])
+    heads = np.union1d(conf_valid["h"].to_numpy(), conf_test["h"].to_numpy())
+    heads_ds = rd.from_pandas(pd.DataFrame({"head": heads}))
+    packed_pairs = np.unique(
+        (both["h"].to_numpy().astype(np.int64) << 32)
+        | both["t"].to_numpy().astype(np.int64)
+    )
+    queries = both[["h", "t", "r"]].drop_duplicates()
+
+    def run_graph_features():
+        # the pair filter runs INSIDE the actors: only the (h, t) rows the
+        # feature join consumes ever leave the stage (~60x output shrink)
+        return graph_features_for_heads(
+            heads_ds, csr, depth=cfg.subgraph_depth,
+            max_nodes=cfg.subgraph_max_nodes, pairs=packed_pairs,
+            batch_size=96,
+        ).to_pandas()
+
+    path_emb: dict = {}
+
+    def run_paths():
+        Ep, Rp = _ray.get(_ptranse_task)
+        path_emb["emb"] = (Ep, Rp)
+        return ranked_paths_for_queries(
+            rd.from_pandas(queries), csr, Ep, Rp,
+            keep_top=cfg.path_keep_top, max_paths=cfg.path_max_paths,
+        ).to_pandas()
+
+    th_graph = _StageThread(run_graph_features)
+    th_paths = _StageThread(run_paths)
+    th_graph.start()
+    th_paths.start()
+
     if kge_workers > 1:
         E, R = train_transe_distributed(tr, n_ent, n_rel, cfg.transe,
                                         dev_triples=dev,
                                         workers=kge_workers)
     else:
         E, R = train_transe(tr, n_ent, n_rel, cfg.transe, dev_triples=dev)
-
     _lap("kge_training")
 
     # ---- TransE margin features (A3 + M5/M6) ---------------------------
@@ -168,128 +247,118 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     cv_v["transV"] = transe_energy(E, R, cv_v["h"].to_numpy(),
                                    cv_v["t"].to_numpy(), cv_v["r"].to_numpy())
     theta_r = thresholds_by_key(cv_v, key="r", value="transV")
+    theta_r_arr = _dict_to_arr(theta_r, n_rel, 0.0)  # miss → θ=0 (M6)
+
     def with_margin(df: pd.DataFrame) -> pd.DataFrame:
         v = transe_energy(E, R, df["h"].to_numpy(), df["t"].to_numpy(),
                           df["r"].to_numpy())
-        th = df["r"].map(lambda x: theta_r.get(int(x), 0.0)).to_numpy()
         out = df.copy()
         out["transV"] = v
-        out["conf_transe"] = th - v
+        out["conf_transe"] = theta_r_arr[df["r"].to_numpy()] - v
         return out
 
     conf_valid = with_margin(conf_valid)
     conf_test = with_margin(conf_test)
-
     _lap("transe_features")
 
-    # ---- fused graph features for conf heads (T1-T3) -------------------
-    csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_ent)
-    heads = sorted(set(conf_valid["h"]) | set(conf_test["h"]))
-    heads_ds = rd.from_pandas(pd.DataFrame({"head": heads}))
-    both = pd.concat([conf_valid, conf_test])
-    packed_pairs = np.unique(
-        (both["h"].to_numpy().astype(np.int64) << 32)
-        | both["t"].to_numpy().astype(np.int64)
-    )
-    # the pair filter runs INSIDE the actors: only the (h, t) rows the
-    # feature join consumes ever leave the stage (~60x output shrink)
-    gf_hits = graph_features_for_heads(
-        heads_ds, csr, depth=cfg.subgraph_depth,
-        max_nodes=cfg.subgraph_max_nodes, pairs=packed_pairs,
-        batch_size=96,
-    ).to_pandas()
-    gf_map = {
-        (int(row.head), int(row.node)): row
-        for row in gf_hits.itertuples(index=False)
-    }
+    # ---- RR features (T1-T3 output + A4 thresholds, M7/M8) -------------
+    gf_hits = th_graph.join_result()
+    timings["graph_features_wall"] = th_graph.seconds
+    gf_key_raw = ((gf_hits["head"].to_numpy().astype(np.int64) << 32)
+                  | gf_hits["node"].to_numpy().astype(np.int64))
+    gf_order = np.argsort(gf_key_raw, kind="stable")
+    gf_key = gf_key_raw[gf_order]
+    gf_pr = gf_hits["pr"].to_numpy()[gf_order]
+    gf_feat = gf_hits[["in_c", "out_c", "in_n", "out_n", "depth"]] \
+        .to_numpy(dtype=np.float64)[gf_order]
 
-    _lap("graph_features")
+    def pr_of(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        probe = ((df["h"].to_numpy().astype(np.int64) << 32)
+                 | df["t"].to_numpy().astype(np.int64))
+        pos, hit = _packed_probe(gf_key, probe)
+        pr = np.where(hit, gf_pr[pos], 0.0)
+        return pr, (pos, hit)
 
-    # ---- per-head thresholds on PR (A4, desc sweep) --------------------
-    pr_rows = conf_valid.copy()
-    pr_rows["pr"] = [
-        float(gf_map[(h, t)].pr) if (h, t) in gf_map else 0.0
-        for h, t in zip(pr_rows["h"].astype(int), pr_rows["t"].astype(int))
-    ]
-    theta_h = thresholds_by_key(pr_rows[["h", "pr", "flag"]], key="h",
-                                value="pr", descending=True)
+    pr_v, _ = pr_of(conf_valid)
+    theta_h = thresholds_by_key(
+        pd.DataFrame({"h": conf_valid["h"], "pr": pr_v,
+                      "flag": conf_valid["flag"]}),
+        key="h", value="pr", descending=True)
+    theta_h_arr = _dict_to_arr(theta_h, n_ent, 0.5)  # miss → θ=0.5 (M7)
 
     def add_rr(df: pd.DataFrame) -> pd.DataFrame:
+        pr, (pos, hit) = pr_of(df)
+        f = rr_sigmoid_f(pr, theta_h_arr[df["h"].to_numpy()])
         out = df.copy()
-        fvals, feats = [], []
-        for h, t in zip(df["h"].astype(int), df["t"].astype(int)):
-            row = gf_map.get((h, t))
-            th = theta_h.get(h, 0.5)
-            if row is None:
-                fvals.append(RR_F_MISS)
-                feats.append(RR_MISS_SENTINEL)
-            else:
-                f = float(rr_sigmoid_f(row.pr, th))
-                fvals.append(f)
-                feats.append([f, row.in_c, row.out_c, row.in_n, row.out_n,
-                              row.depth])
-        out["rr_f"] = fvals
-        arr = np.asarray(feats, dtype=np.float64)
-        for i, c in enumerate(["rr6_f", "in_c", "out_c", "in_n", "out_n",
-                               "depth"]):
-            out[c] = arr[:, i]
+        out["rr_f"] = np.where(hit, f, RR_F_MISS)
+        out["rr6_f"] = np.where(hit, f, RR_MISS_SENTINEL[0])
+        feats = np.where(hit[:, None], gf_feat[pos],
+                         np.asarray(RR_MISS_SENTINEL[1:], dtype=np.float64))
+        for i, c in enumerate(["in_c", "out_c", "in_n", "out_n", "depth"]):
+            out[c] = feats[:, i]
         return out
 
     conf_valid = add_rr(conf_valid)
     conf_test = add_rr(conf_test)
-
     _lap("rr_features")
 
     # ---- reachable paths (T4/T5 + M9) ----------------------------------
-    queries = pd.concat([conf_valid, conf_test])[["h", "t", "r"]] \
-        .drop_duplicates()
-    Ep, Rp = _ray.get(_ptranse_task)
-    paths_df = ranked_paths_for_queries(
-        rd.from_pandas(queries), csr, Ep, Rp,
-        keep_top=cfg.path_keep_top, max_paths=cfg.path_max_paths,
-    ).to_pandas()
-    top3 = paths_df[paths_df["rank"] < 3]
-    pmap: dict[tuple, list[float]] = {}
-    for row in top3.itertuples(index=False):
-        pmap.setdefault((int(row.h), int(row.t), int(row.r)),
-                        [0.0, 0.0, 0.0, 0, 0, 0])
-        ent = pmap[(int(row.h), int(row.t), int(row.r))]
-        ent[int(row.rank)] = float(row.score)
-        ent[3 + int(row.rank)] = 1
+    paths_df = th_paths.join_result()
+    timings["path_search_wall"] = th_paths.seconds
+    Ep, Rp = path_emb["emb"]
+    top3 = paths_df[paths_df["rank"] < N_BRANCH]
+    rank_arr = top3["rank"].to_numpy()
+    p_key_raw = pack_triples(top3["h"].to_numpy(), top3["t"].to_numpy(),
+                             top3["r"].to_numpy(),
+                             n_entities=n_ent, n_relations=n_rel)
+    per_rank = []
+    for k in range(N_BRANCH):
+        sel = rank_arr == k
+        kk = p_key_raw[sel]
+        o = np.argsort(kk, kind="stable")
+        sub = top3[sel]
+        seqs = tuple(
+            np.stack(sub[c].to_numpy())[o].astype(np.int64)
+            if sel.any() else np.zeros((0, MAX_P), dtype=np.int64)
+            for c in ("p_src", "p_dst", "p_rel")
+        )
+        per_rank.append((kk[o], sub["score"].to_numpy()[o],
+                         sub["path_len"].to_numpy()[o], seqs))
 
     def add_paths(df: pd.DataFrame) -> pd.DataFrame:
+        probe = pack_triples(df["h"].to_numpy(), df["t"].to_numpy(),
+                             df["r"].to_numpy(),
+                             n_entities=n_ent, n_relations=n_rel)
         out = df.copy()
-        vals = np.asarray(
-            [
-                pmap.get((int(h), int(t), int(r)), [0.0, 0.0, 0.0, 0, 0, 0])
-                for h, t, r in zip(df["h"], df["t"], df["r"])
-            ],
-            dtype=np.float64,
-        )
-        for i, c in enumerate(["p0", "p1", "p2", "p0_has", "p1_has",
-                               "p2_has"]):
-            out[c] = vals[:, i]
+        for k, (keys, score, plen, (ps, pd_, pr_)) in enumerate(per_rank):
+            pos, hit = _packed_probe(keys, probe)
+            out[f"p{k}"] = np.where(hit, score[pos], 0.0)
+            out[f"p{k}_has"] = hit.astype(np.float64)
+            out[f"p{k}_len"] = np.where(hit, plen[pos], 0).astype(np.int64)
+            for i in range(MAX_P):
+                # padded edge-id sequences (PrecessData.py:159-197: pad 0)
+                out[f"p{k}_s{i}"] = np.where(hit, ps[pos, i], 0)
+                out[f"p{k}_d{i}"] = np.where(hit, pd_[pos, i], 0)
+                out[f"p{k}_r{i}"] = np.where(hit, pr_[pos, i], 0)
         return out
 
     conf_valid = add_paths(conf_valid)
     conf_test = add_paths(conf_test)
-
-    _lap("path_search")
+    _lap("path_features")
 
     # ---- fusion train + score (T8/T6) ----------------------------------
     model = train_fusion(conf_valid, batch_size=cfg.fusion_batch_size,
-                         epochs=cfg.fusion_epochs)
+                         epochs=cfg.fusion_epochs, path_emb=(Ep, Rp))
+    _lap("fusion_train")
     model_bc = Broadcast(model)
-    from ..context import auto_pool
-
-    from ..context import spread
+    from ..context import auto_pool, spread
 
     scored = spread(rd.from_pandas(conf_test)).map_batches(
         FusionScorer, fn_constructor_kwargs={"model_bc": model_bc},
         batch_format="pyarrow", batch_size=4096, concurrency=auto_pool(0.25),
     ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
+    _lap("fusion_score")
 
-    _lap("fusion_train_score")
     conf = scored["conf"].to_numpy()
     flags = scored["flag"].to_numpy()
     sweep = pr_sweep(conf, flags)

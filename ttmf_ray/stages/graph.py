@@ -86,48 +86,76 @@ def build_csr(h: np.ndarray, t: np.ndarray, r: np.ndarray, n_entities: int) -> C
 
 
 def _bfs_subgraph(csr: CSR, core: int, *, depth: int = 4,
-                  max_nodes: int = 4000):
+                  max_nodes: int = 4000, loc: np.ndarray | None = None):
     """Nodes (local ids), edge arrays (src,dst,w local), depth-from-core,
-    truncated flag.  Nodes at distance ≤ depth; expansion at ≤ depth-1."""
-    nodes: dict[int, int] = {core: 0}          # global → local
-    depth_of = [0]
-    frontier = [core]
-    esrc: list[int] = []
-    edst: list[int] = []
-    ew: list[float] = []
+    truncated flag.  Nodes at distance ≤ depth; expansion at ≤ depth-1.
+
+    Vectorized frontier expansion (equivalent to the per-edge loop,
+    including the truncation order: new nodes get local ids in
+    frontier-order × CSR-neighbor-order first appearance, and once
+    ``max_nodes`` is hit only edges to already-known nodes are added).
+    ``loc`` is an optional reusable global→local workspace array (size
+    n_entities, all −1) — the actor allocates it once and this function
+    restores it before returning.
+    """
+    n_ent = len(csr.indptr) - 1
+    if loc is None:
+        loc = np.full(n_ent, -1, dtype=np.int64)
+    loc[core] = 0
+    glob_parts = [np.array([core], dtype=np.int64)]
+    depth_parts = [np.zeros(1, dtype=np.int64)]
+    esrc_parts: list[np.ndarray] = []
+    edst_parts: list[np.ndarray] = []
+    ew_parts: list[np.ndarray] = []
+    n_nodes = 1
     truncated = False
+    frontier = np.array([core], dtype=np.int64)
     for d in range(depth):
-        nxt: list[int] = []
-        for u in frontier:
-            lo, hi = csr.indptr[u], csr.indptr[u + 1]
-            if lo == hi:
-                continue
-            nbrs = csr.dst[lo:hi]
-            cnts = csr.cnt[lo:hi]
-            total = float(cnts.sum())
-            lu = nodes[u]
-            for v, c in zip(nbrs.tolist(), cnts.tolist()):
-                lv = nodes.get(v)
-                if lv is None:
-                    if len(nodes) >= max_nodes:
-                        truncated = True
-                        continue
-                    lv = len(nodes)
-                    nodes[v] = lv
-                    depth_of.append(d + 1)
-                    if d + 1 < depth:
-                        nxt.append(v)
-                esrc.append(lu)
-                edst.append(lv)
-                ew.append(c / total)
-        frontier = nxt
-        if not frontier:
+        starts = csr.indptr[frontier]
+        counts = (csr.indptr[frontier + 1] - starts).astype(np.int64)
+        nz = counts > 0
+        if not nz.any():
             break
-    glob = np.fromiter(nodes.keys(), dtype=np.int64, count=len(nodes))
-    return (glob, np.asarray(esrc, dtype=np.int64),
-            np.asarray(edst, dtype=np.int64),
-            np.asarray(ew, dtype=np.float64),
-            np.asarray(depth_of, dtype=np.int64), truncated)
+        f, s, c = frontier[nz], starts[nz], counts[nz]
+        total = int(c.sum())
+        offs = np.concatenate(([0], np.cumsum(c)[:-1]))
+        eidx = np.repeat(s - offs, c) + np.arange(total)
+        dsts = csr.dst[eidx]
+        cnts = csr.cnt[eidx].astype(np.float64)
+        srcs = np.repeat(f, c)
+        # per-source row normalization over ALL of u's out-edges
+        seg_sum = np.add.reduceat(cnts, offs)
+        w = cnts / np.repeat(seg_sum, c)
+        # first-appearance-ordered new nodes, capped at max_nodes
+        new_mask = loc[dsts] < 0
+        if new_mask.any():
+            uniq, first = np.unique(dsts[new_mask], return_index=True)
+            accepted = uniq[np.argsort(first, kind="stable")]
+            room = max_nodes - n_nodes
+            if len(accepted) > room:
+                truncated = True
+                accepted = accepted[:room]
+            loc[accepted] = n_nodes + np.arange(len(accepted))
+            n_nodes += len(accepted)
+            glob_parts.append(accepted)
+            depth_parts.append(np.full(len(accepted), d + 1, dtype=np.int64))
+        else:
+            accepted = np.empty(0, dtype=np.int64)
+        lv = loc[dsts]
+        keep = lv >= 0  # drops edges to over-cap nodes only
+        esrc_parts.append(loc[srcs[keep]])
+        edst_parts.append(lv[keep])
+        ew_parts.append(w[keep])
+        if d + 1 >= depth or len(accepted) == 0:
+            break
+        frontier = accepted
+    glob = np.concatenate(glob_parts)
+    loc[glob] = -1  # restore the workspace for the next head
+    cat = (lambda ps, dt: np.concatenate(ps) if ps
+           else np.empty(0, dtype=dt))
+    return (glob, cat(esrc_parts, np.int64), cat(edst_parts, np.int64),
+            cat(ew_parts, np.float64), np.concatenate(depth_parts),
+            truncated)
 
 
 def personalized_pagerank(n: int, esrc: np.ndarray, edst: np.ndarray,
@@ -181,10 +209,13 @@ class GraphFeatures:
         # downstream join will consume — the all-nodes output is ~60x
         # bigger than the conf-pair hits and dominated the stage wall
         self.pairs = pairs_bc.get() if pairs_bc is not None else None
+        # reusable global→local workspace (allocated once per actor)
+        self._loc = np.full(len(self.csr.indptr) - 1, -1, dtype=np.int64)
 
     def one_head(self, head: int):
         glob, esrc, edst, ew, depth_of, truncated = _bfs_subgraph(
-            self.csr, head, depth=self.depth, max_nodes=self.max_nodes
+            self.csr, head, depth=self.depth, max_nodes=self.max_nodes,
+            loc=self._loc,
         )
         n = len(glob)
         pr = personalized_pagerank(n, esrc, edst, ew)
