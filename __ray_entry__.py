@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_detect": cq.docs_lang_detect,
         "docs_fingerprint": cq.docs_fingerprint,
         "embeddings_ivf_topk": cq.embeddings_ivf_topk,
+        "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
         "kg_kgc_negatives": cq.kg_kgc_negatives,

@@ -88,6 +88,43 @@ def test_kgc_negatives_dedup_across_batches():
     assert (0, 1, 0) in originals  # min-t representative of the (0,_,0) dup
 
 
+def test_unk_replacement_matches_reference_fixture():
+    """M4 (`train_test_split.py:15-16,45-48`): OOV → UNKENT/UNKREL in the
+    full table; ONE UNK triple appended to train; test filtered to the
+    train vocab."""
+    from ttmf_ray.functions.vocab import (UNKENT, UNKREL, apply_unk,
+                                          split_with_unk)
+
+    df = pd.DataFrame({
+        "subj": [f"e{i % 7}" for i in range(40)] + ["rare_subj"],
+        "pred": [f"r{i % 3}" for i in range(40)] + ["rare_rel"],
+        "obj": [f"e{(i + 1) % 7}" for i in range(40)] + ["rare_obj"],
+    })
+    train, dev, test, unk_table = split_with_unk(df, seed=628)
+    # appended UNK row present exactly once in train
+    unk_rows = train[(train["subj"] == UNKENT) & (train["pred"] == UNKREL)
+                     & (train["obj"] == UNKENT)]
+    assert len(unk_rows) == 1
+    # dev/test contain only train-vocab triples
+    uniq_ent = set(train["subj"]) | set(train["obj"]) - {UNKENT}
+    for part in (dev, test):
+        assert part["subj"].isin(uniq_ent).all()
+        assert part["obj"].isin(uniq_ent).all()
+    # the unk table keeps every row, OOV replaced
+    assert len(unk_table) == len(df)
+    assert not ((unk_table["subj"] == "rare_subj")
+                & (unk_table["pred"] == "rare_rel")).any() \
+        or "rare_subj" in set(train["subj"])
+    # Dataset variant: apply_unk rewrites OOV against an explicit vocab
+    ent_df = pd.DataFrame({"name": ["e0", "e1"], "id": [0, 1]})
+    rel_df = pd.DataFrame({"name": ["r0"], "id": [0]})
+    small = pd.DataFrame({"subj": ["e0", "zz"], "pred": ["r0", "qq"],
+                          "obj": ["e1", "e9"]})
+    out = apply_unk(rd.from_pandas(small), ent_df, rel_df).to_pandas()
+    assert out.iloc[0].tolist() == ["e0", "r0", "e1"]
+    assert out.iloc[1].tolist() == [UNKENT, UNKREL, UNKENT]
+
+
 def test_simhash_near_duplicates_share_band():
     from ttmf_ray.stages.dedup import hamming64, simhash64, simhash_buckets
 

@@ -55,6 +55,15 @@ def test_minhash_finds_planted_dups(sf_dir):
     assert (planted["jaccard"] >= 0.5).all()
 
 
+def test_embedding_near_dup_recovers_planted(sf_dir):
+    from ttmf_ray.pipelines.corpus_queries import embeddings_near_dup
+
+    pairs = embeddings_near_dup(sf_dir)
+    planted = pairs[pairs["b"] - pairs["a"] == 10_000_000]
+    assert len(planted) >= 20  # 25 planted at sf0.001
+    assert (planted["cosine"] >= 0.98).all()
+
+
 def test_lang_detect_on_known_snippets():
     # the driver's documents table has English-shaped text for every lang
     # tag, so the detector is asserted on real-language snippets instead

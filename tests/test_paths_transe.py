@@ -87,3 +87,32 @@ def test_transe_logistic_mode_runs():
     E, R = train_transe(triples, n, 1,
                         TransEConfig(dim=8, epochs=10, loss="logistic"))
     assert np.isfinite(E).all() and np.isfinite(R).all()
+
+
+def test_ptranse_negative_mix_matches_reference():
+    """Per positive: 15 head-corrupt + 15 tail-corrupt + 1 relation-corrupt
+    negatives, redrawn only on collision with the original value
+    (`PTransE.java:20,324-418,455-494`; KGE_config NEG_SAMPLE_COUNT=15)."""
+    from ttmf_ray.functions.transe import _draw_logistic_negatives
+
+    cfg = TransEConfig(loss="logistic")
+    assert cfg.neg_per_pos == 15 and cfg.neg_rel == 1
+    rng = np.random.default_rng(0)
+    B, ne, nr = 50, 200, 9
+    bh = rng.integers(0, ne, B)
+    bt = rng.integers(0, ne, B)
+    br = rng.integers(0, nr, B)
+    NH, NT, NR = _draw_logistic_negatives(rng, bh, bt, br, ne, nr, cfg)
+    k = cfg.neg_per_pos
+    assert len(NH) == len(NT) == len(NR) == B * (2 * k + cfg.neg_rel)
+    # head-corrupt block: tail/rel kept, head always differs
+    hs, ts, rs = NH[:B * k], NT[:B * k], NR[:B * k]
+    assert (ts == np.repeat(bt, k)).all() and (rs == np.repeat(br, k)).all()
+    assert (hs != np.repeat(bh, k)).all()
+    # tail-corrupt block
+    hs, ts, rs = NH[B * k:2 * B * k], NT[B * k:2 * B * k], NR[B * k:2 * B * k]
+    assert (hs == np.repeat(bh, k)).all() and (rs == np.repeat(br, k)).all()
+    assert (ts != np.repeat(bt, k)).all()
+    # relation-corrupt block
+    hs, ts, rs = NH[2 * B * k:], NT[2 * B * k:], NR[2 * B * k:]
+    assert (hs == bh).all() and (ts == bt).all() and (rs != br).all()

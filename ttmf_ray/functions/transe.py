@@ -37,10 +37,46 @@ class TransEConfig:
     margin: float = 1.0
     lr: float = 0.001
     seed: int = 17
-    loss: str = "margin"          # "margin" (TransE) | "logistic" (PTransE-ish)
+    loss: str = "margin"          # "margin" (TransE) | "logistic" (PTransE)
     bias: float = 7.0             # logistic mode (KGE_config bias=7.0)
-    neg_per_pos: int = 1          # 15 in reference PTransE; 1 default for speed
+    # logistic (PTransE) negative mix — reference defaults
+    # (`PTransE.java:20` NEG_SAMPLE_COUNT=15: per positive, 15 head-corrupt
+    # + 15 tail-corrupt negatives, plus 1 relation-corrupt negative,
+    # `PTransE.java:324-418`; margin mode keeps TransE's 1:1 corruption)
+    neg_per_pos: int = 15
+    neg_rel: int = 1
     batch_size: int = 4096
+
+
+def _draw_logistic_negatives(rng, bh, bt, br, n_entities: int,
+                             n_relations: int, cfg: TransEConfig):
+    """The PTransE negative mix for one batch of positives: per positive,
+    ``neg_per_pos`` head- and tail-corrupt + ``neg_rel`` relation-corrupt
+    rows; each draw is redrawn only while it equals the original value
+    (`PTransE.java:455-494` — no gold-membership check in the reference).
+
+    Returns (NH, NT, NR) flat id arrays of all negative rows.
+    """
+    B, k = len(bh), cfg.neg_per_pos
+
+    def draw(orig, vocab, count):
+        if count == 0 or vocab <= 1:
+            return np.empty((B, 0), dtype=np.int64)
+        m = rng.integers(0, vocab, size=(B, count))
+        while True:
+            bad = m == orig[:, None]
+            if not bad.any():
+                return m
+            m[bad] = rng.integers(0, vocab, size=int(bad.sum()))
+
+    nh_m = draw(bh, n_entities, k)              # corrupt head, keep (t, r)
+    nt_m = draw(bt, n_entities, k)              # corrupt tail, keep (h, r)
+    nr_m = draw(br, n_relations, cfg.neg_rel)   # corrupt rel,  keep (h, t)
+    kh, kt, kr = nh_m.shape[1], nt_m.shape[1], nr_m.shape[1]
+    NH = np.concatenate([nh_m.ravel(), np.repeat(bh, kt), np.repeat(bh, kr)])
+    NT = np.concatenate([np.repeat(bt, kh), nt_m.ravel(), np.repeat(bt, kr)])
+    NR = np.concatenate([np.repeat(br, kh), np.repeat(br, kt), nr_m.ravel()])
+    return NH, NT, NR
 
 
 def train_transe(
@@ -76,15 +112,14 @@ def train_transe(
         for start in range(0, n, cfg.batch_size):
             idx = perm[start : start + cfg.batch_size]
             bh, bt, br = h[idx], t[idx], r[idx]
-            # corrupt head or tail uniformly
-            corrupt_head = rng.random(len(idx)) < 0.5
-            neg_e = rng.integers(0, n_entities, size=len(idx))
-            nh = np.where(corrupt_head, neg_e, bh)
-            nt = np.where(corrupt_head, bt, neg_e)
-
             d_pos = E[bh] + R[br] - E[bt]
-            d_neg = E[nh] + R[br] - E[nt]
             if cfg.loss == "margin":
+                # corrupt head or tail uniformly (TransE.java:326-356)
+                corrupt_head = rng.random(len(idx)) < 0.5
+                neg_e = rng.integers(0, n_entities, size=len(idx))
+                nh = np.where(corrupt_head, neg_e, bh)
+                nt = np.where(corrupt_head, bt, neg_e)
+                d_neg = E[nh] + R[br] - E[nt]
                 pos_n = np.linalg.norm(d_pos, axis=1)
                 neg_n = np.linalg.norm(d_neg, axis=1)
                 viol = cfg.margin + pos_n - neg_n > 0
@@ -99,8 +134,18 @@ def train_transe(
                 np.add.at(E, nh[viol], lr * gn)
                 np.add.at(E, nt[viol], -lr * gn)
                 np.add.at(R, br[viol], lr * gn)
-            else:  # logistic, PTransE-shaped: maximize log σ(e) / log(1−σ(e))
-                for dd, hh, tt, target in ((d_pos, bh, bt, 1.0), (d_neg, nh, nt, 0.0)):
+            else:
+                # logistic, PTransE: maximize log σ(e(pos)) + Σ log(1−σ(e(neg)))
+                # with e = bias − ½‖h+r−t‖² (`PTransE.java:299-418`); the
+                # positive gradient carries the reference's ×3 scale
+                # (`PTransE.java:314-316`, embCalculator(…, ±3.0f)), the
+                # negatives are the 15/15/1 head/tail/relation mix.
+                NH, NT, NR = _draw_logistic_negatives(
+                    rng, bh, bt, br, n_entities, n_relations, cfg)
+                d_negm = E[NH] + R[NR] - E[NT]
+                for dd, hh, tt, rr_, target, scale in (
+                        (d_pos, bh, bt, br, 1.0, 3.0),
+                        (d_negm, NH, NT, NR, 0.0, 1.0)):
                     e = np.clip(cfg.bias - 0.5 * (dd * dd).sum(axis=1), -30, 30)
                     p = 1.0 / (1.0 + np.exp(-e))
                     # Δθ = lr·(target−p)·de/dθ with de/dE[h]=de/dR=−dd, de/dE[t]=+dd
@@ -109,10 +154,10 @@ def train_transe(
                     # hot entities and overflows f32 at scale
                     dn = np.linalg.norm(dd, axis=1, keepdims=True)
                     ddc = dd * np.minimum(1.0, 5.0 / np.maximum(dn, 1e-12))
-                    g = (p - target)[:, None] * ddc * cfg.lr
+                    g = (p - target)[:, None] * ddc * (cfg.lr * scale)
                     np.add.at(E, hh, g)
                     np.add.at(E, tt, -g)
-                    np.add.at(R, br, g)
+                    np.add.at(R, rr_, g)
 
         dl = dev_loss(E, R)
         if dl is not None and dl < best[0]:

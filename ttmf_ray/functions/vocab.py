@@ -56,6 +56,67 @@ def build_vocab(edges_ds) -> tuple[pd.DataFrame, pd.DataFrame]:
     return ent_df, rel_df
 
 
+UNKENT = "UNKENT"   # reference OOV tokens (train_test_split.py:15-16,45-48)
+UNKREL = "UNKREL"
+
+
+def apply_unk(edges_ds, ent_df: pd.DataFrame, rel_df: pd.DataFrame):
+    """M4: replace out-of-vocab entities/relations with UNKENT/UNKREL
+    (`train_test_split.py:15-16,45-48` — the reference rewrites the full
+    triple table against the TRAIN vocab; rows are kept, not dropped)."""
+    ent_bc = Broadcast(ent_df["name"].to_numpy(dtype=object))
+    rel_bc = Broadcast(rel_df["name"].to_numpy(dtype=object))
+
+    def repl(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ents = pa.array(ent_bc.get(), pa.string())
+        rels = pa.array(rel_bc.get(), pa.string())
+        out = {}
+        for col, vocab, tok in (("subj", ents, UNKENT),
+                                ("pred", rels, UNKREL),
+                                ("obj", ents, UNKENT)):
+            arr = t.column(col)
+            known = pc.is_in(arr, value_set=vocab)
+            out[col] = pc.if_else(known, arr, pa.scalar(tok))
+        return pa.table(out)
+
+    return edges_ds.map_batches(repl, batch_format="pyarrow")
+
+
+def split_with_unk(df: pd.DataFrame, *, train_frac: float = 0.8,
+                   dev_frac: float = 0.5, seed: int = 628):
+    """The reference's train/dev/test prep (`train_test_split.py:33-48`):
+    seeded split, test filtered to train-vocab triples (J7/M3 semi-join),
+    OOV in the full table replaced with UNK tokens, and ONE UNK triple
+    appended to train.  Returns (train, dev, test, unk_table).
+
+    Driver-side pandas by design: this is the reference's data-prep entry
+    (single-process in the reference too); the Ray-scale variant is
+    ``split_edges`` + ``apply_unk``.
+    """
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(df))
+    n_train = int(len(df) * train_frac)
+    train = df.iloc[perm[:n_train]].reset_index(drop=True)
+    rest = df.iloc[perm[n_train:]].reset_index(drop=True)
+    uniq_ent = set(train["subj"]) | set(train["obj"])
+    uniq_rel = set(train["pred"])
+    rest = rest[rest["subj"].isin(uniq_ent) & rest["obj"].isin(uniq_ent)
+                & rest["pred"].isin(uniq_rel)].reset_index(drop=True)
+    n_dev = int(len(rest) * dev_frac)
+    dev, test = rest.iloc[:n_dev], rest.iloc[n_dev:]
+    unk_table = df.copy()
+    unk_table.loc[~unk_table["subj"].isin(uniq_ent), "subj"] = UNKENT
+    unk_table.loc[~unk_table["pred"].isin(uniq_rel), "pred"] = UNKREL
+    unk_table.loc[~unk_table["obj"].isin(uniq_ent), "obj"] = UNKENT
+    train = pd.concat(
+        [train, pd.DataFrame([{"subj": UNKENT, "pred": UNKREL,
+                               "obj": UNKENT}])], ignore_index=True)
+    return train, dev.reset_index(drop=True), test.reset_index(drop=True), \
+        unk_table
+
+
 class IdMapper:
     """map_batches stage: (subj, pred, obj) strings → (h, t, r) int32.
 

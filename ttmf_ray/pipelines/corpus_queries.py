@@ -88,25 +88,53 @@ def _docs_with_planted_dups(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_minhash_dedup(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH near-dup pairs over documents + planted mutations."""
-    from ..stages.dedup import JaccardVerifier, MinHashLSH, candidate_pairs
+    """MinHash-LSH near-dup pairs over documents + planted mutations.
+
+    Verification is the JOIN-based exact Jaccard (pair rows hash-joined
+    against the doc table on both sides) — no id→text dict broadcast.
+    """
+    from ..stages.dedup import MinHashLSH, candidate_pairs, verify_pairs_join
 
     df = _docs_with_planted_dups(sf_dir)
-    ds = rd.from_pandas(df)
+    ds = rd.from_pandas(df).materialize()
     buckets = ds.map_batches(
         MinHashLSH,
         fn_constructor_kwargs={"id_col": "doc_id", "text_col": "text"},
         batch_format="pyarrow", batch_size=2048, concurrency=(1, 4),
     )
     pairs = candidate_pairs(buckets)
-    texts_bc = Broadcast(dict(zip(df["doc_id"], df["text"])))
-    verified = pairs.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"texts_bc": texts_bc, "threshold": 0.5},
-        batch_format="pyarrow", concurrency=(1, 2),
+    verified = verify_pairs_join(
+        pairs, ds, id_col="doc_id", text_col="text", threshold=0.5,
+        n_buckets=16,
     ).to_pandas()
     verified["jaccard"] = verified["jaccard"].round(4)
     return verified.astype({"a": np.int64, "b": np.int64}) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup: hyperplane-LSH bands → candidate pairs →
+    exact cosine verify, over embeddings + planted perturbed copies."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import embedding_near_dup
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    dim = len(t["embedding"].iloc[0])
+    n_plant = max(5, len(t) // 20)
+    planted = t.head(n_plant).copy()
+    # deterministic small perturbation → cosine ≈ 0.999 vs the original
+    planted["embedding"] = planted.apply(
+        lambda row: (np.asarray(row["embedding"], dtype=np.float64)
+                     + 0.01 * np.sin(np.arange(dim) + row["vec_id"])).tolist(),
+        axis=1)
+    planted["vec_id"] = planted["vec_id"] + 10_000_000
+    df = pd.concat([t, planted], ignore_index=True)
+    out = embedding_near_dup(rd.from_pandas(df), dim=dim,
+                             threshold=0.98).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out.astype({"a": np.int64, "b": np.int64}) \
         .sort_values(["a", "b"]).reset_index(drop=True)
 
 

@@ -294,12 +294,77 @@ def candidate_pairs(bucket_rows):
     return distinct_rows(pairs_ds, ["a", "b"])
 
 
+def jaccard_of_texts(ta: str, tb: str, ngram: int = 3) -> float:
+    sa, sb = word_ngrams(ta, ngram), word_ngrams(tb, ngram)
+    union = len(sa | sb)
+    return (len(sa & sb) / union) if union else 0.0
+
+
+def verify_pairs_join(pairs_ds, docs_ds, *, id_col: str, text_col: str,
+                      ngram: int = 3, threshold: float = 0.8,
+                      n_buckets: int = 64):
+    """Join-based exact n-gram Jaccard verification — the DEFAULT scale
+    path: candidate (a, b) pair rows are hash-joined against the doc
+    table on each side (texts of candidate docs only ever move — no
+    id→text dict broadcast), then the Jaccard is computed per joined row.
+
+    Returns Dataset (a, b, jaccard) for pairs ≥ threshold.
+    """
+    import pyarrow.compute as pc
+
+    from ..context import Broadcast
+    from ..functions.joins import hash_join
+
+    pairs_ds = pairs_ds.materialize()
+    cand = pairs_ds.to_pandas()
+    cand_ids = np.unique(np.concatenate([cand["a"].to_numpy(),
+                                         cand["b"].to_numpy()])) \
+        if len(cand) else np.empty(0, dtype=np.int64)
+    ids_bc = Broadcast(np.sort(cand_ids.astype(np.int64)))
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        ids = ids_bc.get()
+        probe = t.column(id_col).to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return t.filter(pa.array(np.zeros(len(probe), dtype=bool)))
+        pos = np.clip(np.searchsorted(ids, probe), 0, len(ids) - 1)
+        return t.filter(pa.array(ids[pos] == probe))
+
+    def renamed(side: str):
+        return docs_ds.map_batches(keep_candidates, batch_format="pyarrow") \
+            .map_batches(
+                lambda t, s=side: pa.table(
+                    {s: t.column(id_col),
+                     f"text_{s}": t.column(text_col).cast(pa.string())}),
+                batch_format="pyarrow")
+
+    joined = hash_join(pairs_ds, renamed("a"), on="a", n_buckets=n_buckets)
+    joined = hash_join(joined, renamed("b"), on="b", n_buckets=n_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        ja = np.fromiter(
+            (jaccard_of_texts(x, y, ngram)
+             for x, y in zip(t.column("text_a").to_pylist(),
+                             t.column("text_b").to_pylist())),
+            dtype=np.float64, count=t.num_rows)
+        keep = ja >= threshold
+        return pa.table({
+            "a": pa.array(a[keep].astype(np.int64)),
+            "b": pa.array(b[keep].astype(np.int64)),
+            "jaccard": pa.array(ja[keep]),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
 class JaccardVerifier:
     """Verify candidate pairs with the exact n-gram Jaccard.
 
-    Texts are broadcast once (dict id→text) — valid while the *candidate*
-    doc set fits a node; at full scale replace with a join of pair rows
-    against the doc table on both sides (two hash joins), same semantics.
+    Texts are broadcast once (dict id→text) — the SMALL-case variant;
+    :func:`verify_pairs_join` (two hash joins of pair rows against the
+    doc table) is the scale default used by the pipelines.
     """
 
     def __init__(self, texts_bc, *, ngram: int = 3, threshold: float = 0.8):
@@ -423,28 +488,119 @@ def hamming64(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 class HyperplaneLSH:
-    """Random-hyperplane signature stage for embedding near-dup blocking."""
+    """Random-hyperplane signature stage for embedding near-dup blocking.
 
-    def __init__(self, *, dim: int, n_planes: int = 16, seed: int = 11,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    ``n_bands`` independent hyperplane sets, one bucket row per band
+    (cosine-near vectors agree on all planes of SOME band with high
+    probability — same banded-LSH recall shape as MinHash).  Feeds the
+    same ``candidate_pairs`` → verify → cluster tail as the text dedup.
+    """
+
+    def __init__(self, *, dim: int, n_planes: int = 12, n_bands: int = 4,
+                 seed: int = 11, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+        self.planes = rng.standard_normal((n_bands, dim, n_planes))
+        self.n_bands = n_bands
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch.column(self.vec_col).to_pylist()]
+            [np.asarray(v, dtype=np.float64)
+             for v in batch.column(self.vec_col).to_pylist()]
         )
-        bits = (vecs @ self.planes) > 0
-        sig = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(
-            axis=1
-        )
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        o_band, o_hash, o_id = [], [], []
+        for band in range(self.n_bands):
+            bits = (vecs @ self.planes[band]) > 0
+            sig = (bits.astype(np.uint64)
+                   << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+            o_band.append(np.full(len(sig), band, dtype=np.int32))
+            o_hash.append(sig)
+            o_id.append(ids)
         return pa.table(
             {
-                "band": pa.array(np.zeros(len(sig), dtype=np.int32)),
-                "band_hash": pa.array(sig),
-                "doc_id": pa.array(
-                    batch.column(self.id_col).to_numpy().astype(np.int64)
-                ),
+                "band": pa.array(np.concatenate(o_band)),
+                "band_hash": pa.array(np.concatenate(o_hash)),
+                "doc_id": pa.array(np.concatenate(o_id)),
             }
         )
+
+
+class CosineVerifier:
+    """Verify embedding candidate pairs with exact cosine similarity.
+
+    Vectors of candidate docs are broadcast as one dense matrix (id-sorted
+    rows — candidate sets are LSH-bucket-bounded); per batch the cosine is
+    one gathered row-product.
+    """
+
+    def __init__(self, ids_bc, vecs_bc, *, threshold: float = 0.9):
+        self.ids = ids_bc.get()        # sorted int64
+        V = np.asarray(vecs_bc.get(), dtype=np.float64)
+        self.V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                1e-12)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        cos = (self.V[ia] * self.V[ib]).sum(axis=1)
+        keep = cos >= self.threshold
+        return pa.table({
+            "a": pa.array(a[keep]),
+            "b": pa.array(b[keep]),
+            "cosine": pa.array(cos[keep]),
+        })
+
+
+def embedding_near_dup(ds, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int,
+                       n_planes: int = 12, n_bands: int = 4,
+                       threshold: float = 0.9, seed: int = 11):
+    """Embedding-cosine near-dup pipeline: hyperplane-LSH bands →
+    candidate pairs (one signature-row shuffle) → exact cosine verify.
+
+    Returns Dataset (a, b, cosine) of verified near-duplicate pairs.
+    """
+    from ..context import Broadcast, auto_pool
+
+    buckets = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                               "n_bands": n_bands, "seed": seed,
+                               "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=auto_pool(0.5),
+    )
+    pairs = candidate_pairs(buckets).materialize()
+    cand = pairs.to_pandas()
+    cand_ids = np.unique(np.concatenate([cand["a"].to_numpy(),
+                                         cand["b"].to_numpy()])) \
+        if len(cand) else np.empty(0, dtype=np.int64)
+    cand_ids = np.sort(cand_ids.astype(np.int64))
+    ids_bc = Broadcast(cand_ids)
+
+    # gather candidate vectors with one streaming filter pass (ids only
+    # broadcast; vectors of candidates — LSH-bounded — come back small)
+    def keep(t: pa.Table) -> pa.Table:
+        ids = ids_bc.get()
+        probe = t.column(id_col).to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return t.filter(pa.array(np.zeros(len(probe), dtype=bool)))
+        pos = np.clip(np.searchsorted(ids, probe), 0, len(ids) - 1)
+        return t.filter(pa.array(ids[pos] == probe))
+
+    cvec_df = ds.map_batches(keep, batch_format="pyarrow").to_pandas() \
+        .sort_values(id_col, ignore_index=True)
+    vecs = (np.stack(cvec_df[vec_col].to_numpy())
+            if len(cvec_df) else np.zeros((0, dim)))
+    vecs_bc = Broadcast(vecs)
+    return pairs.map_batches(
+        CosineVerifier,
+        fn_constructor_kwargs={"ids_bc": ids_bc, "vecs_bc": vecs_bc,
+                               "threshold": threshold},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
