@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
+        "kg_subgraph_stats": cq.kg_subgraph_stats,
+        "kg_ppr_micro": cq.kg_ppr_micro,
         "kg_kgc_negatives": cq.kg_kgc_negatives,
         "kg_link_prediction": cq.kg_link_prediction,
         "kg_error_report": cq.kg_error_report,
@@ -110,9 +112,236 @@ _IDMAPPED_SQL = f"""
     JOIN rels rl ON e.pred = rl.name
 """
 
+# --- splitmix64 in SQL (mirrors sources/pages.py:mix64 bit-for-bit) --------
+# 64-bit wraparound multiply in HUGEINT via hi/lo 32-bit split; each mix
+# input is one chain of three LATERAL sub-steps so expressions stay flat.
+
+_M64_MOD = "18446744073709551616::HUGEINT"          # 2^64
+_MIX_K0 = "11400714819323198485::HUGEINT"           # 0x9E3779B97F4A7C15
+_MIX_K1 = "13787848793156543929::HUGEINT"           # 0xBF58476D1CE4E5B9
+_MIX_K2 = "10723151780598845931::HUGEINT"           # 0x94D049BB133111EB
+
+
+def _m64(a: str, b: str) -> str:
+    """(a * b) mod 2^64 without HUGEINT overflow."""
+    return (f"((((({a}) % 4294967296) * (({b}) // 4294967296)"
+            f" + (({a}) // 4294967296) * (({b}) % 4294967296)) % 4294967296)"
+            f" * 4294967296"
+            f" + (({a}) % 4294967296) * (({b}) % 4294967296)) % {_M64_MOD}")
+
+
+def _mix_chain(tag: str, inputs: list[str], seed_consts: list[int]) -> tuple[str, str]:
+    """LATERAL chain computing mix64(*seed_consts, *inputs).
+
+    Returns (laterals_sql, final_column_ref); ``tag`` keeps alias names
+    unique when several chains appear in one query.
+    """
+    parts = []
+    prev = _MIX_K0
+    xs = [f"{c}::HUGEINT" for c in seed_consts] + \
+         [f"({x})::HUGEINT" for x in inputs]
+    for i, x in enumerate(xs):
+        a = f"{tag}a{i}"
+        b = f"{tag}b{i}"
+        c = f"{tag}c{i}"
+        parts.append(
+            f"LATERAL (SELECT {_m64(f'xor({prev}, {x})', _MIX_K1)} AS v) {a}")
+        parts.append(
+            f"LATERAL (SELECT {_m64(f'xor({a}.v, {a}.v >> 27)', _MIX_K2)}"
+            f" AS v) {b}")
+        parts.append(f"LATERAL (SELECT xor({b}.v, {b}.v >> 31) AS v) {c}")
+        prev = f"{c}.v"
+    return ",\n".join(parts), prev
+
+
 _TOKENS = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
 _STOPS = ("['the','and','of','to','in','is','was','for','with','that','on',"
           "'as','are','this','at','by','from','it','an','be']")
+
+
+def _neg_samples_sql() -> str:
+    """Exact mirror of the seeded 1:1 NegativeSampler (D4): corrupt-head
+    decision mix64(628,1,h,t,r)%2, draws mix64(628,2,h,t,r,draw)%|E|,
+    redraw while the candidate is a gold triple (first non-colliding of
+    10 draws — the collision chance of 10 straight hits is ~0)."""
+    ch_lat, ch_ref = _mix_chain("ch", ["p.h", "p.t", "p.r"], [628, 1])
+    dr_lat, dr_ref = _mix_chain("dr", ["c.h", "c.t", "c.r", "d.draw"],
+                                [628, 2])
+    return f"""
+    WITH idmapped AS ({_IDMAPPED_SQL}),
+    ne AS (SELECT count(*) AS n FROM ({_VOCAB_SQL})),
+    chdec AS (
+        SELECT p.h, p.t, p.r, ({ch_ref} % 2 = 0) AS ch
+        FROM idmapped p,
+        {ch_lat}
+    ),
+    cand AS (
+        SELECT c.h, c.t, c.r, d.draw,
+               CASE WHEN c.ch THEN CAST({dr_ref} % ne.n AS BIGINT)
+                    ELSE c.h END AS nh,
+               CASE WHEN c.ch THEN c.t
+                    ELSE CAST({dr_ref} % ne.n AS BIGINT) END AS nt
+        FROM chdec c
+        CROSS JOIN (SELECT range AS draw FROM range(10)) d
+        CROSS JOIN ne,
+        {dr_lat}
+    ),
+    valid AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN idmapped g ON g.h = c.nh AND g.t = c.nt AND g.r = c.r
+        WHERE g.h IS NULL
+        QUALIFY row_number() OVER (PARTITION BY c.h, c.t, c.r
+                                   ORDER BY c.draw) = 1
+    )
+    SELECT CAST(h AS BIGINT) AS h, CAST(t AS BIGINT) AS t,
+           CAST(r AS BIGINT) AS r, CAST(1 AS BIGINT) AS flag FROM idmapped
+    UNION ALL
+    SELECT CAST(nh AS BIGINT), CAST(nt AS BIGINT), CAST(r AS BIGINT),
+           CAST(-1 AS BIGINT) FROM valid
+    """
+
+
+def _kgc_negatives_sql() -> str:
+    """Mirror of kgc_negatives over the first 2000 (h,t,r)-sorted triples:
+    per slot, kept-column dedup (min of the non-kept column), then 5
+    draws mix64(628,3,slot_id,kept0,kept1,j)%vocab plus the original."""
+    parts = []
+    for slot, slot_id, kept, other, vocab in (
+            ("head", 11, ("t", "r"), "h", "ne"),
+            ("tail", 12, ("h", "r"), "t", "ne"),
+            ("rel", 13, ("h", "t"), "r", "nr")):
+        lat, ref = _mix_chain(
+            f"k{slot_id}", [f"q.{kept[0]}", f"q.{kept[1]}", "j.j"],
+            [628, 3, slot_id])
+        reps = (f"SELECT {kept[0]}, {kept[1]}, min({other}) AS {other} "
+                f"FROM test GROUP BY {kept[0]}, {kept[1]}")
+        draws = f"""
+        SELECT q.h, q.t, q.r, CAST({ref} % {vocab}.n AS BIGINT) AS v
+        FROM ({reps}) q
+        CROSS JOIN (SELECT range AS j FROM range(5)) j
+        CROSS JOIN {vocab},
+        {lat}
+        """
+        orig = f"SELECT h, t, r, {other} AS v FROM ({reps}) q"
+        col = {"h": "v" if other == "h" else "h",
+               "t": "v" if other == "t" else "t",
+               "r": "v" if other == "r" else "r"}
+        parts.append(f"""
+        SELECT CAST({col['h']} AS BIGINT) AS h, CAST({col['t']} AS BIGINT) AS t,
+               CAST({col['r']} AS BIGINT) AS r, CAST(1 AS BIGINT) AS flag,
+               '{slot}' AS slot
+        FROM ({draws} UNION ALL {orig})
+        """)
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH idmapped AS ({_IDMAPPED_SQL}),
+    ne AS (SELECT count(*) AS n FROM ({_VOCAB_SQL})),
+    nr AS (SELECT count(DISTINCT pred) AS n FROM ({_EDGES_SQL})),
+    test AS (SELECT h, t, r FROM idmapped ORDER BY h, t, r LIMIT 2000)
+    {union}
+    """
+
+
+_SUBGRAPH_STATS_SQL = f"""
+    WITH RECURSIVE idmapped AS ({_IDMAPPED_SQL}),
+    heads AS (SELECT DISTINCT h FROM idmapped ORDER BY h LIMIT 20),
+    bfs(head, node, depth) AS (
+        SELECT h, h, 0 FROM heads
+        UNION ALL
+        SELECT b.head, e.t, b.depth + 1
+        FROM bfs b JOIN idmapped e ON e.h = b.node
+        WHERE b.depth < 4
+    ),
+    nodes AS (SELECT head, node, min(depth) AS depth
+              FROM bfs GROUP BY head, node),
+    expanded AS (SELECT head, node FROM nodes WHERE depth <= 3),
+    sub_edges AS (SELECT DISTINCT x.head, e.h AS u, e.t AS v
+                  FROM expanded x JOIN idmapped e ON e.h = x.node),
+    outd AS (SELECT head, u AS node, count(*) AS out_n
+             FROM sub_edges GROUP BY head, u),
+    ind AS (SELECT head, v AS node, count(*) AS in_n
+            FROM sub_edges GROUP BY head, v),
+    stats AS (
+        SELECT n.head, n.node, n.depth,
+               COALESCE(i.in_n, 0) AS in_n, COALESCE(o.out_n, 0) AS out_n
+        FROM nodes n
+        LEFT JOIN outd o ON o.head = n.head AND o.node = n.node
+        LEFT JOIN ind i ON i.head = n.head AND i.node = n.node
+    ),
+    core AS (SELECT head, in_n AS in_c, out_n AS out_c
+             FROM stats WHERE node = head)
+    SELECT CAST(s.head AS BIGINT) AS head, CAST(s.node AS BIGINT) AS node,
+           CAST(s.depth AS BIGINT) AS depth, CAST(c.in_c AS BIGINT) AS in_c,
+           CAST(c.out_c AS BIGINT) AS out_c, CAST(s.in_n AS BIGINT) AS in_n,
+           CAST(s.out_n AS BIGINT) AS out_n
+    FROM stats s JOIN core c ON c.head = s.head
+"""
+
+# pinned 5-node PPR micro-graph (kg_ppr_micro): identical update +
+# stopping rule to pagerank.py:18-85 — damping 0.03/node, α=0.85,
+# L1 change < 1e-5 stops, ≤500 iterations
+_PPR_MICRO_SQL = """
+    WITH RECURSIVE it(i, v0, v1, v2, v3, v4, delta) AS (
+        -- literals cast to DOUBLE: bare 1.0 is DECIMAL(2,1) in DuckDB and
+        -- would truncate every iterate to one decimal place
+        SELECT 0, 1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+               0.0::DOUBLE, 1e9
+        UNION ALL
+        SELECT s.i + 1, s.nv0, s.nv1, s.nv2, s.nv3, s.nv4,
+               abs(s.nv0 - s.v0) + abs(s.nv1 - s.v1) + abs(s.nv2 - s.v2)
+               + abs(s.nv3 - s.v3) + abs(s.nv4 - s.v4)
+        FROM (
+            SELECT i, v0, v1, v2, v3, v4,
+                   0.03 + 0.85 * (0.5 * v2 + 1.0 * v4) AS nv0,
+                   0.03 + 0.85 * (0.5 * v0) AS nv1,
+                   0.03 + 0.85 * (0.5 * v0 + 0.5 * v1) AS nv2,
+                   0.03 + 0.85 * (0.5 * v1 + 0.5 * v2) AS nv3,
+                   0.03 + 0.85 * (1.0 * v3) AS nv4
+            FROM it WHERE delta >= 1e-5 AND i < 500
+        ) s
+    ),
+    last AS (SELECT * FROM it ORDER BY i DESC LIMIT 1)
+    SELECT CAST(0 AS BIGINT) AS node, ROUND(v0, 6) AS pr FROM last
+    UNION ALL SELECT 1, ROUND(v1, 6) FROM last
+    UNION ALL SELECT 2, ROUND(v2, 6) FROM last
+    UNION ALL SELECT 3, ROUND(v3, 6) FROM last
+    UNION ALL SELECT 4, ROUND(v4, 6) FROM last
+"""
+
+_LANG_WORDS = "list_transform(regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x))"
+_PROFILES_SQL = {
+    "en": "['the','and','of','to','in','is','was','for','with','that','on',"
+          "'as','are','this','at','by','from','it','an','be']",
+    "fr": "['le','la','les','de','des','et','en','un','une','du','est','que',"
+          "'pour','dans','qui','au','pas','sur','avec','ne']",
+    "de": "['der','die','das','und','in','den','von','zu','mit','ist','des',"
+          "'im','nicht','ein','eine','auf','als','auch','es','an']",
+    "es": "['el','la','los','las','de','y','en','un','una','del','es','que',"
+          "'por','con','no','se','su','para','al','como']",
+}
+
+_LANG_DETECT_SQL = f"""
+    WITH scored AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               length({_LANG_WORDS}) AS n,
+               length(list_filter({_LANG_WORDS},
+                      x -> list_contains({_PROFILES_SQL['en']}, x))) AS s_en,
+               length(list_filter({_LANG_WORDS},
+                      x -> list_contains({_PROFILES_SQL['fr']}, x))) AS s_fr,
+               length(list_filter({_LANG_WORDS},
+                      x -> list_contains({_PROFILES_SQL['de']}, x))) AS s_de,
+               length(list_filter({_LANG_WORDS},
+                      x -> list_contains({_PROFILES_SQL['es']}, x))) AS s_es
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n = 0 OR greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+                WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -259,6 +488,11 @@ def oracle_sql() -> dict[str, str]:
             FROM tagged GROUP BY user_id, session_id
             ORDER BY user_id, session_id
         """,
+        "kg_negative_samples": _neg_samples_sql(),
+        "kg_kgc_negatives": _kgc_negatives_sql(),
+        "kg_subgraph_stats": _SUBGRAPH_STATS_SQL,
+        "kg_ppr_micro": _PPR_MICRO_SQL,
+        "docs_lang_detect": _LANG_DETECT_SQL,
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -236,8 +236,54 @@ def _relational_kg(sf_dir: str):
 
     edges = kg_edges_relational(sf_dir).materialize()
     ent_df, rel_df = build_vocab(edges)
-    ids = id_map_edges(edges, ent_df, rel_df).to_pandas()
+    # canonical order: row subsets (e.g. head(2000)) must not depend on
+    # block arrival order — and the SQL oracles mirror this exact order
+    ids = id_map_edges(edges, ent_df, rel_df).to_pandas() \
+        .sort_values(["h", "t", "r"], ignore_index=True)
     return ent_df, rel_df, ids
+
+
+def kg_subgraph_stats(sf_dir: str) -> pd.DataFrame:
+    """T1+A8 with an exact SQL mirror: BFS subgraph (depth ≤ 4) node
+    depths and in/out degrees for the 20 smallest-id heads — the
+    PPR-free projection of the fused graph-features stage (the SQL twin
+    is a recursive CTE + degree groupbys)."""
+    from ..stages.graph import build_csr, graph_features_for_heads
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    tr = ids[["h", "t", "r"]].to_numpy().astype(np.int64)
+    csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], len(ent_df))
+    heads = sorted(set(tr[:, 0].tolist()))[:20]
+    out = graph_features_for_heads(
+        rd.from_pandas(pd.DataFrame({"head": heads})), csr,
+        max_nodes=200000,
+    ).to_pandas()
+    assert not out["truncated"].any(), "oracle mirror assumes no truncation"
+    out = out[["head", "node", "depth", "in_c", "out_c", "in_n", "out_n"]]
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values(["head", "node"]).reset_index(drop=True)
+
+
+# pinned micro-graph for the PPR oracle (every node has out-edges — no
+# dangling fix needed; weights are the subgraph row-normalized 1/outdeg)
+_PPR_ESRC = np.array([0, 0, 1, 1, 2, 2, 3, 4])
+_PPR_EDST = np.array([1, 2, 2, 3, 0, 3, 4, 0])
+_PPR_EW = np.array([0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 1.0, 1.0])
+
+
+def kg_ppr_micro(sf_dir: str) -> pd.DataFrame:
+    """T2 with an exact SQL mirror: the reference personalized-PageRank
+    iteration (α=0.85, ε=1e-5 L1, ≤500 iters, PR(core)=1 init —
+    `pagerank.py:18-85`) on a pinned 5-node graph; the oracle is a
+    recursive CTE running the identical update to the identical
+    stopping rule."""
+    from ..stages.graph import personalized_pagerank
+
+    pr = personalized_pagerank(5, _PPR_ESRC, _PPR_EDST, _PPR_EW, 0)
+    return pd.DataFrame({
+        "node": np.arange(5, dtype=np.int64),
+        "pr": np.round(pr, 6),
+    })
 
 
 def kg_link_prediction(sf_dir: str) -> pd.DataFrame:
