@@ -49,6 +49,44 @@ def test_resume_after_injected_failure(tmp_path):
     assert all(rec.input_fingerprint.startswith("s42:") for rec in recs.values())
 
 
+def test_trust_resume_after_injected_failure(tmp_path):
+    """Phase-B resume: shard manifests skip finished partitions and the
+    re-run loads the trained embeddings from the stage checkpoint."""
+    from ttmf_ray.functions.transe import TransEConfig
+    from ttmf_ray.pipelines.trust import TrustConfig, trust_scores_resumable
+
+    spec = CorpusSpec(seed=42, n_pages=400)
+    edges = kg_construct(pages_dataset(spec)).materialize()
+    cfg = TrustConfig(
+        transe=TransEConfig(dim=16, epochs=10, lr=0.02),
+        ptranse=TransEConfig(dim=16, epochs=4, lr=0.01, loss="logistic"),
+        path_max_paths=2000, kge_workers=2,
+        fusion_epochs=20,
+    )
+    out = str(tmp_path / "scores")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        trust_scores_resumable(edges, out, cfg, n_shards=4,
+                               fail_after_shards=2)
+    assert len(completed_shards(out)) == 2
+
+    r = trust_scores_resumable(edges, out, cfg, n_shards=4)
+    assert r["shards_skipped"] == 2 and r["shards_processed"] == 2
+    # the re-run hit the KGE stage checkpoint (no retraining)
+    recs = completed_shards(out)
+    assert any(rec.counters.get("kge_ckpt_hit") == 1 for rec in recs.values())
+
+    # third run is a pure no-op
+    r3 = trust_scores_resumable(edges, out, cfg, n_shards=4)
+    assert r3["shards_processed"] == 0
+
+    # resumed shards reassemble into one deterministic scored table
+    parts = sorted(glob.glob(f"{out}/shard=*/part-*.parquet"))
+    df = pd.concat([pq.read_table(p).to_pandas() for p in parts])
+    assert len(df) == len(df.drop_duplicates(["h", "t", "r", "flag"]))
+    assert df["conf"].notna().all() and len(df) > 0
+
+
 def test_fingerprint_drift_triggers_rerun(tmp_path):
     spec = CorpusSpec(seed=42, n_pages=120)
     out = str(tmp_path / "edges")

@@ -60,6 +60,20 @@ def auto_pool(frac: float = 1.0, lo: int | None = None) -> tuple[int, int]:
     return (lo, hi)
 
 
+def pool_resources(num_gpus: float | None = None,
+                   num_cpus_per_actor: float | None = None) -> dict:
+    """kwargs for ``map_batches`` actor pools carrying per-actor resource
+    requests (the north-star GPU knob: extraction/scoring pools take
+    ``num_gpus=g`` per actor and Ray schedules them onto GPU nodes; on
+    this CPU-only sandbox the knob must simply be absent/0)."""
+    out: dict = {}
+    if num_gpus:
+        out["num_gpus"] = num_gpus
+    if num_cpus_per_actor:
+        out["num_cpus"] = num_cpus_per_actor
+    return out
+
+
 def spread(ds, blocks_per_cpu: int = 4):
     """Split a small in-memory Dataset into enough blocks to feed a pool.
 

@@ -35,24 +35,28 @@ def extract_pages(pages_ds):
 
 
 def mentions_from_pages(pages_ds, *, lang: str = "en",
-                        concurrency: tuple[int, int] | int | None = None):
+                        concurrency: tuple[int, int] | int | None = None,
+                        num_gpus: float | None = None):
     """pages → surface-form mention triples (url, sent_id, subj/pred/obj).
 
     The extractor pool autoscales (min, max) so several pools coexist on a
     small cluster without reserving every CPU (a fixed-size pool per stage
     can deadlock the streaming executor when pools sum past the cluster).
+    ``num_gpus`` reserves GPUs per extractor actor (for model-based
+    extractors on a GPU cluster; unset on CPU-only nodes).
     """
     extracted = extract_pages(pages_ds)
     sents = extracted.map_batches(
         lambda b: filter_lang(b, lang=lang), batch_format="pyarrow"
     ).map_batches(sentences_batch, batch_format="pyarrow", batch_size=1024)
-    from ..context import auto_pool
+    from ..context import auto_pool, pool_resources
 
     return sents.map_batches(
         TripleExtractor,
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency or auto_pool(),
+        **pool_resources(num_gpus=num_gpus),
     )
 
 

@@ -63,6 +63,8 @@ class TrustConfig:
     kge_workers: int | None = None  # None → auto (num_cpus/2); 0/1 → serial
     fusion_batch_size: int = 64     # reference default (Model1.py:982);
     fusion_epochs: int = 200        # raise batch at large conf tables
+    scorer_num_gpus: float | None = None  # per-actor GPU for the T6 pool
+    checkpoint_dir: str | None = None     # stage checkpoints (KGE reuse)
 
 
 def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFrame:
@@ -197,8 +199,27 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     kge_workers = cfg.kge_workers
     if kge_workers is None:
         kge_workers = min(8, max(2, _ncpu() // 2))
-    _ptranse_task = _ray.remote(train_transe).remote(
-        tr, n_ent, n_rel, cfg.ptranse, dev)
+
+    # stage checkpoints (phase-B resume): trained embeddings keyed by a
+    # fingerprint of the id-mapped triple table + the training config
+    ckpt = None
+    if cfg.checkpoint_dir:
+        import hashlib
+
+        from ..state.checkpoints import StageCheckpoint
+
+        fp = (hashlib.sha256(triples.tobytes()).hexdigest()[:24]
+              + f"|{cfg.transe}|{cfg.ptranse}|w{kge_workers}")
+        ckpt = StageCheckpoint(cfg.checkpoint_dir, fp)
+
+    if ckpt is not None and ckpt.has("ptranse"):
+        _ptranse_task = None
+        _ptranse_cached = tuple(ckpt.load("ptranse"))
+        timings["ptranse_ckpt_hit"] = 1.0
+    else:
+        _ptranse_cached = None
+        _ptranse_task = _ray.remote(train_transe).remote(
+            tr, n_ent, n_rel, cfg.ptranse, dev)
 
     csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_ent)
     both = pd.concat([conf_valid, conf_test])
@@ -222,7 +243,12 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     path_emb: dict = {}
 
     def run_paths():
-        Ep, Rp = _ray.get(_ptranse_task)
+        if _ptranse_cached is not None:
+            Ep, Rp = _ptranse_cached
+        else:
+            Ep, Rp = _ray.get(_ptranse_task)
+            if ckpt is not None:
+                ckpt.save("ptranse", [Ep, Rp])
         path_emb["emb"] = (Ep, Rp)
         return ranked_paths_for_queries(
             rd.from_pandas(queries), csr, Ep, Rp,
@@ -234,12 +260,17 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     th_graph.start()
     th_paths.start()
 
-    if kge_workers > 1:
+    if ckpt is not None and ckpt.has("kge"):
+        E, R = ckpt.load("kge")
+        timings["kge_ckpt_hit"] = 1.0
+    elif kge_workers > 1:
         E, R = train_transe_distributed(tr, n_ent, n_rel, cfg.transe,
                                         dev_triples=dev,
                                         workers=kge_workers)
     else:
         E, R = train_transe(tr, n_ent, n_rel, cfg.transe, dev_triples=dev)
+    if ckpt is not None and not ckpt.has("kge"):
+        ckpt.save("kge", [E, R])
     _lap("kge_training")
 
     # ---- TransE margin features (A3 + M5/M6) ---------------------------
@@ -351,11 +382,12 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
                          epochs=cfg.fusion_epochs, path_emb=(Ep, Rp))
     _lap("fusion_train")
     model_bc = Broadcast(model)
-    from ..context import auto_pool, spread
+    from ..context import auto_pool, pool_resources, spread
 
     scored = spread(rd.from_pandas(conf_test)).map_batches(
         FusionScorer, fn_constructor_kwargs={"model_bc": model_bc},
         batch_format="pyarrow", batch_size=4096, concurrency=auto_pool(0.25),
+        **pool_resources(num_gpus=cfg.scorer_num_gpus),
     ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
     _lap("fusion_score")
 
@@ -377,3 +409,81 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
         "csr": csr,
         "timings": timings,
     }
+
+
+# ---------------------------------------------------------------------------
+# Resumable phase-B output (per-partition manifest + stage checkpoints)
+# ---------------------------------------------------------------------------
+
+def _edges_fingerprint(edges_ds) -> str:
+    """Order-independent content checksum of the edge table (commutative
+    per-row hash sum — cheap, streaming, deterministic across sessions)."""
+    import pandas as pd_
+
+    def part_sum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        s = int(pd_.util.hash_pandas_object(df, index=False).sum()
+                & 0xFFFFFFFFFFFFFFFF)
+        return pa.table({"s": pa.array([s], pa.uint64()),
+                         "n": pa.array([len(df)], pa.int64())})
+
+    agg = edges_ds.map_batches(part_sum, batch_format="pyarrow").to_pandas()
+    total = int(agg["s"].astype(np.uint64).sum() & 0xFFFFFFFFFFFFFFFF)
+    return f"edges:{int(agg['n'].sum())}:{total:016x}"
+
+
+def trust_scores_resumable(edges_ds, out_dir: str,
+                           cfg: TrustConfig = TrustConfig(), *,
+                           n_shards: int = 8,
+                           fail_after_shards: int | None = None) -> dict:
+    """Phase B with exact resume: stage checkpoints (trained embeddings
+    reused when the input/config fingerprint matches) + the scored table
+    written as ``n_shards`` hash-partitioned parquet shards, each with an
+    atomic manifest row (ttmf_ray.state.manifest — the same layout as
+    phase A's kg_construct_resumable).
+
+    A killed run re-submits with the same ``out_dir``: completed shards
+    are skipped; the (deterministic) pipeline recomputes the scored table
+    only if any shard is missing, loading trained stages from checkpoint.
+    """
+    import os
+    from dataclasses import replace
+
+    import pyarrow.parquet as _pq  # noqa: F401  (manifest writes parquet)
+
+    from ..state import manifest as mf
+
+    edges_ds = edges_ds.materialize()
+    fp = _edges_fingerprint(edges_ds) + f"|{cfg.transe}|{cfg.ptranse}"
+    shards = {sid: f"{fp}|shard{sid}" for sid in range(n_shards)}
+    todo = mf.resume_shards(out_dir, shards)
+    done_before = n_shards - len(todo)
+    if not todo:
+        return {"shards_total": n_shards, "shards_skipped": done_before,
+                "shards_processed": 0}
+
+    cfg = replace(cfg, checkpoint_dir=os.path.join(out_dir, "_ckpt"))
+    res = trust_pipeline(edges_ds, cfg)
+    scored = res["scored_test"][["h", "t", "r", "flag", "conf"]]
+    processed = 0
+    for sid in todo:
+        if fail_after_shards is not None and processed >= fail_after_shards:
+            raise RuntimeError(f"injected failure after {processed} shards")
+        t0 = mf.now()
+        sub = scored[scored["h"].to_numpy() % n_shards == sid]
+        table = pa.Table.from_pandas(sub, preserve_index=False)
+        rows = mf.write_shard_parquet(table, out_dir, sid)
+        mf.commit_shard(out_dir, mf.ShardRecord(
+            shard_id=sid,
+            input_fingerprint=shards[sid],
+            rows_in=len(scored),
+            rows_out=rows,
+            counters={"kge_ckpt_hit": int(res["timings"].get(
+                "kge_ckpt_hit", 0))},
+            wall_sec=mf.now() - t0,
+            finished_at=mf.now(),
+        ))
+        processed += 1
+    return {"shards_total": n_shards, "shards_skipped": done_before,
+            "shards_processed": processed,
+            "accuracy": res["accuracy"], "max_f1": res["max_f1"]}

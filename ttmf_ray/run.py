@@ -36,10 +36,18 @@ def main(argv: list[str] | None = None) -> int:
     p1 = sub.add_parser("construct", help="phase A: pages parquet → edges")
     p1.add_argument("--pages", required=True)
     p1.add_argument("--out", required=True)
+    p1.add_argument("--extractor-gpus", type=float, default=None,
+                    help="GPUs reserved per extractor actor (GPU clusters)")
 
     p2 = sub.add_parser("trust", help="phase B: edges parquet → scores")
     p2.add_argument("--edges", required=True)
     p2.add_argument("--out", required=True)
+    p2.add_argument("--scorer-gpus", type=float, default=None,
+                    help="GPUs reserved per fusion-scorer actor")
+    p2.add_argument("--resumable", action="store_true",
+                    help="sharded scored output + manifest + stage "
+                         "checkpoints (re-submit with the same --out to "
+                         "resume)")
 
     p3 = sub.add_parser("e2e", help="synthetic corpus → edges → scores")
     p3.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -56,22 +64,39 @@ def main(argv: list[str] | None = None) -> int:
     tune_data_context(target_max_block_size=2 * 1024 * 1024)
 
     if args.cmd == "construct":
-        from .pipelines.kg_construct import kg_construct
+        from .pipelines.kg_construct import (edges_from_mentions,
+                                             mentions_from_pages)
+        from .stages.canonicalize import canonicalize_inline_batch
+        from .stages.dedup import distinct_rows
 
-        edges = kg_construct(rd.read_parquet(args.pages))
+        mentions = mentions_from_pages(
+            rd.read_parquet(args.pages), num_gpus=args.extractor_gpus
+        ).map_batches(canonicalize_inline_batch, batch_format="pyarrow")
+        edges = distinct_rows(
+            mentions.map_batches(
+                lambda b: b.select(["subj", "pred", "obj"]),
+                batch_format="pyarrow"),
+            ["subj", "pred", "obj"])
         edges.write_parquet(args.out)
         print(json.dumps({"edges": edges.count(), "out": args.out}))
     elif args.cmd == "trust":
-        from .pipelines.trust import trust_pipeline
+        from .pipelines.trust import (TrustConfig, trust_pipeline,
+                                      trust_scores_resumable)
 
-        res = trust_pipeline(rd.read_parquet(args.edges))
-        rd.from_pandas(res["scored_test"]).write_parquet(args.out)
-        print(json.dumps({
-            "scored": len(res["scored_test"]),
-            "accuracy": round(res["accuracy"], 4),
-            "max_f1": round(res["max_f1"], 4),
-            "out": args.out,
-        }))
+        cfg = TrustConfig(scorer_num_gpus=args.scorer_gpus)
+        if args.resumable:
+            r = trust_scores_resumable(rd.read_parquet(args.edges),
+                                       args.out, cfg)
+            print(json.dumps(r))
+        else:
+            res = trust_pipeline(rd.read_parquet(args.edges), cfg)
+            rd.from_pandas(res["scored_test"]).write_parquet(args.out)
+            print(json.dumps({
+                "scored": len(res["scored_test"]),
+                "accuracy": round(res["accuracy"], 4),
+                "max_f1": round(res["max_f1"], 4),
+                "out": args.out,
+            }))
     elif args.cmd == "e2e":
         from .pipelines.kg_construct import kg_construct
         from .pipelines.trust import TrustConfig, trust_pipeline
