@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": rel.lang_counts,
         "events_hourly": rel.events_hourly,
         "events_thresholds": rel.events_thresholds,
+        "events_asof_join": rel.events_asof_join,
+        "events_sliding_1h": rel.events_sliding_1h,
+        "events_value_bands": rel.events_value_bands,
         "tpch_q1": rel.tpch_q1,
         "revenue_by_nation": rel.revenue_by_nation,
         "top_parts": rel.top_parts,
@@ -397,6 +400,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY event_type, hour_epoch
             ORDER BY event_type, hour_epoch
+        """,
+        "events_asof_join": """
+            WITH purchases AS (
+                SELECT event_id, user_id, epoch_us(ts) AS es
+                FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, epoch_us(ts) AS es, value
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT CAST(p.event_id AS BIGINT) AS event_id,
+                   CAST(p.user_id AS BIGINT) AS user_id,
+                   CAST(p.es AS BIGINT) AS es,
+                   CAST(COALESCE(c.es, -1) AS BIGINT) AS click_es,
+                   ROUND(COALESCE(c.value, 0.0), 4) AS click_value
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+                 ON p.user_id = c.user_id AND c.es <= p.es
+            ORDER BY event_id
+        """,
+        "events_sliding_1h": """
+            SELECT event_type,
+                   CAST((e.slot - j.j) * 900 AS BIGINT) AS win_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM (SELECT event_type, value,
+                         epoch_us(ts) // 900000000 AS slot FROM events) e
+            CROSS JOIN (SELECT range AS j FROM range(4)) j
+            GROUP BY event_type, win_start
+            ORDER BY event_type, win_start
+        """,
+        "events_value_bands": """
+            WITH bands(lo, hi, band) AS (VALUES
+                (0.0, 1.0, '[0,1)'), (1.0, 5.0, '[1,5)'),
+                (5.0, 20.0, '[5,20)'), (20.0, 100.0, '[20,100)'),
+                (100.0, 500.03, '[100,500.03)'))
+            SELECT e.event_type, b.band,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(SUM(e.value), 4) AS sum_value
+            FROM events e JOIN bands b
+                 ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY e.event_type, b.band
+            ORDER BY e.event_type, b.band
         """,
         "events_thresholds": """
             WITH labeled AS (

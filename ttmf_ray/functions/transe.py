@@ -48,14 +48,14 @@ class TransEConfig:
     batch_size: int = 4096
 
 
-def _draw_logistic_negatives(rng, bh, bt, br, n_entities: int,
-                             n_relations: int, cfg: TransEConfig):
+def _draw_neg_matrices(rng, bh, bt, br, n_entities: int,
+                       n_relations: int, cfg: TransEConfig):
     """The PTransE negative mix for one batch of positives: per positive,
     ``neg_per_pos`` head- and tail-corrupt + ``neg_rel`` relation-corrupt
-    rows; each draw is redrawn only while it equals the original value
+    draws; each draw is redrawn only while it equals the original value
     (`PTransE.java:455-494` — no gold-membership check in the reference).
 
-    Returns (NH, NT, NR) flat id arrays of all negative rows.
+    Returns (nh_m (B,k), nt_m (B,k), nr_m (B,neg_rel)) draw matrices.
     """
     B, k = len(bh), cfg.neg_per_pos
 
@@ -72,11 +72,116 @@ def _draw_logistic_negatives(rng, bh, bt, br, n_entities: int,
     nh_m = draw(bh, n_entities, k)              # corrupt head, keep (t, r)
     nt_m = draw(bt, n_entities, k)              # corrupt tail, keep (h, r)
     nr_m = draw(br, n_relations, cfg.neg_rel)   # corrupt rel,  keep (h, t)
+    return nh_m, nt_m, nr_m
+
+
+def _draw_logistic_negatives(rng, bh, bt, br, n_entities: int,
+                             n_relations: int, cfg: TransEConfig):
+    """Flat (NH, NT, NR) id arrays of all negative rows, blocks in
+    head/tail/relation order (the row-level view of the draw matrices)."""
+    nh_m, nt_m, nr_m = _draw_neg_matrices(rng, bh, bt, br, n_entities,
+                                          n_relations, cfg)
     kh, kt, kr = nh_m.shape[1], nt_m.shape[1], nr_m.shape[1]
     NH = np.concatenate([nh_m.ravel(), np.repeat(bh, kt), np.repeat(bh, kr)])
     NT = np.concatenate([np.repeat(bt, kh), nt_m.ravel(), np.repeat(bt, kr)])
     NR = np.concatenate([np.repeat(br, kh), np.repeat(br, kt), nr_m.ravel()])
     return NH, NT, NR
+
+
+def _take_rows(scratch: dict | None, key: str, n: int, dim: int):
+    """Reused (n, dim) float32 scratch row-buffer (sliced view).
+
+    The negative side of one PTransE batch streams ~160 MB of (31·B, dim)
+    temporaries; fresh np.empty per op mmap-faults every page, and with W
+    parallel workers the fault churn serializes on the kernel — measured
+    4x per-worker slowdown at W=8.  Reusing per-worker buffers keeps the
+    pages resident.
+    """
+    if scratch is None:
+        return np.empty((n, dim), np.float32)
+    b = scratch.get(key)
+    if b is None or b.shape[0] < n or b.shape[1] != dim:
+        b = np.empty((n, dim), np.float32)
+        scratch[key] = b
+    return b[:n]
+
+
+def _logistic_batch(E, R, bh, bt, br, rng, n_entities, n_relations, cfg,
+                    touched=None, scratch=None):
+    """One PTransE logistic SGD step: maximize log σ(e(pos)) +
+    Σ log(1−σ(e(neg))) with e = bias − ½‖h+r−t‖² (`PTransE.java:299-418`);
+    the positive gradient carries the reference's ×3 scale
+    (`PTransE.java:314-316`, embCalculator(…, ±3.0f)); negatives are the
+    15/15/1 head/tail/relation mix.  Shared by the serial and the
+    distributed (local-SGD) trainers so their per-batch semantics are
+    identical; ``touched`` (optional bool mask) records every entity row
+    the scatter-adds hit, for masked averaging; ``scratch`` (optional
+    dict) carries reused per-worker buffers across batches.
+    """
+    nh_m, nt_m, nr_m = _draw_neg_matrices(
+        rng, bh, bt, br, n_entities, n_relations, cfg)
+    dim = E.shape[1]
+
+    def coef_of(dd, target, scale):
+        # ‖dd‖² once via einsum (no extra (…, dim) temporary), reused for
+        # the energy and the row-norm clip.
+        # Δθ = lr·(target−p)·de/dθ with de/dE[h]=de/dR=−dd, de/dE[t]=+dd;
+        # gradient row-norm clip: unlike the margin loss (unit direction
+        # vectors), raw dd feedback self-amplifies on hot entities and
+        # overflows f32 at scale.
+        sq = np.einsum("...j,...j->...", dd, dd)
+        e = np.clip(cfg.bias - 0.5 * sq, -30, 30)
+        p = 1.0 / (1.0 + np.exp(-e))
+        dn = np.sqrt(sq)
+        return (np.minimum(1.0, 5.0 / np.maximum(dn, 1e-12))
+                * (p - target) * (cfg.lr * scale)).astype(np.float32)
+
+    def take3(key, M, idx2d):
+        # gather M[idx2d] (B, k, dim) into a reused flat buffer
+        B, k = idx2d.shape
+        buf = _take_rows(scratch, key, B * k, dim)
+        np.take(M, idx2d.reshape(-1), axis=0, out=buf)
+        return buf.reshape(B, k, dim)
+
+    # positive rows: d = E[h] + R[r] − E[t], ×3 gradient scale
+    d = E[bh] + R[br] - E[bt]
+    d *= coef_of(d, 1.0, 3.0)[:, None]
+    np.add.at(E, bh, d)
+    np.add.at(R, br, d)
+    np.subtract.at(E, bt, d)
+
+    # negative blocks share the uncorrupted pair per positive, so the
+    # gradient onto the SHARED rows is pre-summed over the k draws — one
+    # B-row scatter instead of k·B — and only the corrupted side pays the
+    # full (B·k)-row gather/scatter (≈3x less memory traffic than the
+    # flat-row formulation; algebraically identical updates)
+    if nh_m.shape[1]:                       # corrupt head, keep (t, r)
+        g = take3("g3", E, nh_m)
+        g += (R[br] - E[bt])[:, None, :]
+        g *= coef_of(g, 0.0, 1.0)[:, :, None]
+        np.add.at(E, nh_m, g)
+        gs = g.sum(axis=1)
+        np.add.at(R, br, gs)
+        np.subtract.at(E, bt, gs)
+    if nt_m.shape[1]:                       # corrupt tail, keep (h, r)
+        g = take3("g3", E, nt_m)
+        np.subtract((E[bh] + R[br])[:, None, :], g, out=g)
+        g *= coef_of(g, 0.0, 1.0)[:, :, None]
+        gs = g.sum(axis=1)
+        np.add.at(E, bh, gs)
+        np.add.at(R, br, gs)
+        np.subtract.at(E, nt_m, g)
+    if nr_m.shape[1]:                       # corrupt rel, keep (h, t)
+        g = take3("gr3", R, nr_m)
+        g += (E[bh] - E[bt])[:, None, :]
+        g *= coef_of(g, 0.0, 1.0)[:, :, None]
+        np.add.at(R, nr_m, g)
+        gs = g.sum(axis=1)
+        np.add.at(E, bh, gs)
+        np.subtract.at(E, bt, gs)
+    if touched is not None:
+        touched[nh_m.reshape(-1)] = True
+        touched[nt_m.reshape(-1)] = True
 
 
 def train_transe(
@@ -96,6 +201,7 @@ def train_transe(
     h, t, r = triples[:, 0], triples[:, 1], triples[:, 2]
     n = len(h)
     best = (np.inf, E.copy(), R.copy())
+    scratch: dict = {}
 
     def dev_loss(E, R):
         if dev_triples is None or len(dev_triples) == 0:
@@ -112,8 +218,8 @@ def train_transe(
         for start in range(0, n, cfg.batch_size):
             idx = perm[start : start + cfg.batch_size]
             bh, bt, br = h[idx], t[idx], r[idx]
-            d_pos = E[bh] + R[br] - E[bt]
             if cfg.loss == "margin":
+                d_pos = E[bh] + R[br] - E[bt]
                 # corrupt head or tail uniformly (TransE.java:326-356)
                 corrupt_head = rng.random(len(idx)) < 0.5
                 neg_e = rng.integers(0, n_entities, size=len(idx))
@@ -135,29 +241,9 @@ def train_transe(
                 np.add.at(E, nt[viol], -lr * gn)
                 np.add.at(R, br[viol], lr * gn)
             else:
-                # logistic, PTransE: maximize log σ(e(pos)) + Σ log(1−σ(e(neg)))
-                # with e = bias − ½‖h+r−t‖² (`PTransE.java:299-418`); the
-                # positive gradient carries the reference's ×3 scale
-                # (`PTransE.java:314-316`, embCalculator(…, ±3.0f)), the
-                # negatives are the 15/15/1 head/tail/relation mix.
-                NH, NT, NR = _draw_logistic_negatives(
-                    rng, bh, bt, br, n_entities, n_relations, cfg)
-                d_negm = E[NH] + R[NR] - E[NT]
-                for dd, hh, tt, rr_, target, scale in (
-                        (d_pos, bh, bt, br, 1.0, 3.0),
-                        (d_negm, NH, NT, NR, 0.0, 1.0)):
-                    e = np.clip(cfg.bias - 0.5 * (dd * dd).sum(axis=1), -30, 30)
-                    p = 1.0 / (1.0 + np.exp(-e))
-                    # Δθ = lr·(target−p)·de/dθ with de/dE[h]=de/dR=−dd, de/dE[t]=+dd
-                    # gradient row-norm clip: unlike the margin loss (unit
-                    # direction vectors), raw dd feedback self-amplifies on
-                    # hot entities and overflows f32 at scale
-                    dn = np.linalg.norm(dd, axis=1, keepdims=True)
-                    ddc = dd * np.minimum(1.0, 5.0 / np.maximum(dn, 1e-12))
-                    g = (p - target)[:, None] * ddc * (cfg.lr * scale)
-                    np.add.at(E, hh, g)
-                    np.add.at(E, tt, -g)
-                    np.add.at(R, rr_, g)
+                _logistic_batch(E, R, bh, bt, br, rng,
+                                n_entities, n_relations, cfg,
+                                scratch=scratch)
 
         dl = dev_loss(E, R)
         if dl is not None and dl < best[0]:
@@ -189,6 +275,7 @@ def _epoch_worker(E, R, shard, cfg_dict, round_no, wid, n_entities,
     touched = np.zeros(len(E), dtype=bool)
     touched[h] = True
     touched[t] = True
+    scratch: dict = {}
     for le in range(local_epochs):
         rng = np.random.default_rng((cfg.seed, round_no, le, wid))
         norms = np.linalg.norm(E, axis=1, keepdims=True)
@@ -197,6 +284,11 @@ def _epoch_worker(E, R, shard, cfg_dict, round_no, wid, n_entities,
         for start in range(0, n, cfg.batch_size):
             idx = perm[start: start + cfg.batch_size]
             bh, bt, br = h[idx], t[idx], r[idx]
+            if cfg.loss != "margin":
+                _logistic_batch(E, R, bh, bt, br, rng,
+                                n_entities, len(R), cfg, touched=touched,
+                                scratch=scratch)
+                continue
             corrupt_head = rng.random(len(idx)) < 0.5
             neg_e = rng.integers(0, n_entities, size=len(idx))
             nh = np.where(corrupt_head, neg_e, bh)
@@ -262,16 +354,15 @@ def train_transe_distributed(
     """Data-parallel TransE: per epoch, W Ray tasks each run one SGD epoch
     over a disjoint shard from the current weights; the results are
     parameter-averaged (one-shot averaging per epoch — the standard
-    synchronous local-SGD scheme).  Same margin-loss semantics as
-    ``train_transe``; this is the trainer the multi-node target uses, and
-    it is what lets the KGE stage scale with the cluster instead of
-    serializing on the driver (SURVEY.md §7.5 item 4).
+    synchronous local-SGD scheme).  Per-batch semantics match
+    ``train_transe`` for BOTH loss modes (margin TransE and logistic
+    PTransE share the same batch kernels); this is the trainer the
+    multi-node target uses, and it is what lets the KGE stage scale with
+    the cluster instead of serializing on the driver (SURVEY.md §7.5
+    item 4).  Deterministic for a fixed ``workers`` count (seeded per
+    (seed, round, epoch, worker), shards drawn from the config seed).
     """
     import ray
-
-    if cfg.loss != "margin":
-        # logistic mode stays driver-side (used with few epochs)
-        return train_transe(triples, n_entities, n_relations, cfg, dev_triples)
 
     rng = np.random.default_rng(cfg.seed)
     bound = 6.0 / np.sqrt(cfg.dim)
@@ -284,6 +375,7 @@ def train_transe_distributed(
     worker = ray.remote(_epoch_worker)
     n = len(triples)
     workers = max(1, min(workers, n // max(1, cfg.batch_size)))
+    local_epochs = max(1, min(local_epochs, cfg.epochs))
     cfg_dict = {f: getattr(cfg, f) for f in cfg.__dataclass_fields__}
     shard_ids = rng.permutation(n)
     shards = [

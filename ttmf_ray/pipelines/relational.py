@@ -403,6 +403,96 @@ def events_sessions(sf_dir: str, gap_sec: int = 1800) -> pd.DataFrame:
         .sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Temporal operators: as-of join, sliding windows, range join (SQL-mirrored)
+# ---------------------------------------------------------------------------
+
+def _events_typed(sf_dir: str, event_type: str, cols: list[str]):
+    """events of one type, ts replaced by int64 epoch-µs ``es``."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"] + cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), pa.scalar(event_type)))
+        t = t.append_column("es", t.column("ts").cast(pa.int64()))
+        return t.select(["es"] + cols)
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Each purchase joined to the user's most recent prior-or-same-time
+    click (bucketed as-of join; DuckDB ``ASOF LEFT JOIN`` mirror).
+
+    (user_id, ts) is unique in the events table, and epoch-µs keys keep
+    it so — the tie contract of :func:`asof_join` is never exercised.
+    No-match rows surface as click_es = -1 / click_value = 0.
+    """
+    from ..stages.temporal import asof_join
+
+    purchases = _events_typed(sf_dir, "purchase", ["event_id", "user_id"])
+    clicks = _events_typed(sf_dir, "click", ["user_id", "value"])
+    out = asof_join(purchases, clicks, by="user_id", on="es").to_pandas()
+    out["click_es"] = out["es_r"].fillna(-1).astype(np.int64)
+    out["click_value"] = out["value"].fillna(0.0).round(4)
+    out = out[["event_id", "user_id", "es", "click_es", "click_value"]]
+    return out.astype({"event_id": np.int64, "user_id": np.int64,
+                       "es": np.int64}) \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def events_sliding_1h(sf_dir: str) -> pd.DataFrame:
+    """1-hour windows sliding every 15 min per event_type: count +
+    sum(value).  Combiner-per-batch keeps the shuffle at (type, window)
+    granularity; the SQL mirror explodes each event into its 4 windows."""
+    from ..stages.temporal import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window_agg(
+        ds, ts_col="ts", key_cols=["event_type"], value_col="value",
+        length=3_600_000_000, slide=900_000_000,
+    ).to_pandas()
+    out["win_start"] = out["win_start"] // 1_000_000  # µs → s for readability
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.astype({"n": np.int64, "win_start": np.int64}) \
+        .sort_values(["event_type", "win_start"]).reset_index(drop=True)
+
+
+# non-uniform band edges: a genuine interval join (no floor() shortcut)
+_VALUE_BANDS = [0.0, 1.0, 5.0, 20.0, 100.0, 500.03]
+
+
+def events_value_bands(sf_dir: str) -> pd.DataFrame:
+    """count + sum(value) per (event_type, value band) — broadcast
+    interval join against non-uniform band edges, then partial-combined
+    groupby.  SQL mirror joins a VALUES band table on lo <= v < hi."""
+    from ..stages.temporal import range_join_broadcast
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    banded = range_join_broadcast(ds, value_col="value",
+                                  edges=np.array(_VALUE_BANDS))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "band": b.column("band").to_pylist(),
+            "value": b.column("value").to_numpy(),
+        })
+        g = df.groupby(["event_type", "band"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (banded.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "band"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.astype({"n": np.int64}) \
+        .sort_values(["event_type", "band"]).reset_index(drop=True)
+
+
 def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     """lineitem ⋈ orders (both large — partitioned hash join, no
     broadcast) → revenue per order priority.  SQL-mirrored."""

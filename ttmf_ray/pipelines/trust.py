@@ -61,6 +61,9 @@ class TrustConfig:
     path_max_paths: int = 20000
     neg_seed: int = 628
     kge_workers: int | None = None  # None → auto (num_cpus/2); 0/1 → serial
+    # PTransE worker count follows kge_workers when None; pin BOTH in
+    # rows-only driver queries (results must not depend on cluster size)
+    ptranse_workers: int | None = None
     fusion_batch_size: int = 64     # reference default (Model1.py:982);
     fusion_epochs: int = 200        # raise batch at large conf tables
     scorer_num_gpus: float | None = None  # per-actor GPU for the T6 pool
@@ -144,8 +147,6 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     """Edge Dataset (subj, pred, obj) → scored conf_test + metrics."""
     import time as _time
 
-    import ray as _ray
-
     timings: dict[str, float] = {}
     _t = _time.time()
 
@@ -212,14 +213,28 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
               + f"|{cfg.transe}|{cfg.ptranse}|w{kge_workers}")
         ckpt = StageCheckpoint(cfg.checkpoint_dir, fp)
 
+    ptranse_workers = cfg.ptranse_workers
+    if ptranse_workers is None:
+        ptranse_workers = kge_workers
+
     if ckpt is not None and ckpt.has("ptranse"):
-        _ptranse_task = None
+        _ptranse_thread = None
         _ptranse_cached = tuple(ckpt.load("ptranse"))
         timings["ptranse_ckpt_hit"] = 1.0
     else:
+        # local-SGD across ptranse_workers Ray tasks, driven from a driver
+        # thread (the 31-negatives-per-positive PTransE mix is ~30x the
+        # margin trainer's work — single-task training gated path search
+        # for ~80 s while the cluster idled)
         _ptranse_cached = None
-        _ptranse_task = _ray.remote(train_transe).remote(
-            tr, n_ent, n_rel, cfg.ptranse, dev)
+        if ptranse_workers > 1:
+            _ptranse_thread = _StageThread(lambda: train_transe_distributed(
+                tr, n_ent, n_rel, cfg.ptranse, dev_triples=dev,
+                workers=ptranse_workers))
+        else:
+            _ptranse_thread = _StageThread(lambda: train_transe(
+                tr, n_ent, n_rel, cfg.ptranse, dev))
+        _ptranse_thread.start()
 
     csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_ent)
     both = pd.concat([conf_valid, conf_test])
@@ -246,14 +261,30 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
         if _ptranse_cached is not None:
             Ep, Rp = _ptranse_cached
         else:
-            Ep, Rp = _ray.get(_ptranse_task)
+            Ep, Rp = _ptranse_thread.join_result()
+            timings["ptranse_wall"] = _ptranse_thread.seconds
             if ckpt is not None:
                 ckpt.save("ptranse", [Ep, Rp])
         path_emb["emb"] = (Ep, Rp)
-        return ranked_paths_for_queries(
+        import pyarrow.compute as _pc
+
+        import ray as _ray
+
+        ranked = ranked_paths_for_queries(
             rd.from_pandas(queries), csr, Ep, Rp,
             keep_top=cfg.path_keep_top, max_paths=cfg.path_max_paths,
-        ).to_pandas()
+        ).map_batches(
+            # the fusion features consume only the top N_BRANCH ranks —
+            # drop the rest before collecting (~16x fewer driver rows)
+            lambda t: t.filter(_pc.less(t.column("rank"), N_BRANCH)),
+            batch_format="pyarrow",
+        )
+        # collect as ARROW (a pandas round-trip turns the FixedSizeList
+        # sequence columns into object arrays of lists — np.stack over
+        # those was a measured 17 s driver stall at sf0.1)
+        tbls = _ray.get(ranked.to_arrow_refs())
+        return pa.concat_tables([t for t in tbls if t.num_rows]
+                                or tbls[:1])
 
     th_graph = _StageThread(run_graph_features)
     th_paths = _StageThread(run_paths)
@@ -334,27 +365,28 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     _lap("rr_features")
 
     # ---- reachable paths (T4/T5 + M9) ----------------------------------
-    paths_df = th_paths.join_result()
+    paths_tbl = th_paths.join_result()   # Arrow; rank < N_BRANCH only
     timings["path_search_wall"] = th_paths.seconds
     Ep, Rp = path_emb["emb"]
-    top3 = paths_df[paths_df["rank"] < N_BRANCH]
-    rank_arr = top3["rank"].to_numpy()
-    p_key_raw = pack_triples(top3["h"].to_numpy(), top3["t"].to_numpy(),
-                             top3["r"].to_numpy(),
+    rank_arr = paths_tbl.column("rank").to_numpy()
+    p_key_raw = pack_triples(paths_tbl.column("h").to_numpy(),
+                             paths_tbl.column("t").to_numpy(),
+                             paths_tbl.column("r").to_numpy(),
                              n_entities=n_ent, n_relations=n_rel)
+    score_arr = paths_tbl.column("score").to_numpy()
+    plen_arr = paths_tbl.column("path_len").to_numpy()
+    seq_mats = {
+        c: paths_tbl.column(c).combine_chunks().flatten().to_numpy()
+        .reshape(-1, MAX_P).astype(np.int64)
+        for c in ("p_src", "p_dst", "p_rel")
+    }
     per_rank = []
     for k in range(N_BRANCH):
         sel = rank_arr == k
         kk = p_key_raw[sel]
         o = np.argsort(kk, kind="stable")
-        sub = top3[sel]
-        seqs = tuple(
-            np.stack(sub[c].to_numpy())[o].astype(np.int64)
-            if sel.any() else np.zeros((0, MAX_P), dtype=np.int64)
-            for c in ("p_src", "p_dst", "p_rel")
-        )
-        per_rank.append((kk[o], sub["score"].to_numpy()[o],
-                         sub["path_len"].to_numpy()[o], seqs))
+        seqs = tuple(seq_mats[c][sel][o] for c in ("p_src", "p_dst", "p_rel"))
+        per_rank.append((kk[o], score_arr[sel][o], plen_arr[sel][o], seqs))
 
     def add_paths(df: pd.DataFrame) -> pd.DataFrame:
         probe = pack_triples(df["h"].to_numpy(), df["t"].to_numpy(),

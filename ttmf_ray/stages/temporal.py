@@ -1,0 +1,168 @@
+"""Temporal operators: as-of join, sliding-window aggregate, range join.
+
+Operators the reference lacks but a production event pipeline needs
+(SURVEY.md §2.10 extension surface).  Each follows the brief's custom-
+operator ladder: expressed as map_batches + bucketed groupby compositions
+— no driver-side loops, no whole-dataset materialization.
+
+Partitioning assumptions (documented per the brief):
+
+- ``asof_join`` hash-partitions BOTH sides on the ``by`` key, so only
+  same-bucket rows meet in a reducer; per-reducer memory is bounded by
+  the largest bucket (``n_buckets`` is the knob; salt hot keys upstream
+  if one ``by`` value dominates).  Within a bucket the merge is
+  pandas ``merge_asof`` — vectorized C, not a Python row loop.
+- ``sliding_window_agg`` emits ``length/slide`` partial rows per input
+  row inside map_batches, pre-aggregated per batch, so the global
+  shuffle moves only (key, window) partial sums — the classic
+  combiner-before-groupby shape that survives 100 TB.
+- ``range_join_broadcast`` broadcasts the (small) sorted band edges and
+  assigns bands with one ``np.searchsorted`` per batch — an interval
+  join with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def asof_join(left, right, *, by: str, on: str,
+              direction: str = "backward", n_buckets: int = 32,
+              right_suffix: str = "_r"):
+    """left ASOF JOIN right: for each left row, the nearest-prior right
+    row with the same ``by`` key and ``right.on <= left.on``
+    (``direction='backward'``; 'forward' gives the nearest-later row).
+
+    ``on`` must be integer-typed (e.g. epoch microseconds) on both
+    sides.  Left rows with no match keep nulls in the right columns
+    (LEFT-join semantics, matching DuckDB ``ASOF LEFT JOIN``).
+
+    Tie contract: right rows are sorted by (``on``, remaining columns)
+    within a bucket, and ``merge_asof`` takes the LAST qualifying row —
+    with duplicate (by, on) pairs on the right the lexicographically
+    greatest value row wins.  Pre-dedup the right side if the engine
+    result must match an oracle that resolves ties differently.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction {direction!r}")
+    rcols = [c for c in right.schema().names if c not in (by, on)]
+    overlap = set(rcols) & set(left.schema().names)
+    ren = {c: c + right_suffix for c in rcols if c in overlap}
+    ren[on] = on + right_suffix  # keep the matched right timestamp
+    rset = [ren.get(c, c) for c in [on] + rcols]
+    lset = list(left.schema().names)
+
+    def tag(side: str, rename: dict[str, str] | None = None):
+        def fn(t: pa.Table) -> pa.Table:
+            if rename:
+                t = t.rename_columns(
+                    [rename.get(c, c) for c in t.column_names])
+            key = t.column(by).to_numpy()
+            t = t.append_column(
+                "__bucket", pa.array((key % n_buckets).astype(np.int32)))
+            return t.append_column(
+                "__side", pa.array([side] * t.num_rows, pa.string()))
+        return fn
+
+    def widen(missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            for c in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows))
+            return t
+        return fn
+
+    cols = list(dict.fromkeys(lset + [by] + rset)) + ["__bucket", "__side"]
+    lt = (left.map_batches(tag("l"), batch_format="pyarrow")
+          .map_batches(widen(rset), batch_format="pyarrow")
+          .map_batches(lambda t, c=cols: t.select(c), batch_format="pyarrow"))
+    rt = (right.map_batches(tag("r", ren), batch_format="pyarrow")
+          .map_batches(widen([c for c in lset if c != by]),
+                       batch_format="pyarrow")
+          .map_batches(lambda t, c=cols: t.select(c), batch_format="pyarrow"))
+
+    ron = ren[on]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][lset]
+        rg = g[g["__side"] == "r"][[by] + rset]
+        lg = lg.sort_values(on, kind="stable").reset_index(drop=True)
+        rg = rg.sort_values([ron] + [c for c in rset if c != ron] + [by],
+                            kind="stable").reset_index(drop=True)
+        # duplicate the right timestamp as the merge key so the matched
+        # value survives as a regular output column (ron)
+        rg = rg.assign(**{on: rg[ron].astype(lg[on].dtype)})
+        return pd.merge_asof(lg, rg, on=on, by=by, direction=direction)
+
+    unioned = lt.union(rt)
+    return unioned.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas")
+
+
+def sliding_window_agg(ds, *, ts_col: str, key_cols: list[str],
+                       value_col: str, length: int, slide: int,
+                       origin: int = 0):
+    """Overlapping-window count + sum: each row lands in ``length/slide``
+    windows; output rows are (key..., win_start, n, sum_value).
+
+    ``ts_col`` is cast to int64 (works for epoch ints and Arrow
+    timestamps — then the unit is the timestamp unit, e.g. µs);
+    ``length`` / ``slide`` / ``origin`` are in the same unit and
+    ``slide`` must divide ``length``.  Per-batch partials keep the
+    shuffle at (key, window) granularity regardless of input size.
+    """
+    if length % slide != 0:
+        raise ValueError("slide must divide length")
+    k = length // slide
+
+    def partial(b: pa.Table) -> pa.Table:
+        es = b.column(ts_col).cast(pa.int64()).to_numpy()
+        slot = (es - origin) // slide
+        # window starts slot-j for j in 0..k-1, vectorized via repeat
+        ws = ((np.repeat(slot, k)
+               - np.tile(np.arange(k, dtype=np.int64), len(es)))
+              * slide + origin)
+        df = pd.DataFrame({c: np.repeat(b.column(c).to_numpy(zero_copy_only=False), k)
+                           for c in key_cols})
+        df["win_start"] = ws
+        df["value"] = np.repeat(b.column(value_col).to_numpy(), k)
+        g = df.groupby(key_cols + ["win_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_cols + ["win_start"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value", alias_name="sum_value")))
+
+
+def range_join_broadcast(ds, *, value_col: str, edges: np.ndarray,
+                         labels: list | None = None,
+                         band_col: str = "band"):
+    """Interval join against a broadcast band table: row matches band i
+    when ``edges[i] <= value < edges[i+1]``; rows outside every band are
+    dropped.  ``edges`` must be sorted ascending (len = #bands + 1).
+
+    The band table ships once via the object store (closure capture of a
+    small array); assignment is one ``searchsorted`` per batch.
+    """
+    from ..context import Broadcast
+
+    edges = np.asarray(edges, dtype=np.float64)
+    if labels is None:
+        labels = [f"[{edges[i]:g},{edges[i+1]:g})"
+                  for i in range(len(edges) - 1)]
+    bc = Broadcast((edges, np.asarray(labels)))
+
+    def assign(b: pa.Table) -> pa.Table:
+        ed, lab = bc.get()
+        v = b.column(value_col).to_numpy()
+        idx = np.searchsorted(ed, v, side="right") - 1
+        ok = (idx >= 0) & (idx < len(ed) - 1) & (v < ed[-1])
+        b = b.filter(pa.array(ok))
+        return b.append_column(band_col, pa.array(lab[idx[ok]]))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
