@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": rel.lang_counts,
         "events_hourly": rel.events_hourly,
         "events_thresholds": rel.events_thresholds,
+        "lineitem_sample": rel.lineitem_sample,
         "events_asof_join": rel.events_asof_join,
         "events_sliding_1h": rel.events_sliding_1h,
         "events_value_bands": rel.events_value_bands,
@@ -347,6 +348,22 @@ _LANG_DETECT_SQL = f"""
 """
 
 
+def _lineitem_sample_sql(n: int = 2000) -> str:
+    """Mirror of deterministic_sample over lineitem: the n rows with the
+    smallest mix64(628, 4, l_orderkey, l_linenumber), key tie-break."""
+    lat, ref = _mix_chain("sm", ["li.l_orderkey", "li.l_linenumber"],
+                          [628, 4])
+    return f"""
+    SELECT CAST(li.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(li.l_linenumber AS BIGINT) AS l_linenumber,
+           li.l_quantity
+    FROM lineitem li,
+    {lat}
+    ORDER BY {ref}, li.l_orderkey, li.l_linenumber, li.l_quantity
+    LIMIT {n}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_edges_relational": _EDGES_SQL,
@@ -401,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, hour_epoch
             ORDER BY event_type, hour_epoch
         """,
+        "lineitem_sample": _lineitem_sample_sql(),
         "events_asof_join": """
             WITH purchases AS (
                 SELECT event_id, user_id, epoch_us(ts) AS es

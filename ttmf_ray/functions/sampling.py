@@ -171,6 +171,51 @@ def labeled_examples(pos_ds, gold, *, n_entities: int, n_relations: int,
     )
 
 
+def deterministic_sample(ds, *, n: int, key_cols: list[str],
+                         seed: int = 628,
+                         tiebreak_cols: list[str] | None = None):
+    """Seeded size-``n`` subsample: the n rows whose mix64(seed, 4, *keys)
+    hash is smallest (ties broken by key_cols, then tiebreak_cols).
+
+    The scalable stand-in for the reference's ``total_size`` downsample
+    (`get_triples/train_test_split.py:33,38-39`, sklearn split with
+    random_state=628): hash-order selection is a per-batch partial top-n
+    + one tiny merge — no global sort, no RNG state, order-independent,
+    and exactly SQL-mirrorable (ORDER BY mix64 LIMIT n).
+    ``key_cols + tiebreak_cols`` must order rows totally (up to fully
+    identical rows) for a well-defined result.
+    """
+    from ..sources.pages import mix64_vec
+
+    order_cols = key_cols + (tiebreak_cols or [])
+
+    def hash_of(t: pa.Table) -> np.ndarray:
+        cols = [t.column(c).to_numpy() for c in key_cols]
+        return mix64_vec(seed, 4, *cols).astype(np.uint64)
+
+    def prune(t: pa.Table) -> pa.Table:
+        h = hash_of(t)
+        if len(h) > n:
+            # exact per-batch top-n under the same total order as the
+            # final cut — top-n selection is associative, so the merge of
+            # per-batch winners contains the global winners
+            keep = np.lexsort(tuple(
+                t.column(c).to_numpy() for c in reversed(order_cols))
+                + (h,))[:n]
+            t = t.take(pa.array(keep))
+        return t
+
+    def final(t: pa.Table) -> pa.Table:
+        h = hash_of(t)
+        order = np.lexsort(tuple(
+            t.column(c).to_numpy() for c in reversed(order_cols)) + (h,))[:n]
+        return t.take(pa.array(order))
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
 def label_onehot(batch: pa.Table) -> pa.Table:
     """flag 1 → [0,1], else [1,0] (`PrecessData.py:150-153`)."""
     fl = batch.column("flag").to_numpy()

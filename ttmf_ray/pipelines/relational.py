@@ -403,6 +403,21 @@ def events_sessions(sf_dir: str, gap_sec: int = 1800) -> pd.DataFrame:
         .sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def lineitem_sample(sf_dir: str, n: int = 2000) -> pd.DataFrame:
+    """Seeded deterministic size-n subsample of lineitem (O-family; the
+    scalable stand-in for the reference's total_size downsample).
+    SQL-mirrored: ORDER BY mix64(seed, 4, keys) LIMIT n."""
+    from ..functions.sampling import deterministic_sample
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = deterministic_sample(
+        ds, n=n, key_cols=["l_orderkey", "l_linenumber"],
+        tiebreak_cols=["l_quantity"]).to_pandas()  # (okey, lnum) not unique
+    return out.astype({"l_orderkey": np.int64, "l_linenumber": np.int64}) \
+        .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Temporal operators: as-of join, sliding windows, range join (SQL-mirrored)
 # ---------------------------------------------------------------------------

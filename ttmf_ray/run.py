@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="sharded scored output + manifest + stage "
                          "checkpoints (re-submit with the same --out to "
                          "resume)")
+    p2.add_argument("--config", default=None,
+                    help="reference-style KGE .properties file "
+                         "(KGE_config_template.properties keys: DIMENSION,"
+                         " EPOCHES, MARGIN, STEP_SIZE, NEG_SAMPLE_COUNT,"
+                         " BIAS) applied to both trainers")
 
     p3 = sub.add_parser("e2e", help="synthetic corpus → edges → scores")
     p3.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -84,6 +89,15 @@ def main(argv: list[str] | None = None) -> int:
                                       trust_scores_resumable)
 
         cfg = TrustConfig(scorer_num_gpus=args.scorer_gpus)
+        if args.config:
+            from .functions.config import transe_config_from_properties
+
+            cfg = TrustConfig(
+                scorer_num_gpus=args.scorer_gpus,
+                transe=transe_config_from_properties(args.config),
+                ptranse=transe_config_from_properties(args.config,
+                                                      loss="logistic"),
+            )
         if args.resumable:
             r = trust_scores_resumable(rd.read_parquet(args.edges),
                                        args.out, cfg)
