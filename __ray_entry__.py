@@ -551,6 +551,30 @@ def oracle_sql() -> dict[str, str]:
             FROM tagged GROUP BY user_id, session_id
             ORDER BY user_id, session_id
         """,
+        # polynomial rolling hash h = fold(h*1000003 + byte) mod 2^61-1
+        # (stages/text.py:fingerprint).  The SQL folds CODEPOINTS, which
+        # equals the Python byte fold because the synthetic corpus is pure
+        # ASCII (the compare validates this holds).
+        # pinned contract of the S4/S5 embedding I/O smoke query: 60-id
+        # vocab + 2 UNK rows = 62, 10 vocab ids lack stored vectors,
+        # write→read is exact, OOV rows share the UNK vector
+        "embeddings_roundtrip": """
+            SELECT * FROM (VALUES
+                ('rows', 62.0), ('n_unk', 10.0),
+                ('roundtrip_exact', 1.0), ('unk_shared', 1.0)
+            ) t(stat, value)
+        """,
+        "docs_fingerprint": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+                        list_reduce(
+                            list_transform(split(text, ''),
+                                           c -> unicode(c)::HUGEINT),
+                            (x, y) -> (x * 1000003 + y)
+                                      % 2305843009213693951)
+                   END AS BIGINT) AS fingerprint
+            FROM documents
+        """,
         "kg_negative_samples": _neg_samples_sql(),
         "kg_kgc_negatives": _kgc_negatives_sql(),
         "kg_subgraph_stats": _SUBGRAPH_STATS_SQL,

@@ -22,6 +22,8 @@ SUBSET = [
     "events_thresholds",
     "tpch_q1",
     "ann_topk",
+    "docs_fingerprint",
+    "embeddings_roundtrip",
 ]
 
 
