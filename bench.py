@@ -160,6 +160,8 @@ def run_scaling() -> dict:
             r_hi["n_pages"] / r_hi["queries"]["kg_construct"], 1),
         "phase_a_scaling_efficiency": round(eff_a, 3),
         "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+        "trust_timings_lo": r_lo.get("trust_timings", {}),
+        "trust_timings_hi": r_hi.get("trust_timings", {}),
     }
 
 

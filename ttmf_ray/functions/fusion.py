@@ -70,6 +70,11 @@ def _extract_seqs(df: pd.DataFrame):
     return out
 
 
+def _stack_pooled(per_branch: list) -> np.ndarray:
+    """list of N_BRANCH (B, 3·dim) pooled matrices → (B, N_BRANCH, 3·dim)."""
+    return np.stack(per_branch, axis=1)
+
+
 @dataclass
 class FusionModel:
     W1: np.ndarray
@@ -79,9 +84,12 @@ class FusionModel:
     mu: np.ndarray
     sd: np.ndarray
     features: list[str] = field(default_factory=lambda: list(FEATURES))
-    # path branches (absent → scalar-only model)
+    # path branches (absent → scalar-only model); branch nets are STACKED
+    # along a leading branch axis — one einsum per layer for all three
+    # branches instead of a Python loop (the per-step call overhead of
+    # 3 separate tiny matmul chains dominated training wall)
     emb: tuple | None = None          # frozen (Ep, Rp), PTransE matrices
-    branches: list | None = None      # per branch [Wk, bk, wk, ck]
+    branches: tuple | None = None     # (Wb (K,d,h), bb (K,h), wb (K,h), cb (K,))
 
     def pool(self, seq) -> np.ndarray:
         """Masked mean over real steps of the per-step embedding concat.
@@ -101,22 +109,28 @@ class FusionModel:
         ]
         return np.concatenate(parts, axis=1).astype(np.float32)
 
-    def branch_outputs(self, pooled: list) -> tuple[np.ndarray, list]:
-        """(B, N_BRANCH) sigmoid branch outputs + cache for backprop."""
-        zs, cache = [], []
-        for k, Vm in enumerate(pooled):
-            Wk, bk, wk, ck = self.branches[k]
-            Hk = np.tanh(Vm @ Wk + bk)
-            zk = 1.0 / (1.0 + np.exp(-(Hk @ wk + ck)))
-            zs.append(zk[:, 0])
-            cache.append((Vm, Hk, zk[:, 0]))
-        return np.column_stack(zs), cache
+    def pool_stacked(self, seqs: list) -> np.ndarray:
+        """All branches' pooled vectors as one (B, N_BRANCH, 3·dim)."""
+        return _stack_pooled([self.pool(seq) for seq in seqs])
+
+    def branch_outputs(self, pooled: np.ndarray):
+        """pooled (B, K, d) → ((B, K) sigmoid outputs, cache).
+
+        Batched matmul over the branch axis (NOT einsum — the bkd,kdh
+        einsum contraction takes numpy's non-BLAS path, measured 12x
+        slower than stacked np.matmul)."""
+        Wb, bb, wb, cb = self.branches
+        Hk = np.tanh(
+            np.matmul(pooled.transpose(1, 0, 2), Wb).transpose(1, 0, 2)
+            + bb)
+        zk = 1.0 / (1.0 + np.exp(-((Hk * wb[None]).sum(axis=2) + cb)))
+        return zk, (pooled, Hk, zk)
 
     def forward(self, X: np.ndarray, seqs=None, pooled=None) -> np.ndarray:
         Z = (X - self.mu) / self.sd
         if self.branches is not None:
             if pooled is None and seqs is not None:
-                pooled = [self.pool(seq) for seq in seqs]
+                pooled = self.pool_stacked(seqs)
             if pooled is not None:
                 zb, _ = self.branch_outputs(pooled)
                 Z = np.concatenate([zb, Z], axis=1)
@@ -176,21 +190,22 @@ def train_fusion(
         Rp = np.asarray(Rp, dtype=np.float32)
         path_emb = (Ep, Rp)
         d_step = Ep.shape[1] * 2 + Rp.shape[1]
-        branches = []
-        for _ in range(N_BRANCH):
-            Wk = rng.standard_normal((d_step, branch_hidden)) * 0.2
-            bk = np.zeros(branch_hidden)
-            wk = rng.standard_normal((branch_hidden, 1)) * 0.2
-            ck = np.zeros(1)
-            branches.append([Wk, bk, wk, ck])
-            params.extend([Wk, bk, wk, ck])
+        # per-branch draws in a fixed order (seed-stable), then stacked
+        draws = [(rng.standard_normal((d_step, branch_hidden)) * 0.2,
+                  rng.standard_normal((branch_hidden, 1)) * 0.2)
+                 for _ in range(N_BRANCH)]
+        branches = (np.stack([d[0] for d in draws]),            # Wb (K,d,h)
+                    np.zeros((N_BRANCH, branch_hidden)),        # bb
+                    np.stack([d[1][:, 0] for d in draws]),      # wb (K,h)
+                    np.zeros(N_BRANCH))                         # cb
+        params.extend(branches)
     model = FusionModel(W1=W1, b1=b1, W2=W2, b2=b2, mu=mu, sd=sd,
                         emb=path_emb if use_paths else None,
                         branches=branches)
     # pooled path vectors are embedding-frozen → precompute ONCE for the
     # whole table (recomputing the gather+concat per batch dominated the
     # training wall ~10x)
-    pooled_all = ([model.pool(seq) for seq in seqs] if use_paths else None)
+    pooled_all = model.pool_stacked(seqs) if use_paths else None
 
     m = [np.zeros_like(p) for p in params]
     v = [np.zeros_like(p) for p in params]
@@ -201,7 +216,7 @@ def train_fusion(
     def sub_pooled(idx):
         if pooled_all is None:
             return None
-        return [vm[idx] for vm in pooled_all]
+        return pooled_all[idx]
 
     def acc(idx) -> float:
         p = model.forward(X[idx], pooled=sub_pooled(idx))[:, 0]
@@ -230,17 +245,17 @@ def train_fusion(
             gb1 = gZ.sum(axis=0)
             grads = [gW1, gb1, gW2, gb2]
             if use_paths:
-                for k in range(N_BRANCH):
-                    Vm, Hk, zk = cache[k]
-                    gz = gZin[:, k] * zk * (1 - zk)        # through sigmoid
-                    Wk, bk, wk, ck = branches[k]
-                    gwk = Hk.T @ gz[:, None]
-                    gck = np.array([gz.sum()])
-                    gHk = gz[:, None] @ wk.T
-                    gVk = gHk * (1 - Hk * Hk)
-                    gWk = Vm.T @ gVk
-                    gbk = gVk.sum(axis=0)
-                    grads.extend([gWk, gbk, gwk, gck])
+                Vm, Hk, zk = cache
+                Wb, bb, wb, cb = branches
+                gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K) sigmoid
+                gwb = (Hk * gz[:, :, None]).sum(axis=0)
+                gcb = gz.sum(axis=0)
+                gHk = gz[:, :, None] * wb[None, :, :]      # (B, K, h)
+                gVk = gHk * (1 - Hk * Hk)
+                gWb = np.matmul(Vm.transpose(1, 2, 0),     # (K,d,B)@(K,B,h)
+                                gVk.transpose(1, 0, 2))
+                gbb = gVk.sum(axis=0)
+                grads.extend([gWb, gbb, gwb, gcb])
             step += 1
             for k, (pm, g) in enumerate(zip(params, grads)):
                 m[k] = beta1 * m[k] + (1 - beta1) * g
