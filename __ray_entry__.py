@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_thresholds": rel.events_thresholds,
         "lineitem_sample": rel.lineitem_sample,
+        "top_docs_per_lang": rel.top_docs_per_lang,
         "events_asof_join": rel.events_asof_join,
         "events_sliding_1h": rel.events_sliding_1h,
         "events_value_bands": rel.events_value_bands,
@@ -419,6 +420,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, hour_epoch
         """,
         "lineitem_sample": _lineitem_sample_sql(),
+        "top_docs_per_lang": """
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY length(text) DESC, doc_id) <= 3
+            ORDER BY lang, n_chars DESC, doc_id
+        """,
         "events_asof_join": """
             WITH purchases AS (
                 SELECT event_id, user_id, epoch_us(ts) AS es

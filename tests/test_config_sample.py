@@ -50,6 +50,37 @@ def test_deterministic_sample_is_batch_order_independent():
     assert len(one) == 50 and one["a"].is_unique
 
 
+def test_grouped_topk_block_structure_invariant():
+    import ray.data as rd
+
+    from ttmf_ray.functions.topk import grouped_topk
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 500),
+                       "v": rng.integers(0, 100, 500),
+                       "id": np.arange(500)})
+    kw = dict(key_cols=["g"], value_col="v", k=4, tiebreak_cols=["id"])
+    one = grouped_topk(rd.from_pandas(df), **kw).to_pandas() \
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    many = grouped_topk(rd.from_pandas(df).repartition(17), **kw) \
+        .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
+    assert (one.groupby("g").size() == 4).all()
+    # matches a plain pandas nlargest per group
+    want = (df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .groupby("g").head(4).sort_values(["g", "id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(one[["g", "v", "id"]], want)
+
+
+def test_top_docs_per_lang_matches_oracle(sf_dir):
+    con = duckdb_con(sf_dir)
+    ray_df = to_pandas(entrymod.queries()["top_docs_per_lang"](sf_dir))
+    sql_df = con.execute(entrymod.oracle_sql()["top_docs_per_lang"]).df()
+    problems = compare("top_docs_per_lang", ray_df, sql_df)
+    assert not problems, problems
+
+
 def test_lineitem_sample_matches_oracle(sf_dir):
     con = duckdb_con(sf_dir)
     ray_df = to_pandas(entrymod.queries()["lineitem_sample"](sf_dir))

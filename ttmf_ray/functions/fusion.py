@@ -150,6 +150,8 @@ def train_fusion(
     seed: int = 23,
     val_frac: float = 0.2,
     path_emb: tuple | None = None,
+    workers: int | None = None,
+    local_epochs: int = 5,
 ) -> FusionModel:
     """BCE + Adam on (FEATURES [+ path branches] → flag==1), early stop on
     val accuracy (reference: batch 64, ≤200 epochs, patience 20 —
@@ -157,6 +159,9 @@ def train_fusion(
 
     ``path_emb``: frozen (Ep, Rp) PTransE matrices — enables the per-path
     sequence branches when the ``p{k}_*`` columns are present.
+    ``workers`` > 1 switches to synchronous local-SGD over Ray tasks
+    (``local_epochs`` per averaging round) — deterministic for a fixed
+    worker count; falls back to serial when the train split is small.
     """
     rng = np.random.default_rng(seed)
     # feature hygiene: a NaN/inf leaking from any upstream stage would
@@ -207,12 +212,6 @@ def train_fusion(
     # training wall ~10x)
     pooled_all = model.pool_stacked(seqs) if use_paths else None
 
-    m = [np.zeros_like(p) for p in params]
-    v = [np.zeros_like(p) for p in params]
-    beta1, beta2, eps = 0.9, 0.999, 1e-8
-    step = 0
-    best_acc, best_params, since = -1.0, [p.copy() for p in params], 0
-
     def sub_pooled(idx):
         if pooled_all is None:
             return None
@@ -222,58 +221,135 @@ def train_fusion(
         p = model.forward(X[idx], pooled=sub_pooled(idx))[:, 0]
         return float(((p >= 0.5) == (y[idx] == 1)).mean())
 
-    for epoch in range(epochs):
-        order = rng.permutation(len(ti))
-        for s0 in range(0, len(ti), batch_size):
-            idx = ti[order[s0: s0 + batch_size]]
-            xb, yb = Xz[idx], y[idx]
-            if use_paths:
-                zb, cache = model.branch_outputs(sub_pooled(idx))
-                Zin = np.concatenate([zb, xb], axis=1)
+    best_acc, best_params, since = -1.0, [p.copy() for p in params], 0
+    if workers and workers > 1 and len(ti) >= workers * batch_size:
+        # data-parallel local-SGD (the same synchronous parameter-average
+        # scheme as train_transe_distributed): each round, W Ray tasks run
+        # ``local_epochs`` Adam epochs over disjoint shards of ``ti`` from
+        # the current weights; weights average; early stop on val acc.
+        # Driver-serial fusion training was the single largest serial
+        # stage of phase B at the 16-CPU scaling leg.  Deterministic for
+        # a fixed ``workers`` (seeded per (seed, round, wid)).
+        import ray as _ray
+
+        shard_perm = rng.permutation(len(ti))
+        shards = [np.ascontiguousarray(ti[shard_perm[w::workers]])
+                  for w in range(workers)]
+        data_ref = _ray.put((Xz, y, pooled_all))
+        worker_fn = _ray.remote(_fusion_worker)
+        rounds = max(1, epochs // local_epochs)
+        patience_r = max(1, patience // local_epochs)
+        for round_no in range(rounds):
+            futs = [worker_fn.remote(params, data_ref, shards[w],
+                                     batch_size, lr, local_epochs,
+                                     seed, round_no, w)
+                    for w in range(workers)]
+            results = _ray.get(futs)
+            for k in range(len(params)):
+                params[k][...] = (
+                    sum(r[k] for r in results) / float(workers))
+            a = acc(vi)
+            if a > best_acc:
+                best_acc, best_params, since = a, [p.copy() for p in params], 0
             else:
-                Zin = xb
-            H = np.tanh(Zin @ W1 + b1)
-            logits = H @ W2 + b2
-            p = 1.0 / (1.0 + np.exp(-logits))
-            gl = (p - yb[:, None]) / len(idx)       # dBCE/dlogits
-            gW2 = H.T @ gl
-            gb2 = gl.sum(axis=0)
-            gH = gl @ W2.T
-            gZ = gH * (1 - H * H)
-            gZin = gZ @ W1.T
-            gW1 = Zin.T @ gZ
-            gb1 = gZ.sum(axis=0)
-            grads = [gW1, gb1, gW2, gb2]
-            if use_paths:
-                Vm, Hk, zk = cache
-                Wb, bb, wb, cb = branches
-                gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K) sigmoid
-                gwb = (Hk * gz[:, :, None]).sum(axis=0)
-                gcb = gz.sum(axis=0)
-                gHk = gz[:, :, None] * wb[None, :, :]      # (B, K, h)
-                gVk = gHk * (1 - Hk * Hk)
-                gWb = np.matmul(Vm.transpose(1, 2, 0),     # (K,d,B)@(K,B,h)
-                                gVk.transpose(1, 0, 2))
-                gbb = gVk.sum(axis=0)
-                grads.extend([gWb, gbb, gwb, gcb])
-            step += 1
-            for k, (pm, g) in enumerate(zip(params, grads)):
-                m[k] = beta1 * m[k] + (1 - beta1) * g
-                v[k] = beta2 * v[k] + (1 - beta2) * g * g
-                mh = m[k] / (1 - beta1**step)
-                vh = v[k] / (1 - beta2**step)
-                pm -= lr * mh / (np.sqrt(vh) + eps)
-        a = acc(vi)
-        if a > best_acc:
-            best_acc, best_params, since = a, [p.copy() for p in params], 0
-        else:
-            since += 1
-            if since >= patience:
-                break
+                since += 1
+                if since >= patience_r:
+                    break
+    else:
+        adam = _AdamState(params)
+        for epoch in range(epochs):
+            _sgd_epoch(params, adam, Xz, y, pooled_all, ti,
+                       batch_size=batch_size, lr=lr, rng=rng)
+            a = acc(vi)
+            if a > best_acc:
+                best_acc, best_params, since = a, [p.copy() for p in params], 0
+            else:
+                since += 1
+                if since >= patience:
+                    break
 
     for pm, best in zip(params, best_params):
         pm[...] = best
     return model
+
+
+class _AdamState:
+    def __init__(self, params):
+        self.m = [np.zeros_like(p) for p in params]
+        self.v = [np.zeros_like(p) for p in params]
+        self.step = 0
+
+
+def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
+               batch_size: int, lr: float, rng) -> None:
+    """One Adam/BCE epoch over ``ti`` (in-place on ``params``).
+
+    Module-level so the serial trainer and the Ray local-SGD workers run
+    the IDENTICAL per-batch math.
+    """
+    use_paths = pooled_all is not None
+    W1, b1, W2, b2 = params[:4]
+    if use_paths:
+        Wb, bb, wb, cb = params[4:]
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    order = rng.permutation(len(ti))
+    for s0 in range(0, len(ti), batch_size):
+        idx = ti[order[s0: s0 + batch_size]]
+        xb, yb = Xz[idx], y[idx]
+        if use_paths:
+            Vm = pooled_all[idx]
+            Hk = np.tanh(
+                np.matmul(Vm.transpose(1, 0, 2), Wb).transpose(1, 0, 2)
+                + bb)
+            zk = 1.0 / (1.0 + np.exp(-((Hk * wb[None]).sum(axis=2) + cb)))
+            Zin = np.concatenate([zk, xb], axis=1)
+        else:
+            Zin = xb
+        H = np.tanh(Zin @ W1 + b1)
+        logits = H @ W2 + b2
+        p = 1.0 / (1.0 + np.exp(-logits))
+        gl = (p - yb[:, None]) / len(idx)       # dBCE/dlogits
+        gW2 = H.T @ gl
+        gb2 = gl.sum(axis=0)
+        gH = gl @ W2.T
+        gZ = gH * (1 - H * H)
+        gZin = gZ @ W1.T
+        gW1 = Zin.T @ gZ
+        gb1 = gZ.sum(axis=0)
+        grads = [gW1, gb1, gW2, gb2]
+        if use_paths:
+            gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K) sigmoid
+            gwb = (Hk * gz[:, :, None]).sum(axis=0)
+            gcb = gz.sum(axis=0)
+            gHk = gz[:, :, None] * wb[None, :, :]      # (B, K, h)
+            gVk = gHk * (1 - Hk * Hk)
+            gWb = np.matmul(Vm.transpose(1, 2, 0),     # (K,d,B)@(K,B,h)
+                            gVk.transpose(1, 0, 2))
+            gbb = gVk.sum(axis=0)
+            grads.extend([gWb, gbb, gwb, gcb])
+        adam.step += 1
+        st = adam.step
+        for k, (pm, g) in enumerate(zip(params, grads)):
+            adam.m[k] = beta1 * adam.m[k] + (1 - beta1) * g
+            adam.v[k] = beta2 * adam.v[k] + (1 - beta2) * g * g
+            mh = adam.m[k] / (1 - beta1**st)
+            vh = adam.v[k] / (1 - beta2**st)
+            pm -= lr * mh / (np.sqrt(vh) + eps)
+
+
+def _fusion_worker(params, data, shard, batch_size, lr, local_epochs,
+                   seed, round_no, wid):
+    """Local-SGD worker: ``local_epochs`` Adam epochs over one shard from
+    the given weights; returns the updated parameter list.  Adam moments
+    are per-round local state (reset at each averaging round)."""
+    params = [np.array(p) for p in params]   # writable local copies
+    Xz, y, pooled_all = data
+    adam = _AdamState(params)
+    rng = np.random.default_rng((seed, 101, round_no, wid))
+    for _ in range(local_epochs):
+        _sgd_epoch(params, adam, Xz, y, pooled_all, shard,
+                   batch_size=batch_size, lr=lr, rng=rng)
+    return params
 
 
 class FusionScorer:

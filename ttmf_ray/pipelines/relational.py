@@ -375,32 +375,72 @@ def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-def events_sessions(sf_dir: str, gap_sec: int = 1800) -> pd.DataFrame:
+def events_sessions(sf_dir: str, gap_sec: int = 1800,
+                    n_parts: int = 64) -> pd.DataFrame:
     """Gap-based sessionization per user (the streaming-shaped operator
-    pattern: partition by key, sort by event time within the group, carry
-    windowed state — here a 30-minute inactivity gap closes a session).
+    pattern: partition by key, sort by event time within the partition,
+    carry windowed state — here a 30-minute inactivity gap closes a
+    session).  SQL-mirrored: session boundaries via lag + cumulative sum.
 
-    SQL-mirrored: session boundaries via lag + cumulative sum.
+    Shuffle shape: users are hashed into ``n_parts`` partitions and the
+    whole partition is sessionized VECTORIZED (one sort + one boundary
+    scan for every user in it) — not a per-user ``map_groups``, which at
+    10^9 users is millions of ms-overhead tiny groups (CLAUDE.md rule 3).
     """
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return t.append_column(
+            "__part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def sessionize_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
         es = (g["ts"].astype("int64") // 1_000_000).to_numpy()
-        new_s = np.ones(len(es), dtype=np.int64)
-        new_s[1:] = (es[1:] - es[:-1] > gap_sec).astype(np.int64)
-        sid = np.cumsum(new_s) - 1
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
-                            "session_id": sid, "es": es})
-        agg = out.groupby(["user_id", "session_id"], as_index=False).agg(
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_s = new_user | np.concatenate(
+            ([False], es[1:] - es[:-1] > gap_sec))
+        # per-user session ids from one global cumsum: subtract the
+        # cumsum value at each user's first row
+        cs = np.cumsum(new_s)
+        user_base = np.repeat(cs[new_user],
+                              np.diff(np.flatnonzero(
+                                  np.concatenate((new_user, [True])))))
+        sid = cs - user_base
+        out = pd.DataFrame({"user_id": uid, "session_id": sid, "es": es})
+        return out.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("es", "size"), start_epoch=("es", "min"),
             end_epoch=("es", "max"))
-        return agg
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas") \
-        .to_pandas()
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("__part")
+           .map_groups(sessionize_part, batch_format="pandas")
+           .to_pandas())
+    out = out.drop(columns=["__part"], errors="ignore")
     return out.astype({c: np.int64 for c in out.columns}) \
         .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per language, the k longest documents (grouped top-k — per-batch
+    prune + tiny merge, no global sort).  SQL-mirrored via row_number
+    QUALIFY."""
+    from ..functions.topk import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        lambda t: pa.table({
+            "lang": t.column("lang"),
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.utf8_length(t.column("text").cast(pa.string())),
+        }),
+        batch_format="pyarrow")
+    out = grouped_topk(ds, key_cols=["lang"], value_col="n_chars", k=k,
+                       descending=True, tiebreak_cols=["doc_id"]).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_chars": np.int64}) \
+        .sort_values(["lang", "n_chars", "doc_id"],
+                     ascending=[True, False, True]).reset_index(drop=True)
 
 
 def lineitem_sample(sf_dir: str, n: int = 2000) -> pd.DataFrame:

@@ -61,9 +61,11 @@ class TrustConfig:
     path_max_paths: int = 20000
     neg_seed: int = 628
     kge_workers: int | None = None  # None → auto (num_cpus/2); 0/1 → serial
-    # PTransE worker count follows kge_workers when None; pin BOTH in
-    # rows-only driver queries (results must not depend on cluster size)
+    # PTransE / fusion worker counts follow kge_workers when None; pinning
+    # kge_workers in rows-only driver queries therefore pins ALL trainer
+    # parallelism (results must not depend on cluster size)
     ptranse_workers: int | None = None
+    fusion_workers: int | None = None
     fusion_batch_size: int = 64     # reference default (Model1.py:982);
     fusion_epochs: int = 200        # raise batch at large conf tables
     scorer_num_gpus: float | None = None  # per-actor GPU for the T6 pool
@@ -410,8 +412,12 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     _lap("path_features")
 
     # ---- fusion train + score (T8/T6) ----------------------------------
+    fusion_workers = cfg.fusion_workers
+    if fusion_workers is None:
+        fusion_workers = kge_workers
     model = train_fusion(conf_valid, batch_size=cfg.fusion_batch_size,
-                         epochs=cfg.fusion_epochs, path_emb=(Ep, Rp))
+                         epochs=cfg.fusion_epochs, path_emb=(Ep, Rp),
+                         workers=fusion_workers)
     _lap("fusion_train")
     model_bc = Broadcast(model)
     from ..context import auto_pool, pool_resources, spread

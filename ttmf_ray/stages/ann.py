@@ -165,3 +165,61 @@ def ivf_topk(ds, queries: np.ndarray, k: int, *, n_centroids: int = 16,
     # already searched only filtered rows; per-query probe masks differ, but
     # searching a superset only improves recall — acceptable for ANN.
     return res
+
+
+# ---------------------------------------------------------------------------
+# IVF index on storage: bucket-partitioned parquet, probe-pruned reads
+# ---------------------------------------------------------------------------
+
+def ivf_build_partitioned(ds, out_dir: str, *, n_centroids: int = 16,
+                          sample_size: int = 2048, seed: int = 13,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> np.ndarray:
+    """Write the IVF index to storage: vectors as parquet partitioned by
+    centroid bucket (``out_dir/bucket=<b>/``) + the centroid matrix.
+
+    This is the 100-TB shape of :func:`ivf_topk`: assignment runs once,
+    and a query session reads ONLY its probed buckets from storage (a
+    1/(n_centroids/n_probe) read instead of a full scan).  Buckets are
+    also the resume unit — each partition directory is complete or
+    rewritten whole.
+    """
+    sample = np.stack([
+        np.asarray(v, dtype=np.float64)
+        for v in ds.limit(sample_size).to_pandas()[vec_col]
+    ])
+    cents = kmeans_fit(sample, n_centroids, seed=seed)
+    cents_bc = Broadcast(cents)
+    tagged = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"cents_bc": cents_bc, "id_col": id_col,
+                               "vec_col": vec_col},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 2),
+    )
+    tagged.write_parquet(out_dir, partition_cols=["bucket"])
+    np.save(f"{out_dir.rstrip('/')}/centroids.npy", cents)
+    return cents
+
+
+def ivf_topk_partitioned(out_dir: str, queries: np.ndarray, k: int, *,
+                         n_probe: int = 4, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> pd.DataFrame:
+    """Query a stored IVF index: read only the probed bucket partitions
+    (partition pruning at the file level), then brute top-k over them.
+    Same result as :func:`ivf_topk` for identical centroids/probes."""
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(f"{out_dir.rstrip('/')}/centroids.npy")
+    q = _l2norm(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    import glob
+
+    files: list[str] = []
+    for b in np.unique(probe):
+        d = f"{out_dir.rstrip('/')}/bucket={int(b)}"
+        if os.path.isdir(d):                 # empty buckets absent
+            files.extend(sorted(glob.glob(f"{d}/*.parquet")))
+    ds = rd.read_parquet(files)
+    return brute_topk(ds, queries, k, id_col=id_col, vec_col=vec_col)
