@@ -84,9 +84,33 @@ def asof_join(left, right, *, by: str, on: str,
 
     ron = ren[on]
 
+    # dtypes per side, for restoring after the null-widened union (a
+    # bucket holding rows of only ONE side leaves the other side's
+    # columns all-null/object — merge_asof then rejects the key dtypes)
+    def _dtypes(schema, rename):
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            try:
+                out[rename.get(name, name)] = typ.to_pandas_dtype()
+            except Exception:
+                pass
+        return out
+
+    l_dtypes = _dtypes(left.schema(), {})
+    r_dtypes = _dtypes(right.schema(), ren)
+
+    def _restore(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+        for c, want in dtypes.items():
+            if c in df.columns:
+                try:
+                    df[c] = df[c].astype(want)
+                except (TypeError, ValueError):
+                    pass
+        return df
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][lset]
-        rg = g[g["__side"] == "r"][[by] + rset]
+        lg = _restore(g[g["__side"] == "l"][lset].copy(), l_dtypes)
+        rg = _restore(g[g["__side"] == "r"][[by] + rset].copy(), r_dtypes)
         lg = lg.sort_values(on, kind="stable").reset_index(drop=True)
         rg = rg.sort_values([ron] + [c for c in rset if c != ron] + [by],
                             kind="stable").reset_index(drop=True)
