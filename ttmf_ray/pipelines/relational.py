@@ -39,6 +39,14 @@ def _small_map(sf_dir: str, name: str, key: str, val: str) -> dict:
     return dict(zip(t.column(key).to_pylist(), t.column(val).to_pylist()))
 
 
+def _dense_lookup(d: dict) -> np.ndarray:
+    """{small dense int id → value} → object array for fancy-index maps."""
+    arr = np.empty(max(d) + 1, dtype=object)
+    for k, v in d.items():
+        arr[k] = v
+    return arr
+
+
 # ---------------------------------------------------------------------------
 # KG edges from relational tables
 # ---------------------------------------------------------------------------
@@ -51,11 +59,13 @@ def kg_edges_relational(sf_dir: str):
     region = _small_map(sf_dir, "region", "r_regionkey", "r_name")
     n2r = _small_map(sf_dir, "nation", "n_nationkey", "n_regionkey")
     customer_name = _small_map(sf_dir, "customer", "c_custkey", "c_name")
-    nation_bc, cust_bc = Broadcast(nation), Broadcast(customer_name)
+    # broadcast DENSE id→name arrays: the lookup is a fancy index per
+    # batch, not a per-row dict probe
+    nation_bc = Broadcast(_dense_lookup(nation))
+    cust_bc = Broadcast(_dense_lookup(customer_name))
 
     def cust_edges(b: pa.Table) -> pa.Table:
-        nmap = nation_bc.get()
-        objs = [nmap[k] for k in b.column("c_nationkey").to_pylist()]
+        objs = nation_bc.get()[b.column("c_nationkey").to_numpy()]
         n = b.num_rows
         return pa.table({
             "subj": b.column("c_name").cast(pa.string()),
@@ -64,8 +74,7 @@ def kg_edges_relational(sf_dir: str):
         })
 
     def supp_edges(b: pa.Table) -> pa.Table:
-        nmap = nation_bc.get()
-        objs = [nmap[k] for k in b.column("s_nationkey").to_pylist()]
+        objs = nation_bc.get()[b.column("s_nationkey").to_numpy()]
         n = b.num_rows
         return pa.table({
             "subj": b.column("s_name").cast(pa.string()),
@@ -74,9 +83,9 @@ def kg_edges_relational(sf_dir: str):
         })
 
     def order_edges(b: pa.Table) -> pa.Table:
-        cmap = cust_bc.get()
-        subs = [f"order_{k}" for k in b.column("o_orderkey").to_pylist()]
-        objs = [cmap[k] for k in b.column("o_custkey").to_pylist()]
+        okey = b.column("o_orderkey").to_numpy()
+        subs = np.char.add("order_", okey.astype("U"))
+        objs = cust_bc.get()[b.column("o_custkey").to_numpy()]
         return pa.table({
             "subj": pa.array(subs, pa.string()),
             "pred": pa.array(["placed_by"] * b.num_rows, pa.string()),
@@ -291,11 +300,14 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """orders ⋈ customer ⋈ nation revenue — broadcast dimension joins."""
     nation = _small_map(sf_dir, "nation", "n_nationkey", "n_name")
     cust_nation = _small_map(sf_dir, "customer", "c_custkey", "c_nationkey")
-    nb, cb = Broadcast(nation), Broadcast(cust_nation)
+    # pre-composed dense custkey → nation-name array (one fancy index/batch)
+    nmap_arr = _dense_lookup(nation)
+    c2n = _dense_lookup(cust_nation)
+    cb = Broadcast(np.array(
+        [nmap_arr[v] if v is not None else None for v in c2n], dtype=object))
 
     def tag(b: pa.Table) -> pa.Table:
-        nmap, cmap = nb.get(), cb.get()
-        names = [nmap[cmap[k]] for k in b.column("o_custkey").to_pylist()]
+        names = cb.get()[b.column("o_custkey").to_numpy()]
         df = pd.DataFrame({"n_name": names,
                            "total": b.column("o_totalprice").to_numpy()})
         g = df.groupby("n_name", as_index=False).agg(
