@@ -1,0 +1,36 @@
+"""S13 CLI surface: the `python -m ttmf_ray.run` subcommands drive the
+same pipelines end-to-end from a fresh process (the ray job submit
+shape), including the reference-style .properties config path."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    p = subprocess.run(
+        [sys.executable, "-m", "ttmf_ray.run", "--num-cpus", "4", *args],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0, p.stderr[-2000:]
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def test_cli_e2e_and_trust_config(tmp_path):
+    out = _run(["e2e", "--sf-dir", "/root/testdata/sf0.001",
+                "--out", str(tmp_path / "run")])
+    assert out["edges"] > 0 and out["scored"] > 0
+    assert os.path.isdir(str(tmp_path / "run") + "/scores")
+
+    # trust over the edges the e2e run wrote, with a reference-style
+    # properties config (tiny dims/epochs so the test stays fast)
+    cfgf = tmp_path / "kge.properties"
+    cfgf.write_text(
+        "DIMENSION=16\nEPOCHES=6\nMARGIN=1.0\nSTEP_SIZE=0.02\n"
+        "NORM=L2\nNEG_SAMPLE_COUNT=15\nBIAS=7.0\n")
+    out2 = _run(["trust", "--edges", str(tmp_path / "run" / "edges"),
+                 "--out", str(tmp_path / "scores2"),
+                 "--config", str(cfgf)])
+    assert out2["scored"] > 0 and 0.0 <= out2["accuracy"] <= 1.0

@@ -24,6 +24,18 @@ stream through actor pools (CSR + embeddings broadcast once) in driver
 threads while the driver round-trips the tree-reduced KGE averaging.
 All driver-side feature attachment is vectorized packed-key
 searchsorted — no Python dict per (h,t) pair.
+
+Why the id-mapped edge table MAY live on the driver (quantified): the
+binding memory ceiling of this algorithm is NOT the edge list but the
+KGE weight matrix, which every trainer worker and every path-search
+actor holds densely ((|E|+2)×k float32 — broadcast, per PROCESS).  At
+the point that matrix stops fitting (≈1e9 entities × 32 dims = 128 GB),
+no amount of edge-table streaming saves the pipeline — it needs sharded
+embeddings, a different algorithm.  Below that ceiling the edge list is
+the cheap object: 24 B/triple ⇒ 100× FB15K (≈5e7 triples) is ~1.2 GB of
+driver pandas vs 1-10 GB of broadcast weights per worker.  So the
+streaming budget is spent where the data actually grows without bound —
+the page corpus in phase A — and phase B pins its own assumption here.
 """
 
 from __future__ import annotations
