@@ -159,6 +159,138 @@ def _mix_chain(tag: str, inputs: list[str], seed_consts: list[int]) -> tuple[str
     return ",\n".join(parts), prev
 
 
+def _wfp_sql(col: str) -> str:
+    """Rolling-hash fingerprint of a (non-empty, ASCII) word — the same
+    fold as stages/text.py:fingerprint / stages/dedup.py:word_fp."""
+    return (f"list_reduce(list_transform(split({col}, ''),"
+            f" c -> unicode(c)::HUGEINT),"
+            f" (x, y) -> (x * 1000003 + y) % 2305843009213693951)")
+
+
+def _simhash_sql() -> str:
+    """Exact mirror of docs_simhash: distinct lowercase \\w+ words, word
+    hash mix64(13, rolling-fp(w)), ±1 per bit, sign-bit reassembly; the
+    uint64 fingerprint is emitted as its two's-complement BIGINT (the Ray
+    side emits the int64 view for the same reason)."""
+    lat, ref = _mix_chain("sw", ["wh0.fp"], [13])
+    return f"""
+    WITH dw AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+        FROM documents
+    ),
+    gw AS (SELECT DISTINCT w FROM dw),
+    wh0 AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    wh AS (SELECT wh0.w, {ref} AS h FROM wh0, {lat}),
+    bits AS (
+        SELECT d.doc_id, b.b,
+               CASE WHEN (wh.h >> b.b) & 1 = 1 THEN 1 ELSE -1 END AS v
+        FROM dw d JOIN wh ON wh.w = d.w
+        CROSS JOIN (SELECT range AS b FROM range(64)) b
+    ),
+    acc AS (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY doc_id, b),
+    sim AS (SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::HUGEINT << b)
+                            ELSE 0::HUGEINT END) AS v
+            FROM acc GROUP BY doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN COALESCE(s.v, 0::HUGEINT)
+                          >= 9223372036854775808::HUGEINT
+                     THEN COALESCE(s.v, 0::HUGEINT)
+                          - 18446744073709551616::HUGEINT
+                     ELSE COALESCE(s.v, 0::HUGEINT) END AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sim s USING (doc_id)
+    """
+
+
+def _minhash_dedup_sql() -> str:
+    """Exact mirror of docs_minhash_dedup: planted every-20th-word
+    mutations, mix64 shingle/permutation/band hashes (stages/dedup.py —
+    no RNG, no crc32), all-pairs-with-cap-50 LSH buckets, and hash-set
+    Jaccard ≥ 0.5 verification."""
+    t3_lat, t3_ref = _mix_chain("t3", ["t.h0", "t.h1", "t.h2"], [17])
+    pa_lat, pa_ref = _mix_chain("pa", ["j.j"], [7, 1])
+    pb_lat, pb_ref = _mix_chain("pb", ["j.j"], [7, 2])
+    bh_lat, bh_ref = _mix_chain(
+        "bh", ["b.band", "b.s0", "b.s1", "b.s2", "b.s3"], [])
+    return f"""
+    WITH np AS (SELECT greatest(5, count(*) // 20) AS n FROM documents),
+    docs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        UNION ALL
+        SELECT CAST(doc_id + 10000000 AS BIGINT),
+               array_to_string(
+                   list_transform(string_split(text, ' '),
+                       (w, i) -> CASE WHEN (i - 1) % 20 = 0
+                                      THEN w || 'x' ELSE w END),
+                   ' ')
+        FROM documents, np WHERE doc_id < np.n
+    ),
+    wl AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+           FROM docs),
+    pw AS (SELECT doc_id, u['i'] AS i, u['w'] AS w FROM (
+               SELECT doc_id,
+                      unnest(list_transform(ws,
+                             (w, i) -> {{'i': i, 'w': w}})) AS u
+               FROM wl)),
+    gw AS (SELECT DISTINCT w FROM pw),
+    wh AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    ph AS (SELECT p.doc_id, p.i, wh.fp FROM pw p JOIN wh USING (w)),
+    tri AS (SELECT a.doc_id, a.fp AS h0, b.fp AS h1, c.fp AS h2
+            FROM ph a
+            JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN ph c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sh AS (SELECT DISTINCT t.doc_id,
+                  CAST({t3_ref} % 2147483647 AS BIGINT) AS x
+           FROM tri t, {t3_lat}),
+    perms AS (SELECT j.j AS j,
+                     CAST({pa_ref} % 2147483646 AS BIGINT) + 1 AS a,
+                     CAST({pb_ref} % 2147483647 AS BIGINT) AS b
+              FROM (SELECT range AS j FROM range(64)) j,
+              {pa_lat},
+              {pb_lat}),
+    sigs AS (SELECT s.doc_id, p.j, min((p.a * s.x + p.b) % 2147483647) AS sv
+             FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.j),
+    bsig AS (SELECT doc_id, j // 4 AS band,
+                    min(CASE WHEN j % 4 = 0 THEN sv END) AS s0,
+                    min(CASE WHEN j % 4 = 1 THEN sv END) AS s1,
+                    min(CASE WHEN j % 4 = 2 THEN sv END) AS s2,
+                    min(CASE WHEN j % 4 = 3 THEN sv END) AS s3
+             FROM sigs GROUP BY doc_id, band),
+    bh AS (SELECT b.doc_id, b.band, {bh_ref} AS h FROM bsig b, {bh_lat}),
+    sized AS (SELECT band, h, count(*) AS n FROM bh GROUP BY band, h),
+    p_all AS (SELECT l.doc_id AS a, r.doc_id AS b
+              FROM bh l
+              JOIN bh r ON l.band = r.band AND l.h = r.h
+                        AND l.doc_id < r.doc_id
+              JOIN sized s ON s.band = l.band AND s.h = l.h
+              WHERE s.n <= 50),
+    p_chain AS (SELECT a, b FROM (
+                    SELECT lag(l.doc_id) OVER (PARTITION BY l.band, l.h
+                                               ORDER BY l.doc_id) AS a,
+                           l.doc_id AS b
+                    FROM bh l JOIN sized s ON s.band = l.band AND s.h = l.h
+                    WHERE s.n > 50)
+                WHERE a IS NOT NULL),
+    cand AS (SELECT DISTINCT a, b FROM
+             (SELECT * FROM p_all UNION ALL SELECT * FROM p_chain)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS ni
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.x = sa.x
+              GROUP BY c.a, c.b),
+    jac AS (SELECT i.a, i.b, i.ni::DOUBLE / (ca.n + cb.n - i.ni) AS j
+            FROM inter i
+            JOIN cnt ca ON ca.doc_id = i.a
+            JOIN cnt cb ON cb.doc_id = i.b)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           ROUND(j, 4) AS jaccard
+    FROM jac WHERE j >= 0.5
+    """
+
+
 _TOKENS = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
 _STOPS = ("['the','and','of','to','in','is','was','for','with','that','on',"
           "'as','are','this','at','by','from','it','an','be']")
@@ -589,6 +721,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_subgraph_stats": _SUBGRAPH_STATS_SQL,
         "kg_ppr_micro": _PPR_MICRO_SQL,
         "docs_lang_detect": _LANG_DETECT_SQL,
+        "docs_simhash": _simhash_sql(),
+        "docs_minhash_dedup": _minhash_dedup_sql(),
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -24,6 +24,8 @@ SUBSET = [
     "ann_topk",
     "docs_fingerprint",
     "embeddings_roundtrip",
+    "docs_simhash",
+    "docs_minhash_dedup",
 ]
 
 

@@ -26,10 +26,23 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..sources.pages import mix64, mix64_vec
+
 _WORD = re.compile(r"\w+", re.UNICODE)
 
 # 2^31-1: keeps a*x+b < 2^62 so the minhash permutation stays in int64
 _MERSENNE = (1 << 31) - 1
+
+# Every near-dup hash is built from two SQL-expressible primitives so the
+# driver's DuckDB oracle can recompute them exactly: the polynomial
+# rolling hash over bytes (same fold as stages/text.py:fingerprint) and
+# splitmix64 (sources/pages.py:mix64 — already mirrored bit-for-bit by
+# __ray_entry__._mix_chain).  Pinned seeds keep the two sides in lockstep.
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+SHINGLE_SEED = 17
+SIMHASH_SEED = 13
+PERM_SEED = 7
 
 
 def stable_hash64(s: str | bytes) -> int:
@@ -38,6 +51,46 @@ def stable_hash64(s: str | bytes) -> int:
     lo = zlib.crc32(b)
     hi = zlib.crc32(b, 0x9E3779B9)
     return (hi << 32) | lo
+
+
+_WFP_CACHE: dict[str, int] = {}
+
+
+def word_fp(w: str) -> int:
+    """Rolling-hash fingerprint of one word (mod 2^61-1), memoized per
+    worker process (the word vocabulary is Zipf-bounded, so the cache hit
+    rate is high; cleared if it ever outgrows its bound)."""
+    h = _WFP_CACHE.get(w)
+    if h is None:
+        h = 0
+        for b in w.encode("utf-8"):
+            h = (h * _FP_BASE + b) % _FP_MOD
+        if len(_WFP_CACHE) > 2_000_000:
+            _WFP_CACHE.clear()
+        _WFP_CACHE[w] = h
+    return h
+
+
+def _word_fps(words: list[str]) -> np.ndarray:
+    return np.fromiter((word_fp(w) for w in words), dtype=np.uint64,
+                       count=len(words))
+
+
+def shingle_hashes(text: str, ngram: int = 3) -> np.ndarray:
+    """Distinct word-``ngram`` shingle hashes of ``text`` as a sorted int64
+    array: shingle identity is mix64(SHINGLE_SEED, fp(w_i..w_{i+n-1})) mod
+    2^31-1 — vectorized over positions, set semantics via np.unique."""
+    words = _WORD.findall(text.lower())
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    wh = _word_fps(words)
+    if len(words) < ngram:
+        sh = np.array([mix64(SHINGLE_SEED, *(int(x) for x in wh))],
+                      dtype=np.uint64)
+    else:
+        cols = [wh[i: len(wh) - ngram + 1 + i] for i in range(ngram)]
+        sh = mix64_vec(SHINGLE_SEED, *cols)
+    return np.unique(sh % np.uint64(_MERSENNE)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -132,25 +185,21 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
 
 
 def _perm_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    """k permutation params from mix64 draws (SQL-recomputable — no RNG)."""
+    j = np.arange(k, dtype=np.int64)
+    a = (mix64_vec(seed, 1, j) % np.uint64(_MERSENNE - 1)).astype(np.int64) + 1
+    b = (mix64_vec(seed, 2, j) % np.uint64(_MERSENNE)).astype(np.int64)
     return a, b
 
 
 def minhash_signature(
-    shingles: set[str], a: np.ndarray, b: np.ndarray
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """k-minhash over stable shingle hashes; empty set → all MERSENNE."""
-    if not shingles:
+    """k-minhash over shingle-hash values; empty set → all MERSENNE."""
+    if len(shingles) == 0:
         return np.full(len(a), _MERSENNE, dtype=np.int64)
-    x = np.fromiter(
-        (stable_hash64(s) % _MERSENNE for s in shingles),
-        dtype=np.int64,
-        count=len(shingles),
-    )
     # (k, |shingles|) permuted values, min over shingles — vectorized int64
-    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+    vals = (a[:, None] * shingles[None, :] + b[:, None]) % _MERSENNE
     return vals.min(axis=1)
 
 
@@ -169,7 +218,7 @@ class MinHashLSH:
         k: int = 64,
         n_bands: int = 16,
         ngram: int = 3,
-        seed: int = 7,
+        seed: int = PERM_SEED,
     ):
         assert k % n_bands == 0
         self.id_col, self.text_col = id_col, text_col
@@ -178,126 +227,107 @@ class MinHashLSH:
         self.a, self.b = _perm_params(k, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
         texts = batch.column(self.text_col).to_pylist()
-        o_band: list[int] = []
-        o_hash: list[int] = []
-        o_id: list[int] = []
-        r = self.rows_per_band
-        for did, text in zip(ids, texts):
-            sig = minhash_signature(word_ngrams(text, self.ngram), self.a, self.b)
-            for band in range(self.n_bands):
-                chunk = sig[band * r : (band + 1) * r]
-                o_band.append(band)
-                o_hash.append(stable_hash64(chunk.tobytes()))
-                o_id.append(did)
+        n, r = len(texts), self.rows_per_band
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        sigs = np.stack([
+            minhash_signature(shingle_hashes(t, self.ngram), self.a, self.b)
+            for t in texts
+        ])  # (n, k)
+        # band hash = mix64(band, sig values of the band) — one vectorized
+        # chain over all (doc, band) rows
+        S = sigs.reshape(n, self.n_bands, r)
+        band_idx = np.tile(np.arange(self.n_bands, dtype=np.int64), n)
+        bh = mix64_vec(band_idx, *[S[:, :, i].reshape(-1) for i in range(r)])
         return pa.table(
             {
-                "band": pa.array(o_band, pa.int32()),
-                "band_hash": pa.array(np.asarray(o_hash, dtype=np.uint64)),
-                "doc_id": pa.array(o_id, pa.int64()),
+                "band": pa.array(band_idx.astype(np.int32)),
+                "band_hash": pa.array(bh),
+                "doc_id": pa.array(np.repeat(ids, self.n_bands)),
             }
         )
 
 
-def _bucket_pairs(ids: list[int], cap: int = 50) -> list[tuple[int, int]]:
-    """All-pairs within a bucket, capped: a bucket bigger than ``cap`` is a
-    degenerate hot bucket → consecutive pairs only (keeps the connectivity
-    union-find needs, linear output instead of quadratic)."""
-    ids = sorted(set(ids))
-    if len(ids) <= cap:
-        return [(ids[i], ids[j])
-                for i in range(len(ids)) for j in range(i + 1, len(ids))]
-    return list(zip(ids, ids[1:]))
-
-
-def candidate_pairs(bucket_rows):
+def candidate_pairs(bucket_rows, *, cap: int = 50):
     """(band, band_hash, doc_id) rows → distinct candidate (a, b) pairs.
 
-    Shape: global sort on the bucket key (the one shuffle — signature rows
-    only), then VECTORIZED per-batch pairing; buckets that straddle batch
-    boundaries are re-linked by one pair per boundary (driver-side, one row
-    per block — tiny), which preserves cluster connectivity exactly and
-    all-pairs recall for every non-straddling bucket.  This replaces a
-    per-group ``map_groups`` (~ms of overhead × #buckets — measured 146 s
-    at 84k buckets) with seconds of batch work.
+    Shape: hash-partition on the bucket key (the one shuffle — signature
+    rows only, never documents) so every bucket lands WHOLE in exactly one
+    partition, then vectorized all-pairs-with-cap per partition.  Output is
+    therefore a pure function of the bucket rows — independent of batch
+    and block boundaries (the earlier sort+batch variant emitted different
+    pair sets when a bucket straddled a batch).  ~256 coarse partitions
+    keep per-group ``map_groups`` overhead negligible (CLAUDE.md rule 3),
+    unlike a per-bucket groupby (measured 146 s at 84k buckets).
     """
-    import ray.data as rd
+    from ..context import num_cpus
 
-    sorted_rows = bucket_rows.sort(["band", "band_hash"])
+    n_part = min(256, max(32, num_cpus() * 4))
 
-    def pairs_in_batch(t: pa.Table) -> pa.Table:
-        band = t.column("band").to_numpy()
-        bh = t.column("band_hash").to_numpy()
-        ids = t.column("doc_id").to_numpy()
-        out_a: list[int] = []
-        out_b: list[int] = []
-        if len(ids) == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "edge": pa.array([], pa.string())})
-        new = np.ones(len(ids), dtype=bool)
+    def add_part(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy().astype(np.int64)
+        bh = t.column("band_hash").to_numpy().astype(np.uint64, copy=False)
+        part = (mix64_vec(band, bh) % np.uint64(n_part)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    empty = pd.DataFrame({"a": np.array([], dtype=np.int64),
+                          "b": np.array([], dtype=np.int64)})
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash", "doc_id"])
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return empty
+        new = np.ones(n, dtype=bool)
         new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.nonzero(new)[0].tolist() + [len(ids)]
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s >= 2:
-                for a, b in _bucket_pairs(ids[s:e].tolist()):
-                    out_a.append(a)
-                    out_b.append(b)
-        # boundary markers: first/last bucket of this sorted batch
-        first_key = f"{band[0]}:{bh[0]}"
-        last_key = f"{band[-1]}:{bh[-1]}"
-        edge_rows = [
-            ("F", int(ids[: starts[1]].min()), first_key),
-            ("L", int(ids[starts[-2]:].min()), last_key),
-        ]
-        return pa.table({
-            "a": pa.array(out_a + [r[1] for r in edge_rows], pa.int64()),
-            "b": pa.array(out_b + [r[1] for r in edge_rows], pa.int64()),
-            "edge": pa.array([""] * len(out_a)
-                             + [f"{r[0]}|{r[2]}" for r in edge_rows],
-                             pa.string()),
-        })
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            seg = np.unique(ids[s:e])
+            m = len(seg)
+            if m < 2:
+                continue
+            if m <= cap:
+                ii, jj = np.triu_indices(m, 1)
+                out_a.append(seg[ii])
+                out_b.append(seg[jj])
+            else:
+                # degenerate hot bucket: consecutive pairs only — keeps the
+                # connectivity union-find needs, linear output not quadratic
+                out_a.append(seg[:-1])
+                out_b.append(seg[1:])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    import pyarrow.compute as pc
-
-    raw = sorted_rows.map_batches(pairs_in_batch,
-                                  batch_format="pyarrow").materialize()
-    pairs_ds = raw.map_batches(
-        lambda t: t.filter(pc.equal(t.column("edge"), pa.scalar("")))
-        .select(["a", "b"]),
-        batch_format="pyarrow",
+    pairs = (
+        bucket_rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
     )
-    # link straddling buckets: consecutive L|key → F|key markers with the
-    # same key get one connecting pair (markers are 2 rows per block — tiny)
-    markers = raw.map_batches(
-        lambda t: t.filter(pc.not_equal(t.column("edge"), pa.scalar(""))),
-        batch_format="pyarrow",
-    ).to_pandas()
-    # all markers sharing a key belong to ONE bucket, so linking its
-    # segment-representative ids pairwise-consecutively restores
-    # connectivity regardless of block arrival order
-    by_key: dict[str, set[int]] = {}
-    for _, row in markers.iterrows():
-        key = row["edge"].split("|", 1)[1]
-        by_key.setdefault(key, set()).add(int(row["a"]))
-    link_a: list[int] = []
-    link_b: list[int] = []
-    for ids in by_key.values():
-        ordered = sorted(ids)
-        for x, y in zip(ordered, ordered[1:]):
-            link_a.append(x)
-            link_b.append(y)
-    if link_a:
-        links = pd.DataFrame({"a": link_a, "b": link_b}).drop_duplicates()
-        pairs_ds = pairs_ds.union(rd.from_pandas(links))
-    return distinct_rows(pairs_ds, ["a", "b"])
+    return distinct_rows(pairs, ["a", "b"])
 
 
 def jaccard_of_texts(ta: str, tb: str, ngram: int = 3) -> float:
-    sa, sb = word_ngrams(ta, ngram), word_ngrams(tb, ngram)
-    union = len(sa | sb)
-    return (len(sa & sb) / union) if union else 0.0
+    """Exact n-gram Jaccard over shingle-HASH sets (the same sets the LSH
+    stage min-hashes, so verify and block agree; 64-bit→31-bit hash
+    collisions are the only deviation from string-set Jaccard)."""
+    sa, sb = shingle_hashes(ta, ngram), shingle_hashes(tb, ngram)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return (inter / union) if union else 0.0
 
 
 def verify_pairs_join(pairs_ds, docs_ds, *, id_col: str, text_col: str,
@@ -377,10 +407,7 @@ class JaccardVerifier:
         b = batch.column("b").to_pylist()
         keep_a, keep_b, sims = [], [], []
         for x, y in zip(a, b):
-            sx = word_ngrams(self.texts[x], self.ngram)
-            sy = word_ngrams(self.texts[y], self.ngram)
-            union = len(sx | sy)
-            sim = (len(sx & sy) / union) if union else 0.0
+            sim = jaccard_of_texts(self.texts[x], self.texts[y], self.ngram)
             if sim >= self.threshold:
                 keep_a.append(x)
                 keep_b.append(y)
@@ -432,14 +459,13 @@ def cluster_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (unit weights, stable hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    words = _WORD.findall(text.lower())
+    """64-bit SimHash over distinct-word features (unit weights); the word
+    hash is mix64(SIMHASH_SEED, rolling-fp(word)) so the DuckDB oracle can
+    recompute the fingerprint exactly (__ray_entry__ docs_simhash)."""
+    words = sorted(set(_WORD.findall(text.lower())))
     if not words:
         return 0
-    hs = np.fromiter(
-        (stable_hash64(w) for w in set(words)), dtype=np.uint64, count=len(set(words))
-    )
+    hs = mix64_vec(SIMHASH_SEED, _word_fps(words))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )
@@ -448,19 +474,23 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, simhash) — simhash emitted as int64 (two's-complement view
+    of the uint64 fingerprint) so the SQL oracle's BIGINT matches exactly."""
     ids = batch.column(id_col)
     sh = np.fromiter(
         (simhash64(t) for t in batch.column(text_col).to_pylist()),
         dtype=np.uint64,
         count=batch.num_rows,
     )
-    return pa.table({"doc_id": ids, "simhash": pa.array(sh)})
+    return pa.table({"doc_id": ids, "simhash": pa.array(sh.view(np.int64))})
 
 
 def simhash_buckets(batch: pa.Table, *, n_bands: int = 4) -> pa.Table:
     """Split the 64-bit simhash into bands; hamming ≤ (n_bands-1) dups share
     at least one exact band (pigeonhole)."""
     sh = batch.column("simhash").to_numpy()
+    if sh.dtype != np.uint64:          # int64 view from simhash_batch
+        sh = sh.view(np.uint64)
     ids = batch.column("doc_id").to_numpy()
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
