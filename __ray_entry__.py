@@ -291,6 +291,86 @@ def _minhash_dedup_sql() -> str:
     """
 
 
+def _bucket_pairs_sql(buckets: str, cap: int = 50) -> str:
+    """Candidate (a, b) pairs from (band, h, doc_id) bucket rows — the SQL
+    twin of stages/dedup.py:candidate_pairs: all pairs for buckets ≤ cap,
+    consecutive sorted pairs for hot buckets, distinct across bands."""
+    return f"""
+    sized AS (SELECT band, h, count(*) AS n FROM {buckets} GROUP BY band, h),
+    p_all AS (SELECT l.doc_id AS a, r.doc_id AS b
+              FROM {buckets} l
+              JOIN {buckets} r ON l.band = r.band AND l.h = r.h
+                        AND l.doc_id < r.doc_id
+              JOIN sized s ON s.band = l.band AND s.h = l.h
+              WHERE s.n <= {cap}),
+    p_chain AS (SELECT a, b FROM (
+                    SELECT lag(l.doc_id) OVER (PARTITION BY l.band, l.h
+                                               ORDER BY l.doc_id) AS a,
+                           l.doc_id AS b
+                    FROM {buckets} l
+                    JOIN sized s ON s.band = l.band AND s.h = l.h
+                    WHERE s.n > {cap})
+                WHERE a IS NOT NULL),
+    cand AS (SELECT DISTINCT a, b FROM
+             (SELECT * FROM p_all UNION ALL SELECT * FROM p_chain))
+    """
+
+
+def _embeddings_near_dup_sql() -> str:
+    """Exact mirror of embeddings_near_dup: planted 0.01·sin perturbed
+    copies, Box-Muller hyperplanes from mix64 draws (dedup.HyperplaneLSH),
+    sign-bit band signatures, capped bucket pairs, cosine ≥ 0.98 verify."""
+    h1_lat, h1_ref = _mix_chain("e1", ["i.band", "i.d", "i.p", "1"], [11])
+    h2_lat, h2_ref = _mix_chain("e2", ["i.band", "i.d", "i.p", "2"], [11])
+    return f"""
+    WITH np_ AS (SELECT greatest(5, count(*) // 20) AS n FROM embeddings),
+    vecs AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings
+        UNION ALL
+        SELECT CAST(vec_id + 10000000 AS BIGINT),
+               list_transform(embedding,
+                   (x, i) -> x::DOUBLE + 0.01 * sin((i - 1) + vec_id))
+        FROM embeddings, np_ WHERE vec_id < np_.n
+    ),
+    idx AS (SELECT b.b AS band, d.d AS d, p.p AS p
+            FROM (SELECT range AS b FROM range(4)) b
+            CROSS JOIN (SELECT range AS d FROM range(64)) d
+            CROSS JOIN (SELECT range AS p FROM range(12)) p),
+    draws AS (SELECT i.band, i.d, i.p, {h1_ref} AS h1, {h2_ref} AS h2
+              FROM idx i,
+              {h1_lat},
+              {h2_lat}),
+    planes AS (SELECT band, d, p,
+                      sqrt(-2.0 * ln(((h1 >> 11)::DOUBLE + 1.0)
+                                     / 9007199254740992.0))
+                      * cos(2.0 * pi()
+                            * ((h2 >> 11)::DOUBLE / 9007199254740992.0)) AS z
+               FROM draws),
+    ed AS (SELECT vec_id, u['i'] - 1 AS d, u['x'] AS x FROM (
+               SELECT vec_id,
+                      unnest(list_transform(e, (x, i) -> {{'i': i, 'x': x}}))
+                      AS u
+               FROM vecs)),
+    dots AS (SELECT v.vec_id, pl.band, pl.p, sum(v.x * pl.z) AS dp
+             FROM ed v JOIN planes pl ON pl.d = v.d
+             GROUP BY v.vec_id, pl.band, pl.p),
+    bh AS (SELECT vec_id AS doc_id, band,
+                  sum(CASE WHEN dp > 0 THEN (1::BIGINT << p)
+                           ELSE 0 END) AS h
+           FROM dots GROUP BY vec_id, band),
+    {_bucket_pairs_sql('bh')},
+    cosv AS (SELECT c.a, c.b, list_cosine_similarity(va.e, vb.e) AS cs
+             FROM cand c
+             JOIN vecs va ON va.vec_id = c.a
+             JOIN vecs vb ON vb.vec_id = c.b)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           ROUND(cs, 4) AS cosine
+    FROM cosv WHERE cs >= 0.98
+    """
+
+
 _TOKENS = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')"
 _STOPS = ("['the','and','of','to','in','is','was','for','with','that','on',"
           "'as','are','this','at','by','from','it','an','be']")
@@ -723,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_detect": _LANG_DETECT_SQL,
         "docs_simhash": _simhash_sql(),
         "docs_minhash_dedup": _minhash_dedup_sql(),
+        "embeddings_near_dup": _embeddings_near_dup_sql(),
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -26,6 +26,7 @@ SUBSET = [
     "embeddings_roundtrip",
     "docs_simhash",
     "docs_minhash_dedup",
+    "embeddings_near_dup",
 ]
 
 

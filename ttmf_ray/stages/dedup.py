@@ -529,8 +529,17 @@ class HyperplaneLSH:
     def __init__(self, *, dim: int, n_planes: int = 12, n_bands: int = 4,
                  seed: int = 11, id_col: str = "vec_id",
                  vec_col: str = "embedding"):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_bands, dim, n_planes))
+        # Gaussian planes via Box-Muller over mix64 draws instead of an
+        # opaque RNG: every plane value is a pure function of
+        # (seed, band, d, p), so the DuckDB oracle recomputes it exactly
+        # (__ray_entry__ embeddings_near_dup).  Top-53-bit uniforms keep
+        # the int→double conversion exact on both sides.
+        b_idx, d_idx, p_idx = np.indices((n_bands, dim, n_planes))
+        h1 = mix64_vec(seed, b_idx, d_idx, p_idx, 1)
+        h2 = mix64_vec(seed, b_idx, d_idx, p_idx, 2)
+        u1 = ((h1 >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0 ** -53
+        u2 = (h2 >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+        self.planes = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
         self.n_bands = n_bands
         self.id_col, self.vec_col = id_col, vec_col
 
