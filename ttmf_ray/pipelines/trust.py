@@ -190,23 +190,10 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     test_df = ids_df[b == 9]
     _lap("vocab_ids_split")
 
-    # ---- labeled examples (D4) -----------------------------------------
-    # gold set ships as a sorted packed-key uint64 array (8 B/triple in the
-    # object store), not a Python frozenset (~100 B/triple of driver heap)
-    conf_valid = labeled_examples(
-        rd.from_pandas(valid_df), triples, n_entities=n_ent,
-        n_relations=n_rel, seed=cfg.neg_seed
-    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
-    conf_test = labeled_examples(
-        rd.from_pandas(test_df), triples, n_entities=n_ent,
-        n_relations=n_rel, seed=cfg.neg_seed + 1
-    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
-    _lap("negative_sampling")
-
-    # ---- the three heavy stages, OVERLAPPED ----------------------------
-    # (no data dependency: margin-KGE needs train triples; graph features
-    # need CSR + conf pairs; path search needs CSR + PTransE embeddings,
-    # which train in a background Ray task)
+    # ---- PTransE trainer launches FIRST --------------------------------
+    # It gates path search (the longest chain: ptranse → search → path
+    # features → fusion) and needs only the train/dev splits — starting it
+    # before negative sampling takes ~3 s off the critical path.
     tr = train_df[["h", "t", "r"]].to_numpy().astype(np.int64)
     dev = valid_df[["h", "t", "r"]].to_numpy().astype(np.int64)
     from ..context import num_cpus as _ncpu
@@ -250,6 +237,23 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
                 tr, n_ent, n_rel, cfg.ptranse, dev))
         _ptranse_thread.start()
 
+    # ---- labeled examples (D4) -----------------------------------------
+    # gold set ships as a sorted packed-key uint64 array (8 B/triple in the
+    # object store), not a Python frozenset (~100 B/triple of driver heap)
+    conf_valid = labeled_examples(
+        rd.from_pandas(valid_df), triples, n_entities=n_ent,
+        n_relations=n_rel, seed=cfg.neg_seed
+    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
+    conf_test = labeled_examples(
+        rd.from_pandas(test_df), triples, n_entities=n_ent,
+        n_relations=n_rel, seed=cfg.neg_seed + 1
+    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
+    _lap("negative_sampling")
+
+    # ---- the three heavy stages, OVERLAPPED ----------------------------
+    # (no data dependency: margin-KGE needs train triples; graph features
+    # need CSR + conf pairs; path search needs CSR + PTransE embeddings,
+    # which train in a background Ray task started above)
     csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_ent)
     both = pd.concat([conf_valid, conf_test])
     heads = np.union1d(conf_valid["h"].to_numpy(), conf_test["h"].to_numpy())
@@ -381,6 +385,7 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     # ---- reachable paths (T4/T5 + M9) ----------------------------------
     paths_tbl = th_paths.join_result()   # Arrow; rank < N_BRANCH only
     timings["path_search_wall"] = th_paths.seconds
+    _lap("path_join_wait")
     Ep, Rp = path_emb["emb"]
     rank_arr = paths_tbl.column("rank").to_numpy()
     p_key_raw = pack_triples(paths_tbl.column("h").to_numpy(),
