@@ -561,6 +561,50 @@ _LANG_DETECT_SQL = f"""
 """
 
 
+def _ivf_topk_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10,
+                  salt: int = 17) -> str:
+    """Exact mirror of stages/ann.py ivf_topk(centroid_mode="hash"):
+    centroids = the ``n_centroids`` vectors with the smallest
+    (mix64(salt, vec_id), vec_id); every vector is assigned to its
+    max-cosine centroid (tie → lower centroid rank, = np.argmax's
+    first-max); the query probes the ``n_probe`` best buckets; brute
+    cosine top-k over probed rows, tie-break (cosine DESC, vec_id)."""
+    lat, ref = _mix_chain("iv", ["e.vec_id"], [salt])
+    return f"""
+    WITH hk AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {ref} AS hkey
+        FROM embeddings e,
+        {lat}
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cv,
+               ROW_NUMBER() OVER (ORDER BY hkey, vec_id) AS cent_rank
+        FROM hk ORDER BY hkey, vec_id LIMIT {n_centroids}
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+        SELECT c.cent_rank FROM cents c, q
+        ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cent_rank
+        LIMIT {n_probe}
+    ),
+    assign AS (
+        SELECT vec_id, v, cent_rank FROM (
+            SELECT e.vec_id, e.v, c.cent_rank,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                c.cent_rank) AS rn
+            FROM hk e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           ROUND(list_cosine_similarity(a.v, q.qv), 5) AS cosine
+    FROM assign a JOIN probe p USING (cent_rank), q
+    ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
 def _lineitem_sample_sql(n: int = 2000) -> str:
     """Mirror of deterministic_sample over lineitem: the n rows with the
     smallest mix64(628, 4, l_orderkey, l_linenumber), key tie-break."""
@@ -804,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": _simhash_sql(),
         "docs_minhash_dedup": _minhash_dedup_sql(),
         "embeddings_near_dup": _embeddings_near_dup_sql(),
+        "embeddings_ivf_topk": _ivf_topk_sql(),
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

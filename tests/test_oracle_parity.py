@@ -27,6 +27,7 @@ SUBSET = [
     "docs_simhash",
     "docs_minhash_dedup",
     "embeddings_near_dup",
+    "embeddings_ivf_topk",
 ]
 
 

@@ -171,7 +171,13 @@ def docs_fingerprint(sf_dir: str):
 
 
 def embeddings_ivf_topk(sf_dir: str) -> pd.DataFrame:
-    """IVF ANN top-10 vs vec_id=0's embedding (approximate scale path)."""
+    """IVF ANN top-10 vs vec_id=0's embedding (approximate scale path).
+
+    Runs with ``centroid_mode="hash"`` — centroids are the 16 vectors
+    with the smallest ``mix64(17, vec_id)``, probe = 4 nearest buckets —
+    so the probed candidate set, and therefore the top-10, is an exact
+    deterministic function of the table, mirrored bit-for-bit in SQL.
+    """
     import pyarrow.parquet as pq
 
     from ..stages.ann import ivf_topk
@@ -182,7 +188,7 @@ def embeddings_ivf_topk(sf_dir: str) -> pd.DataFrame:
                    dtype=np.float64)
     ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    out = ivf_topk(ds, q[None, :], 10)
+    out = ivf_topk(ds, q[None, :], 10, centroid_mode="hash")
     out = out[out["query_id"] == 0][["vec_id", "cosine"]]
     out["cosine"] = out["cosine"].round(5)
     return out.astype({"vec_id": np.int64}).sort_values("vec_id") \

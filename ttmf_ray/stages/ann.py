@@ -25,6 +25,30 @@ def _l2norm(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def list_col_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow list<float> / fixed_size_list column → (n, k) matrix without a
+    per-row Python loop (``to_pylist`` + ``np.stack`` is a silent row loop —
+    CLAUDE.md rule 10).  Requires equal-length, null-free lists."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_list(arr.type):
+        k = arr.type.list_size
+    elif pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        widths = np.diff(arr.offsets.to_numpy())
+        k = int(widths[0])
+        if not (widths == k).all():
+            raise ValueError("ragged list column cannot form a matrix")
+    else:
+        # Ray's ArrowTensorArray (and kin): to_numpy gives (n, k) directly
+        m = arr.to_numpy(zero_copy_only=False)
+        if m.dtype == object:           # last resort: per-row objects
+            m = np.stack([np.asarray(v, dtype=dtype) for v in m])
+        return np.ascontiguousarray(np.asarray(m, dtype=dtype))
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat.reshape(len(arr), k).astype(dtype))
+
+
 class BruteTopK:
     """map_batches stage: per-batch cosine partial top-k per query."""
 
@@ -36,9 +60,7 @@ class BruteTopK:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch.column(self.vec_col).to_pylist()]
-        )
+        vecs = list_col_matrix(batch.column(self.vec_col))
         ids = batch.column(self.id_col).to_numpy()
         sims = _l2norm(vecs) @ self.q.T  # (n, nq)
         k = min(self.k, len(ids))
@@ -108,6 +130,40 @@ def kmeans_fit(sample: np.ndarray, n_centroids: int, *, iters: int = 10,
     return cents
 
 
+def hash_centroids(ds, n_centroids: int, *, salt: int = 17,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse quantizer: the (normalized) vectors of the
+    ``n_centroids`` ids with the smallest ``(mix64(salt, id), id)`` — a
+    uniform hash-order sample with NO RNG state and no Lloyd iterations,
+    so the whole IVF search is an exact pure function of the table
+    (SQL-expressible; see the ``embeddings_ivf_topk`` oracle mirror).
+
+    Computed as a per-batch partial bottom-k + tiny driver merge: only
+    ``n_centroids × n_blocks`` candidate rows ever reach the driver.
+    """
+    from ..sources.pages import mix64_vec
+
+    def bottom(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        key = mix64_vec(salt, ids)
+        n = min(n_centroids, len(ids))
+        sel = np.lexsort((ids, key))[:n]
+        return pa.table({
+            "hkey": pa.array(key[sel], pa.uint64()),
+            id_col: pa.array(ids[sel], pa.int64()),
+            vec_col: batch.column(vec_col).take(pa.array(sel)),
+        })
+
+    # plain collect — the candidate table is ≤ n_centroids × n_blocks rows
+    cand_df = ds.map_batches(bottom, batch_format="pyarrow").to_pandas()
+    cand_df = cand_df.sort_values(["hkey", id_col], ignore_index=True) \
+        .head(n_centroids)
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in cand_df[vec_col]])
+    return _l2norm(vecs)
+
+
 class IVFAssign:
     """map_batches stage: tag each vector with its centroid bucket."""
 
@@ -117,30 +173,39 @@ class IVFAssign:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _l2norm(
-            np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch.column(self.vec_col).to_pylist()])
-        )
+        vecs = _l2norm(list_col_matrix(batch.column(self.vec_col)))
         bucket = np.argmax(vecs @ self.cents.T, axis=1).astype(np.int32)
         return batch.append_column("bucket", pa.array(bucket))
 
 
 def ivf_topk(ds, queries: np.ndarray, k: int, *, n_centroids: int = 16,
              n_probe: int = 4, sample_size: int = 2048, seed: int = 13,
+             centroid_mode: str = "kmeans",
              id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
     """IVF ANN: assign buckets, search only the n_probe closest buckets.
 
     The bucket filter is a vectorized map_batches predicate (no shuffle);
     at real scale the assignment is written once as a partitioned parquet
     and queries read only their probed partitions.
+
+    ``centroid_mode="hash"`` uses :func:`hash_centroids` (hash-order
+    sample, no Lloyd) — slightly worse buckets, but the result is an
+    exact deterministic function of the table and mirrorable in SQL.
     """
-    sample = np.stack([
-        np.asarray(v, dtype=np.float64)
-        for v in ds.limit(sample_size).to_pandas()[vec_col]
-    ])
-    cents = kmeans_fit(sample, n_centroids, seed=seed)
+    if centroid_mode == "hash":
+        ds = ds.materialize()   # consumed twice: centroid scan + search
+        cents = hash_centroids(ds, n_centroids, id_col=id_col,
+                               vec_col=vec_col)
+    else:
+        sample = np.stack([
+            np.asarray(v, dtype=np.float64)
+            for v in ds.limit(sample_size).to_pandas()[vec_col]
+        ])
+        cents = kmeans_fit(sample, n_centroids, seed=seed)
     q = _l2norm(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # stable: centroid index breaks cosine ties, matching the SQL mirror's
+    # (sim DESC, cent_rank ASC) and np.argmax's first-max rule
+    probe = np.argsort(-(q @ cents.T), axis=1, kind="stable")[:, :n_probe]
     allowed = np.unique(probe)
 
     cents_bc = Broadcast(cents)

@@ -544,10 +544,9 @@ class HyperplaneLSH:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float64)
-             for v in batch.column(self.vec_col).to_pylist()]
-        )
+        from .ann import list_col_matrix
+
+        vecs = list_col_matrix(batch.column(self.vec_col))
         ids = batch.column(self.id_col).to_numpy().astype(np.int64)
         o_band, o_hash, o_id = [], [], []
         for band in range(self.n_bands):
