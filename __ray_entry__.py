@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_detect": cq.docs_lang_detect,
         "docs_fingerprint": cq.docs_fingerprint,
         "embeddings_ivf_topk": cq.embeddings_ivf_topk,
+        "emb_link_rank": cq.emb_link_rank,
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
@@ -605,6 +606,47 @@ def _ivf_topk_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10,
     """
 
 
+_EMB_LINK_RANK_SQL = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    ents AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    gold AS (
+        SELECT vec_id AS h, (31*vec_id+7) % nn.n AS t FROM embeddings, nn
+        UNION ALL
+        SELECT vec_id, (17*vec_id+3) % nn.n FROM embeddings, nn
+    ),
+    test AS (
+        SELECT vec_id AS h, (31*vec_id+7) % nn.n AS t
+        FROM embeddings, nn WHERE vec_id % 10 = 9
+        ORDER BY vec_id LIMIT 100
+    ),
+    scored AS (
+        SELECT te.h, te.t, c.vec_id AS cand,
+               list_distance(c.v, vt.v) AS dh,
+               list_distance(vh.v, c.v) AS dt,
+               list_distance(vh.v, vt.v) AS gd,
+               EXISTS (SELECT 1 FROM gold g
+                       WHERE g.t = te.t AND g.h = c.vec_id) AS kh,
+               EXISTS (SELECT 1 FROM gold g
+                       WHERE g.h = te.h AND g.t = c.vec_id) AS kt
+        FROM test te
+        JOIN ents vh ON vh.vec_id = te.h
+        JOIN ents vt ON vt.vec_id = te.t
+        CROSS JOIN ents c
+    )
+    SELECT CAST(h AS BIGINT) AS h, CAST(t AS BIGINT) AS t,
+           CAST(0 AS BIGINT) AS r,
+           CAST(1 + COUNT(*) FILTER (WHERE dh < gd) AS BIGINT)
+               AS rank_head_raw,
+           CAST(1 + COUNT(*) FILTER (WHERE dh < gd
+                AND (cand = h OR NOT kh)) AS BIGINT) AS rank_head_filtered,
+           CAST(1 + COUNT(*) FILTER (WHERE dt < gd) AS BIGINT)
+               AS rank_tail_raw,
+           CAST(1 + COUNT(*) FILTER (WHERE dt < gd
+                AND (cand = t OR NOT kt)) AS BIGINT) AS rank_tail_filtered
+    FROM scored GROUP BY h, t ORDER BY h, t
+"""
+
+
 def _lineitem_sample_sql(n: int = 2000) -> str:
     """Mirror of deterministic_sample over lineitem: the n rows with the
     smallest mix64(628, 4, l_orderkey, l_linenumber), key tie-break."""
@@ -849,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_dedup": _minhash_dedup_sql(),
         "embeddings_near_dup": _embeddings_near_dup_sql(),
         "embeddings_ivf_topk": _ivf_topk_sql(),
+        "emb_link_rank": _EMB_LINK_RANK_SQL,
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -28,6 +28,7 @@ SUBSET = [
     "docs_minhash_dedup",
     "embeddings_near_dup",
     "embeddings_ivf_topk",
+    "emb_link_rank",
 ]
 
 

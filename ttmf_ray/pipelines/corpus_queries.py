@@ -319,6 +319,52 @@ def kg_link_prediction(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def emb_link_rank(sf_dir: str) -> pd.DataFrame:
+    """A9/J6 ranking with an EXACT SQL mirror: per-triple link-prediction
+    ranks (raw + filtered) over the fixed embeddings table — entity
+    vectors are the parquet embeddings, R = 0, so head-corruption energy
+    is plainly ``dist(cand, t)`` and tail-corruption ``dist(h, cand)``
+    (L2, ``list_distance`` in DuckDB).  The gold KG is synthetic and
+    deterministic: for every entity v, (v, (31v+7) mod n, 0) and
+    (v, (17v+3) mod n, 0) — two gold tails per (h, r) so the filtered
+    anti-join genuinely diverges from raw.  Test = the first 100
+    first-formula triples with v ≡ 9 (mod 10).
+
+    This pins the rank rule (strict ``energy < gold_energy`` + 1, gold
+    itself kept) and the filtered mask (known \\ {test entity}) of
+    functions/eval.py:LinkPredictionScorer against SQL — the trained
+    variant ``kg_link_prediction`` reuses the identical code path.
+    """
+    import pyarrow.parquet as pq
+
+    from ..functions.eval import LinkPredictionScorer
+    from ..context import Broadcast
+    from ..stages.ann import list_col_matrix
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    E = list_col_matrix(t.column("embedding"))[order]
+    n = len(E)
+    R = np.zeros((1, E.shape[1]), dtype=np.float64)
+    v = np.arange(n, dtype=np.int64)
+    gold = np.concatenate([
+        np.stack([v, (31 * v + 7) % n, np.zeros(n, np.int64)], axis=1),
+        np.stack([v, (17 * v + 3) % n, np.zeros(n, np.int64)], axis=1),
+    ])
+    tv = v[v % 10 == 9][:100]
+    test = pd.DataFrame({"h": tv, "t": (31 * tv + 7) % n,
+                         "r": np.zeros(len(tv), np.int64)})
+    ranks = rd.from_pandas(test).map_batches(
+        LinkPredictionScorer,
+        fn_constructor_kwargs={"emb_bc": Broadcast((E, R)),
+                               "gold_bc": Broadcast(gold)},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    ).to_pandas()
+    return ranks.astype({c: np.int64 for c in ranks.columns}) \
+        .sort_values(["h", "t", "r"]).reset_index(drop=True)
+
+
 def kg_error_report(sf_dir: str) -> pd.DataFrame:
     """find_errors equivalent (O2+M2): top-20 lowest-confidence scored
     triples unmapped back to names."""
