@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": cq.docs_fingerprint,
         "embeddings_ivf_topk": cq.embeddings_ivf_topk,
         "emb_link_rank": cq.emb_link_rank,
+        "docs_repetition": cq.docs_repetition,
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
@@ -606,6 +607,42 @@ def _ivf_topk_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10,
     """
 
 
+_REPETITION_SQL = """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(w) AS word,
+               unnest(range(1, len(w) + 1)) AS ord
+        FROM words
+    ),
+    wcount AS (
+        SELECT doc_id, word, COUNT(*) AS c FROM toks GROUP BY doc_id, word
+    ),
+    wagg AS (
+        SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_unique,
+               MAX(c) AS top_w
+        FROM wcount GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT a.doc_id, a.word || ' ' || b.word AS bgm
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    ),
+    bgc AS (SELECT doc_id, bgm, COUNT(*) AS c FROM bg GROUP BY doc_id, bgm),
+    bga AS (SELECT doc_id, MAX(c) AS top_bg FROM bgc GROUP BY doc_id)
+    SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           ROUND((w.n_words - w.n_unique) / w.n_words::DOUBLE, 6)
+               AS dup_word_frac,
+           ROUND(w.top_w / w.n_words::DOUBLE, 6) AS top_word_frac,
+           ROUND(COALESCE(2.0 * b.top_bg, 0) / w.n_words::DOUBLE, 6)
+               AS top_bigram_frac
+    FROM wagg w LEFT JOIN bga b USING (doc_id)
+    ORDER BY w.doc_id
+"""
+
+
 _EMB_LINK_RANK_SQL = """
     WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
     ents AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -892,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_near_dup": _embeddings_near_dup_sql(),
         "embeddings_ivf_topk": _ivf_topk_sql(),
         "emb_link_rank": _EMB_LINK_RANK_SQL,
+        "docs_repetition": _REPETITION_SQL,
         "ann_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -29,6 +29,7 @@ SUBSET = [
     "embeddings_near_dup",
     "embeddings_ivf_topk",
     "emb_link_rank",
+    "docs_repetition",
 ]
 
 

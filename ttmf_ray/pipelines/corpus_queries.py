@@ -159,6 +159,23 @@ def docs_lang_detect(sf_dir: str):
         .select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def docs_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style word-repetition quality signals per document
+    (dup-word / top-word / top-bigram fractions), SQL-mirrored."""
+    from ..stages.text import repetition_batch
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: repetition_batch(b, id_col="doc_id", text_col="text"),
+        batch_format="pyarrow",
+    ).to_pandas()
+    for c in ("dup_word_frac", "top_word_frac", "top_bigram_frac"):
+        out[c] = out[c].round(6)
+    return out.astype({"doc_id": np.int64, "n_words": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_batch
 

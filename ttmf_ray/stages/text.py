@@ -117,6 +117,69 @@ def token_count_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Tabl
     )
 
 
+# --- repetition signals (Gopher-style quality filters, word-level) --------
+
+def repetition_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Per-doc repetition signals for training-data filtering — the
+    word-level adaptation of the Gopher repetition rules (duplicate-line
+    / top-n-gram fractions) to single-line documents:
+
+      n_words         = len(split(text, ' '))        (empties kept — SQL twin)
+      dup_word_frac   = (n_words - n_unique_words) / n_words
+      top_word_frac   = count(most frequent word) / n_words
+      top_bigram_frac = 2 * count(most frequent adjacent pair) / n_words
+
+    Fully vectorized: one Arrow split per batch, ``pd.factorize`` token
+    codes, packed (doc, code) keys through ``np.unique`` — no per-doc
+    Python loop.  Exactly mirrored in ``__ray_entry__._REPETITION_SQL``.
+    """
+    import pandas as pd
+
+    ids = batch.column(id_col)
+    col = batch.column(text_col).combine_chunks()
+    if isinstance(col, pa.ChunkedArray):      # num_chunks==1 after combine
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    split = pc.split_pattern(col, pattern=" ")
+    offs = split.offsets.to_numpy()
+    counts = np.diff(offs).astype(np.int64)          # n_words per doc (≥1)
+    n_docs = len(counts)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    flat = split.flatten().to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    V = max(len(uniques), 1)
+
+    # per-(doc, word) counts → n_unique + top word count per doc
+    key = doc_idx * V + codes
+    uk, uc = np.unique(key, return_counts=True)
+    udoc = uk // V
+    n_unique = np.bincount(udoc, minlength=n_docs).astype(np.int64)
+    top_w = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top_w, udoc, uc)
+
+    # adjacent pairs within a doc → top bigram count per doc
+    same = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) > 1 else \
+        np.zeros(0, dtype=bool)
+    top_bg = np.zeros(n_docs, dtype=np.int64)
+    if same.any():
+        pair = (codes[:-1][same] << 32) | codes[1:][same]
+        pcodes, puniq = pd.factorize(pair)
+        P = len(puniq)
+        key2 = doc_idx[:-1][same] * P + pcodes.astype(np.int64)
+        bk, bc = np.unique(key2, return_counts=True)
+        np.maximum.at(top_bg, bk // P, bc)
+
+    nf = counts.astype(np.float64)
+    return pa.table({
+        "doc_id": ids,
+        "n_words": pa.array(counts),
+        "dup_word_frac": pa.array((counts - n_unique) / nf),
+        "top_word_frac": pa.array(top_w / nf),
+        "top_bigram_frac": pa.array(2.0 * top_bg / nf),
+    })
+
+
 # --- rolling-hash fingerprint ---------------------------------------------
 
 _FP_BASE = 1000003
