@@ -44,7 +44,22 @@ def detect_lang(text: str) -> str:
 
 
 def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    langs = [detect_lang(t) for t in batch.column(text_col).to_pylist()]
+    """Vectorized ``detect_lang`` over the batch: one regex split, token
+    codes via ``pd.factorize``, profile membership tested once per UNIQUE
+    token, per-doc scores via ``bincount``.  Tie rule identical to the
+    scalar loop: first profile in insertion order wins; all-zero → und."""
+    import pandas as pd
+
+    col = _as_array(batch.column(text_col))
+    flat, doc_idx, n = _split_flat(pc.utf8_lower(col), "[^a-z]+")
+    codes, uniq = pd.factorize(flat)
+    scores = np.zeros((n, len(_LANG_PROFILES)), dtype=np.int64)
+    for j, prof in enumerate(_LANG_PROFILES.values()):
+        hit = np.isin(uniq, np.asarray(sorted(prof), dtype=object))[codes]
+        scores[:, j] = np.bincount(doc_idx[hit], minlength=n)
+    names = np.asarray(list(_LANG_PROFILES), dtype=object)
+    langs = np.where(scores.max(axis=1) == 0, "und",
+                     names[scores.argmax(axis=1)])
     return batch.append_column("lang_pred", pa.array(langs, pa.string()))
 
 
@@ -62,6 +77,28 @@ def ws_tokens(text: str) -> list[str]:
     return [t for t in _WS_RX.split(text) if t]
 
 
+def _as_array(col) -> pa.Array:
+    """ChunkedArray|Array → single Array (batches are small by contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        combined = col.combine_chunks()
+        if isinstance(combined, pa.ChunkedArray):
+            return combined.chunk(0) if combined.num_chunks else \
+                pa.array([], col.type)
+        return combined
+    return col
+
+
+def _split_flat(col: pa.Array, pattern: str):
+    """Regex-split every string → (flat token ndarray, doc index per token,
+    n_docs).  One Arrow kernel + numpy bookkeeping — no per-doc loop."""
+    split = pc.split_pattern_regex(col, pattern=pattern)
+    offs = split.offsets.to_numpy()
+    counts = np.diff(offs).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    flat = split.flatten().to_numpy(zero_copy_only=False)
+    return flat, doc_idx, len(counts)
+
+
 def quality_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
     """Per-doc quality features.
 
@@ -71,19 +108,22 @@ def quality_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
       punct_cnt  = #chars in [.,!?;:]
       stop_cnt   = #tokens whose lowercase strip('.,!?;:') form is an EN stopword
     """
-    texts = batch.column(text_col).to_pylist()
-    n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
-    n_tokens = np.empty(len(texts), dtype=np.int64)
-    punct_cnt = np.empty(len(texts), dtype=np.int64)
-    stop_cnt = np.empty(len(texts), dtype=np.int64)
-    stops = set(_EN_STOP)
-    for i, t in enumerate(texts):
-        toks = ws_tokens(t)
-        n_tokens[i] = len(toks)
-        punct_cnt[i] = len(_PUNCT_RX.findall(t))
-        stop_cnt[i] = sum(
-            1 for w in toks if w.lower().strip(".,!?;:") in stops
-        )
+    import pandas as pd
+
+    col = _as_array(batch.column(text_col))
+    n = len(col)
+    n_chars = pc.utf8_length(col).to_numpy().astype(np.int64)
+    punct_cnt = pc.count_substring_regex(col, _PUNCT_CLASS) \
+        .to_numpy().astype(np.int64)
+    flat, doc_idx, _ = _split_flat(col, r"[ \t\n\r\f\v]+")
+    nonempty = flat != ""
+    n_tokens = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    # stopword test once per UNIQUE token (lower + strip on uniques only)
+    codes, uniq = pd.factorize(flat)
+    stripped = pd.Series(uniq, dtype=object).str.lower().str.strip(".,!?;:")
+    is_stop = stripped.isin(set(_EN_STOP)).to_numpy()
+    stop_cnt = np.bincount(doc_idx[is_stop[codes] & nonempty],
+                           minlength=n).astype(np.int64)
     return pa.table(
         {
             "doc_id": batch.column(id_col),
@@ -101,12 +141,14 @@ _BPE_RX = re.compile(r"[A-Za-z]{1,4}|[0-9]{1,3}|\S")
 
 
 def token_count_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    ws = np.fromiter(
-        (len(ws_tokens(t)) for t in texts), dtype=np.int64, count=len(texts)
-    )
+    col = _as_array(batch.column(text_col))
+    flat, doc_idx, n = _split_flat(col, r"[ \t\n\r\f\v]+")
+    ws = np.bincount(doc_idx[flat != ""], minlength=n).astype(np.int64)
+    # BPE-ish estimate stays a Python findall: leftmost-FIRST alternation
+    # (Python re) is the pinned semantics; Arrow/RE2 kernels differ on it
     bpe = np.fromiter(
-        (len(_BPE_RX.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        (len(_BPE_RX.findall(t)) for t in col.to_pylist()),
+        dtype=np.int64, count=n,
     )
     return pa.table(
         {
@@ -137,9 +179,7 @@ def repetition_batch(batch: pa.Table, *, id_col: str = "doc_id",
     import pandas as pd
 
     ids = batch.column(id_col)
-    col = batch.column(text_col).combine_chunks()
-    if isinstance(col, pa.ChunkedArray):      # num_chunks==1 after combine
-        col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    col = _as_array(batch.column(text_col))
     split = pc.split_pattern(col, pattern=" ")
     offs = split.offsets.to_numpy()
     counts = np.diff(offs).astype(np.int64)          # n_words per doc (≥1)
