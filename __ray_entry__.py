@@ -10,6 +10,28 @@ in the library) calls ``ray.init``/``ray.shutdown``.
 - ``oracle_sql()``: DuckDB mirrors for the SQL-expressible subset; the
   corpus/graph/model queries are rows-only here and carry their strong
   assertions in tests/ (byte-identity, P/R ≥ 0.95, determinism).
+
+Why each remaining rows-only query has no SQL twin (everything else is
+mirrored value-for-value):
+
+- ``pages_extract`` / ``kg_construct_pages`` — input is the generated
+  page corpus, which the oracle harness cannot see (its views cover only
+  the ten sf parquet tables); correctness is pinned instead by
+  byte-identity and P/R = 1.0 vs ``sources/pages.py:oracle_triples``
+  (test_extract, test_kg_construct).
+- ``trust_scores`` / ``trust_pr_sweep`` / ``kg_error_report`` /
+  ``kg_link_prediction`` — outputs pass through trained KGE/fusion
+  weights (iterative seeded SGD), which SQL cannot reproduce; the
+  protocol AROUND the models is mirrored exactly instead:
+  ``emb_link_rank`` pins the rank rule + filtered anti-join with fixed
+  embeddings, ``events_thresholds`` the threshold sweep,
+  ``kg_negative_samples``/``kg_kgc_negatives`` the corruption draws, and
+  ``kg_split_counts`` the split arithmetic.  Rows-only determinism is
+  still enforced (pinned worker counts, sorted collections).
+- ``kg_graph_features`` — the PPR column early-stops on a float L1 norm
+  (data-dependent iteration count); its two halves carry exact mirrors
+  (``kg_subgraph_stats`` for BFS/degrees/depth, ``kg_ppr_micro`` for the
+  PPR iteration on a pinned graph).
 """
 
 from __future__ import annotations
