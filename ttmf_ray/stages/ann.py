@@ -62,19 +62,24 @@ class BruteTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = list_col_matrix(batch.column(self.vec_col))
         ids = batch.column(self.id_col).to_numpy()
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         sims = _l2norm(vecs) @ self.q.T  # (n, nq)
         k = min(self.k, len(ids))
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(self.q.shape[0]):
-            top = np.argpartition(-sims[:, qi], k - 1)[:k]
-            out_q.extend([qi] * k)
-            out_id.extend(ids[top].tolist())
-            out_sim.extend(sims[top, qi].tolist())
+        nq = self.q.shape[0]
+        # per-batch partial top-k for ALL queries in one argpartition
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]      # (k, nq)
+        qi = np.broadcast_to(np.arange(nq, dtype=np.int32), (k, nq))
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int32()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "cosine": pa.array(out_sim, pa.float64()),
+                "query_id": pa.array(qi.ravel(order="F"), pa.int32()),
+                "vec_id": pa.array(ids[top.ravel(order="F")].astype(np.int64),
+                                   pa.int64()),
+                "cosine": pa.array(
+                    np.take_along_axis(sims, top, axis=0).ravel(order="F"),
+                    pa.float64()),
             }
         )
 
