@@ -116,6 +116,18 @@ def brute_topk(ds, queries: np.ndarray, k: int, **stage_kw) -> pd.DataFrame:
 # IVF (scale path): seeded k-means buckets + probe-limited search
 # ---------------------------------------------------------------------------
 
+def _sample_matrix(ds, sample_size: int, vec_col: str) -> np.ndarray:
+    """First ``sample_size`` vectors as an (n, d) matrix — Arrow collect +
+    ``list_col_matrix`` (a pandas round-trip makes object arrays of lists,
+    CLAUDE.md rule 10)."""
+    import ray as _ray
+
+    tbls = _ray.get(ds.limit(sample_size).to_arrow_refs())
+    col = pa.concat_tables(
+        [t.select([vec_col]) for t in tbls if t.num_rows]).column(vec_col)
+    return list_col_matrix(col)
+
+
 def kmeans_fit(sample: np.ndarray, n_centroids: int, *, iters: int = 10,
                seed: int = 13) -> np.ndarray:
     """Tiny seeded k-means on a driver-side sample (coarse quantizer)."""
@@ -160,12 +172,15 @@ def hash_centroids(ds, n_centroids: int, *, salt: int = 17,
             vec_col: batch.column(vec_col).take(pa.array(sel)),
         })
 
-    # plain collect — the candidate table is ≤ n_centroids × n_blocks rows
-    cand_df = ds.map_batches(bottom, batch_format="pyarrow").to_pandas()
-    cand_df = cand_df.sort_values(["hkey", id_col], ignore_index=True) \
-        .head(n_centroids)
-    vecs = np.stack([np.asarray(v, dtype=np.float64)
-                     for v in cand_df[vec_col]])
+    # Arrow collect — the candidate table is ≤ n_centroids × n_blocks rows
+    import ray as _ray
+
+    tbls = _ray.get(
+        ds.map_batches(bottom, batch_format="pyarrow").to_arrow_refs())
+    cand = pa.concat_tables([t for t in tbls if t.num_rows])
+    sel = np.lexsort((cand.column(id_col).to_numpy(),
+                      cand.column("hkey").to_numpy()))[:n_centroids]
+    vecs = list_col_matrix(cand.column(vec_col).take(pa.array(sel)))
     return _l2norm(vecs)
 
 
@@ -202,11 +217,8 @@ def ivf_topk(ds, queries: np.ndarray, k: int, *, n_centroids: int = 16,
         cents = hash_centroids(ds, n_centroids, id_col=id_col,
                                vec_col=vec_col)
     else:
-        sample = np.stack([
-            np.asarray(v, dtype=np.float64)
-            for v in ds.limit(sample_size).to_pandas()[vec_col]
-        ])
-        cents = kmeans_fit(sample, n_centroids, seed=seed)
+        cents = kmeans_fit(_sample_matrix(ds, sample_size, vec_col),
+                           n_centroids, seed=seed)
     q = _l2norm(np.asarray(queries, dtype=np.float64))
     # stable: centroid index breaks cosine ties, matching the SQL mirror's
     # (sim DESC, cent_rank ASC) and np.argmax's first-max rule
@@ -254,10 +266,7 @@ def ivf_build_partitioned(ds, out_dir: str, *, n_centroids: int = 16,
     also the resume unit — each partition directory is complete or
     rewritten whole.
     """
-    sample = np.stack([
-        np.asarray(v, dtype=np.float64)
-        for v in ds.limit(sample_size).to_pandas()[vec_col]
-    ])
+    sample = _sample_matrix(ds, sample_size, vec_col)
     cents = kmeans_fit(sample, n_centroids, seed=seed)
     cents_bc = Broadcast(cents)
     tagged = ds.map_batches(
