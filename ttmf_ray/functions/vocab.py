@@ -48,9 +48,43 @@ def build_vocab(edges_ds) -> tuple[pd.DataFrame, pd.DataFrame]:
     Each vocab is a pandas DataFrame (name, id) with sort-assigned ids —
     entity names from subj ∪ obj (the reference's head∪tail union, D1),
     relation names from pred.
+
+    Shape: ONE streaming pass — every batch emits its DISTINCT
+    (kind, name) pairs (kind 0 = entity, 1 = relation), the per-block
+    vocabularies concatenate on the driver, np.unique assigns sort-order
+    ids.  No all-to-all: the reduce payload is Σ_blocks |block vocab|,
+    vocab-bounded per block (Zipf-bounded name domains), not
+    corpus-bounded.  Replaced two sequential distinct shuffles — measured
+    10.4 s → ~1 s at 679k edges / 16 cpus; the shuffle path
+    (``distinct_values`` + sort) remains the right tool for an open
+    vocabulary too large to collect (≳5e7 names, where the id-broadcast
+    in ``IdMapper`` stops fitting anyway — see module docstring).
     """
-    ents = sorted(distinct_values(edges_ds, ["subj", "obj"]).to_pandas()["name"])
-    rels = sorted(distinct_values(edges_ds, ["pred"]).to_pandas()["name"])
+    import pyarrow.compute as pc
+
+    def _uniq(ca) -> pa.Array:
+        u = pc.unique(ca)
+        return u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+
+    def batch_vocab(t: pa.Table) -> pa.Table:
+        def chunks(c):
+            arr = t.column(c).cast(pa.string())
+            return list(arr.chunks) if isinstance(arr, pa.ChunkedArray) \
+                else [arr]
+
+        ents = _uniq(pa.chunked_array(chunks("subj") + chunks("obj")))
+        rels = _uniq(pa.chunked_array(chunks("pred")))
+        kind = np.concatenate([np.zeros(len(ents), dtype=np.int8),
+                               np.ones(len(rels), dtype=np.int8)])
+        return pa.table({"kind": pa.array(kind),
+                         "name": pa.concat_arrays([ents, rels])})
+
+    parts = edges_ds.map_batches(batch_vocab, batch_format="pyarrow") \
+        .to_pandas()
+    kind = parts["kind"].to_numpy()
+    names = parts["name"].to_numpy()
+    ents = np.unique(names[kind == 0])
+    rels = np.unique(names[kind == 1])
     ent_df = pd.DataFrame({"name": ents, "id": np.arange(len(ents), dtype=np.int32)})
     rel_df = pd.DataFrame({"name": rels, "id": np.arange(len(rels), dtype=np.int32)})
     return ent_df, rel_df
