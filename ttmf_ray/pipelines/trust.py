@@ -237,6 +237,27 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
                 tr, n_ent, n_rel, cfg.ptranse, dev))
         _ptranse_thread.start()
 
+    # ---- margin-KGE trainer also launches EARLY ------------------------
+    # It too needs only the train/dev splits, and it used to block the
+    # MAIN driver thread after negative sampling — started here, the
+    # negative-sampling and graph-feature walls hide behind it entirely.
+    def _run_kge():
+        if ckpt is not None and ckpt.has("kge"):
+            timings["kge_ckpt_hit"] = 1.0
+            return tuple(ckpt.load("kge"))
+        if kge_workers > 1:
+            out = train_transe_distributed(tr, n_ent, n_rel, cfg.transe,
+                                           dev_triples=dev,
+                                           workers=kge_workers)
+        else:
+            out = train_transe(tr, n_ent, n_rel, cfg.transe, dev_triples=dev)
+        if ckpt is not None:
+            ckpt.save("kge", list(out))
+        return out
+
+    th_kge = _StageThread(_run_kge)
+    th_kge.start()
+
     # ---- labeled examples (D4) -----------------------------------------
     # gold set ships as a sorted packed-key uint64 array (8 B/triple in the
     # object store), not a Python frozenset (~100 B/triple of driver heap)
@@ -309,17 +330,8 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     th_graph.start()
     th_paths.start()
 
-    if ckpt is not None and ckpt.has("kge"):
-        E, R = ckpt.load("kge")
-        timings["kge_ckpt_hit"] = 1.0
-    elif kge_workers > 1:
-        E, R = train_transe_distributed(tr, n_ent, n_rel, cfg.transe,
-                                        dev_triples=dev,
-                                        workers=kge_workers)
-    else:
-        E, R = train_transe(tr, n_ent, n_rel, cfg.transe, dev_triples=dev)
-    if ckpt is not None and not ckpt.has("kge"):
-        ckpt.save("kge", [E, R])
+    E, R = th_kge.join_result()
+    timings["kge_train_wall"] = th_kge.seconds
     _lap("kge_training")
 
     # ---- TransE margin features (A3 + M5/M6) ---------------------------
