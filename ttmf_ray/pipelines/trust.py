@@ -173,13 +173,24 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     edges_ds = edges_ds.materialize()  # consumed 3x (ents, rels, id-map)
     ent_df, rel_df = build_vocab(edges_ds)
     n_ent, n_rel = len(ent_df), len(rel_df)
-    # canonical (h,t,r) order: to_pandas under preserve_order=False reflects
-    # block ARRIVAL order, which varies with cluster size — and SGD shard
-    # assignment / batch permutations / fusion training all consume row
-    # order, so every collected table is sorted before use
-    ids_df = id_map_edges(edges_ds, ent_df, rel_df).to_pandas() \
-        .sort_values(["h", "t", "r"], ignore_index=True)
-    triples = ids_df[["h", "t", "r"]].to_numpy().astype(np.int64)
+    # canonical (h,t,r) order: collection under preserve_order=False
+    # reflects block ARRIVAL order, which varies with cluster size — and
+    # SGD shard assignment / batch permutations / fusion training all
+    # consume row order, so the collected table is sorted before use.
+    # Arrow collect + np.lexsort, not to_pandas().sort_values (driver
+    # wall at 679k edges: ~4 s → ~0.3 s)
+    import ray as _ray
+    _tbls = _ray.get(
+        id_map_edges(edges_ds, ent_df, rel_df).to_arrow_refs())
+    _tbl = pa.concat_tables([t for t in _tbls if t.num_rows] or _tbls[:1])
+    _h = _tbl.column("h").to_numpy().astype(np.int64)
+    _t2 = _tbl.column("t").to_numpy().astype(np.int64)
+    _r = _tbl.column("r").to_numpy().astype(np.int64)
+    _order = np.lexsort((_r, _t2, _h))
+    triples = np.ascontiguousarray(
+        np.stack([_h[_order], _t2[_order], _r[_order]], axis=1))
+    ids_df = pd.DataFrame({"h": triples[:, 0], "t": triples[:, 1],
+                           "r": triples[:, 2]})
 
     # split driver-side (same arithmetic-hash semantics as split_edges —
     # the id table is already collected; three Ray round-trips saved)
