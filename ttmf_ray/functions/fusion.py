@@ -70,6 +70,21 @@ def _extract_seqs(df: pd.DataFrame):
     return out
 
 
+def _extract_seqs_table(batch: pa.Table):
+    """Arrow variant of :func:`_extract_seqs` — per-column ``to_numpy``
+    instead of a whole-table pandas round trip (scorer hot path)."""
+    def col(name):
+        return batch.column(name).to_numpy().astype(np.int64)
+
+    out = []
+    for k in range(N_BRANCH):
+        s = np.column_stack([col(f"p{k}_s{i}") for i in range(MAX_P)])
+        d = np.column_stack([col(f"p{k}_d{i}") for i in range(MAX_P)])
+        r = np.column_stack([col(f"p{k}_r{i}") for i in range(MAX_P)])
+        out.append((s, d, r, col(f"p{k}_len")))
+    return out
+
+
 def _stack_pooled(per_branch: list) -> np.ndarray:
     """list of N_BRANCH (B, 3·dim) pooled matrices → (B, N_BRANCH, 3·dim)."""
     return np.stack(per_branch, axis=1)
@@ -369,8 +384,7 @@ class FusionScorer:
         seqs = None
         if (self.model.branches is not None
                 and all(c in batch.column_names for c in ALL_SEQ_COLUMNS)):
-            df = batch.select(ALL_SEQ_COLUMNS).to_pandas()
-            seqs = _extract_seqs(df)
+            seqs = _extract_seqs_table(batch)
         conf = self.model.forward(X, seqs)[:, 0]
         return batch.append_column("conf", pa.array(conf))
 

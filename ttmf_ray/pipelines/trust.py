@@ -271,15 +271,22 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
 
     # ---- labeled examples (D4) -----------------------------------------
     # gold set ships as a sorted packed-key uint64 array (8 B/triple in the
-    # object store), not a Python frozenset (~100 B/triple of driver heap)
-    conf_valid = labeled_examples(
-        rd.from_pandas(valid_df), triples, n_entities=n_ent,
-        n_relations=n_rel, seed=cfg.neg_seed
-    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
-    conf_test = labeled_examples(
-        rd.from_pandas(test_df), triples, n_entities=n_ent,
-        n_relations=n_rel, seed=cfg.neg_seed + 1
-    ).to_pandas().sort_values(["h", "t", "r", "flag"], ignore_index=True)
+    # object store), not a Python frozenset (~100 B/triple of driver heap).
+    # valid and test run CONCURRENTLY (independent seeds/inputs — two
+    # serialized ~3 s Dataset consumptions otherwise)
+    def _labeled(df, seed):
+        return lambda: labeled_examples(
+            rd.from_pandas(df), triples, n_entities=n_ent,
+            n_relations=n_rel, seed=seed
+        ).to_pandas().sort_values(["h", "t", "r", "flag"],
+                                  ignore_index=True)
+
+    th_cv = _StageThread(_labeled(valid_df, cfg.neg_seed))
+    th_ct = _StageThread(_labeled(test_df, cfg.neg_seed + 1))
+    th_cv.start()
+    th_ct.start()
+    conf_valid = th_cv.join_result()
+    conf_test = th_ct.join_result()
     _lap("negative_sampling")
 
     # ---- the three heavy stages, OVERLAPPED ----------------------------
