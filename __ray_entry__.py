@@ -28,6 +28,9 @@ mirrored value-for-value):
   ``kg_negative_samples``/``kg_kgc_negatives`` the corruption draws, and
   ``kg_split_counts`` the split arithmetic.  Rows-only determinism is
   still enforced (pinned worker counts, sorted collections).
+- ``media_features_real`` — inputs are synthesized binary WAV/PPM
+  payloads (no DuckDB-visible table); the decode kernels carry their own
+  roundtrip assertions in test_media.py.
 - ``kg_graph_features`` — the PPR column early-stops on a float L1 norm
   (data-dependent iteration count); its two halves carry exact mirrors
   (``kg_subgraph_stats`` for BFS/degrees/depth, ``kg_ppr_micro`` for the
@@ -90,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivf_topk": cq.embeddings_ivf_topk,
         "emb_link_rank": cq.emb_link_rank,
         "docs_repetition": cq.docs_repetition,
+        "media_features_real": cq.media_features_real,
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,

@@ -1,4 +1,5 @@
-"""Media-stage plumbing tests (decoder stubbed; Ray plumbing real)."""
+"""Media-stage tests: real WAV/PPM decode kernels end to end; codec
+formats (JPEG/MP4) remain explicit stubs."""
 
 import numpy as np
 import pytest
@@ -6,8 +7,9 @@ import pytest
 import ray.data as rd
 
 from ttmf_ray.stages.media import (MEDIA_SCHEMA, MediaFeatureConfig,
-                                   media_features, real_decode,
-                                   synth_media_batch)
+                                   decode_ppm, decode_wav, media_features,
+                                   real_decode, resize_mean_pool, synth_ppm,
+                                   synth_media_batch, synth_wav)
 
 
 def test_synth_media_schema_and_determinism():
@@ -26,6 +28,47 @@ def test_media_features_pipeline():
     assert (out["feat_max"] <= 255).all() and (out["feat_min"] >= 0).all()
 
 
-def test_real_decoder_is_explicit_stub():
+def test_real_decoder_is_explicit_stub_for_codec_formats():
     with pytest.raises(NotImplementedError):
         real_decode(b"x", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "video/mp4")
+
+
+def test_wav_roundtrip_and_features():
+    payload = synth_wav(42, 3, rate=16000, n=4000)
+    x, rate = decode_wav(payload)
+    assert rate == 16000 and len(x) == 4000
+    assert np.abs(x).max() <= 1.0
+    # sine + harmonic: mean ~0, rms in a sane band
+    assert abs(x.mean()) < 0.01
+    assert 0.1 < np.sqrt((x ** 2).mean()) < 0.9
+
+
+def test_ppm_roundtrip_and_resize():
+    payload = synth_ppm(42, 5, w=24, h=16)
+    img = decode_ppm(payload)
+    assert img.shape == (16, 24, 3) and img.dtype == np.uint8
+    pooled = resize_mean_pool(img.mean(axis=2), 8)
+    assert pooled.shape == (8, 8)
+    assert 0 <= pooled.min() and pooled.max() <= 255
+    # comment-bearing header parses too
+    commented = b"P6\n# a comment\n24 16\n255\n" + payload.split(b"\n", 3)[3]
+    assert np.array_equal(decode_ppm(commented), img)
+
+
+def test_media_features_real_decode_pipeline():
+    t = synth_media_batch(np.arange(60), real_payloads=True)
+    decodable = t.filter(
+        np.isin(np.asarray(t.column("kind")), ["image", "audio"]))
+    out = media_features(
+        rd.from_arrow(decodable),
+        cfg=MediaFeatureConfig(use_fake_decoder=False),
+        concurrency=1,
+    ).to_pandas()
+    assert len(out) == decodable.num_rows > 0
+    imgs = out[out["kind"] == "image"]
+    auds = out[out["kind"] == "audio"]
+    assert (imgs["feat_max"] <= 255).all() and (imgs["feat_min"] >= 0).all()
+    assert (auds["feat_min"] >= -1.0).all() and (auds["feat_max"] <= 1.0).all()
+    assert (auds["feat_std"] > 0.05).all()      # a sine, not silence

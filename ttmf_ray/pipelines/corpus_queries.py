@@ -159,6 +159,28 @@ def docs_lang_detect(sf_dir: str):
         .select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def media_features_real(sf_dir: str) -> pd.DataFrame:
+    """Multimodal actor-pool pipeline with REAL decode kernels: 120
+    deterministic media rows (genuine WAV + binary-PPM payloads; video
+    rows carry codec-bound payloads and are filtered out, stages/media.py
+    docstring) → decode → resize/pool → 4 features per item.  Rows-only:
+    the binary payloads are synthesized, not a DuckDB-visible table."""
+    from ..stages.media import (MediaFeatureConfig, media_features,
+                                synth_media_batch)
+
+    t = synth_media_batch(np.arange(120), real_payloads=True)
+    decodable = t.filter(
+        np.isin(np.asarray(t.column("kind")), ["image", "audio"]))
+    out = media_features(
+        rd.from_arrow(decodable),
+        cfg=MediaFeatureConfig(use_fake_decoder=False),
+    ).to_pandas()
+    for c in ("feat_mean", "feat_std", "feat_min", "feat_max"):
+        out[c] = out[c].round(6)
+    return out.astype({"media_id": np.int64}) \
+        .sort_values("media_id").reset_index(drop=True)
+
+
 def docs_repetition(sf_dir: str) -> pd.DataFrame:
     """Gopher-style word-repetition quality signals per document
     (dup-word / top-word / top-bigram fractions), SQL-mirrored."""

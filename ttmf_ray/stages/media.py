@@ -1,13 +1,22 @@
 """Multimodal column stages: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels (JPEG/PNG decode, audio resample, video frame-sample)
-need codec libraries that are NOT in this container, so the codec call is
-stubbed behind ``NotImplementedError`` with a deterministic fake used by
-tests — but the Ray-side plumbing is real: schemas, actor-pool stages,
-small-batch sizing for large binary rows, and Arrow-native binary
-handling (``batch_format="pyarrow"`` end to end; binary columns do not
-round-trip pandas safely).
+Two decode tiers:
+
+- REAL kernels for container-less formats — WAV/PCM audio (stdlib
+  ``wave``) and P6 PPM images (pure numpy header parse + frombuffer) —
+  plus a real block-mean resize.  ``synth_media_batch(real_payloads=
+  True)`` generates genuine WAV/PPM bytes so the real path is tested
+  end to end.
+- Codec formats (JPEG/PNG, MP3, MP4 frame-sample) need libraries NOT in
+  this container; those mimes raise ``NotImplementedError`` at the
+  ``real_decode`` boundary (wire Pillow/libsndfile/pyav there in
+  production) and tests use the deterministic fake instead.
+
+The Ray-side plumbing is identical for both tiers: schemas, actor-pool
+stages, small-batch sizing for large binary rows, and Arrow-native
+binary handling (``batch_format="pyarrow"`` end to end; binary columns
+do not round-trip pandas safely).
 
 Scale notes encoded in the defaults: large payload rows ⇒ small
 ``batch_size`` (64) so batch × concurrency fits worker heaps, and the
@@ -17,6 +26,8 @@ model initialization per worker.
 
 from __future__ import annotations
 
+import io
+import wave
 from dataclasses import dataclass
 
 import numpy as np
@@ -34,25 +45,44 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synth_media_batch(ids: np.ndarray, *, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded bytes) for tests."""
+def synth_media_batch(ids: np.ndarray, *, seed: int = 42,
+                      real_payloads: bool = False) -> pa.Table:
+    """Deterministic media rows for tests.
+
+    ``real_payloads=True`` emits GENUINE WAV / binary-PPM bytes (video
+    stays opaque — its decode is codec-bound) so the real decode path is
+    exercised end to end; otherwise payloads are seeded opaque bytes."""
     from ..sources.pages import mix64
 
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in ids.tolist():
         kind = kinds[mix64(seed, 900, i) % 3]
-        size = 256 + mix64(seed, 901, i) % 1024
-        payload = bytes((mix64(seed, 902, i, j) % 256 for j in range(size)))
+        if real_payloads and kind == "audio":
+            payload, mime = synth_wav(seed, i), "audio/wav"
+            width = height = 0
+        elif real_payloads and kind == "image":
+            w = 16 + mix64(seed, 903, i) % 48
+            h = 16 + mix64(seed, 904, i) % 48
+            payload, mime = synth_ppm(seed, i, w=w, h=h), \
+                "image/x-portable-pixmap"
+            width, height = w, h
+        else:
+            size = 256 + mix64(seed, 901, i) % 1024
+            payload = bytes(
+                (mix64(seed, 902, i, j) % 256 for j in range(size)))
+            mime = {"image": "image/jpeg", "audio": "audio/wav",
+                    "video": "video/mp4"}[kind]
+            width = (64 + mix64(seed, 903, i) % 512
+                     if kind != "audio" else 0)
+            height = (64 + mix64(seed, 904, i) % 512
+                      if kind != "audio" else 0)
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/jpeg", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind])
-        rows["width"].append(64 + mix64(seed, 903, i) % 512
-                             if kind != "audio" else 0)
-        rows["height"].append(64 + mix64(seed, 904, i) % 512
-                              if kind != "audio" else 0)
+        rows["mime"].append(mime)
+        rows["width"].append(width)
+        rows["height"].append(height)
         rows["sample_rate"].append(16000 if kind == "audio" else 0)
         rows["duration_ms"].append(1000 + mix64(seed, 905, i) % 60000
                                    if kind != "image" else 0)
@@ -61,11 +91,105 @@ def synth_media_batch(ids: np.ndarray, *, seed: int = 42) -> pa.Table:
     )
 
 
-def real_decode(payload: bytes, mime: str):
-    """The codec boundary. Not available in this container — STUB."""
+# --- real kernels for container-less formats ------------------------------
+
+def synth_wav(seed: int, i: int, *, rate: int = 16000,
+              n: int = 4000) -> bytes:
+    """Genuine 16-bit mono PCM WAV bytes: a seeded sine + harmonics."""
+    from ..sources.pages import mix64
+
+    f0 = 110.0 + (mix64(seed, 910, i) % 880)
+    amp = 0.2 + (mix64(seed, 911, i) % 60) / 100.0
+    t = np.arange(n, dtype=np.float64) / rate
+    x = amp * np.sin(2 * np.pi * f0 * t) \
+        + 0.25 * amp * np.sin(2 * np.pi * 2 * f0 * t)
+    pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def synth_ppm(seed: int, i: int, *, w: int = 24, h: int = 16) -> bytes:
+    """Genuine binary P6 PPM bytes: a seeded RGB gradient + stripes."""
+    from ..sources.pages import mix64
+
+    xo = mix64(seed, 920, i) % 251
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (xx * 7 + xo) % 256,
+        (yy * 11 + xo // 2) % 256,
+        ((xx + yy) * 5 + xo // 3) % 256,
+    ], axis=2).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono float64 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise NotImplementedError(f"{8 * width}-bit PCM not wired")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM bytes → (h, w, 3) uint8 array (pure numpy)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace separated, then
+    # exactly one whitespace byte before the raster
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":          # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end:end + 1].isspace():
+            end += 1
+        fields.append(payload[pos:end])
+        pos = end
+    pos += 1                                       # the single separator
+    w, h, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not wired")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
+
+
+def resize_mean_pool(img: np.ndarray, s: int) -> np.ndarray:
+    """Real resize: block-mean pool a 2-D array to (s, s) (pads the
+    trailing edge by truncation — deterministic, no interpolation libs)."""
+    h, w = img.shape[:2]
+    s = min(s, h, w)
+    bh, bw = h // s, w // s
+    img = img[: bh * s, : bw * s]
+    return img.reshape(s, bh, s, bw).mean(axis=(1, 3))
+
+
+def real_decode(payload: bytes, mime: str) -> np.ndarray:
+    """The codec boundary.  Container-less formats decode HERE with real
+    kernels; codec formats need libraries absent from this container."""
+    if mime in ("audio/wav", "audio/x-wav"):
+        x, _rate = decode_wav(payload)
+        return x[None, :]                      # (1, n) — 2-D contract
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return decode_ppm(payload).mean(axis=2)  # luminance (h, w)
     raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this "
-        "environment; wire Pillow/libsndfile/pyav here in production"
+        f"decode for {mime!r} requires codec libraries not present in "
+        "this environment; wire Pillow/libsndfile/pyav here in production"
     )
 
 
@@ -98,11 +222,16 @@ class MediaFeatures:
         payloads = batch.column("payload").to_pylist()
         mimes = batch.column("mime").to_pylist()
         feats = np.zeros((len(payloads), 4), dtype=np.float64)
+        s = self.cfg.target_size
         for i, (p, m) in enumerate(zip(payloads, mimes)):
             px = self.decode(p, m).astype(np.float64)
-            s = self.cfg.target_size
-            px = px[:s, :s]  # "resize" (crop) in the fake path
-            feats[i] = [px.mean(), px.std(), px.min(), px.max()]
+            if self.cfg.use_fake_decoder:
+                v = px[:s, :s]                  # "resize" (crop), fake path
+            elif px.shape[0] == 1:
+                v = px[0]                       # audio: features over signal
+            else:
+                v = resize_mean_pool(px, s)     # image: real block-mean
+            feats[i] = [v.mean(), v.std(), v.min(), v.max()]
         out = pa.table(
             {
                 "media_id": batch.column("media_id"),
