@@ -147,7 +147,10 @@ def exact_dedup_docs(ds, *, id_col: str, text_col: str):
         )
         return pa.table(
             {
-                "content_hash": pa.array(h),
+                # int64 REINTERPRET: top-bit-set uint64 values round-trip
+                # Ray's aggregate combiner as Python bigints otherwise
+                # (per-block ArrowConversionError → pickled-object fallback)
+                "content_hash": pa.array(h.view(np.int64)),
                 id_col: t.column(id_col),
             }
         )
