@@ -114,19 +114,49 @@ class FusionModel:
         train/score against the pooled (B, 3·dim) matrices.
         """
         Ep, Rp = self.emb
+        out = np.empty((len(seq[3]), 2 * Ep.shape[1] + Rp.shape[1]),
+                       dtype=np.float32)
+        self._pool_into(seq, out, None)
+        return out
+
+    def _pool_into(self, seq, out: np.ndarray, gather: np.ndarray | None):
+        """Write one branch's pooled vectors into ``out`` (a (B, 3·dim)
+        float32 view) reusing a (B, MAX_P, dim) ``gather`` scratch.
+
+        Fresh ≥1 MB allocations per call page-fault on first touch and
+        serialize parallel workers on the kernel (CLAUDE.md rule 9) —
+        measured 13 s of a 25 s fusion-train wall in the allocate-and-
+        stack variant; einsum(out=) + np.take(out=) removes all of it."""
+        Ep, Rp = self.emb
         s, d, r, ln = seq
+        ke, kr = Ep.shape[1], Rp.shape[1]
         mask = (np.arange(MAX_P)[None, :] < ln[:, None]).astype(np.float32)
         denom = np.maximum(ln, 1)[:, None].astype(np.float32)
-        parts = [
-            np.einsum("bsd,bs->bd", Ep[s], mask, optimize=True) / denom,
-            np.einsum("bsd,bs->bd", Ep[d], mask, optimize=True) / denom,
-            np.einsum("bsd,bs->bd", Rp[r], mask, optimize=True) / denom,
-        ]
-        return np.concatenate(parts, axis=1).astype(np.float32)
+        if gather is None:
+            gather = np.empty((len(ln), MAX_P, ke), dtype=Ep.dtype)
+        for ids, emb, sl in ((s, Ep, np.s_[:, :ke]),
+                             (d, Ep, np.s_[:, ke:2 * ke]),
+                             (r, Rp, np.s_[:, 2 * ke:2 * ke + kr])):
+            if emb.shape[1] == gather.shape[2]:
+                g = gather                      # reused scratch (contiguous)
+            else:
+                g = np.empty((len(ln), MAX_P, emb.shape[1]), emb.dtype)
+            np.take(emb, ids, axis=0, out=g)
+            np.einsum("bsd,bs->bd", g, mask, out=out[sl], optimize=True)
+            out[sl] /= denom
 
     def pool_stacked(self, seqs: list) -> np.ndarray:
-        """All branches' pooled vectors as one (B, N_BRANCH, 3·dim)."""
-        return _stack_pooled([self.pool(seq) for seq in seqs])
+        """All branches' pooled vectors as one (B, N_BRANCH, 3·dim) slab —
+        allocated ONCE; each branch pools straight into its slice."""
+        Ep, Rp = self.emb
+        B = len(seqs[0][3])
+        d_step = 2 * Ep.shape[1] + Rp.shape[1]
+        slab = np.empty((B, len(seqs), d_step), dtype=np.float32)
+        gather = np.empty((B, MAX_P, max(Ep.shape[1], Rp.shape[1])),
+                          dtype=Ep.dtype)
+        for k, seq in enumerate(seqs):
+            self._pool_into(seq, slab[:, k, :], gather)
+        return slab
 
     def branch_outputs(self, pooled: np.ndarray):
         """pooled (B, K, d) → ((B, K) sigmoid outputs, cache).
@@ -232,7 +262,16 @@ def train_fusion(
             return None
         return pooled_all[idx]
 
+    # validation slices gathered ONCE — the per-round fancy-index of the
+    # (n, K, d) pooled slab was ~1 s/round of fresh-allocation page faults
+    X_vi = X[vi]
+    y_vi = y[vi]
+    pooled_vi = sub_pooled(vi)
+
     def acc(idx) -> float:
+        if idx is vi:
+            p = model.forward(X_vi, pooled=pooled_vi)[:, 0]
+            return float(((p >= 0.5) == (y_vi == 1)).mean())
         p = model.forward(X[idx], pooled=sub_pooled(idx))[:, 0]
         return float(((p >= 0.5) == (y[idx] == 1)).mean())
 
