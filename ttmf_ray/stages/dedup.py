@@ -237,10 +237,23 @@ class MinHashLSH:
             return pa.table({"band": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64())})
-        sigs = np.stack([
-            minhash_signature(shingle_hashes(t, self.ngram), self.a, self.b)
-            for t in texts
-        ])  # (n, k)
+        # one segmented-min pass for the WHOLE batch: per-doc shingle sets
+        # concatenate (docs are contiguous segments), each of the k
+        # permutations evaluates vectorized over every shingle at once,
+        # and np.minimum.reduceat takes the per-doc minima — identical to
+        # minhash_signature per doc (same (a·x+b) mod M fold, empty doc →
+        # all-MERSENNE), without the per-doc Python dispatch
+        sh_list = [shingle_hashes(t, self.ngram) for t in texts]
+        lens = np.fromiter((len(x) for x in sh_list), dtype=np.int64,
+                           count=n)
+        sigs = np.full((n, self.k), _MERSENNE, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate([x for x in sh_list if len(x)])
+            starts = (np.cumsum(lens) - lens)[nz]
+            for j in range(self.k):
+                v = (self.a[j] * flat + self.b[j]) % _MERSENNE
+                sigs[nz, j] = np.minimum.reduceat(v, starts)
         # band hash = mix64(band, sig values of the band) — one vectorized
         # chain over all (doc, band) rows
         S = sigs.reshape(n, self.n_bands, r)
