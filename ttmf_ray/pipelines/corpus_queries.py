@@ -237,12 +237,10 @@ def embeddings_ivf_topk(sf_dir: str) -> pd.DataFrame:
 def kg_negative_samples(sf_dir: str) -> pd.DataFrame:
     """Seeded 1:1 labeled examples over the relational KG (deterministic)."""
     from ..functions.sampling import labeled_examples
-    from ..functions.vocab import build_vocab, id_map_edges
-    from ..pipelines.relational import kg_edges_relational
-
-    edges = kg_edges_relational(sf_dir).materialize()
-    ent_df, rel_df = build_vocab(edges)
-    ids = id_map_edges(edges, ent_df, rel_df).to_pandas()
+    # shared memoized build (_relational_kg): the per-row seeded draws
+    # depend only on (h, t, r) values, so the sorted id table is
+    # output-identical to the unsorted one it replaced (oracle-checked)
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
     out = labeled_examples(rd.from_pandas(ids),
                            ids[["h", "t", "r"]].to_numpy(),
                            n_entities=len(ent_df),
@@ -255,13 +253,9 @@ def kg_negative_samples(sf_dir: str) -> pd.DataFrame:
 def kg_graph_features(sf_dir: str) -> pd.DataFrame:
     """Fused subgraph→PPR→RR features for the 20 smallest-id heads of the
     relational KG (deterministic sample)."""
-    from ..functions.vocab import build_vocab, id_map_edges
-    from ..pipelines.relational import kg_edges_relational
     from ..stages.graph import build_csr, graph_features_for_heads
 
-    edges = kg_edges_relational(sf_dir).materialize()
-    ent_df, rel_df = build_vocab(edges)
-    ids = id_map_edges(edges, ent_df, rel_df).to_pandas()
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
     tr = ids[["h", "t", "r"]].to_numpy().astype(np.int64)
     csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], len(ent_df))
     heads = sorted(set(tr[:, 0].tolist()))[:20]
@@ -275,17 +269,34 @@ def kg_graph_features(sf_dir: str) -> pd.DataFrame:
         .sort_values(["head", "node"]).reset_index(drop=True)
 
 
+_KG_CACHE: dict = {}
+
+
 def _relational_kg(sf_dir: str):
+    """(ent vocab, rel vocab, sorted id table) of the relational KG.
+
+    Memoized per (sf_dir, Ray job): six driver queries share this exact
+    build over read-only parquet — recomputing it per query was ~170 s
+    of the driver's correctness pass.  The key includes the Ray job id
+    so a fresh session (bench subprocess) never reuses stale state."""
+    import ray as _ray
+
     from ..functions.vocab import build_vocab, id_map_edges
     from ..pipelines.relational import kg_edges_relational
 
+    key = (sf_dir, _ray.get_runtime_context().get_job_id()
+           if _ray.is_initialized() else None)
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
     edges = kg_edges_relational(sf_dir).materialize()
     ent_df, rel_df = build_vocab(edges)
     # canonical order: row subsets (e.g. head(2000)) must not depend on
     # block arrival order — and the SQL oracles mirror this exact order
     ids = id_map_edges(edges, ent_df, rel_df).to_pandas() \
         .sort_values(["h", "t", "r"], ignore_index=True)
-    return ent_df, rel_df, ids
+    _KG_CACHE.clear()               # one entry — sf_dirs switch rarely
+    _KG_CACHE[key] = (ent_df, rel_df, ids)
+    return _KG_CACHE[key]
 
 
 def kg_subgraph_stats(sf_dir: str) -> pd.DataFrame:

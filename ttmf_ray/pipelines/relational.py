@@ -108,10 +108,9 @@ def kg_edges_relational(sf_dir: str):
 
 def kg_vocab_entities(sf_dir: str) -> pd.DataFrame:
     """Distinct entity names (subj ∪ obj) with sort-assigned int64 ids."""
-    from ..functions.vocab import build_vocab
+    from .corpus_queries import _relational_kg  # shared memoized build
 
-    # materialize once: build_vocab consumes the edge pipeline twice
-    ent_df, _ = build_vocab(kg_edges_relational(sf_dir).materialize())
+    ent_df, _rel, _ids = _relational_kg(sf_dir)
     out = ent_df.copy()
     out["id"] = out["id"].astype(np.int64)
     return out[["name", "id"]]
@@ -119,23 +118,20 @@ def kg_vocab_entities(sf_dir: str) -> pd.DataFrame:
 
 def kg_edges_idmapped(sf_dir: str) -> pd.DataFrame:
     """Edges id-mapped to (h, t, r) — note the head/TAIL/relation order."""
-    from ..functions.vocab import build_vocab, id_map_edges
+    from .corpus_queries import _relational_kg
 
-    edges = kg_edges_relational(sf_dir).materialize()
-    ent_df, rel_df = build_vocab(edges)
-    out = id_map_edges(edges, ent_df, rel_df).to_pandas()
-    return out.astype({"h": np.int64, "t": np.int64, "r": np.int64})
+    _ent, _rel, ids = _relational_kg(sf_dir)
+    return ids.astype({"h": np.int64, "t": np.int64, "r": np.int64})
 
 
 def kg_split_counts(sf_dir: str) -> pd.DataFrame:
     """Deterministic arithmetic-hash split → per-split counts."""
     from ..functions.sampling import add_split_column
-    from ..functions.vocab import build_vocab, id_map_edges
+    from .corpus_queries import _relational_kg
 
-    edges = kg_edges_relational(sf_dir).materialize()
-    ent_df, rel_df = build_vocab(edges)
-    ids = id_map_edges(edges, ent_df, rel_df)
-    tagged = ids.map_batches(add_split_column, batch_format="pyarrow")
+    _ent, _rel, ids = _relational_kg(sf_dir)
+    tagged = rd.from_pandas(ids).map_batches(add_split_column,
+                                             batch_format="pyarrow")
     out = tagged.groupby("split").count().to_pandas()
     out = out.rename(columns={"count()": "n"})
     return out.astype({"n": np.int64}).sort_values("split").reset_index(drop=True)
