@@ -58,7 +58,7 @@ from ..functions.transe import (TransEConfig, thresholds_by_key, train_transe,
 from ..functions.vocab import build_vocab, id_map_edges
 from ..stages.graph import (RR_F_MISS, RR_MISS_SENTINEL, build_csr,
                             graph_features_for_heads, rr_sigmoid_f)
-from ..stages.paths import ranked_paths_for_queries
+from ..stages.paths import enumerate_paths_ds, score_paths_for_queries
 
 
 @dataclass
@@ -303,6 +303,20 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     )
     queries = both[["h", "t", "r"]].drop_duplicates()
 
+    # ---- path ENUMERATION starts now (stage 1, CSR-only) ---------------
+    # Path search used to be one stage gated end-to-end by the PTransE
+    # embeddings; enumeration needs only the CSR, so it materializes here
+    # concurrently with BOTH trainers — only the cheap scoring stage waits
+    # for the embeddings.
+    def run_path_enum():
+        return enumerate_paths_ds(
+            np.unique(queries["h"].to_numpy()), csr,
+            max_paths=cfg.path_max_paths,
+        ).materialize()
+
+    th_enum = _StageThread(run_path_enum)
+    th_enum.start()
+
     def run_graph_features():
         # the pair filter runs INSIDE the actors: only the (h, t) rows the
         # feature join consumes ever leave the stage (~60x output shrink)
@@ -327,9 +341,10 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
 
         import ray as _ray
 
-        ranked = ranked_paths_for_queries(
-            rd.from_pandas(queries), csr, Ep, Rp,
-            keep_top=cfg.path_keep_top, max_paths=cfg.path_max_paths,
+        enum_mat = th_enum.join_result()
+        timings["path_enum_wall"] = th_enum.seconds
+        ranked = score_paths_for_queries(
+            enum_mat, queries, Ep, Rp, keep_top=cfg.path_keep_top,
         ).map_batches(
             # the fusion features consume only the top N_BRANCH ranks —
             # drop the rest before collecting (~16x fewer driver rows)

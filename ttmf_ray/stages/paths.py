@@ -16,15 +16,25 @@ edge-id sequences the reference's estimator consumes
 (`PrecessData.py:159-197`: per path, three parallel id lists padded with
 0 to max_p=3).
 
-Engine shape: the query-triple Dataset is sorted by head for locality,
-then an actor pool holds (CSR adjacency + unit-normalized embedding
-matrices) from one ``ray.put`` each.  The hot kernels are ARRAY-based:
-level-synchronous path enumeration (matrices of per-step dst/rel ids —
-no per-edge Python, no per-expansion frozenset copies) and blocked
-cosine scoring via per-path embedding sums (one matvec per query instead
-of a Python loop over paths).  ``enumerate_paths``/``rank_paths`` below
-keep the row-at-a-time reference semantics as the readable spec; the
-unit tests pin the array kernels against them.
+Engine shape — TWO actor-pool stages so enumeration overlaps KGE training:
+
+1. ``PathEnum`` (CSR broadcast only): distinct query heads → one row per
+   head carrying the padded path matrices as flattened list columns.
+   This stage has NO dependency on the trained embeddings, so the trust
+   pipeline materializes it concurrently with PTransE training (which
+   used to gate the whole search).
+2. ``PathScore`` (embeddings + sorted query arrays broadcast): per head
+   row, rebuild the per-head index (per-path embedding sums via a
+   zero-pad-row gather), score every query with that head, emit ranked
+   rows.  All per-query work is array ops on the candidate subset.
+
+The hot kernels are ARRAY-based: level-synchronous path enumeration
+(matrices of per-step dst/rel ids — no per-edge Python, no per-expansion
+frozenset copies) and blocked cosine scoring via per-path embedding sums
+(one matvec per query instead of a Python loop over paths).
+``enumerate_paths``/``rank_paths`` below keep the row-at-a-time reference
+semantics as the readable spec; the unit tests pin the array kernels
+against them.
 
 Path explosion from hub heads is capped by ``max_paths`` per head with a
 ``truncated`` flag column (no silent caps); truncation keeps the first
@@ -155,49 +165,93 @@ def enumerate_paths_arrays(csr: CSR, head: int, *, max_len: int = 3,
     return levels, truncated
 
 
+def _padded_from_levels(head: int, levels) -> tuple[np.ndarray, np.ndarray,
+                                                    np.ndarray, np.ndarray,
+                                                    np.ndarray]:
+    """Levels → (src_pad, dst_pad, rel_pad (P, MAX_P; pad −1), lens, tails)
+    in level-concatenation order (the canonical per-head path order)."""
+    src_p, dst_p, rel_p, lens, tails = [], [], [], [], []
+    for dst_mat, rel_mat in levels:
+        P, L = dst_mat.shape
+        src_mat = np.column_stack(
+            [np.full(P, head, dtype=np.int64), dst_mat[:, :-1]])
+        pad = np.full((P, MAX_P - L), -1, dtype=np.int64)
+        src_p.append(np.column_stack([src_mat, pad]))
+        dst_p.append(np.column_stack([dst_mat, pad]))
+        rel_p.append(np.column_stack([rel_mat, pad]))
+        lens.append(np.full(P, L, dtype=np.int64))
+        tails.append(dst_mat[:, -1])
+    if not levels:
+        z = np.empty((0, MAX_P), dtype=np.int64)
+        e = np.empty(0, dtype=np.int64)
+        return z, z, z, e, e
+    cat = np.concatenate
+    return cat(src_p), cat(dst_p), cat(rel_p), cat(lens), cat(tails)
+
+
+def _gather_sum(Mz: np.ndarray, idx_pad: np.ndarray, scratch: dict,
+                key: str) -> np.ndarray:
+    """Σ_steps Mz[idx] per path; pad entries (−1) gather Mz's appended
+    all-zero last row, contributing exact 0.0 (bitwise-identical to the
+    unpadded per-level sum).  The (P·MAX_P, d) gather reuses a per-actor
+    scratch buffer (rule: fresh ≥1 MB allocations per batch page-fault and
+    serialize parallel workers on the kernel)."""
+    P, L = idx_pad.shape
+    d = Mz.shape[1]
+    idx = np.where(idx_pad < 0, len(Mz) - 1, idx_pad).reshape(-1)
+    buf = scratch.get(key)
+    if buf is None or buf.shape[0] < P * L or buf.shape[1] != d:
+        buf = np.empty((max(P * L, 1), d), dtype=Mz.dtype)
+        scratch[key] = buf
+    view = buf[: P * L]
+    np.take(Mz, idx, axis=0, out=view)
+    return view.reshape(P, L, d).sum(axis=1)
+
+
 class _HeadIndex:
-    """Per-head precomputation: padded path matrices + per-path embedding
-    sums + tail-sorted probe index (built once per head, queried per
-    triple).  All per-query work is array ops on the candidate subset."""
+    """Per-head index: padded path matrices + per-path embedding sums +
+    tail-sorted probe index (built once per head, queried per triple).
+    All per-query work is array ops on the candidate subset.
+
+    ``Euz``/``Ruz`` are the unit embedding matrices with one appended
+    all-zero row, so pad ids (−1) gather an exact-zero contribution.
+    """
 
     __slots__ = ("truncated", "a_dst", "s_src", "s_rel", "lens",
                  "tails_sorted", "tails_order", "src_pad", "dst_pad",
                  "rel_pad", "rel0")
 
-    def __init__(self, csr: CSR, Eu: np.ndarray, Ru: np.ndarray, head: int,
-                 *, max_len: int, max_paths: int):
-        levels, self.truncated = enumerate_paths_arrays(
-            csr, head, max_len=max_len, max_paths=max_paths)
-        eh = Eu[head]
-        src_p, dst_p, rel_p = [], [], []
-        a_dst, s_src, s_rel, lens, tails = [], [], [], [], []
-        for dst_mat, rel_mat in levels:
-            P, L = dst_mat.shape
-            src_mat = np.column_stack(
-                [np.full(P, head, dtype=np.int64), dst_mat[:, :-1]])
-            pad = np.full((P, MAX_P - L), -1, dtype=np.int64)
-            src_p.append(np.column_stack([src_mat, pad]))
-            dst_p.append(np.column_stack([dst_mat, pad]))
-            rel_p.append(np.column_stack([rel_mat, pad]))
-            # per-path sums: score·3L = eh·ΣEu[dst] + et·ΣEu[src] + rr·ΣRu[rel]
-            a_dst.append(Eu[dst_mat].sum(axis=1) @ eh)  # eh is fixed per head
-            s_src.append(Eu[src_mat].sum(axis=1))
-            s_rel.append(Ru[rel_mat].sum(axis=1))
-            lens.append(np.full(P, L, dtype=np.int64))
-            tails.append(dst_mat[:, -1])
-        if not levels:
+    def __init__(self, head: int, src_pad, dst_pad, rel_pad, lens, tails,
+                 truncated: bool, Euz: np.ndarray, Ruz: np.ndarray,
+                 *, scratch: dict | None = None):
+        self.truncated = truncated
+        self.src_pad, self.dst_pad, self.rel_pad = src_pad, dst_pad, rel_pad
+        self.lens = lens
+        if len(lens) == 0:
             self.tails_sorted = np.empty(0, dtype=np.int64)
             self.tails_order = np.empty(0, dtype=np.int64)
             return
-        cat = np.concatenate
-        self.src_pad, self.dst_pad = cat(src_p), cat(dst_p)
-        self.rel_pad = cat(rel_p)
-        self.a_dst, self.s_src, self.s_rel = cat(a_dst), cat(s_src), cat(s_rel)
-        self.lens = cat(lens)
-        self.rel0 = self.rel_pad[:, 0]
-        all_tails = cat(tails)
-        self.tails_order = np.argsort(all_tails, kind="stable")
-        self.tails_sorted = all_tails[self.tails_order]
+        scratch = scratch if scratch is not None else {}
+        # per-path sums: score·3L = eh·ΣEu[dst] + et·ΣEu[src] + rr·ΣRu[rel]
+        self.a_dst = _gather_sum(Euz, dst_pad, scratch, "dst") @ Euz[head]
+        self.s_src = _gather_sum(Euz, src_pad, scratch, "src")
+        self.s_rel = _gather_sum(Ruz, rel_pad, scratch, "rel")
+        self.rel0 = rel_pad[:, 0]
+        self.tails_order = np.argsort(tails, kind="stable")
+        self.tails_sorted = tails[self.tails_order]
+
+    @classmethod
+    def build(cls, csr: CSR, Eu: np.ndarray, Ru: np.ndarray, head: int, *,
+              max_len: int, max_paths: int, scratch: dict | None = None):
+        """Enumerate + index in one step (single-stage/test path)."""
+        levels, truncated = enumerate_paths_arrays(
+            csr, head, max_len=max_len, max_paths=max_paths)
+        src_pad, dst_pad, rel_pad, lens, tails = _padded_from_levels(
+            head, levels)
+        Euz = np.vstack([Eu, np.zeros((1, Eu.shape[1]), dtype=Eu.dtype)])
+        Ruz = np.vstack([Ru, np.zeros((1, Ru.shape[1]), dtype=Ru.dtype)])
+        return cls(head, src_pad, dst_pad, rel_pad, lens, tails, truncated,
+                   Euz, Ruz, scratch=scratch)
 
     def query(self, t: int, r: int, *, top: int, Eu, Ru):
         """Top-ranked paths for (t, r) as arrays:
@@ -227,8 +281,92 @@ class _HeadIndex:
                 clip0(self.rel_pad), self.lens[pick].astype(np.int32))
 
 
-class PathSearch:
-    """Actor stage: batch of query triples (h, t, r) → ranked path rows.
+# ---------------------------------------------------------------------------
+# Stage 1 — enumeration (CSR only; overlaps KGE training).
+# ---------------------------------------------------------------------------
+
+def _large_list(chunks: list[np.ndarray], dtype=np.int64) -> pa.Array:
+    lens = np.fromiter((len(c) for c in chunks), dtype=np.int64,
+                       count=len(chunks))
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    values = (np.concatenate(chunks) if chunks
+              else np.empty(0, dtype=dtype))
+    return pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                         pa.array(values))
+
+
+class PathEnum:
+    """Actor stage: batch of distinct heads → one row per head with the
+    padded path matrices flattened into list columns.
+
+    Output row: (head, truncated, n_paths, src, dst, rel — each a
+    LargeList of n_paths·MAX_P ids, pad −1 — lens, tails — LargeLists of
+    n_paths).  Embedding-free: runs while the KGE trainers are still
+    converging.
+    """
+
+    def __init__(self, csr_bc: Broadcast, *, max_len: int = 3,
+                 max_paths: int = 20000):
+        self.csr = csr_bc.get()
+        self.max_len, self.max_paths = max_len, max_paths
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heads = batch.column("head").to_numpy()
+        trunc, n_paths = [], []
+        srcs, dsts, rels, lens_l, tails_l = [], [], [], [], []
+        for head in heads.tolist():
+            levels, truncated = enumerate_paths_arrays(
+                self.csr, int(head), max_len=self.max_len,
+                max_paths=self.max_paths)
+            src_pad, dst_pad, rel_pad, lens, tails = _padded_from_levels(
+                int(head), levels)
+            trunc.append(truncated)
+            n_paths.append(len(lens))
+            srcs.append(src_pad.reshape(-1))
+            dsts.append(dst_pad.reshape(-1))
+            rels.append(rel_pad.reshape(-1))
+            lens_l.append(lens)
+            tails_l.append(tails)
+        return pa.table({
+            "head": pa.array(heads.astype(np.int64)),
+            "truncated": pa.array(np.asarray(trunc, dtype=bool)),
+            "n_paths": pa.array(np.asarray(n_paths, dtype=np.int64)),
+            "src": _large_list(srcs),
+            "dst": _large_list(dsts),
+            "rel": _large_list(rels),
+            "lens": _large_list(lens_l),
+            "tails": _large_list(tails_l),
+        })
+
+
+def enumerate_paths_ds(heads: np.ndarray, csr: CSR, *, max_len: int = 3,
+                       max_paths: int = 20000,
+                       concurrency: tuple[int, int] | int | None = None):
+    """Distinct head array → per-head path Dataset (stage 1)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..context import spread
+
+    heads_ds = rd.from_pandas(
+        pd.DataFrame({"head": np.sort(np.asarray(heads, dtype=np.int64))}))
+    return spread(heads_ds).map_batches(
+        PathEnum,
+        fn_constructor_kwargs={"csr_bc": Broadcast(csr),
+                               "max_len": max_len, "max_paths": max_paths},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency or auto_pool(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — scoring (embeddings + broadcast query arrays).
+# ---------------------------------------------------------------------------
+
+class PathScore:
+    """Actor stage: batch of per-head path rows → ranked path rows for
+    every query triple with that head.
 
     Output rows per rank < keep_top path: (h, t, r, rank, score, path_len,
     truncated, p_src, p_dst, p_rel) — the last three are the path's edge
@@ -236,57 +374,71 @@ class PathSearch:
     contract the fusion model's path branches consume).
     """
 
-    def __init__(self, csr_bc: Broadcast, emb_bc: Broadcast, *,
-                 max_len: int = 3, max_paths: int = 20000,
+    def __init__(self, emb_bc: Broadcast, queries_bc: Broadcast, *,
                  keep_top: int = 50):
-        self.csr = csr_bc.get()
         E, R = emb_bc.get()
-        self.Eu, self.Ru = _unit(np.asarray(E)), _unit(np.asarray(R))
-        self.max_len, self.max_paths, self.keep_top = max_len, max_paths, keep_top
-        self._cache_head: int | None = None
-        self._cache_index: _HeadIndex | None = None
-
-    def _index_for(self, head: int) -> _HeadIndex:
-        if head != self._cache_head:
-            self._cache_index = _HeadIndex(
-                self.csr, self.Eu, self.Ru, head,
-                max_len=self.max_len, max_paths=self.max_paths)
-            self._cache_head = head
-        return self._cache_index
+        Eu, Ru = _unit(np.asarray(E)), _unit(np.asarray(R))
+        self.Euz = np.vstack([Eu, np.zeros((1, Eu.shape[1]), Eu.dtype)])
+        self.Ruz = np.vstack([Ru, np.zeros((1, Ru.shape[1]), Ru.dtype)])
+        # query triples sorted by (h, t, r): per head a contiguous slice
+        self.qh, self.qt, self.qr = queries_bc.get()
+        self.keep_top = keep_top
+        self.scratch: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = batch.column("h").to_numpy()
-        t = batch.column("t").to_numpy()
-        r = batch.column("r").to_numpy()
+        heads = batch.column("head").to_numpy()
+        trunc = batch.column("truncated").to_numpy()
+
+        def flat(col):
+            arr = batch.column(col).combine_chunks()
+            return arr.offsets.to_numpy(), arr.values.to_numpy()
+
+        so, sv = flat("src")
+        do, dv = flat("dst")
+        ro, rv = flat("rel")
+        lo_, lv = flat("lens")
+        to_, tv = flat("tails")
         o_h, o_t, o_r, o_rank, o_score, o_len, o_tr = [], [], [], [], [], [], []
         seq_src, seq_dst, seq_rel = [], [], []
-        order = np.argsort(h, kind="stable")  # group same-head queries
-        for i in order.tolist():
-            hi, ti, ri = int(h[i]), int(t[i]), int(r[i])
-            index = self._index_for(hi)
-            res = index.query(ti, ri, top=self.keep_top,
-                              Eu=self.Eu, Ru=self.Ru)
-            if res is None:
+        for i in range(len(heads)):
+            head = int(heads[i])
+            qlo = np.searchsorted(self.qh, head, side="left")
+            qhi = np.searchsorted(self.qh, head, side="right")
+            if qhi == qlo or lo_[i + 1] == lo_[i]:
                 continue
-            scores, psrc, pdst, prel, lens = res
-            k = len(scores)
-            o_h.append(np.full(k, hi, dtype=np.int32))
-            o_t.append(np.full(k, ti, dtype=np.int32))
-            o_r.append(np.full(k, ri, dtype=np.int32))
-            o_rank.append(np.arange(k, dtype=np.int32))
-            o_score.append(scores)
-            o_len.append(lens)
-            o_tr.append(np.full(k, index.truncated, dtype=bool))
-            seq_src.append(psrc)
-            seq_dst.append(pdst)
-            seq_rel.append(prel)
+            index = _HeadIndex(
+                head,
+                sv[so[i]:so[i + 1]].reshape(-1, MAX_P),
+                dv[do[i]:do[i + 1]].reshape(-1, MAX_P),
+                rv[ro[i]:ro[i + 1]].reshape(-1, MAX_P),
+                lv[lo_[i]:lo_[i + 1]],
+                tv[to_[i]:to_[i + 1]],
+                bool(trunc[i]), self.Euz, self.Ruz, scratch=self.scratch)
+            for q in range(qlo, qhi):
+                ti, ri = int(self.qt[q]), int(self.qr[q])
+                res = index.query(ti, ri, top=self.keep_top,
+                                  Eu=self.Euz, Ru=self.Ruz)
+                if res is None:
+                    continue
+                scores, psrc, pdst, prel, lens = res
+                k = len(scores)
+                o_h.append(np.full(k, head, dtype=np.int32))
+                o_t.append(np.full(k, ti, dtype=np.int32))
+                o_r.append(np.full(k, ri, dtype=np.int32))
+                o_rank.append(np.arange(k, dtype=np.int32))
+                o_score.append(scores)
+                o_len.append(lens)
+                o_tr.append(np.full(k, bool(trunc[i]), dtype=bool))
+                seq_src.append(psrc)
+                seq_dst.append(pdst)
+                seq_rel.append(prel)
         cat = (lambda ps, dt: np.concatenate(ps) if ps
                else np.empty(0, dtype=dt))
 
         def fsl(rows):
-            flat = (np.concatenate(rows).reshape(-1) if rows
-                    else np.empty(0, dtype=np.int32))
-            return pa.FixedSizeListArray.from_arrays(pa.array(flat), MAX_P)
+            flat_ = (np.concatenate(rows).reshape(-1) if rows
+                     else np.empty(0, dtype=np.int32))
+            return pa.FixedSizeListArray.from_arrays(pa.array(flat_), MAX_P)
         return pa.table(
             {
                 "h": pa.array(cat(o_h, np.int32)),
@@ -303,20 +455,41 @@ class PathSearch:
         )
 
 
+def score_paths_for_queries(enum_ds, queries, E: np.ndarray, R: np.ndarray,
+                            *, keep_top: int = 50,
+                            concurrency: tuple[int, int] | int | None = None):
+    """Per-head path Dataset (stage 1 output) + query table → ranked-path
+    Dataset.  ``queries`` is a small (h, t, r) DataFrame/dict of arrays —
+    broadcast sorted by (h, t, r) so each head's queries are a contiguous
+    slice probed by searchsorted."""
+    qh = np.asarray(queries["h"], dtype=np.int64)
+    qt = np.asarray(queries["t"], dtype=np.int64)
+    qr = np.asarray(queries["r"], dtype=np.int64)
+    order = np.lexsort((qr, qt, qh))
+    queries_bc = Broadcast((qh[order], qt[order], qr[order]))
+    return enum_ds.map_batches(
+        PathScore,
+        fn_constructor_kwargs={"emb_bc": Broadcast((E, R)),
+                               "queries_bc": queries_bc,
+                               "keep_top": keep_top},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency or auto_pool(),
+    )
+
+
 def ranked_paths_for_queries(query_ds, csr: CSR, E: np.ndarray, R: np.ndarray,
                              *, keep_top: int = 50, max_paths: int = 20000,
                              concurrency: tuple[int, int] | int | None = None):
-    """Query triples Dataset → ranked-path Dataset (sorted by head for
-    actor-cache locality; the sort is a shuffle of tiny id rows only)."""
-    from ..context import spread
+    """Query triples Dataset/DataFrame → ranked-path Dataset (the
+    single-call composition of the two stages; the trust pipeline calls
+    them separately to overlap enumeration with PTransE training)."""
+    import pandas as pd
 
-    csr_bc = Broadcast(csr)
-    emb_bc = Broadcast((E, R))
-    return spread(query_ds).sort("h").map_batches(
-        PathSearch,
-        fn_constructor_kwargs={"csr_bc": csr_bc, "emb_bc": emb_bc,
-                               "keep_top": keep_top, "max_paths": max_paths},
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=concurrency or auto_pool(),
-    )
+    qdf = query_ds if isinstance(query_ds, pd.DataFrame) else \
+        query_ds.to_pandas()
+    heads = np.unique(qdf["h"].to_numpy())
+    enum_ds = enumerate_paths_ds(heads, csr, max_paths=max_paths,
+                                 concurrency=concurrency)
+    return score_paths_for_queries(enum_ds, qdf, E, R, keep_top=keep_top,
+                                   concurrency=concurrency)
