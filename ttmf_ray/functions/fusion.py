@@ -406,26 +406,42 @@ def _fusion_worker(params, data, shard, batch_size, lr, local_epochs,
     return params
 
 
+def score_fusion_batch(batch: pa.Table, model: FusionModel) -> pa.Table:
+    """One scoring batch: feature columns → + conf (shared by the
+    task-based and actor-pool stage variants)."""
+    X = np.nan_to_num(
+        np.column_stack(
+            [batch.column(f).to_numpy().astype(np.float64)
+             for f in model.features]
+        ),
+        nan=0.0, posinf=0.0, neginf=0.0,
+    )
+    seqs = None
+    if (model.branches is not None
+            and all(c in batch.column_names for c in ALL_SEQ_COLUMNS)):
+        seqs = _extract_seqs_table(batch)
+    conf = model.forward(X, seqs)[:, 0]
+    return batch.append_column("conf", pa.array(conf))
+
+
+def score_fusion_task(batch: pa.Table, *, model_bc: Broadcast) -> pa.Table:
+    """Task-pool scorer: the model arrives via the broadcast ref (zero-copy
+    numpy from the local object store — per-task fetch is cheap, and a
+    task pool skips the actor-pool spin-up that dominated the scoring
+    wall for small conf tables)."""
+    return score_fusion_batch(batch, model_bc.get())
+
+
 class FusionScorer:
-    """Actor map_batches stage: feature columns → + conf (T6 pattern)."""
+    """Actor map_batches stage: feature columns → + conf (T6 pattern).
+    Used when per-actor resources (the ``num_gpus`` knob) are requested;
+    the resource-free path scores via :func:`score_fusion_task` tasks."""
 
     def __init__(self, model_bc: Broadcast):
         self.model: FusionModel = model_bc.get()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        X = np.nan_to_num(
-            np.column_stack(
-                [batch.column(f).to_numpy().astype(np.float64)
-                 for f in self.model.features]
-            ),
-            nan=0.0, posinf=0.0, neginf=0.0,
-        )
-        seqs = None
-        if (self.model.branches is not None
-                and all(c in batch.column_names for c in ALL_SEQ_COLUMNS)):
-            seqs = _extract_seqs_table(batch)
-        conf = self.model.forward(X, seqs)[:, 0]
-        return batch.append_column("conf", pa.array(conf))
+        return score_fusion_batch(batch, self.model)
 
 
 # ---------------------------------------------------------------------------
