@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_roundtrip": cq.embeddings_roundtrip,
         "events_sessions": rel.events_sessions,
         "trust_pr_sweep": cq.trust_pr_sweep,
+        # --- SQL-checked: training-data curation (stages/curation.py) ---
+        "docs_decontaminate": cq.docs_decontaminate,
+        "docs_shuffle_export": cq.docs_shuffle_export,
+        "docs_pack_bins": cq.docs_pack_bins,
+        "docs_source_mixture": cq.docs_source_mixture,
+        "docs_top_tokens": cq.docs_top_tokens,
     }
 
 
@@ -726,6 +732,113 @@ def _lineitem_sample_sql(n: int = 2000) -> str:
     """
 
 
+# --- training-data curation mirrors (stages/curation.py) -------------------
+
+def _decontaminate_sql() -> str:
+    """Exact mirror of docs_decontaminate: distinct word-trigram shingle
+    hashes (same rolling-fp + mix64(17, ...) % 2^31-1 as the minhash
+    mirror), eval = doc_id % 41 = 0, per-train-doc hit counts against the
+    eval shingle union."""
+    t3_lat, t3_ref = _mix_chain("dc", ["t.h0", "t.h1", "t.h2"], [17])
+    return f"""
+    WITH wl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+                FROM documents),
+    pw AS (SELECT doc_id, u['i'] AS i, u['w'] AS w FROM (
+               SELECT doc_id,
+                      unnest(list_transform(ws,
+                             (w, i) -> {{'i': i, 'w': w}})) AS u
+               FROM wl)),
+    gw AS (SELECT DISTINCT w FROM pw),
+    wh AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    ph AS (SELECT p.doc_id, p.i, wh.fp FROM pw p JOIN wh USING (w)),
+    tri AS (SELECT a.doc_id, a.fp AS h0, b.fp AS h1, c.fp AS h2
+            FROM ph a
+            JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN ph c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sh AS (SELECT DISTINCT t.doc_id,
+                  CAST({t3_ref} % 2147483647 AS BIGINT) AS x
+           FROM tri t, {t3_lat}),
+    ev AS (SELECT DISTINCT x FROM sh WHERE doc_id % 41 = 0),
+    tr AS (SELECT doc_id, x FROM sh WHERE doc_id % 41 <> 0),
+    hits AS (SELECT t.doc_id, count(*) AS n_hits
+             FROM tr t JOIN ev USING (x) GROUP BY t.doc_id),
+    cnt AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id)
+    SELECT c.doc_id, CAST(c.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS contaminated
+    FROM cnt c LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def _shuffle_export_sql() -> str:
+    """Exact mirror of docs_shuffle_export: key = mix64(41, doc_id) mod
+    2^63, shard = key mod 8, pos = rank of (key, doc_id) within shard."""
+    lat, ref = _mix_chain("se", ["d.doc_id"], [41])
+    return f"""
+    WITH k AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                      CAST({ref} % 9223372036854775808::HUGEINT
+                           AS BIGINT) AS key
+               FROM documents d, {lat})
+    SELECT doc_id, CAST(key % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY key % 8
+                                   ORDER BY key, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM k
+    """
+
+
+def _pack_bins_sql() -> str:
+    """Exact mirror of docs_pack_bins: whitespace token counts (same
+    class as docs_quality), exclusive running sum in doc_id order,
+    bin = start_off // 512."""
+    return f"""
+    WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        CAST(length({_TOKENS}) AS BIGINT) AS n_tokens
+                 FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_off,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512 AS BIGINT) AS bin
+    FROM tok
+    """
+
+
+def _source_mixture_sql() -> str:
+    """Exact mirror of docs_source_mixture: draw = mix64(97, doc_id) mod
+    1e6 < keep-rate(source) × 1e6 (src0-4 full, src5-9 half, src10-14
+    tenth, rest dropped)."""
+    lat, ref = _mix_chain("mx", ["d.doc_id"], [97])
+    return f"""
+    WITH dr AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+                       CAST({ref} % 1000000 AS BIGINT) AS draw
+                FROM documents d, {lat})
+    SELECT doc_id, source FROM dr
+    WHERE draw < CASE
+        WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000000
+        WHEN source IN ('src5','src6','src7','src8','src9') THEN 500000
+        WHEN source IN ('src10','src11','src12','src13','src14')
+             THEN 100000
+        ELSE 0 END
+    """
+
+
+_TOP_TOKENS_SQL = """
+    WITH dw AS (SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[0-9a-z_]+')) AS token
+                FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS df
+    FROM dw GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 50
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_edges_relational": _EDGES_SQL,
@@ -967,4 +1080,9 @@ def oracle_sql() -> dict[str, str]:
                      e.vec_id
             LIMIT 10
         """,
+        "docs_decontaminate": _decontaminate_sql(),
+        "docs_shuffle_export": _shuffle_export_sql(),
+        "docs_pack_bins": _pack_bins_sql(),
+        "docs_source_mixture": _source_mixture_sql(),
+        "docs_top_tokens": _TOP_TOKENS_SQL,
     }

@@ -1,0 +1,117 @@
+"""Behavioral tests for the training-data curation stage
+(ttmf_ray/stages/curation.py) — planted-contamination recovery, shuffle
+permutation/determinism, packing arithmetic, mixture rates, vocabulary
+top-k vs a pandas recompute.  Value-level SQL parity is covered by
+test_oracle_parity.py; these pin the semantics the SQL can't state."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from ttmf_ray.stages.curation import (decontaminate, eval_shingle_set,
+                                      pack_bins, shuffle_export,
+                                      source_mixture, top_tokens)
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "a completely different document about stream processing engines",
+    "the quick brown fox jumps over the lazy dog near the river bank",  # copy of 0
+    "stream processing engines shuffle data between workers constantly",
+    "short doc",
+]
+
+
+def _ds(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts, pa.string())}))
+
+
+def test_decontaminate_flags_planted_copy():
+    ev = eval_shingle_set(_ds([DOCS[0]], ids=[100]))
+    out = decontaminate(_ds(DOCS[1:4], ids=[1, 2, 3]), ev).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 2 is an exact copy of the eval doc: every shingle hits
+    row = out[out["doc_id"] == 2].iloc[0]
+    assert row["contaminated"] == 1
+    assert row["n_hits"] == row["n_shingles"] > 0
+    # unrelated docs share no trigram with it
+    assert (out[out["doc_id"] != 2]["contaminated"] == 0).all()
+
+
+def test_decontaminate_empty_eval_set():
+    out = decontaminate(_ds(DOCS[:2]), np.empty(0, dtype=np.int64)) \
+        .to_pandas()
+    assert (out["contaminated"] == 0).all()
+    assert (out["n_shingles"] > 0).all()
+
+
+def test_shuffle_export_is_sharded_permutation():
+    n = 403
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    out = shuffle_export(ds, seed=7, n_shards=4).to_pandas()
+    assert len(out) == n
+    assert sorted(out["doc_id"]) == list(range(n))
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    # deterministic w.r.t. batching/block layout
+    out2 = shuffle_export(ds.repartition(7), seed=7, n_shards=4) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id", ignore_index=True), out2)
+    # a different seed is a different permutation
+    out3 = shuffle_export(ds, seed=8, n_shards=4).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert not out3["pos"].equals(
+        out.sort_values("doc_id", ignore_index=True)["pos"])
+
+
+def test_pack_bins_matches_serial_cumsum():
+    texts = [f"tok {' '.join(['w'] * (i % 17))}" for i in range(200)]
+    out = pack_bins(_ds(texts), bin_tokens=32, n_parts=8).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    ntok = out["n_tokens"].to_numpy()
+    want_start = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+    assert (out["start_off"].to_numpy() == want_start).all()
+    assert (out["bin"].to_numpy() == want_start // 32).all()
+    # bins are contiguous, non-decreasing in doc order
+    assert (np.diff(out["bin"].to_numpy()) >= 0).all()
+
+
+def test_source_mixture_rates_and_determinism():
+    n = 4000
+    src = np.where(np.arange(n) % 2 == 0, "keepall", "half")
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                                 "source": pa.array(src, pa.string())}))
+    out = source_mixture(ds, {"keepall": 1.0, "half": 0.5, "never": 0.0},
+                         seed=3).to_pandas()
+    kept = out.groupby("source").size()
+    assert kept["keepall"] == n // 2          # rate 1.0 keeps everything
+    assert abs(kept["half"] / (n // 2) - 0.5) < 0.05
+    out2 = source_mixture(ds.repartition(5),
+                          {"keepall": 1.0, "half": 0.5}, seed=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id", ignore_index=True),
+        out2.sort_values("doc_id", ignore_index=True))
+    # unlisted sources drop
+    out3 = source_mixture(ds, {"other": 1.0}, seed=3).to_pandas()
+    assert len(out3) == 0
+
+
+def test_top_tokens_matches_pandas_recompute():
+    import re
+
+    out = top_tokens(_ds(DOCS), k=5)
+    rows = []
+    for i, t in enumerate(DOCS):
+        for w in set(re.findall(r"[0-9a-z_]+", t.lower())):
+            rows.append((i, w))
+    df = pd.DataFrame(rows, columns=["doc_id", "token"]) \
+        .groupby("token").size().reset_index(name="df") \
+        .sort_values(["df", "token"], ascending=[False, True],
+                     ignore_index=True).head(5)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), df.astype({"df": np.int64}))

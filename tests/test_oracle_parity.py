@@ -30,6 +30,11 @@ SUBSET = [
     "embeddings_ivf_topk",
     "emb_link_rank",
     "docs_repetition",
+    "docs_decontaminate",
+    "docs_shuffle_export",
+    "docs_pack_bins",
+    "docs_source_mixture",
+    "docs_top_tokens",
 ]
 
 

@@ -510,3 +510,79 @@ def trust_pr_sweep(sf_dir: str) -> pd.DataFrame:
         "f1": [round(res["max_f1"], 6)],
     })
     return pd.concat([sweep, extra], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation queries (stages/curation.py; all SQL-mirrored)
+# ---------------------------------------------------------------------------
+
+_EVAL_MOD = 41          # eval set = every 41st document
+_SHUFFLE_SEED = 41
+_MIX_SEED = 97
+# keep-rates by source bucket: src0-4 full, src5-9 half, src10-14 tenth,
+# src15-19 dropped — the classic quality-tiered web-corpus mixture
+_MIX_WEIGHTS = {f"src{i}": (1.0 if i < 5 else 0.5 if i < 10
+                            else 0.1 if i < 15 else 0.0)
+                for i in range(20)}
+
+
+def _docs_ds(sf_dir: str, columns: list[str]):
+    return rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                           columns=columns)
+
+
+def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag train docs (doc_id % 41 != 0)
+    sharing any word-trigram shingle with the eval split (doc_id % 41 == 0).
+    Eval shingle set broadcast once; train side streams."""
+    from ..stages.curation import decontaminate, eval_shingle_set
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    is_eval = lambda t, eq: t.filter(pa.array(  # noqa: E731
+        (t.column("doc_id").to_numpy() % _EVAL_MOD == 0) == eq))
+    ev = eval_shingle_set(
+        ds.map_batches(lambda t: is_eval(t, True), batch_format="pyarrow"))
+    out = decontaminate(
+        ds.map_batches(lambda t: is_eval(t, False), batch_format="pyarrow"),
+        ev).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_shuffle_export(sf_dir: str) -> pd.DataFrame:
+    """Deterministic seeded shuffle-export assignment (shard, pos)."""
+    from ..stages.curation import shuffle_export
+
+    out = shuffle_export(_docs_ds(sf_dir, ["doc_id"]),
+                         seed=_SHUFFLE_SEED, n_shards=8).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_pack_bins(sf_dir: str) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing: global token offsets in doc_id
+    order, context-window bin = start_off // 512."""
+    from ..stages.curation import pack_bins
+
+    out = pack_bins(_docs_ds(sf_dir, ["doc_id", "text"]),
+                    bin_tokens=512, n_parts=32).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_source_mixture(sf_dir: str) -> pd.DataFrame:
+    """Quality-tiered source mixture filter (seeded keep-rates)."""
+    from ..stages.curation import source_mixture
+
+    out = source_mixture(_docs_ds(sf_dir, ["doc_id", "source"]),
+                         _MIX_WEIGHTS, seed=_MIX_SEED).to_pandas()
+    return out.astype({"doc_id": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Top-50 tokens by document frequency (vocabulary building)."""
+    from ..stages.curation import top_tokens
+
+    out = top_tokens(_docs_ds(sf_dir, ["doc_id", "text"]), k=50)
+    return out[["token", "df"]]

@@ -1,0 +1,265 @@
+"""Training-data curation operators: benchmark decontamination, seeded
+deterministic shuffle-export, concat-and-chunk sequence packing, weighted
+source mixture, and document-frequency vocabulary building.
+
+These are the large-scale-pipeline extensions the target calls for
+(SURVEY.md §2.9) — none exists in the reference (its corpus pass stops at
+triple extraction, full_run.sh:20-32); each is built from the same pinned
+SQL-expressible primitives as the dedup stages (rolling word fingerprints
++ splitmix64, stages/dedup.py:40-46) so the driver's DuckDB oracle can
+verify every value.
+
+Scale shapes (what each stage moves at 100 TB):
+
+- decontaminate: the EVAL side (a benchmark set — thousands of docs by
+  construction) is reduced to a sorted distinct shingle-hash array and
+  broadcast once via the object store; the train corpus streams through a
+  per-batch vectorized membership probe.  Nothing about the train side is
+  ever collected.
+- shuffle_export: one hash pass (no data movement) + one groupby over
+  ``n_shards`` LARGE groups — the good ``map_groups`` shape (few big
+  groups, CLAUDE.md rule 3 is about the opposite case).  This replaces a
+  true ``random_shuffle`` (all-to-all over the payload) with an
+  all-to-all over (doc_id, key) rows only; the payload join happens at
+  write time per shard.
+- pack_bins: two passes — per-range token sums (tiny aggregate, one row
+  per range) + a broadcast prefix, then per-range cumulative offsets.
+  Ranges are doc_id spans, so the cumsum never needs a global sort.
+- source_mixture: stateless per-batch filter; weights broadcast in the
+  closure (bytes, not a shuffle).
+- top_tokens: per-batch distinct-(doc, token) partial counts (the
+  combiner), then one groupby over tokens whose input is already
+  collapsed to one row per (batch, token) — the Zipf head dominates, so
+  pre-combining shrinks the shuffle by ~the mean batch df.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.pages import mix64_vec
+
+_I63 = np.uint64(1 << 63)
+
+
+def _doc_ids(batch: pa.Table, col: str) -> np.ndarray:
+    return batch.column(col).to_numpy().astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (shingle-hash semi-join)
+# ---------------------------------------------------------------------------
+
+def eval_shingle_set(docs_ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", ngram: int = 3) -> np.ndarray:
+    """Distinct shingle hashes of an (eval) document set as one sorted
+    int64 array.  Per-batch distinct first; the cross-batch union happens
+    driver-side over already-deduped arrays (the eval set is a benchmark
+    — small by definition; this function is NOT for the train corpus)."""
+    from .dedup import shingle_hashes
+
+    def batch_shingles(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        if not texts:
+            return pa.table({"x": pa.array([], pa.int64())})
+        hs = [shingle_hashes(x, ngram) for x in texts]
+        return pa.table({"x": pa.array(np.unique(np.concatenate(hs)))})
+
+    import ray
+
+    tbls = ray.get(
+        docs_ds.map_batches(batch_shingles, batch_format="pyarrow")
+        .to_arrow_refs())
+    parts = [t.column("x").to_numpy() for t in tbls if t.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(train_ds, eval_hashes: np.ndarray, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ngram: int = 3):
+    """Flag training documents sharing any word-``ngram`` shingle with the
+    eval set: (doc_id, n_shingles, n_hits, contaminated).  The eval
+    hashes broadcast once; the probe is a per-batch searchsorted."""
+    from ..context import Broadcast
+    from .dedup import shingle_hashes
+
+    ev_bc = Broadcast(np.sort(eval_hashes.astype(np.int64)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        ev = ev_bc.get()
+        texts = t.column(text_col).to_pylist()
+        n_sh = np.zeros(len(texts), dtype=np.int64)
+        n_hit = np.zeros(len(texts), dtype=np.int64)
+        for i, x in enumerate(texts):
+            sh = shingle_hashes(x, ngram)
+            n_sh[i] = len(sh)
+            if len(sh) and len(ev):
+                pos = np.clip(np.searchsorted(ev, sh), 0, len(ev) - 1)
+                n_hit[i] = int((ev[pos] == sh).sum())
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "n_shingles": pa.array(n_sh),
+            "n_hits": pa.array(n_hit),
+            "contaminated": pa.array((n_hit > 0).astype(np.int64)),
+        })
+
+    return train_ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Seeded deterministic shuffle-export
+# ---------------------------------------------------------------------------
+
+def shuffle_export(docs_ds, *, seed: int = 41, n_shards: int = 8,
+                   id_col: str = "doc_id"):
+    """Assign every document a deterministic pseudo-random (shard, pos):
+    key = mix64(seed, doc_id) mod 2^63, shard = key mod n_shards, pos =
+    rank of (key, doc_id) within the shard.  Equivalent in distribution
+    to a seeded global shuffle, but reproducible across runs/cluster
+    sizes and resumable per shard — the property a training-data export
+    needs that ``random_shuffle`` cannot give."""
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        key = (mix64_vec(seed, ids) % _I63).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "shard": pa.array(key % np.int64(n_shards)),
+            "key": pa.array(key),
+        })
+
+    def rank_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "doc_id"], ignore_index=True)
+        df["pos"] = np.arange(len(df), dtype=np.int64)
+        return df[["doc_id", "shard", "pos"]]
+
+    return (docs_ds.map_batches(keyed, batch_format="pyarrow")
+            .groupby("shard").map_groups(rank_shard, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_bins(docs_ds, *, bin_tokens: int = 512, n_parts: int = 32,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Concat-and-chunk packing (GPT-style pretraining layout): documents
+    are laid out in doc_id order, token offsets accumulate globally, and a
+    document's context-window bin is ``start_off // bin_tokens``.
+
+    Two passes, no global sort: pass 1 computes per-doc whitespace token
+    counts plus per-RANGE sums (ranges are doc_id spans, so in-range
+    cumsum in doc_id order equals the global cumsum once each range adds
+    the broadcast prefix of the ranges before it).  Output:
+    (doc_id, n_tokens, start_off, bin)."""
+    from ..context import Broadcast
+    from .text import _as_array, _split_flat
+
+    max_id = int(docs_ds.max(id_col))
+    span = max(1, (max_id + n_parts) // n_parts)
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        col = _as_array(t.column(text_col))
+        flat, doc_idx, n = _split_flat(col, r"[ \t\n\r\f\v]+")
+        ntok = np.bincount(doc_idx[flat != ""], minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(ntok),
+            "part": pa.array(ids // span),
+        })
+
+    tok_ds = docs_ds.map_batches(tok_counts, batch_format="pyarrow") \
+        .materialize()
+
+    # pass 1b: range sums → exclusive prefix (one row per range — tiny)
+    sums = tok_ds.groupby("part").sum("n_tokens").to_pandas() \
+        .sort_values("part")
+    prefix = np.zeros(n_parts + 1, dtype=np.int64)
+    np.add.at(prefix, sums["part"].to_numpy().astype(np.int64) + 1,
+              sums["sum(n_tokens)"].to_numpy().astype(np.int64))
+    np.cumsum(prefix, out=prefix)
+    prefix_bc = Broadcast(prefix)
+
+    def offsets(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", ignore_index=True)
+        ntok = df["n_tokens"].to_numpy()
+        base = prefix_bc.get()[int(df["part"].iloc[0])]
+        start = base + np.concatenate(([0], np.cumsum(ntok)[:-1]))
+        out = df[["doc_id", "n_tokens"]].copy()
+        out["start_off"] = start
+        out["bin"] = start // np.int64(bin_tokens)
+        return out
+
+    return tok_ds.groupby("part").map_groups(offsets, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Weighted source mixture
+# ---------------------------------------------------------------------------
+
+_MIX_SCALE = 1_000_000
+
+
+def source_mixture(docs_ds, weights: dict[str, float], *, seed: int = 97,
+                   id_col: str = "doc_id", source_col: str = "source"):
+    """Down/up-weight corpus sources by keep-rate: keep a doc iff
+    mix64(seed, doc_id) mod 1e6 < weight(source) × 1e6.  Rates > 1 keep
+    everything (epoch-level upsampling is the export loop's job — a row
+    filter must stay a filter).  Unlisted sources drop (weight 0)."""
+    w_items = sorted(weights.items())
+    names = np.asarray([k for k, _ in w_items], dtype=object)
+    thresh = np.asarray(
+        [min(int(round(v * _MIX_SCALE)), _MIX_SCALE) for _, v in w_items],
+        dtype=np.int64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        if len(names) == 0:
+            return t.filter(pa.array(np.zeros(len(ids), dtype=bool)))
+        src = t.column(source_col).to_numpy(zero_copy_only=False)
+        draw = (mix64_vec(seed, ids) % np.uint64(_MIX_SCALE)) \
+            .astype(np.int64)
+        pos_c = np.clip(np.searchsorted(names, src), 0, len(names) - 1)
+        mask = (names[pos_c] == src) & (draw < thresh[pos_c])
+        return t.filter(pa.array(mask))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Document-frequency vocabulary (top-k tokens)
+# ---------------------------------------------------------------------------
+
+def top_tokens(docs_ds, *, k: int = 50, text_col: str = "text"):
+    """Top-``k`` tokens by document frequency (ties: token asc) — the
+    vocabulary-building / contamination-audit primitive.  Tokens are
+    lowercase ``[0-9a-z_]+`` runs (the same class the near-dup stages
+    pin).  Per-batch combiner: distinct (doc, token) collapses to one
+    (token, df) row per batch before the shuffle."""
+    from .text import _as_array, _split_flat
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        col = _as_array(t.column(text_col))
+        flat, doc_idx, n = _split_flat(pc.utf8_lower(col), "[^0-9a-z_]+")
+        ok = flat != ""
+        if not ok.any():
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(flat[ok])
+        key = doc_idx[ok] * np.int64(len(uniq)) + codes
+        ucodes = np.unique(key) % len(uniq)
+        toks, dfc = np.unique(ucodes, return_counts=True)
+        return pa.table({"token": pa.array(uniq[toks], pa.string()),
+                         "df": pa.array(dfc.astype(np.int64))})
+
+    agg = docs_ds.map_batches(partial_df, batch_format="pyarrow") \
+        .groupby("token").sum("df")
+    # distributed top-k: sort + limit streams; only k rows land driver-side
+    df = agg.sort(["sum(df)", "token"], descending=[True, False]) \
+        .limit(k).to_pandas().rename(columns={"sum(df)": "df"})
+    return df.astype({"df": np.int64}).reset_index(drop=True)
