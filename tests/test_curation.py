@@ -115,3 +115,16 @@ def test_top_tokens_matches_pandas_recompute():
                      ignore_index=True).head(5)
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), df.astype({"df": np.int64}))
+
+
+def test_batch_shingle_kernel_matches_scalar():
+    from ttmf_ray.stages.dedup import batch_shingle_hashes, shingle_hashes
+
+    cases = DOCS + ["", "one", "two words", "a b", "dup dup dup dup",
+                    "x_1 y2 z!! x_1 y2 z", "  ", "a",
+                    "héllo wörld unicode fallback path here"]
+    flat, lens = batch_shingle_hashes(cases)
+    starts = np.cumsum(lens) - lens
+    for i, t in enumerate(cases):
+        got = flat[starts[i]: starts[i] + lens[i]]
+        assert np.array_equal(shingle_hashes(t), got), (i, t)

@@ -59,14 +59,11 @@ def eval_shingle_set(docs_ds, *, id_col: str = "doc_id",
     int64 array.  Per-batch distinct first; the cross-batch union happens
     driver-side over already-deduped arrays (the eval set is a benchmark
     — small by definition; this function is NOT for the train corpus)."""
-    from .dedup import shingle_hashes
+    from .dedup import batch_shingle_hashes
 
     def batch_shingles(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        if not texts:
-            return pa.table({"x": pa.array([], pa.int64())})
-        hs = [shingle_hashes(x, ngram) for x in texts]
-        return pa.table({"x": pa.array(np.unique(np.concatenate(hs)))})
+        flat, _ = batch_shingle_hashes(t.column(text_col), ngram)
+        return pa.table({"x": pa.array(np.unique(flat))})
 
     import ray
 
@@ -86,21 +83,22 @@ def decontaminate(train_ds, eval_hashes: np.ndarray, *,
     eval set: (doc_id, n_shingles, n_hits, contaminated).  The eval
     hashes broadcast once; the probe is a per-batch searchsorted."""
     from ..context import Broadcast
-    from .dedup import shingle_hashes
+    from .dedup import batch_shingle_hashes
 
     ev_bc = Broadcast(np.sort(eval_hashes.astype(np.int64)))
 
     def flag(t: pa.Table) -> pa.Table:
         ev = ev_bc.get()
-        texts = t.column(text_col).to_pylist()
-        n_sh = np.zeros(len(texts), dtype=np.int64)
-        n_hit = np.zeros(len(texts), dtype=np.int64)
-        for i, x in enumerate(texts):
-            sh = shingle_hashes(x, ngram)
-            n_sh[i] = len(sh)
-            if len(sh) and len(ev):
-                pos = np.clip(np.searchsorted(ev, sh), 0, len(ev) - 1)
-                n_hit[i] = int((ev[pos] == sh).sum())
+        flat, lens = batch_shingle_hashes(t.column(text_col), ngram)
+        n_sh = lens
+        if len(flat) and len(ev):
+            pos = np.clip(np.searchsorted(ev, flat), 0, len(ev) - 1)
+            hit = (ev[pos] == flat).astype(np.int64)
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            n_hit = np.bincount(doc_idx, weights=hit,
+                                minlength=len(lens)).astype(np.int64)
+        else:
+            n_hit = np.zeros(len(lens), dtype=np.int64)
         return pa.table({
             "doc_id": t.column(id_col),
             "n_shingles": pa.array(n_sh),

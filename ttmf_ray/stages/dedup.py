@@ -76,6 +76,92 @@ def _word_fps(words: list[str]) -> np.ndarray:
                        count=len(words))
 
 
+def batch_shingle_hashes(col, ngram: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`shingle_hashes` over a whole batch: returns
+    (flat, lens) where ``flat`` is the concatenation of every doc's
+    sorted-distinct shingle hashes and ``lens`` the per-doc counts.
+
+    One Arrow lower+split for the batch, word fingerprints computed once
+    per UNIQUE token (the memoized ``word_fp`` over a Zipf-bounded
+    vocabulary), shingle mix64 over position-shifted arrays, per-doc
+    distinct via one ``np.unique`` on packed (doc, shingle) keys — no
+    per-document Python dispatch.  Byte-identical to the scalar kernel
+    for ASCII input; non-ASCII batches fall back to the scalar path
+    (Python ``\\w`` is unicode-aware, RE2's is not).
+    """
+    import pyarrow.compute as pc
+
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(list(col), pa.string())
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if not pc.all(pc.string_is_ascii(col)).as_py():
+        parts = [shingle_hashes(t, ngram) for t in col.to_pylist()]
+        lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=n)
+        flat = np.concatenate(parts) if lens.sum() else \
+            np.empty(0, dtype=np.int64)
+        return flat, lens
+
+    split = pc.split_pattern_regex(pc.utf8_lower(col), pattern="[^0-9a-z_]+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offs = split.offsets.to_numpy()
+    counts = np.diff(offs).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # dictionary-encode in Arrow: only the UNIQUE vocabulary ever becomes
+    # Python strings (materializing every token was a measured 1 s/1M-word
+    # fault wall); word fingerprints then compute once per unique
+    dic = pc.dictionary_encode(split.flatten())
+    codes = dic.indices.to_numpy().astype(np.int64)
+    uniq = dic.dictionary.to_pylist()
+    ufp = np.fromiter((word_fp(w) for w in uniq), dtype=np.uint64,
+                      count=len(uniq))
+    if uniq and "" in uniq:
+        ok = codes != uniq.index("")
+        codes, doc_idx = codes[ok], doc_idx[ok]
+    n_words = np.bincount(doc_idx, minlength=n)
+    wh = ufp[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+
+    lens = np.zeros(n, dtype=np.int64)
+    flat_parts: list[np.ndarray] = []
+    if len(wh) >= ngram:
+        # positions whose whole ngram window stays inside one doc
+        inside = doc_idx[: len(doc_idx) - ngram + 1] == \
+            doc_idx[ngram - 1:]
+        if inside.any():
+            cols = [wh[i: len(wh) - ngram + 1 + i][inside]
+                    for i in range(ngram)]
+            sh = (mix64_vec(SHINGLE_SEED, *cols)
+                  % np.uint64(_MERSENNE)).astype(np.int64)
+            sdoc = doc_idx[: len(doc_idx) - ngram + 1][inside]
+            key = np.unique((sdoc << np.int64(31)) | sh)
+            kdoc = key >> np.int64(31)
+            lens = np.bincount(kdoc, minlength=n).astype(np.int64)
+            flat_parts.append(key & np.int64((1 << 31) - 1))
+    # short docs (0 < words < ngram): whole-doc hash — scalar, but only
+    # over the (rare) short docs themselves
+    short = np.flatnonzero((n_words > 0) & (n_words < ngram))
+    if len(short):
+        starts = np.cumsum(n_words) - n_words
+        singles = np.fromiter(
+            (mix64(SHINGLE_SEED,
+                   *(int(x) for x in wh[starts[d]: starts[d] + n_words[d]]))
+             % _MERSENNE for d in short),
+            dtype=np.int64, count=len(short))
+        lens[short] = 1                      # short docs had no window rows
+        merged = np.empty(int(lens.sum()), dtype=np.int64)
+        fstarts = np.cumsum(lens) - lens
+        window_slot = np.ones(len(merged), dtype=bool)
+        window_slot[fstarts[short]] = False
+        merged[fstarts[short]] = singles
+        if flat_parts:
+            merged[window_slot] = flat_parts[0]
+        return merged, lens
+    flat = flat_parts[0] if flat_parts else np.empty(0, dtype=np.int64)
+    return flat, lens
+
+
 def shingle_hashes(text: str, ngram: int = 3) -> np.ndarray:
     """Distinct word-``ngram`` shingle hashes of ``text`` as a sorted int64
     array: shingle identity is mix64(SHINGLE_SEED, fp(w_i..w_{i+n-1})) mod
@@ -231,25 +317,22 @@ class MinHashLSH:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy().astype(np.int64)
-        texts = batch.column(self.text_col).to_pylist()
-        n, r = len(texts), self.rows_per_band
+        n, r = len(ids), self.rows_per_band
         if n == 0:
             return pa.table({"band": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64())})
         # one segmented-min pass for the WHOLE batch: per-doc shingle sets
-        # concatenate (docs are contiguous segments), each of the k
-        # permutations evaluates vectorized over every shingle at once,
-        # and np.minimum.reduceat takes the per-doc minima — identical to
-        # minhash_signature per doc (same (a·x+b) mod M fold, empty doc →
-        # all-MERSENNE), without the per-doc Python dispatch
-        sh_list = [shingle_hashes(t, self.ngram) for t in texts]
-        lens = np.fromiter((len(x) for x in sh_list), dtype=np.int64,
-                           count=n)
+        # concatenate (docs are contiguous segments, shingled by the
+        # batch-vectorized kernel), each of the k permutations evaluates
+        # vectorized over every shingle at once, and np.minimum.reduceat
+        # takes the per-doc minima — identical to minhash_signature per
+        # doc (same (a·x+b) mod M fold, empty doc → all-MERSENNE)
+        flat, lens = batch_shingle_hashes(batch.column(self.text_col),
+                                          self.ngram)
         sigs = np.full((n, self.k), _MERSENNE, dtype=np.int64)
         nz = lens > 0
         if nz.any():
-            flat = np.concatenate([x for x in sh_list if len(x)])
             starts = (np.cumsum(lens) - lens)[nz]
             for j in range(self.k):
                 v = (self.a[j] * flat + self.b[j]) % _MERSENNE
@@ -390,11 +473,20 @@ def verify_pairs_join(pairs_ds, docs_ds, *, id_col: str, text_col: str,
     def score(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
-        ja = np.fromiter(
-            (jaccard_of_texts(x, y, ngram)
-             for x, y in zip(t.column("text_a").to_pylist(),
-                             t.column("text_b").to_pylist())),
-            dtype=np.float64, count=t.num_rows)
+        # shingle both text columns with the batch kernel (one Arrow
+        # split + unique-vocab fingerprints per column); only the
+        # per-pair set intersection stays a loop, on int arrays
+        fa, la = batch_shingle_hashes(t.column("text_a"), ngram)
+        fb, lb = batch_shingle_hashes(t.column("text_b"), ngram)
+        sa = np.cumsum(la) - la
+        sb = np.cumsum(lb) - lb
+        ja = np.zeros(t.num_rows, dtype=np.float64)
+        for i in range(t.num_rows):
+            xs = fa[sa[i]: sa[i] + la[i]]
+            ys = fb[sb[i]: sb[i] + lb[i]]
+            inter = np.intersect1d(xs, ys, assume_unique=True).size
+            union = xs.size + ys.size - inter
+            ja[i] = (inter / union) if union else 0.0
         keep = ja >= threshold
         return pa.table({
             "a": pa.array(a[keep].astype(np.int64)),
