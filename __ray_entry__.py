@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_bins": cq.docs_pack_bins,
         "docs_source_mixture": cq.docs_source_mixture,
         "docs_top_tokens": cq.docs_top_tokens,
+        "docs_clean_corpus": cq.docs_clean_corpus,
     }
 
 
@@ -827,6 +828,54 @@ def _source_mixture_sql() -> str:
     """
 
 
+def _clean_corpus_sql() -> str:
+    """Exact mirror of docs_clean_corpus: exact-dup winner (min doc_id
+    per identical text), token band [25, 80] (same whitespace class as
+    docs_quality), dup-word fraction ≤ 0.65 (same empties-kept split as
+    docs_repetition), tiered source mixture (same mix64 draw as
+    docs_source_mixture)."""
+    lat, ref = _mix_chain("cc", ["d.doc_id"], [97])
+    return f"""
+    WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        CAST(length({_TOKENS}) AS BIGINT) AS n_tokens
+                 FROM documents),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+    rep AS (SELECT doc_id, count(*) AS nw, count(DISTINCT word) AS nu
+            FROM w GROUP BY doc_id),
+    ded AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+                        THEN 1 ELSE 0 END AS keep_dedup
+            FROM documents),
+    mx AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                  CASE WHEN CAST({ref} % 1000000 AS BIGINT) < CASE
+                      WHEN d.source IN ('src0','src1','src2','src3','src4')
+                           THEN 1000000
+                      WHEN d.source IN ('src5','src6','src7','src8','src9')
+                           THEN 500000
+                      WHEN d.source IN ('src10','src11','src12','src13',
+                                        'src14') THEN 100000
+                      ELSE 0 END THEN 1 ELSE 0 END AS keep_mixture
+           FROM documents d, {lat})
+    SELECT t.doc_id,
+           CAST(ded.keep_dedup AS BIGINT) AS keep_dedup,
+           CAST(CASE WHEN t.n_tokens BETWEEN 25 AND 80 THEN 1 ELSE 0 END
+                AS BIGINT) AS keep_quality,
+           CAST(CASE WHEN (rep.nw - rep.nu) * 1.0 / rep.nw <= 0.65
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep_repetition,
+           CAST(mx.keep_mixture AS BIGINT) AS keep_mixture,
+           CAST(ded.keep_dedup
+                * CASE WHEN t.n_tokens BETWEEN 25 AND 80 THEN 1 ELSE 0 END
+                * CASE WHEN (rep.nw - rep.nu) * 1.0 / rep.nw <= 0.65
+                       THEN 1 ELSE 0 END
+                * mx.keep_mixture AS BIGINT) AS keep
+    FROM tok t
+    JOIN rep USING (doc_id)
+    JOIN ded USING (doc_id)
+    JOIN mx USING (doc_id)
+    """
+
+
 _TOP_TOKENS_SQL = """
     WITH dw AS (SELECT DISTINCT doc_id,
                        unnest(regexp_extract_all(lower(text),
@@ -1085,4 +1134,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_bins": _pack_bins_sql(),
         "docs_source_mixture": _source_mixture_sql(),
         "docs_top_tokens": _TOP_TOKENS_SQL,
+        "docs_clean_corpus": _clean_corpus_sql(),
     }

@@ -128,3 +128,67 @@ def test_batch_shingle_kernel_matches_scalar():
     for i, t in enumerate(cases):
         got = flat[starts[i]: starts[i] + lens[i]]
         assert np.array_equal(shingle_hashes(t), got), (i, t)
+
+
+def test_export_shuffled_resume(tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ttmf_ray.stages.curation import export_shuffled
+    from ttmf_ray.state.manifest import completed_shards
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out1 = str(tmp_path / "one")
+    r = export_shuffled(ds, out1, seed=5, n_shards=4)
+    assert r["shards_processed"] == 4
+
+    out2 = str(tmp_path / "two")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        export_shuffled(ds, out2, seed=5, n_shards=4, fail_after_shards=2)
+    assert len(completed_shards(out2)) == 2
+    r2 = export_shuffled(ds, out2, seed=5, n_shards=4)
+    assert r2 == {"shards_total": 4, "shards_skipped": 2,
+                  "shards_processed": 2}
+    # re-run is a no-op
+    assert export_shuffled(ds, out2, seed=5, n_shards=4) \
+        ["shards_processed"] == 0
+
+    def load(d):
+        return {p.split("/")[-2]: pq.read_table(p).to_pandas()
+                for p in sorted(glob.glob(f"{d}/shard=*/part-0.parquet"))}
+
+    a, b = load(out1), load(out2)
+    assert a.keys() == b.keys() and len(a) == 4
+    all_ids = []
+    for k in a:
+        pd.testing.assert_frame_equal(a[k], b[k])   # resume == single-shot
+        assert list(a[k]["pos"]) == list(range(len(a[k])))  # shuffle order
+        all_ids += list(a[k]["doc_id"])
+    assert sorted(all_ids) == sorted(
+        ds.to_pandas()["doc_id"])                    # exactly-once rows
+
+
+def test_clean_corpus_drops_planted_duplicate():
+    from ttmf_ray.stages.curation import clean_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the hills where it finds a very quiet place to "
+            "rest for a while before returning home again at last")
+    texts = [base, "tiny", base, base + " extra tail words here now"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+    }))
+    out = clean_corpus(ds, {"s": 1.0}, min_tokens=5, max_tokens=100,
+                       max_dup_word_frac=0.9).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(out["keep_dedup"]) == [1, 1, 0, 1]   # doc 2 loses to doc 0
+    assert out.loc[1, "keep_quality"] == 0           # "tiny" under min_tokens
+    assert out.loc[0, "keep"] == 1
+    assert out.loc[2, "keep"] == 0
+    assert (out["keep"] ==
+            out[[c for c in out.columns if c.startswith("keep_")]]
+            .min(axis=1)).all()

@@ -35,6 +35,7 @@ SUBSET = [
     "docs_pack_bins",
     "docs_source_mixture",
     "docs_top_tokens",
+    "docs_clean_corpus",
 ]
 
 

@@ -586,3 +586,15 @@ def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
 
     out = top_tokens(_docs_ds(sf_dir, ["doc_id", "text"]), k=50)
     return out[["token", "df"]]
+
+
+def docs_clean_corpus(sf_dir: str) -> pd.DataFrame:
+    """Composed C4-style cleaning pass: exact-dup winner + token band
+    [25, 80] + dup-word fraction ≤ 0.65 + the tiered source mixture —
+    per-rule flags and the final AND, one row per document."""
+    from ..stages.curation import clean_corpus
+
+    out = clean_corpus(_docs_ds(sf_dir, ["doc_id", "text", "source"]),
+                       _MIX_WEIGHTS, mix_seed=_MIX_SEED).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("doc_id").reset_index(drop=True)

@@ -261,3 +261,157 @@ def top_tokens(docs_ds, *, k: int = 50, text_col: str = "text"):
     df = agg.sort(["sum(df)", "token"], descending=[True, False]) \
         .limit(k).to_pandas().rename(columns={"sum(df)": "df"})
     return df.astype({"df": np.int64}).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Resumable shuffled export (shuffle_export → hash_join payload →
+# per-shard atomic parquet + manifest)
+# ---------------------------------------------------------------------------
+
+def export_shuffled(docs_ds, out_dir: str, *, seed: int = 41,
+                    n_shards: int = 8, id_col: str = "doc_id",
+                    fingerprint: str | None = None,
+                    fail_after_shards: int | None = None) -> dict:
+    """Write the corpus as ``n_shards`` pseudo-shuffled parquet shards
+    (rows ordered by the seeded shuffle position), each committed with an
+    atomic manifest row — the training-data export that a killed run
+    resumes without losing or duplicating rows.
+
+    The payload joins the (doc_id, shard, pos) assignment via one
+    streaming hash join; the joined Dataset materializes to the OBJECT
+    STORE once, so the per-shard filter passes never recompute the input.
+    Shard size is the resumability granularity: pick ``n_shards`` so one
+    shard ≈ one output file.  ``fingerprint`` defaults to a cheap
+    (seed, n_shards, row-count) tag; pass a content checksum when input
+    rows can change without changing the count.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.joins import hash_join
+    from ..state import manifest as mf
+
+    docs_ds = docs_ds.materialize()
+    if fingerprint is None:
+        fingerprint = f"shuffle:{seed}:{n_shards}:{docs_ds.count()}"
+    shards = {sid: f"{fingerprint}|shard{sid}" for sid in range(n_shards)}
+    todo = mf.resume_shards(out_dir, shards)
+    done_before = n_shards - len(todo)
+    if not todo:
+        return {"shards_total": n_shards, "shards_skipped": done_before,
+                "shards_processed": 0}
+
+    assign = shuffle_export(docs_ds, seed=seed, n_shards=n_shards,
+                            id_col=id_col)
+    joined = hash_join(assign, docs_ds, on=id_col).materialize()
+
+    processed = 0
+    for sid in todo:
+        if fail_after_shards is not None and processed >= fail_after_shards:
+            raise RuntimeError(f"injected failure after {processed} shards")
+        t0 = mf.now()
+        import ray
+
+        part = joined.map_batches(
+            lambda t, s=sid: t.filter(pc.equal(t.column("shard"), s)),
+            batch_format="pyarrow")
+        tbls = ray.get(part.to_arrow_refs())
+        tbl = pa.concat_tables([t for t in tbls if t.num_rows] or tbls[:1])
+        order = np.argsort(tbl.column("pos").to_numpy(), kind="stable")
+        tbl = tbl.take(pa.array(order)).drop_columns(["shard"])
+        rows = mf.write_shard_parquet(tbl, out_dir, sid)
+        mf.commit_shard(out_dir, mf.ShardRecord(
+            shard_id=sid,
+            input_fingerprint=shards[sid],
+            rows_in=int(tbl.num_rows),
+            rows_out=rows,
+            counters={"seed": seed},
+            wall_sec=mf.now() - t0,
+            finished_at=mf.now(),
+        ))
+        processed += 1
+    return {"shards_total": n_shards, "shards_skipped": done_before,
+            "shards_processed": processed}
+
+
+# ---------------------------------------------------------------------------
+# Composed cleaning pipeline (C4-style): dedup + quality + repetition +
+# source mixture, per-rule flags
+# ---------------------------------------------------------------------------
+
+def clean_corpus(docs_ds, weights: dict[str, float], *, mix_seed: int = 97,
+                 min_tokens: int = 25, max_tokens: int = 80,
+                 max_dup_word_frac: float = 0.65,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 source_col: str = "source"):
+    """The composed corpus-cleaning pass every pretraining pipeline runs:
+    per-document rule flags (exact-dup winner, token-count band, word
+    repetition, seeded source mixture) and the final AND.
+
+    One streaming flag pass (reusing the tested quality/repetition
+    kernels), one groupby over (content_hash, doc_id) SIGNATURE rows for
+    the dedup winner, one hash join to attach it — no broadcast of
+    corpus-sized state, no per-text map_groups.  Returns
+    (doc_id, keep_dedup, keep_quality, keep_repetition, keep_mixture,
+    keep).
+    """
+    from ray.data.aggregate import Min
+
+    from ..functions.joins import hash_join
+    from .dedup import stable_hash64
+    from .text import quality_batch, repetition_batch
+
+    w_items = sorted(weights.items())
+    names = np.asarray([k for k, _ in w_items], dtype=object)
+    thresh = np.asarray(
+        [min(int(round(v * _MIX_SCALE)), _MIX_SCALE) for _, v in w_items],
+        dtype=np.int64)
+
+    def flags(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        q = quality_batch(t, id_col=id_col, text_col=text_col)
+        r = repetition_batch(t, id_col=id_col, text_col=text_col)
+        n_tok = q.column("n_tokens").to_numpy()
+        dupf = r.column("dup_word_frac").to_numpy()
+        keep_q = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        keep_r = dupf <= max_dup_word_frac
+        if len(names):
+            src = t.column(source_col).to_numpy(zero_copy_only=False)
+            draw = (mix64_vec(mix_seed, ids)
+                    % np.uint64(_MIX_SCALE)).astype(np.int64)
+            pos = np.clip(np.searchsorted(names, src), 0, len(names) - 1)
+            keep_m = (names[pos] == src) & (draw < thresh[pos])
+        else:
+            keep_m = np.zeros(len(ids), dtype=bool)
+        ch = np.fromiter(
+            (stable_hash64(x) for x in t.column(text_col).to_pylist()),
+            dtype=np.uint64, count=len(ids)).view(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "content_hash": pa.array(ch),
+            "keep_quality": pa.array(keep_q.astype(np.int64)),
+            "keep_repetition": pa.array(keep_r.astype(np.int64)),
+            "keep_mixture": pa.array(keep_m.astype(np.int64)),
+        })
+
+    flags_ds = docs_ds.map_batches(flags, batch_format="pyarrow") \
+        .materialize()
+    winners = flags_ds.groupby("content_hash") \
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+    joined = hash_join(flags_ds, winners, on="content_hash")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep_d = (ids == t.column("keep_id").to_numpy()).astype(np.int64)
+        kq = t.column("keep_quality").to_numpy()
+        kr = t.column("keep_repetition").to_numpy()
+        km = t.column("keep_mixture").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "keep_dedup": pa.array(keep_d),
+            "keep_quality": pa.array(kq),
+            "keep_repetition": pa.array(kr),
+            "keep_mixture": pa.array(km),
+            "keep": pa.array(keep_d & kq & kr & km),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
