@@ -481,30 +481,42 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
                          epochs=cfg.fusion_epochs, path_emb=(Ep, Rp),
                          workers=fusion_workers)
     _lap("fusion_train")
-    model_bc = Broadcast(model)
-    from functools import partial
+    from ..functions.fusion import score_fusion_batch
 
-    from ..context import auto_pool, pool_resources, spread
-
-    from ..functions.fusion import score_fusion_task
-
-    test_ds = spread(rd.from_pandas(conf_test))
-    if cfg.scorer_num_gpus:
-        scored_ds = test_ds.map_batches(
-            FusionScorer, fn_constructor_kwargs={"model_bc": model_bc},
-            batch_format="pyarrow", batch_size=4096,
-            concurrency=auto_pool(0.25),
-            **pool_resources(num_gpus=cfg.scorer_num_gpus),
-        )
+    if cfg.scorer_num_gpus is None and len(conf_test) <= 1_000_000:
+        # driver fast path: per-row math on a conf table this small is
+        # ~20 ms of numpy; the Ray round-trip (from_pandas + spread +
+        # dispatch + collect) measured 6.7 s for the same 48k rows.  Same
+        # kernel as the pool path ⇒ bit-identical conf values.
+        scored = score_fusion_batch(
+            pa.Table.from_pandas(conf_test, preserve_index=False), model
+        ).to_pandas().sort_values(["h", "t", "r", "flag"],
+                                  ignore_index=True)
     else:
-        # task pool: no actor spin-up (measured ~2 s of a 4 s scoring wall
-        # for a 48k-row conf table); the model ships once via broadcast
-        scored_ds = test_ds.map_batches(
-            partial(score_fusion_task, model_bc=model_bc),
-            batch_format="pyarrow", batch_size=4096,
-        )
-    scored = scored_ds.to_pandas().sort_values(["h", "t", "r", "flag"],
-                                               ignore_index=True)
+        model_bc = Broadcast(model)
+        from functools import partial
+
+        from ..context import auto_pool, pool_resources, spread
+
+        from ..functions.fusion import score_fusion_task
+
+        test_ds = spread(rd.from_pandas(conf_test))
+        if cfg.scorer_num_gpus:
+            scored_ds = test_ds.map_batches(
+                FusionScorer, fn_constructor_kwargs={"model_bc": model_bc},
+                batch_format="pyarrow", batch_size=4096,
+                concurrency=auto_pool(0.25),
+                **pool_resources(num_gpus=cfg.scorer_num_gpus),
+            )
+        else:
+            # task pool: no actor spin-up; the model ships once via
+            # broadcast — the scale path for conf tables beyond 1M rows
+            scored_ds = test_ds.map_batches(
+                partial(score_fusion_task, model_bc=model_bc),
+                batch_format="pyarrow", batch_size=4096,
+            )
+        scored = scored_ds.to_pandas().sort_values(["h", "t", "r", "flag"],
+                                                   ignore_index=True)
     _lap("fusion_score")
 
     conf = scored["conf"].to_numpy()
