@@ -99,9 +99,11 @@ class NegativeSampler:
     bit-identical to the original per-row mix64 loop.
     """
 
-    def __init__(self, gold_bc: Broadcast, *, n_entities: int,
+    def __init__(self, gold_bc, *, n_entities: int,
                  n_relations: int, seed: int = 628):
-        self.gold = gold_bc.get()  # sorted uint64 packed keys
+        # Broadcast ref (actor path) or the sorted packed array itself
+        # (driver fast path — labeled_examples_local)
+        self.gold = gold_bc.get() if hasattr(gold_bc, "get") else gold_bc
         self.n_entities = n_entities
         self.n_relations = n_relations
         self.seed = seed
@@ -169,6 +171,24 @@ def labeled_examples(pos_ds, gold, *, n_entities: int, n_relations: int,
         batch_size=8192,
         concurrency=auto_pool(),
     )
+
+
+def labeled_examples_local(pos_df, gold_packed: np.ndarray, *,
+                           n_entities: int, n_relations: int,
+                           seed: int = 628):
+    """Driver-side twin of :func:`labeled_examples` for SMALL splits:
+    same seeded per-(h,t,r) kernel ⇒ bit-identical rows; skips the Ray
+    round-trip (from_pandas + spread + actor pool + collect), which
+    measured ~2.5 s of trust critical path for a 24k-row split.
+
+    ``gold_packed`` is the pre-sorted packed gold-key array (share it
+    across the valid/test calls instead of re-packing per call).
+    """
+    sampler = NegativeSampler(gold_packed, n_entities=n_entities,
+                              n_relations=n_relations, seed=seed)
+    tbl = pa.Table.from_pandas(pos_df[["h", "t", "r"]],
+                               preserve_index=False)
+    return sampler(tbl).to_pandas()
 
 
 def deterministic_sample(ds, *, n: int, key_cols: list[str],

@@ -270,23 +270,39 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     th_kge.start()
 
     # ---- labeled examples (D4) -----------------------------------------
-    # gold set ships as a sorted packed-key uint64 array (8 B/triple in the
-    # object store), not a Python frozenset (~100 B/triple of driver heap).
-    # valid and test run CONCURRENTLY (independent seeds/inputs — two
-    # serialized ~3 s Dataset consumptions otherwise)
-    def _labeled(df, seed):
-        return lambda: labeled_examples(
-            rd.from_pandas(df), triples, n_entities=n_ent,
-            n_relations=n_rel, seed=seed
-        ).to_pandas().sort_values(["h", "t", "r", "flag"],
-                                  ignore_index=True)
+    # gold membership is a sorted packed-key array; splits this small
+    # (valid+test ≈ 20% of the KG) sample on the DRIVER with the same
+    # seeded kernel — bit-identical to the actor path, minus a measured
+    # ~2.5 s Ray round-trip on the critical chain.  The actor-pool path
+    # (labeled_examples) remains the scale route for huge splits.
+    if len(valid_df) + len(test_df) <= 1_000_000:
+        from ..functions.sampling import labeled_examples_local
 
-    th_cv = _StageThread(_labeled(valid_df, cfg.neg_seed))
-    th_ct = _StageThread(_labeled(test_df, cfg.neg_seed + 1))
-    th_cv.start()
-    th_ct.start()
-    conf_valid = th_cv.join_result()
-    conf_test = th_ct.join_result()
+        packed_gold = np.sort(pack_triples(
+            triples[:, 0], triples[:, 1], triples[:, 2],
+            n_entities=n_ent, n_relations=n_rel))
+        conf_valid = labeled_examples_local(
+            valid_df, packed_gold, n_entities=n_ent, n_relations=n_rel,
+            seed=cfg.neg_seed).sort_values(["h", "t", "r", "flag"],
+                                           ignore_index=True)
+        conf_test = labeled_examples_local(
+            test_df, packed_gold, n_entities=n_ent, n_relations=n_rel,
+            seed=cfg.neg_seed + 1).sort_values(["h", "t", "r", "flag"],
+                                               ignore_index=True)
+    else:
+        def _labeled(df, seed):
+            return lambda: labeled_examples(
+                rd.from_pandas(df), triples, n_entities=n_ent,
+                n_relations=n_rel, seed=seed
+            ).to_pandas().sort_values(["h", "t", "r", "flag"],
+                                      ignore_index=True)
+
+        th_cv = _StageThread(_labeled(valid_df, cfg.neg_seed))
+        th_ct = _StageThread(_labeled(test_df, cfg.neg_seed + 1))
+        th_cv.start()
+        th_ct.start()
+        conf_valid = th_cv.join_result()
+        conf_test = th_ct.join_result()
     _lap("negative_sampling")
 
     # ---- the three heavy stages, OVERLAPPED ----------------------------
