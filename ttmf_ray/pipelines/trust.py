@@ -84,36 +84,6 @@ class TrustConfig:
     checkpoint_dir: str | None = None     # stage checkpoints (KGE reuse)
 
 
-def _collect_matching(feature_ds, key_cols: list[str], keys: set) -> pd.DataFrame:
-    """Stream a big feature Dataset, keep only rows whose key tuple is in a
-    broadcast set (semi-join), materialize the small matched remainder.
-
-    This is the J2/J3 join specialized for a small probe side: the big
-    side never materializes, the filter is per-batch, the result is
-    bounded by |keys|.
-    """
-    assert len(key_cols) == 2
-    packed = np.sort(np.fromiter(
-        ((int(a) << 32) | int(b) for a, b in keys), dtype=np.int64,
-        count=len(keys),
-    ))
-    keys_bc = Broadcast(packed)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        karr = keys_bc.get()
-        a = batch.column(key_cols[0]).to_numpy().astype(np.int64)
-        b = batch.column(key_cols[1]).to_numpy().astype(np.int64)
-        probe = (a << 32) | b
-        if len(karr) == 0:
-            return batch.filter(pa.array(np.zeros(len(probe), dtype=bool)))
-        pos = np.searchsorted(karr, probe)
-        pos = np.clip(pos, 0, len(karr) - 1)
-        mask = karr[pos] == probe
-        return batch.filter(pa.array(mask))
-
-    return feature_ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-
-
 def _dict_to_arr(d: dict[int, float], n: int, default: float) -> np.ndarray:
     """{id → value} → dense lookup array (vectorized fancy-index attach)."""
     arr = np.full(n, default, dtype=np.float64)
