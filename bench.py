@@ -23,6 +23,22 @@ import sys
 import time
 
 
+def steal_canary() -> dict:
+    """Objective host-steal probe: a FIXED single-thread workload (pure
+    Python loop — no BLAS threads, no allocation) measured in wall vs
+    process CPU time.  On a dedicated core ratio ≈ 1.0; during this
+    sandbox's steal episodes the same loop has measured ratios > 10.
+    Reported per run so a slow wall can be attributed (host) or not
+    (code)."""
+    t0, c0 = time.time(), time.process_time()
+    x = 0
+    for i in range(3_000_000):
+        x += i & 7
+    wall, cpu = time.time() - t0, time.process_time() - c0
+    return {"wall": round(wall, 3), "cpu": round(cpu, 3),
+            "ratio": round(wall / max(cpu, 1e-9), 2), "_x": x % 2}
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,7 +84,9 @@ def run_bench() -> dict:
     )
     reps = max(1, int(os.environ.get("RAY_GRAFT_BENCH_REPS", "3")))
     attempts = []
+    canaries = []
     for _ in range(reps):
+        canaries.append(steal_canary())
         t0 = time.time()
         edges = kg_construct(rd.read_parquet(corpus_path)).materialize()
         n_edges = edges.count()
@@ -77,6 +95,7 @@ def run_bench() -> dict:
         res = trust_pipeline(edges, cfg)
         wall_b = round(time.time() - t0, 3)
         attempts.append((wall_a, wall_b, n_edges, res))
+    canaries.append(steal_canary())
     rep_walls = [round(a + b, 3) for a, b, _, _ in attempts]
     wall_a, wall_b, n_edges, res = min(attempts, key=lambda x: x[0] + x[1])
     queries["kg_construct"] = wall_a
@@ -122,6 +141,10 @@ def run_bench() -> dict:
         "triples_per_sec": round(n_edges / headline, 1),
         "accuracy": round(res["accuracy"], 4),
         "max_f1": round(res["max_f1"], 4),
+        # host-steal attribution: fixed single-thread probe before each
+        # rep and after the last (wall≈cpu ⇒ quiet host; see BASELINE.md)
+        "steal_canary": [{k: v for k, v in c.items() if k != "_x"}
+                         for c in canaries],
         "trust_timings": res.get("timings", {}),
     }
     ray.shutdown()
@@ -198,6 +221,13 @@ def run_scaling() -> dict:
         "rep_walls_lo": r_lo.get("rep_walls", [r_lo["value"]]),
         "rep_walls_hi": r_hi.get("rep_walls", [r_hi["value"]]),
         "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+        # per-rep host-steal probes from EVERY leg run (not just the best):
+        # wall≈0.12 s / ratio≈1.0 on a quiet host — a leg whose canaries
+        # blow up was measured during a steal episode, not a code change
+        "steal_canary": {
+            f"cpus{n}_rep{i}": r.get("steal_canary")
+            for n, runs in runs_map.items() for i, r in enumerate(runs)
+        },
         "trust_timings_lo": r_lo.get("trust_timings", {}),
         "trust_timings_hi": r_hi.get("trust_timings", {}),
     }
