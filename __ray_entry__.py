@@ -31,10 +31,11 @@ mirrored value-for-value):
 - ``media_features_real`` — inputs are synthesized binary WAV/PPM
   payloads (no DuckDB-visible table); the decode kernels carry their own
   roundtrip assertions in test_media.py.
-- ``kg_graph_features`` — the PPR column early-stops on a float L1 norm
-  (data-dependent iteration count); its two halves carry exact mirrors
-  (``kg_subgraph_stats`` for BFS/degrees/depth, ``kg_ppr_micro`` for the
-  PPR iteration on a pinned graph).
+(``kg_graph_features`` and the symmetrized-graph ``kg_graph_features_sym``
+are FULLY mirrored — including the PPR column with its data-dependent
+iteration count, via a recursive CTE running the identical update to the
+identical L1 stopping rule; ``kg_subgraph_stats`` / ``kg_ppr_micro``
+remain as focused single-kernel mirrors.)
 """
 
 from __future__ import annotations
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
+        "kg_graph_features_sym": cq.kg_graph_features_sym,
         "kg_subgraph_stats": cq.kg_subgraph_stats,
         "kg_ppr_micro": cq.kg_ppr_micro,
         "kg_kgc_negatives": cq.kg_kgc_negatives,
@@ -559,6 +561,130 @@ _PPR_MICRO_SQL = """
     UNION ALL SELECT 3, ROUND(v3, 6) FROM last
     UNION ALL SELECT 4, ROUND(v4, 6) FROM last
 """
+
+def _graph_features_sql(sym: bool) -> str:
+    """FULL mirror of kg_graph_features[_sym] — BFS subgraph + degrees +
+    personalized PageRank with the reference's data-dependent stopping
+    rule (`pagerank.py:18-85`: L1 change < 1e-5, ≤500 iterations) as a
+    recursive CTE over (head, node) rows.
+
+    Every non-recursive CTE is MATERIALIZED: the level-unrolled BFS
+    references each previous level twice, and DuckDB 1.0 otherwise
+    INLINES the chain exponentially (measured: fd exhaustion from
+    re-opened parquet scans at depth 4).
+
+    PPR recursion shape: ``aug`` holds three row kinds per head —
+    subgraph edges (weight 0.85·cnt/outsum), the dangling fix
+    (self-loop 0.5 + edge-to-core 0.5, `graph.py:166-177`), and one
+    self "carrier" row per node (self=1, damp=0.15/N) so each step can
+    compute both the new value (Σ pr·aw + damp) and the old value
+    (Σ pr·self) for the L1 stopping test with a single scan of the
+    recursive table.  Converged heads stop generating rows; the final
+    iterate per head is selected with QUALIFY it = max(it)."""
+    if sym:
+        base = """
+    base AS MATERIALIZED (SELECT h, t FROM idmapped
+             UNION ALL SELECT t, h FROM idmapped),"""
+        heads = """
+    nent AS MATERIALIZED (SELECT count(*) AS n FROM
+             (SELECT h FROM idmapped UNION SELECT t FROM idmapped)),
+    heads AS MATERIALIZED (SELECT 0 AS head FROM nent
+              UNION ALL SELECT n // 3 FROM nent
+              UNION ALL SELECT (2 * n) // 3 FROM nent),"""
+    else:
+        base = """
+    base AS MATERIALIZED (SELECT h, t FROM idmapped),"""
+        heads = """
+    heads AS MATERIALIZED (SELECT h AS head FROM
+              (SELECT DISTINCT h FROM idmapped ORDER BY h LIMIT 20)),"""
+    levels = []
+    prev_lvl = "l0"
+    for d in (1, 2, 3, 4):
+        levels.append(f"""
+    l{d} AS MATERIALIZED (SELECT DISTINCT c.head, p.v AS node, {d} AS depth
+           FROM {prev_lvl} c JOIN pairs p ON p.u = c.node
+           WHERE NOT EXISTS (SELECT 1 FROM c{d-1} x
+                             WHERE x.head = c.head AND x.node = p.v)),
+    c{d} AS MATERIALIZED (SELECT head, node FROM c{d-1}
+           UNION ALL SELECT head, node FROM l{d}),""")
+        prev_lvl = f"l{d}"
+    levels_sql = "".join(levels)
+    return f"""
+    WITH RECURSIVE idmapped AS MATERIALIZED ({_IDMAPPED_SQL}),{base}
+    pairs AS MATERIALIZED (SELECT h AS u, t AS v, count(*)::DOUBLE AS cnt
+              FROM base GROUP BY h, t),
+    outsum AS MATERIALIZED (SELECT u, sum(cnt) AS s FROM pairs
+              GROUP BY u),{heads}
+    l0 AS MATERIALIZED (SELECT head, head AS node, 0 AS depth FROM heads),
+    c0 AS MATERIALIZED (SELECT head, node FROM l0),{levels_sql}
+    nodes AS MATERIALIZED (SELECT head, node, depth FROM l0
+              UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+              UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l4),
+    nsize AS MATERIALIZED (SELECT head, count(*) AS n FROM nodes
+              GROUP BY head),
+    sedges AS MATERIALIZED (SELECT x.head, p.u, p.v, p.cnt / o.s AS w
+               FROM nodes x
+               JOIN pairs p ON p.u = x.node
+               JOIN outsum o ON o.u = x.node
+               WHERE x.depth <= 3),
+    dang AS MATERIALIZED (SELECT n.head, n.node FROM nodes n
+             WHERE NOT EXISTS (SELECT 1 FROM sedges s
+                               WHERE s.head = n.head AND s.u = n.node)),
+    aug AS MATERIALIZED (
+        SELECT head, u, v, 0.85 * w AS aw, 0.0::DOUBLE AS self,
+               0.0::DOUBLE AS damp
+        FROM sedges
+        UNION ALL
+        SELECT head, node, node, 0.85 * 0.5, 0.0, 0.0 FROM dang
+        UNION ALL
+        SELECT head, node, head, 0.85 * 0.5, 0.0, 0.0
+        FROM dang WHERE node <> head
+        UNION ALL
+        SELECT n.head, n.node, n.node, 0.0, 1.0, 0.15::DOUBLE / z.n
+        FROM nodes n JOIN nsize z ON z.head = n.head
+    ),
+    pr(it, head, node, v, chg) AS (
+        SELECT 0, head, node,
+               CASE WHEN node = head THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END,
+               1e9::DOUBLE
+        FROM nodes
+        UNION ALL
+        SELECT x.it + 1, x.head, x.node, x.nv,
+               sum(abs(x.nv - x.ov)) OVER (PARTITION BY x.head)
+        FROM (
+            SELECT p.it, a.head, a.v AS node,
+                   sum(p.v * a.aw) + max(a.damp) AS nv,
+                   sum(p.v * a.self) AS ov
+            FROM pr p JOIN aug a ON a.head = p.head AND a.u = p.node
+            WHERE p.chg >= 1e-5 AND p.it < 500
+            GROUP BY p.it, a.head, a.v
+        ) x
+    ),
+    final AS MATERIALIZED (SELECT head, node, v FROM pr
+              QUALIFY it = max(it) OVER (PARTITION BY head)),
+    outd AS MATERIALIZED (SELECT head, u AS node, count(*) AS out_n
+             FROM sedges GROUP BY head, u),
+    ind AS MATERIALIZED (SELECT head, v AS node, count(*) AS in_n
+            FROM sedges GROUP BY head, v),
+    stats AS MATERIALIZED (
+        SELECT n.head, n.node, n.depth,
+               COALESCE(i.in_n, 0) AS in_n, COALESCE(o.out_n, 0) AS out_n
+        FROM nodes n
+        LEFT JOIN outd o ON o.head = n.head AND o.node = n.node
+        LEFT JOIN ind i ON i.head = n.head AND i.node = n.node
+    ),
+    core AS MATERIALIZED (SELECT head, in_n AS in_c, out_n AS out_c
+             FROM stats WHERE node = head)
+    SELECT CAST(s.head AS BIGINT) AS head, CAST(s.node AS BIGINT) AS node,
+           ROUND(f.v, 8) AS pr,
+           CAST(c.in_c AS BIGINT) AS in_c, CAST(c.out_c AS BIGINT) AS out_c,
+           CAST(s.in_n AS BIGINT) AS in_n, CAST(s.out_n AS BIGINT) AS out_n,
+           CAST(s.depth AS BIGINT) AS depth, FALSE AS truncated
+    FROM stats s
+    JOIN core c ON c.head = s.head
+    JOIN final f ON f.head = s.head AND f.node = s.node
+"""
+
 
 _LANG_WORDS = "list_transform(regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x))"
 _PROFILES_SQL = {
@@ -1109,6 +1235,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_negative_samples": _neg_samples_sql(),
         "kg_kgc_negatives": _kgc_negatives_sql(),
+        "kg_graph_features": _graph_features_sql(sym=False),
+        "kg_graph_features_sym": _graph_features_sql(sym=True),
         "kg_subgraph_stats": _SUBGRAPH_STATS_SQL,
         "kg_ppr_micro": _PPR_MICRO_SQL,
         "docs_lang_detect": _LANG_DETECT_SQL,

@@ -36,6 +36,8 @@ SUBSET = [
     "docs_source_mixture",
     "docs_top_tokens",
     "docs_clean_corpus",
+    "kg_graph_features",
+    "kg_graph_features_sym",
 ]
 
 

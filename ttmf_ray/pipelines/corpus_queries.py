@@ -250,23 +250,56 @@ def kg_negative_samples(sf_dir: str) -> pd.DataFrame:
         .sort_values(["h", "t", "r", "flag"]).reset_index(drop=True)
 
 
-def kg_graph_features(sf_dir: str) -> pd.DataFrame:
-    """Fused subgraph→PPR→RR features for the 20 smallest-id heads of the
-    relational KG (deterministic sample)."""
-    from ..stages.graph import build_csr, graph_features_for_heads
+def _graph_features_frame(heads, csr) -> pd.DataFrame:
+    """Shared tail of the two graph-features queries: run the fused
+    stage uncapped (the SQL mirror assumes no truncation), round pr."""
+    from ..stages.graph import graph_features_for_heads
 
-    ent_df, rel_df, ids = _relational_kg(sf_dir)
-    tr = ids[["h", "t", "r"]].to_numpy().astype(np.int64)
-    csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], len(ent_df))
-    heads = sorted(set(tr[:, 0].tolist()))[:20]
     out = graph_features_for_heads(
-        rd.from_pandas(pd.DataFrame({"head": heads})), csr
+        rd.from_pandas(pd.DataFrame({"head": heads})), csr,
+        max_nodes=200000,
     ).to_pandas()
+    assert not out["truncated"].any(), "oracle mirror assumes no truncation"
     out["pr"] = out["pr"].round(8)
     return out.astype({c: np.int64 for c in
                        ["head", "node", "in_c", "out_c", "in_n", "out_n",
                         "depth"]}) \
         .sort_values(["head", "node"]).reset_index(drop=True)
+
+
+def kg_graph_features(sf_dir: str) -> pd.DataFrame:
+    """Fused subgraph→PPR→RR features (T1+T2+T3) for the 20 smallest-id
+    heads of the relational KG — EXACT SQL mirror including the PPR
+    column: the oracle runs the identical update to the identical
+    data-dependent stopping rule (L1 change < 1e-5, ≤500 iters) as a
+    recursive CTE over (head, node) rows."""
+    from ..stages.graph import build_csr
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    tr = ids[["h", "t", "r"]].to_numpy().astype(np.int64)
+    csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], len(ent_df))
+    heads = sorted(set(tr[:, 0].tolist()))[:20]
+    return _graph_features_frame(heads, csr)
+
+
+def kg_graph_features_sym(sf_dir: str) -> pd.DataFrame:
+    """The same fused stage over the SYMMETRIZED relational KG (each edge
+    also reversed, reversed relations get fresh ids) for three spread
+    entity ids — depth-4 balls here are 500–3200 nodes with hundreds of
+    dangling nodes, so the oracle exercises frontier BFS, row-normalized
+    parallel-edge weights, the dangling fix and multi-iteration PPR at a
+    size the directed functional graph (out-degree 1) cannot."""
+    from ..stages.graph import build_csr
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    tr = ids[["h", "t", "r"]].to_numpy().astype(np.int64)
+    n_ent = len(ent_df)
+    h2 = np.concatenate([tr[:, 0], tr[:, 1]])
+    t2 = np.concatenate([tr[:, 1], tr[:, 0]])
+    r2 = np.concatenate([tr[:, 2], tr[:, 2] + len(rel_df)])
+    csr = build_csr(h2, t2, r2, n_ent)
+    heads = sorted({0, n_ent // 3, (2 * n_ent) // 3})
+    return _graph_features_frame(heads, csr)
 
 
 _KG_CACHE: dict = {}
