@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": rel.docs_exact_dedup,
         "docs_quality": rel.docs_quality,
         "docs_token_stats": rel.docs_token_stats,
+        "docs_length_quantiles": rel.docs_length_quantiles,
         "lang_counts": rel.lang_counts,
         "events_hourly": rel.events_hourly,
         "events_thresholds": rel.events_thresholds,
@@ -1059,6 +1060,31 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # exact "lower disc" quantile: the observed value at 0-indexed rank
+        # floor((n-1)*q) of the group's sorted multiset (stages/quantiles.py)
+        "docs_length_quantiles": f"""
+            WITH t AS (SELECT lang, length(text)::BIGINT AS n_chars,
+                              length({_TOKENS})::BIGINT AS n_tokens
+                       FROM documents),
+            n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+            qs(q) AS (SELECT unnest(
+                [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]::DOUBLE[])),
+            oc AS (SELECT lang, n_chars AS v, row_number()
+                       OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rk
+                   FROM t),
+            ot AS (SELECT lang, n_tokens AS v, row_number()
+                       OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS rk
+                   FROM t)
+            SELECT n.lang, qs.q,
+                   CAST(c.v AS BIGINT) AS n_chars_q,
+                   CAST(tk.v AS BIGINT) AS n_tokens_q
+            FROM n CROSS JOIN qs
+            JOIN oc c ON c.lang = n.lang
+                AND c.rk = CAST(floor((n.n - 1) * qs.q) AS BIGINT)
+            JOIN ot tk ON tk.lang = n.lang
+                AND tk.rk = CAST(floor((n.n - 1) * qs.q) AS BIGINT)
+            ORDER BY n.lang, qs.q
         """,
         "events_hourly": """
             SELECT event_type,

@@ -38,6 +38,7 @@ SUBSET = [
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",
+    "docs_length_quantiles",
 ]
 
 

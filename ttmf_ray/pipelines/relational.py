@@ -190,6 +190,33 @@ def docs_token_stats(sf_dir: str) -> pd.DataFrame:
         .sort_values("lang").reset_index(drop=True)
 
 
+def docs_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-language EXACT length quantiles (chars + whitespace tokens)
+    via the histogram-merge quantile stage (stages/quantiles.py) — no
+    global sort; the shuffle moves (lang, col, value, count) rows only,
+    sized by the distinct-value domain, not the corpus."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.text import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        q = quality_batch(b, id_col="doc_id", text_col="text")
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_chars": q.column("n_chars"),
+            "n_tokens": q.column("n_tokens"),
+        })
+
+    out = exact_quantiles(
+        ds.map_batches(feats, batch_format="pyarrow"),
+        ["n_chars", "n_tokens"],
+        [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+        group_col="lang",
+    )
+    return out.astype({"n_chars_q": np.int64, "n_tokens_q": np.int64})
+
+
 def lang_counts(sf_dir: str) -> pd.DataFrame:
     out = _read(sf_dir, "documents", ["lang"]).groupby("lang").count() \
         .to_pandas().rename(columns={"count()": "n"})
