@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct_pages": cq.kg_construct_pages,
         "trust_scores": cq.trust_scores,
         "docs_minhash_dedup": cq.docs_minhash_dedup,
+        "docs_incremental_dedup": cq.docs_incremental_dedup,
         "docs_simhash": cq.docs_simhash,
         "docs_lang_detect": cq.docs_lang_detect,
         "docs_fingerprint": cq.docs_fingerprint,
@@ -1268,6 +1269,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_detect": _LANG_DETECT_SQL,
         "docs_simhash": _simhash_sql(),
         "docs_minhash_dedup": _minhash_dedup_sql(),
+        # incremental mode = full dedup restricted to pairs whose higher
+        # side is a new-shard doc (planted ids ≥ 10M); the Ray side's
+        # bucket prune emits exactly this subset (candidate_pairs new_from)
+        "docs_incremental_dedup": f"""
+            SELECT * FROM ({_minhash_dedup_sql()})
+            WHERE b >= 10000000
+        """,
         "embeddings_near_dup": _embeddings_near_dup_sql(),
         "embeddings_ivf_topk": _ivf_topk_sql(),
         "emb_link_rank": _EMB_LINK_RANK_SQL,

@@ -39,6 +39,7 @@ SUBSET = [
     "kg_graph_features",
     "kg_graph_features_sym",
     "docs_length_quantiles",
+    "docs_incremental_dedup",
 ]
 
 
@@ -70,6 +71,22 @@ def test_minhash_finds_planted_dups(sf_dir):
     planted = pairs[pairs["b"] - pairs["a"] == 10_000_000]
     assert len(planted) >= 20  # 25 planted at sf0.001
     assert (planted["jaccard"] >= 0.5).all()
+
+
+def test_incremental_dedup_is_full_filtered_to_new_side(sf_dir):
+    """Incremental mode (bucket prune + new-side pair filter) must emit
+    exactly the full run's pairs whose higher side is a new-shard doc —
+    the invariant the SQL mirror relies on."""
+    from ttmf_ray.pipelines.corpus_queries import (docs_incremental_dedup,
+                                                   docs_minhash_dedup)
+
+    full = docs_minhash_dedup(sf_dir)
+    inc = docs_incremental_dedup(sf_dir)
+    want = full[full["b"] >= 10_000_000].reset_index(drop=True)
+    pd = __import__("pandas")
+    pd.testing.assert_frame_equal(inc, want)
+    assert len(inc) >= 20          # the planted new docs are recovered
+    assert (inc["a"] < 10_000_000).any()  # matched against the EXISTING side
 
 
 def test_embedding_near_dup_recovers_planted(sf_dir):

@@ -112,6 +112,33 @@ def docs_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         .sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup: dedup a NEW crawl shard against the EXISTING
+    corpus — originals are the existing side, the planted mutations
+    (ids ≥ 10M, monotone shard ids) are the new shard.  Same signatures,
+    bucket PRUNE (existing-only buckets never pair), pairs must involve a
+    new doc as the higher side; verification is the join-based Jaccard.
+    The SQL mirror is the full-dedup mirror filtered to new-side pairs —
+    the prune provably emits exactly that subset."""
+    from ..stages.dedup import MinHashLSH, candidate_pairs, verify_pairs_join
+
+    df = _docs_with_planted_dups(sf_dir)
+    ds = rd.from_pandas(df).materialize()
+    buckets = ds.map_batches(
+        MinHashLSH,
+        fn_constructor_kwargs={"id_col": "doc_id", "text_col": "text"},
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 4),
+    )
+    pairs = candidate_pairs(buckets, new_from=10_000_000)
+    verified = verify_pairs_join(
+        pairs, ds, id_col="doc_id", text_col="text", threshold=0.5,
+        n_buckets=16,
+    ).to_pandas()
+    verified["jaccard"] = verified["jaccard"].round(4)
+    return verified.astype({"a": np.int64, "b": np.int64}) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def embeddings_near_dup(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup: hyperplane-LSH bands → candidate pairs →
     exact cosine verify, over embeddings + planted perturbed copies."""

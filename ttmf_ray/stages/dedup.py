@@ -351,7 +351,8 @@ class MinHashLSH:
         )
 
 
-def candidate_pairs(bucket_rows, *, cap: int = 50):
+def candidate_pairs(bucket_rows, *, cap: int = 50,
+                    new_from: int | None = None):
     """(band, band_hash, doc_id) rows → distinct candidate (a, b) pairs.
 
     Shape: hash-partition on the bucket key (the one shuffle — signature
@@ -362,6 +363,18 @@ def candidate_pairs(bucket_rows, *, cap: int = 50):
     pair sets when a bucket straddled a batch).  ~256 coarse partitions
     keep per-group ``map_groups`` overhead negligible (CLAUDE.md rule 3),
     unlike a per-bucket groupby (measured 146 s at 84k buckets).
+
+    ``new_from`` switches to INCREMENTAL mode (dedup a new crawl shard
+    against the existing corpus): ids ≥ ``new_from`` are the new shard
+    (shard ids are assigned monotonically, so this is one threshold, not
+    a membership set).  Buckets containing no new doc are skipped before
+    pairing, and only pairs whose higher side ``b`` is new survive —
+    exactly the pairs the full run would emit that involve a new doc
+    (pruning skips whole untouched buckets, so cap/chain decisions are
+    unchanged).  At index scale the same prune becomes a partition
+    filter: store the existing corpus's (band, band_hash) rows as
+    band_hash-partitioned parquet and read only partitions the new
+    shard's bucket keys hit (the IVF-on-parquet pattern in stages/ann.py).
     """
     from ..context import num_cpus
 
@@ -397,15 +410,20 @@ def candidate_pairs(bucket_rows, *, cap: int = 50):
             m = len(seg)
             if m < 2:
                 continue
+            if new_from is not None and seg[-1] < new_from:
+                continue  # bucket untouched by the new shard
             if m <= cap:
                 ii, jj = np.triu_indices(m, 1)
-                out_a.append(seg[ii])
-                out_b.append(seg[jj])
+                pa_, pb_ = seg[ii], seg[jj]
             else:
                 # degenerate hot bucket: consecutive pairs only — keeps the
                 # connectivity union-find needs, linear output not quadratic
-                out_a.append(seg[:-1])
-                out_b.append(seg[1:])
+                pa_, pb_ = seg[:-1], seg[1:]
+            if new_from is not None:
+                keep_new = pb_ >= new_from
+                pa_, pb_ = pa_[keep_new], pb_[keep_new]
+            out_a.append(pa_)
+            out_b.append(pb_)
         if not out_a:
             return empty
         return pd.DataFrame({"a": np.concatenate(out_a),
