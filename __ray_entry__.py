@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": rel.docs_quality,
         "docs_token_stats": rel.docs_token_stats,
         "docs_length_quantiles": rel.docs_length_quantiles,
+        "docs_redact_pii": rel.docs_redact_pii,
         "lang_counts": rel.lang_counts,
         "events_hourly": rel.events_hourly,
         "events_thresholds": rel.events_thresholds,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trust_scores": cq.trust_scores,
         "docs_minhash_dedup": cq.docs_minhash_dedup,
         "docs_incremental_dedup": cq.docs_incremental_dedup,
+        "docs_line_dedup": cq.docs_line_dedup,
         "docs_simhash": cq.docs_simhash,
         "docs_lang_detect": cq.docs_lang_detect,
         "docs_fingerprint": cq.docs_fingerprint,
@@ -1062,6 +1064,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        # sequential RE2 redaction; each rule counts against the text as
+        # left by the previous rule (stages/text.py PII_RULES order)
+        "docs_redact_pii": r"""
+            WITH p AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' Contact user' || doc_id
+                                 || '@example.com or 10.0.'
+                                 || (doc_id % 256) || '.7 call +1 555-'
+                                 || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                                 || '.'
+                            ELSE text END AS t
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                       CAST(length(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS BIGINT) AS n_email,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                   FROM p),
+            s2 AS (SELECT doc_id, n_email,
+                       CAST(length(regexp_extract_all(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                           AS BIGINT) AS n_ipv4,
+                       regexp_replace(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ipv4,
+                       CAST(length(regexp_extract_all(t,
+                           '\+\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone,
+                       regexp_replace(t, '\+\d[\d\- ]{7,}\d',
+                           '<PHONE>', 'g') AS t
+                   FROM s2)
+            SELECT doc_id, n_email, n_ipv4, n_phone, t AS text_redacted
+            FROM s3 ORDER BY doc_id
+        """,
         # exact "lower disc" quantile: the observed value at 0-indexed rank
         # floor((n-1)*q) of the group's sorted multiset (stages/quantiles.py)
         "docs_length_quantiles": f"""
@@ -1275,6 +1315,36 @@ def oracle_sql() -> dict[str, str]:
         "docs_incremental_dedup": f"""
             SELECT * FROM ({_minhash_dedup_sql()})
             WHERE b >= 10000000
+        """,
+        # line winner = min(doc_id<<20 | line_no); blank lines bypass dedup
+        # (stages/curation.py:line_dedup, same fixture: second line = next
+        # doc's text)
+        "docs_line_dedup": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN nxt IS NULL THEN text
+                            ELSE text || chr(10) || nxt END AS t
+                FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                             lead(text) OVER (ORDER BY doc_id) AS nxt
+                      FROM documents)),
+            lines AS (
+                SELECT doc_id, u['i'] - 1 AS ln, u['l'] AS line
+                FROM (SELECT doc_id,
+                             unnest(list_transform(str_split(t, chr(10)),
+                                    (l, i) -> {'i': i, 'l': l})) AS u
+                      FROM m)),
+            win AS (SELECT line,
+                           min(doc_id * 1048576 + ln) AS w
+                    FROM lines WHERE length(line) >= 1 GROUP BY line),
+            kept AS (SELECT l.doc_id, l.ln, l.line
+                     FROM lines l LEFT JOIN win ON win.line = l.line
+                     WHERE length(l.line) < 1
+                        OR l.doc_id * 1048576 + l.ln = win.w)
+            SELECT m.doc_id,
+                   COALESCE(string_agg(k.line, chr(10) ORDER BY k.ln), '')
+                       AS text_kept
+            FROM m LEFT JOIN kept k ON k.doc_id = m.doc_id
+            GROUP BY m.doc_id ORDER BY m.doc_id
         """,
         "embeddings_near_dup": _embeddings_near_dup_sql(),
         "embeddings_ivf_topk": _ivf_topk_sql(),

@@ -192,3 +192,31 @@ def test_clean_corpus_drops_planted_duplicate():
     assert (out["keep"] ==
             out[[c for c in out.columns if c.startswith("keep_")]]
             .min(axis=1)).all()
+
+
+def test_line_dedup_semantics_across_blocks():
+    """First occurrence (min doc<<20|line_no) wins; blank lines always
+    kept; a doc whose every line is a later duplicate comes back empty."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.stages.curation import line_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha\nbeta\ngamma",
+            "beta\n\ndelta",        # beta dup (lost), blank kept, delta new
+            "alpha\nbeta",          # everything lost -> ""
+            "delta\nepsilon\n",     # delta lost, epsilon new, trailing blank
+        ],
+    })
+    out = line_dedup(rd.from_pandas(docs).repartition(3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text_kept"].tolist() == [
+        "alpha\nbeta\ngamma",
+        "\ndelta",
+        "",
+        "epsilon\n",
+    ]
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]

@@ -40,6 +40,8 @@ SUBSET = [
     "kg_graph_features_sym",
     "docs_length_quantiles",
     "docs_incremental_dedup",
+    "docs_redact_pii",
+    "docs_line_dedup",
 ]
 
 

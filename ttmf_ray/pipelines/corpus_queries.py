@@ -112,6 +112,28 @@ def docs_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         .sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus-global line-level dedup (C4/RefinedWeb rule: a duplicated
+    line survives only at its first occurrence; docs are rebuilt from
+    kept lines).  Fixture: doc i's text gains doc i+1's text as a second
+    line (pandas shift / SQL lead), so every line occurs twice — each doc
+    keeps its NEIGHBOR's line, loses its own to the predecessor, and the
+    last doc comes back empty.  The SQL twin mirrors winner selection
+    (min doc<<20|line_no), the blank-line bypass and the rebuild."""
+    import pyarrow.parquet as pq
+
+    from ..stages.curation import line_dedup
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    nxt = t["text"].shift(-1)
+    t["text"] = t["text"].where(nxt.isna(), t["text"] + "\n" + nxt)
+    out = line_dedup(rd.from_pandas(t).materialize()).to_pandas()
+    return out.astype({"doc_id": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     """Incremental near-dup: dedup a NEW crawl shard against the EXISTING
     corpus — originals are the existing side, the planted mutations

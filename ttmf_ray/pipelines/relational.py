@@ -217,6 +217,35 @@ def docs_length_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.astype({"n_chars_q": np.int64, "n_tokens_q": np.int64})
 
 
+def docs_redact_pii(sf_dir: str) -> pd.DataFrame:
+    """PII redaction pass (email → IPv4 → phone, sequential) over
+    documents with deterministically planted PII on every 7th doc — the
+    plant and the three RE2 rules are reproduced verbatim in the SQL
+    mirror (both engines run RE2, so match semantics agree)."""
+    from ..stages.text import redact_pii_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        txt = b.column("text").to_pylist()
+        planted = [
+            t + (f" Contact user{i}@example.com or 10.0.{i % 256}.7"
+                 f" call +1 555-{i % 10000:04d}." if i % 7 == 0 else "")
+            for i, t in zip(ids.tolist(), txt)
+        ]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(planted, pa.string())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+        .map_batches(lambda b: redact_pii_batch(b, id_col="doc_id",
+                                                text_col="text"),
+                     batch_format="pyarrow").to_pandas()
+    return out.astype({c: np.int64 for c in
+                       ["doc_id", "n_email", "n_ipv4", "n_phone"]}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def lang_counts(sf_dir: str) -> pd.DataFrame:
     out = _read(sf_dir, "documents", ["lang"]).groupby("lang").count() \
         .to_pandas().rename(columns={"count()": "n"})

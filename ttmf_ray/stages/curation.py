@@ -415,3 +415,137 @@ def clean_corpus(docs_ds, weights: dict[str, float], *, mix_seed: int = 97,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --- corpus-global line-level dedup (C4/RefinedWeb-style) ------------------
+
+_LN_SHIFT = 20  # line-number budget per doc: 2^20 lines
+
+
+def line_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
+               sep: str = "\n", min_line_len: int = 1,
+               n_buckets: int = 64, n_part: int | None = None):
+    """Remove every LATER occurrence of a duplicated line corpus-wide and
+    rebuild each document from its kept lines (C4 / RefinedWeb line
+    dedup).  A line survives only at its first occurrence — the owner is
+    min(doc_id << 20 | line_no); lines shorter than ``min_line_len``
+    (blank separators) bypass dedup and are always kept.
+
+    Shape (what moves at 100 TB): explode → (line, packed-position) rows
+    with a per-batch combiner (one candidate row per distinct in-batch
+    line) → groupby(line).min(packed) builds the winners table → the
+    exploded rows hash-join the winners on a 64-bit line hash (string
+    equality re-checked after the join, so collisions cannot misdedup)
+    → rows whose packed == winner survive → per-doc-bucket rebuild.
+    Line TEXT crosses the wire once into the winners groupby and once in
+    the join; documents themselves are never shuffled.  Keys are exact
+    line strings (mirrored in SQL); at larger scale the winners shuffle
+    can key on the hash alone — same shape, collision-tolerant.
+
+    Returns Dataset (id_col, text_kept) covering EVERY input doc (empty
+    string when all its lines lost) — a zero-line sentinel row per doc
+    carries doc identity through the join.
+    """
+    from ..context import num_cpus
+    from ..functions.joins import hash_join
+    from .dedup import stable_hash64
+    from .text import _as_array
+
+    n_part = n_part or min(256, max(32, num_cpus() * 4))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        col = _as_array(t.column(text_col))
+        split = pc.split_pattern(col, pattern=sep)
+        offs = split.offsets.to_numpy()
+        counts = np.diff(offs).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        ln = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(
+            offs[:-1].astype(np.int64), counts)
+        flat = split.flatten()
+        doc = ids[doc_idx]
+        # sentinel row per doc (ln = -1): keeps all-lines-lost docs present
+        sdoc = ids
+        out_doc = np.concatenate([doc, sdoc])
+        out_ln = np.concatenate([ln, np.full(len(sdoc), -1, dtype=np.int64)])
+        lines_arr = pa.concat_arrays(
+            [flat.cast(pa.string()),
+             pa.array([""] * len(sdoc), pa.string())])
+        packed = (out_doc << _LN_SHIFT) | (out_ln & ((1 << _LN_SHIFT) - 1))
+        packed[out_ln < 0] = -1
+        return pa.table({
+            "line": lines_arr,
+            "doc": pa.array(out_doc),
+            "ln": pa.array(out_ln),
+            "packed": pa.array(packed),
+        })
+
+    lines = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def batch_min(t: pa.Table) -> pa.Table:
+        # combiner: one (line, min packed) candidate per in-batch line
+        ok = pc.and_(pc.greater_equal(pc.utf8_length(t.column("line")),
+                                      pa.scalar(min_line_len)),
+                     pc.greater_equal(t.column("ln"), pa.scalar(0)))
+        d = t.filter(ok).select(["line", "packed"])
+        return d.group_by("line").aggregate([("packed", "min")]) \
+            .rename_columns(["line", "packed"])
+
+    winners = lines.map_batches(batch_min, batch_format="pyarrow") \
+        .groupby("line").min("packed")
+
+    def add_lh(t: pa.Table) -> pa.Table:
+        h = np.fromiter((stable_hash64(x) for x in
+                         t.column("line").to_pylist()),
+                        dtype=np.uint64, count=t.num_rows)
+        return t.append_column("lh", pa.array(h.view(np.int64)))
+
+    wtag = winners.map_batches(
+        lambda t: add_lh(pa.table({"line": t.column("line"),
+                                   "wpacked": t.column("min(packed)")})),
+        batch_format="pyarrow")
+
+    dedupable = lines.map_batches(
+        lambda t: add_lh(t.filter(pc.and_(
+            pc.greater_equal(pc.utf8_length(t.column("line")),
+                             pa.scalar(min_line_len)),
+            pc.greater_equal(t.column("ln"), pa.scalar(0))))),
+        batch_format="pyarrow")
+    bypass = lines.map_batches(
+        lambda t: t.filter(pc.or_(
+            pc.less(pc.utf8_length(t.column("line")),
+                    pa.scalar(min_line_len)),
+            pc.less(t.column("ln"), pa.scalar(0)))),
+        batch_format="pyarrow")
+
+    joined = hash_join(dedupable, wtag, on="lh", n_buckets=n_buckets)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        # string equality re-check (collisions) + first-occurrence test
+        keep = pc.and_(pc.equal(t.column("line_l"), t.column("line_r")),
+                       pc.equal(t.column("packed"), t.column("wpacked")))
+        k = t.filter(keep)
+        return pa.table({"line": k.column("line_l"), "doc": k.column("doc"),
+                         "ln": k.column("ln")})
+
+    kept = joined.map_batches(keep_winners, batch_format="pyarrow") \
+        .union(bypass.map_batches(
+            lambda t: t.select(["line", "doc", "ln"]),
+            batch_format="pyarrow"))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        doc = t.column("doc").to_numpy().astype(np.int64)
+        return t.append_column(
+            "part", pa.array((doc % n_part).astype(np.int32)))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc", "ln"])
+        body = g[g["ln"] >= 0]
+        txt = body.groupby("doc", sort=True)["line"].agg(sep.join)
+        all_docs = pd.Index(g["doc"].unique()).sort_values()
+        out = txt.reindex(all_docs, fill_value="")
+        return pd.DataFrame({id_col: out.index.to_numpy(np.int64),
+                             "text_kept": out.to_numpy()})
+
+    return kept.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(rebuild, batch_format="pandas")

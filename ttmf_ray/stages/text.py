@@ -249,3 +249,33 @@ def fingerprint_batch(batch: pa.Table, *, id_col: str, text_col: str) -> pa.Tabl
 
 def filter_lang(batch: pa.Table, *, lang: str, lang_col: str = "lang") -> pa.Table:
     return batch.filter(pc.equal(batch.column(lang_col), pa.scalar(lang)))
+
+
+# --- PII redaction (corpus-curation pass) ----------------------------------
+
+# Rules applied IN ORDER (each counts against the text as left by the
+# previous rule — the SQL mirror stages the same sequence).  Both engines
+# run RE2 (Arrow's count/replace_substring_regex and DuckDB's regexp_*),
+# so match semantics are identical by construction.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Per-doc PII redaction + counts (email → IPv4 → phone, in order).
+
+    One Arrow RE2 count + one global replace per rule per batch — no
+    per-row Python.  Emits (id, n_email, n_ipv4, n_phone, text_redacted).
+    """
+    col = _as_array(batch.column(text_col))
+    out: dict = {id_col: batch.column(id_col)}
+    for name, rx, tok in PII_RULES:
+        out[f"n_{name}"] = pa.array(
+            pc.count_substring_regex(col, rx).to_numpy().astype(np.int64))
+        col = pc.replace_substring_regex(col, pattern=rx, replacement=tok)
+    out["text_redacted"] = col
+    return pa.table(out)
