@@ -768,3 +768,84 @@ def embedding_near_dup(ds, *, id_col: str = "vec_id",
                                "threshold": threshold},
         batch_format="pyarrow", concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Band index on storage: bucket-partitioned parquet, probe-pruned reads
+# ---------------------------------------------------------------------------
+
+def build_band_index(docs_ds, out_dir: str, *, id_col: str = "doc_id",
+                     text_col: str = "text", n_index_parts: int = 64,
+                     **minhash_kwargs):
+    """Write the EXISTING corpus's LSH bucket rows to storage as parquet
+    partitioned by ``ipart = mix64(band, band_hash) % n_index_parts``
+    (``out_dir/ipart=<p>/``) — the stored form of the incremental-dedup
+    index.  Partitioning on the bucket key means every (band, band_hash)
+    bucket lands WHOLE in one partition, so cap/chain decisions made
+    after a pruned read are identical to a full read.  Partitions are
+    also the resume unit (complete or rewritten whole)."""
+    buckets = docs_ds.map_batches(
+        MinHashLSH,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               **minhash_kwargs},
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 4),
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy().astype(np.int64)
+        bh = t.column("band_hash").to_numpy().astype(np.uint64, copy=False)
+        ip = (mix64_vec(band, bh) % np.uint64(n_index_parts)).astype(np.int32)
+        return t.append_column("ipart", pa.array(ip))
+
+    buckets.map_batches(tag, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["ipart"])
+
+
+def incremental_pairs_from_index(index_dir: str, new_ds, *,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 new_from: int, n_index_parts: int = 64,
+                                 cap: int = 50, **minhash_kwargs):
+    """Probe a stored band index with a NEW shard: signature the new docs,
+    read ONLY the index partitions their buckets hit (file-level
+    partition pruning — at 100 TB the index read is
+    hits/n_index_parts of a full scan), union, and run the incremental
+    candidate generation.  Emits exactly the pairs the in-memory
+    incremental path emits: pruned partitions contain only buckets the
+    new shard never touches, which ``candidate_pairs(new_from=...)``
+    would skip anyway, and hit partitions carry their buckets whole."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    new_buckets = new_ds.map_batches(
+        MinHashLSH,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               **minhash_kwargs},
+        batch_format="pyarrow", batch_size=2048, concurrency=(1, 4),
+    ).materialize()
+
+    def parts_of(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy().astype(np.int64)
+        bh = t.column("band_hash").to_numpy().astype(np.uint64, copy=False)
+        ip = np.unique(mix64_vec(band, bh) % np.uint64(n_index_parts))
+        return pa.table({"ipart": pa.array(ip.astype(np.int64))})
+
+    import ray
+
+    part_tables = ray.get(
+        new_buckets.map_batches(parts_of, batch_format="pyarrow")
+        .to_arrow_refs())
+    hit = np.unique(np.concatenate(
+        [t.column("ipart").to_numpy() for t in part_tables]
+        or [np.empty(0, dtype=np.int64)]))
+    files: list[str] = []
+    for p in hit.tolist():
+        d = f"{index_dir.rstrip('/')}/ipart={int(p)}"
+        if os.path.isdir(d):
+            files.extend(sorted(glob.glob(f"{d}/*.parquet")))
+    old = (rd.read_parquet(files, columns=["band", "band_hash", "doc_id"])
+           if files else None)
+    allb = new_buckets if old is None else old.union(new_buckets)
+    return candidate_pairs(allb, cap=cap, new_from=new_from)
