@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": rel.docs_token_stats,
         "docs_length_quantiles": rel.docs_length_quantiles,
         "docs_redact_pii": rel.docs_redact_pii,
+        "docs_length_band_filter": rel.docs_length_band_filter,
         "lang_counts": rel.lang_counts,
         "events_hourly": rel.events_hourly,
         "events_thresholds": rel.events_thresholds,
@@ -1063,6 +1064,27 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # quantile-threshold filter: keep docs inside their language's
+        # [p10, p99] token band (same lower-disc quantile rule)
+        "docs_length_band_filter": f"""
+            WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                              length({_TOKENS})::BIGINT AS n_tokens
+                       FROM documents),
+            n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+            ot AS (SELECT lang, n_tokens AS v, row_number()
+                       OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS rk
+                   FROM t),
+            band AS (SELECT n.lang, l.v AS lo, h.v AS hi
+                     FROM n
+                     JOIN ot l ON l.lang = n.lang
+                         AND l.rk = CAST(floor((n.n - 1) * 0.1) AS BIGINT)
+                     JOIN ot h ON h.lang = n.lang
+                         AND h.rk = CAST(floor((n.n - 1) * 0.99) AS BIGINT))
+            SELECT t.doc_id, t.lang, t.n_tokens
+            FROM t JOIN band b ON b.lang = t.lang
+            WHERE t.n_tokens BETWEEN b.lo AND b.hi
+            ORDER BY t.doc_id
         """,
         # sequential RE2 redaction; each rule counts against the text as
         # left by the previous rule (stages/text.py PII_RULES order)

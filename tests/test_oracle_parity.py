@@ -42,6 +42,7 @@ SUBSET = [
     "docs_incremental_dedup",
     "docs_redact_pii",
     "docs_line_dedup",
+    "docs_length_band_filter",
 ]
 
 

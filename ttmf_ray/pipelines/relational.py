@@ -217,6 +217,46 @@ def docs_length_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.astype({"n_chars_q": np.int64, "n_tokens_q": np.int64})
 
 
+def docs_length_band_filter(sf_dir: str) -> pd.DataFrame:
+    """Quantile-threshold corpus filter — the operator composition the
+    quantile stage exists for: keep docs whose token count sits inside
+    their language's [p10, p99] band.  Quantiles come from the
+    histogram-merge stage (one tiny shuffle); the band map (5 rows) is a
+    broadcast closure over a second streaming pass."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.text import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        q = quality_batch(b, id_col="doc_id", text_col="text")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "n_tokens": q.column("n_tokens"),
+        })
+
+    feat = ds.map_batches(feats, batch_format="pyarrow").materialize()
+    qdf = exact_quantiles(feat, ["n_tokens"], [0.1, 0.99],
+                          group_col="lang")
+    lo = qdf[qdf["q"] == 0.1].set_index("lang")["n_tokens_q"]
+    hi = qdf[qdf["q"] == 0.99].set_index("lang")["n_tokens_q"]
+    langs = np.asarray(sorted(lo.index), dtype=object)
+    lo_a = lo.reindex(langs).to_numpy(np.int64)
+    hi_a = hi.reindex(langs).to_numpy(np.int64)
+
+    def band(b: pa.Table) -> pa.Table:
+        lg = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        pos = np.searchsorted(langs, lg)
+        nt = b.column("n_tokens").to_numpy().astype(np.int64)
+        keep = (nt >= lo_a[pos]) & (nt <= hi_a[pos])
+        return b.filter(pa.array(keep))
+
+    out = feat.map_batches(band, batch_format="pyarrow").to_pandas()
+    return out.astype({"doc_id": np.int64, "n_tokens": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_redact_pii(sf_dir: str) -> pd.DataFrame:
     """PII redaction pass (email → IPv4 → phone, sequential) over
     documents with deterministically planted PII on every 7th doc — the
