@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": rel.docs_length_quantiles,
         "docs_redact_pii": rel.docs_redact_pii,
         "docs_length_band_filter": rel.docs_length_band_filter,
+        "docs_lm_perplexity": rel.docs_lm_perplexity,
         "lang_counts": rel.lang_counts,
         "events_hourly": rel.events_hourly,
         "events_thresholds": rel.events_thresholds,
@@ -1064,6 +1065,39 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # unigram LM fitted on even doc_ids (top-20000 vocab by
+        # (cnt DESC, token), add-one smoothing over V+1), docs scored by
+        # mean ln p with unk fallback (stages/lm_score.py)
+        "docs_lm_perplexity": f"""
+            WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                                 list_transform({_TOKENS}, x -> lower(x))
+                                     AS ts
+                          FROM documents),
+            ref AS (SELECT unnest(ts) AS token FROM toks
+                    WHERE doc_id % 2 = 0),
+            counts AS (SELECT token, count(*) AS cnt FROM ref
+                       GROUP BY token),
+            tot AS (SELECT sum(cnt) AS total FROM counts),
+            top AS (SELECT token, cnt FROM counts
+                    ORDER BY cnt DESC, token LIMIT 20000),
+            den AS (SELECT (t.total + v.v + 1)::DOUBLE AS d
+                    FROM tot t, (SELECT count(*) AS v FROM top) v),
+            lp AS (SELECT token, ln((cnt + 1)::DOUBLE / den.d) AS lp
+                   FROM top, den),
+            flat AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            scored AS (SELECT f.doc_id,
+                              COALESCE(lp.lp, (SELECT ln(1.0 / d) FROM den))
+                                  AS lp
+                       FROM flat f LEFT JOIN lp ON lp.token = f.token),
+            agg AS (SELECT doc_id, count(*) AS n_tokens,
+                           sum(lp) / count(*) AS m
+                    FROM scored GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   ROUND(COALESCE(a.m, 0.0), 6) AS logprob_mean
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+            ORDER BY t.doc_id
         """,
         # quantile-threshold filter: keep docs inside their language's
         # [p10, p99] token band (same lower-disc quantile rule)

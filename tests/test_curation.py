@@ -220,3 +220,27 @@ def test_line_dedup_semantics_across_blocks():
         "epsilon\n",
     ]
     assert out["doc_id"].tolist() == [0, 1, 2, 3]
+
+
+def test_lm_perplexity_scores_order():
+    """A doc made of reference-corpus tokens must outscore a doc of
+    out-of-vocabulary gibberish; token-less docs score 0 by contract."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.stages.lm_score import fit_unigram_lm, perplexity_score
+
+    ref = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["the cat sat", "the dog sat", "the cat ran", "a dog ran"],
+    })
+    model = fit_unigram_lm(rd.from_pandas(ref))
+    probe = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat sat", "zzq qqz xxj", "   "],
+    })
+    out = perplexity_score(rd.from_pandas(probe), model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["logprob_mean"][0] > out["logprob_mean"][1]
+    assert out["n_tokens"].tolist() == [3, 3, 0]
+    assert out["logprob_mean"][2] == 0.0

@@ -43,6 +43,7 @@ SUBSET = [
     "docs_redact_pii",
     "docs_line_dedup",
     "docs_length_band_filter",
+    "docs_lm_perplexity",
 ]
 
 

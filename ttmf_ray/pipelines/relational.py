@@ -217,6 +217,30 @@ def docs_length_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.astype({"n_chars_q": np.int64, "n_tokens_q": np.int64})
 
 
+def docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style model-based quality score: fit a smoothed unigram LM
+    on the even-doc_id half (the 'clean reference corpus'), score every
+    doc by mean token ln-probability.  Fit = top-tokens combiner +
+    groupby; model broadcast once; scoring is a stateless vectorized
+    pass.  SQL twin rebuilds the identical model (same top-V tie-break,
+    same add-one smoothing) and scores by join."""
+    import pyarrow.compute as pc
+
+    from ..stages.lm_score import fit_unigram_lm, perplexity_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    model = fit_unigram_lm(ref, vocab_k=20000)
+    out = perplexity_score(ds, model).to_pandas()
+    out["logprob_mean"] = out["logprob_mean"].round(6)
+    return out.astype({"doc_id": np.int64, "n_tokens": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_length_band_filter(sf_dir: str) -> pd.DataFrame:
     """Quantile-threshold corpus filter — the operator composition the
     quantile stage exists for: keep docs whose token count sits inside

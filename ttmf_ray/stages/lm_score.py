@@ -1,0 +1,122 @@
+"""Unigram-LM perplexity scoring — the CCNet-style model-based quality
+filter: fit token statistics on a reference (clean) corpus, score every
+document by mean log-probability, filter on the score downstream.
+
+Scale shape: fitting is the top-tokens pattern (per-batch distinct-token
+combiner → one groupby over tokens, Zipf-bounded); the fitted model is
+(vocab ≤ K tokens, log-probs) — a few MB — broadcast once; scoring is a
+stateless per-batch vectorized pass (factorize the batch's unique tokens,
+one searchsorted into the vocab, one bincount for per-doc sums).
+
+Model (mirrored exactly in oracle SQL): add-one smoothing over the kept
+vocab — p(tok) = (cnt+1)/(total+V+1) for the top-V tokens by
+(count DESC, token ASC); every other token scores p_unk = 1/(total+V+1);
+doc score = mean over tokens of ln p (0.0 for token-less docs).
+
+The reference engine has no model-based corpus filter; this is a
+training-data-pipeline extension (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..context import Broadcast
+
+
+def _doc_tokens(col, pattern: str = r"[ \t\n\r\f\v]+"):
+    """(flat lowercase tokens, doc index per token, n_docs) — same split
+    as stages/text.py quality/token kernels (empties dropped)."""
+    import pyarrow.compute as pc
+
+    from .text import _as_array, _split_flat
+
+    flat, doc_idx, n = _split_flat(_as_array(col), pattern)
+    keep = flat != ""
+    lowered = pc.utf8_lower(pa.array(flat[keep])).to_numpy(
+        zero_copy_only=False)
+    return lowered, doc_idx[keep], n
+
+
+def fit_unigram_lm(docs_ds, *, text_col: str = "text",
+                   vocab_k: int = 20000) -> dict:
+    """Token counts over the reference corpus → smoothed unigram model.
+
+    Returns {"tokens": sorted str array, "logp": aligned ln p array,
+    "logp_unk": float} — the broadcastable model.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, _, _ = _doc_tokens(t.column(text_col))
+        codes, uniq = pd.factorize(toks)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "cnt": pa.array(cnt)})
+
+    counts = (docs_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    total = int(counts["cnt"].sum())
+    top = counts.sort_values(["cnt", "token"],
+                             ascending=[False, True]).head(vocab_k)
+    v = len(top)
+    denom = float(total + v + 1)
+    order = np.argsort(top["token"].to_numpy())
+    tokens = top["token"].to_numpy()[order]
+    logp = np.log((top["cnt"].to_numpy().astype(np.float64)[order] + 1.0)
+                  / denom)
+    return {"tokens": tokens, "logp": logp,
+            "logp_unk": float(np.log(1.0 / denom))}
+
+
+class PerplexityScorer:
+    """Actor stage: docs → (doc_id, n_tokens, logprob_mean).
+
+    Model fetched once per actor from the object store; per batch the
+    unique tokens are factorized, probed into the vocab with ONE
+    searchsorted, and per-doc sums come from one bincount."""
+
+    def __init__(self, model_bc: Broadcast, *, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        m = model_bc.get()
+        self.tokens, self.logp = m["tokens"], m["logp"]
+        self.logp_unk = m["logp_unk"]
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, doc_idx, n = _doc_tokens(batch.column(self.text_col))
+        codes, uniq = pd.factorize(toks)
+        pos = np.searchsorted(self.tokens, uniq) if len(uniq) else \
+            np.empty(0, dtype=np.int64)
+        pos = np.clip(pos, 0, max(len(self.tokens) - 1, 0))
+        hit = (self.tokens[pos] == uniq) if len(self.tokens) and len(uniq) \
+            else np.zeros(len(uniq), dtype=bool)
+        ulogp = np.where(hit, self.logp[pos] if len(self.tokens) else 0.0,
+                         self.logp_unk)
+        tok_lp = ulogp[codes] if len(codes) else np.empty(0)
+        sums = np.bincount(doc_idx, weights=tok_lp, minlength=n)
+        cnts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        mean = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_tokens": pa.array(cnts),
+            "logprob_mean": pa.array(mean),
+        })
+
+
+def perplexity_score(docs_ds, model: dict, *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     concurrency=None):
+    from ..context import auto_pool
+
+    bc = Broadcast(model)
+    return docs_ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"model_bc": bc, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or auto_pool(),
+    )
