@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_dedup": cq.docs_minhash_dedup,
         "docs_incremental_dedup": cq.docs_incremental_dedup,
         "docs_line_dedup": cq.docs_line_dedup,
+        "docs_dup_clusters": cq.docs_dup_clusters,
         "docs_simhash": cq.docs_simhash,
         "docs_lang_detect": cq.docs_lang_detect,
         "docs_fingerprint": cq.docs_fingerprint,
@@ -1371,6 +1372,35 @@ def oracle_sql() -> dict[str, str]:
         "docs_incremental_dedup": f"""
             SELECT * FROM ({_minhash_dedup_sql()})
             WHERE b >= 10000000
+        """,
+        # connected components over the verified near-dup pairs: iterative
+        # min-label propagation as a recursive CTE — self-edge carrier rows
+        # expose each node's previous label, a changed-label window count
+        # is the stopping rule (same shape as the PPR mirror)
+        "docs_dup_clusters": f"""
+            WITH RECURSIVE vp AS MATERIALIZED (
+                SELECT a, b FROM ({_minhash_dedup_sql()})),
+            nodes AS MATERIALIZED (
+                SELECT a AS n FROM vp UNION SELECT b FROM vp),
+            esym AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM vp
+                UNION ALL SELECT b, a FROM vp
+                UNION ALL SELECT n, n FROM nodes),
+            lab(it, node, l, chg) AS (
+                SELECT 0, n, n, 1::BIGINT FROM nodes
+                UNION ALL
+                SELECT x.it + 1, x.node, x.nl,
+                       SUM(CASE WHEN x.nl < x.ol THEN 1 ELSE 0 END) OVER ()
+                FROM (SELECT p.it, e.v AS node, MIN(p.l) AS nl,
+                             MIN(CASE WHEN e.u = e.v THEN p.l END) AS ol
+                      FROM lab p JOIN esym e ON e.u = p.node
+                      WHERE p.chg > 0 AND p.it < 100
+                      GROUP BY p.it, e.v) x
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(l AS BIGINT) AS cluster_id
+            FROM lab QUALIFY it = MAX(it) OVER ()
+            ORDER BY doc_id
         """,
         # line winner = min(doc_id<<20 | line_no); blank lines bypass dedup
         # (stages/curation.py:line_dedup, same fixture: second line = next

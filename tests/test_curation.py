@@ -244,3 +244,23 @@ def test_lm_perplexity_scores_order():
     assert out["logprob_mean"][0] > out["logprob_mean"][1]
     assert out["n_tokens"].tolist() == [3, 3, 0]
     assert out["logprob_mean"][2] == 0.0
+
+
+def test_min_label_clusters_equal_union_find():
+    """The distributed min-label propagation must produce exactly the
+    driver union-find clustering (chains force multi-round propagation)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.stages.dedup import cluster_pairs, cluster_pairs_min_label
+
+    pairs = pd.DataFrame({
+        # one 4-chain (diameter 3), one triangle, one isolated pair
+        "a": [10, 11, 12, 20, 20, 21, 30],
+        "b": [11, 12, 13, 21, 22, 22, 31],
+    })
+    got = cluster_pairs_min_label(rd.from_pandas(pairs).repartition(3))
+    want = cluster_pairs(pairs)
+    pd.testing.assert_frame_equal(got, want)
+    assert got[got["doc_id"].isin([10, 11, 12, 13])]["cluster_id"] \
+        .eq(10).all()

@@ -44,6 +44,7 @@ SUBSET = [
     "docs_line_dedup",
     "docs_length_band_filter",
     "docs_lm_perplexity",
+    "docs_dup_clusters",
 ]
 
 

@@ -112,6 +112,20 @@ def docs_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         .sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def docs_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the verified near-dup pairs (the tail of
+    the dedup story: pairs → clusters → keeper per cluster) via the
+    DISTRIBUTED min-label propagation — one hash-join + one groupby-min
+    per round, label-sum convergence witness.  The SQL twin runs the
+    identical propagation as a recursive CTE (self-edge carrier rows, a
+    changed-label window count as the stopping rule)."""
+    from ..stages.dedup import cluster_pairs_min_label
+
+    pairs = docs_minhash_dedup(sf_dir)
+    return cluster_pairs_min_label(
+        rd.from_pandas(pairs[["a", "b"]]))
+
+
 def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     """Corpus-global line-level dedup (C4/RefinedWeb rule: a duplicated
     line survives only at its first occurrence; docs are rebuilt from

@@ -849,3 +849,55 @@ def incremental_pairs_from_index(index_dir: str, new_ds, *,
            if files else None)
     allb = new_buckets if old is None else old.union(new_buckets)
     return candidate_pairs(allb, cap=cap, new_from=new_from)
+
+
+def cluster_pairs_min_label(pairs_ds, *, n_buckets: int = 64,
+                            max_iters: int = 100) -> pd.DataFrame:
+    """Distributed connected components over verified pairs — the groupby
+    min-label propagation variant :func:`cluster_pairs`' guard points at.
+
+    Every node starts labeled with itself; each round a node's label
+    becomes min(own, neighbors') via one hash-join + one groupby-min over
+    the symmetrized edge list (self-loops carry the node's own label).
+    Labels only decrease, so the label SUM is a monotone convergence
+    witness: one tiny aggregate per round, stop when it stops falling.
+    Rounds = component diameter (near-dup clusters are near-cliques —
+    2-3 in practice); per round the shuffle moves edge rows only.
+    Returns (doc_id, cluster_id=min member), identical to
+    :func:`cluster_pairs` (asserted in tests)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from ..functions.joins import hash_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b, nodes])),
+            "v": pa.array(np.concatenate([b, a, nodes])),
+        })
+
+    esym = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = distinct_rows(esym.map_batches(
+        lambda t: pa.table({"node": t.column("u")}),
+        batch_format="pyarrow"), ["node"]) \
+        .map_batches(lambda t: pa.table({"u": t.column("node"),
+                                         "lab": t.column("node")}),
+                     batch_format="pyarrow").materialize()
+    prev_tot = None
+    for _ in range(max_iters):
+        msg = hash_join(esym, labels, on="u", n_buckets=n_buckets)
+        new = msg.groupby("v").min("lab").map_batches(
+            lambda t: pa.table({"u": t.column("v"),
+                                "lab": t.column("min(lab)")}),
+            batch_format="pyarrow").materialize()
+        tot = new.sum("lab")
+        if tot == prev_tot:
+            labels = new
+            break
+        prev_tot, labels = tot, new
+    out = labels.to_pandas().rename(columns={"u": "doc_id",
+                                             "lab": "cluster_id"})
+    return out.astype({"doc_id": np.int64, "cluster_id": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
