@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
         "kg_graph_features_sym": cq.kg_graph_features_sym,
+        "kg_degree_quantiles": cq.kg_degree_quantiles,
         "kg_subgraph_stats": cq.kg_subgraph_stats,
         "kg_ppr_micro": cq.kg_ppr_micro,
         "kg_kgc_negatives": cq.kg_kgc_negatives,
@@ -1361,6 +1362,40 @@ def oracle_sql() -> dict[str, str]:
         "kg_kgc_negatives": _kgc_negatives_sql(),
         "kg_graph_features": _graph_features_sql(sym=False),
         "kg_graph_features_sym": _graph_features_sql(sym=True),
+        # degree multiset per relation is id/name-bijection-invariant, so
+        # the mirror works on the named edge table directly
+        "kg_degree_quantiles": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            od AS (SELECT pred, subj AS node, count(*) AS d
+                   FROM edges GROUP BY pred, subj),
+            idn AS (SELECT pred, obj AS node, count(*) AS d
+                    FROM edges GROUP BY pred, obj),
+            nodes AS (SELECT pred, node FROM od
+                      UNION SELECT pred, node FROM idn),
+            degs AS (SELECT n.pred AS rel,
+                            COALESCE(o.d, 0) AS out_deg,
+                            COALESCE(i.d, 0) AS in_deg
+                     FROM nodes n
+                     LEFT JOIN od o ON o.pred = n.pred AND o.node = n.node
+                     LEFT JOIN idn i ON i.pred = n.pred AND i.node = n.node),
+            n AS (SELECT rel, count(*) AS n FROM degs GROUP BY rel),
+            qs(q) AS (SELECT unnest([0.0, 0.5, 0.9, 1.0]::DOUBLE[])),
+            oo AS (SELECT rel, out_deg AS v, row_number()
+                       OVER (PARTITION BY rel ORDER BY out_deg) - 1 AS rk
+                   FROM degs),
+            oi AS (SELECT rel, in_deg AS v, row_number()
+                       OVER (PARTITION BY rel ORDER BY in_deg) - 1 AS rk
+                   FROM degs)
+            SELECT n.rel, qs.q,
+                   CAST(a.v AS BIGINT) AS out_deg_q,
+                   CAST(b.v AS BIGINT) AS in_deg_q
+            FROM n CROSS JOIN qs
+            JOIN oo a ON a.rel = n.rel
+                AND a.rk = CAST(floor((n.n - 1) * qs.q) AS BIGINT)
+            JOIN oi b ON b.rel = n.rel
+                AND b.rk = CAST(floor((n.n - 1) * qs.q) AS BIGINT)
+            ORDER BY n.rel, qs.q
+        """,
         "kg_subgraph_stats": _SUBGRAPH_STATS_SQL,
         "kg_ppr_micro": _PPR_MICRO_SQL,
         "docs_lang_detect": _LANG_DETECT_SQL,

@@ -45,6 +45,7 @@ SUBSET = [
     "docs_length_band_filter",
     "docs_lm_perplexity",
     "docs_dup_clusters",
+    "kg_degree_quantiles",
 ]
 
 

@@ -330,6 +330,32 @@ def _graph_features_frame(heads, csr) -> pd.DataFrame:
         .sort_values(["head", "node"]).reset_index(drop=True)
 
 
+def kg_degree_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact out/in-degree quantiles of the relational KG per relation —
+    the quantile stage composed over a second domain (graph degrees
+    instead of text lengths).  Degree rows are computed with one
+    per-batch combiner groupby; quantile selection is the same
+    histogram-merge rule the SQL twin reproduces."""
+    from ..stages.quantiles import exact_quantiles
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    deg = ids.groupby(["r", "h"], as_index=False).size() \
+        .rename(columns={"size": "out_deg"})
+    din = ids.groupby(["r", "t"], as_index=False).size() \
+        .rename(columns={"size": "in_deg", "t": "h"})
+    # per (relation, node) degree rows — small (vocab-bounded); the
+    # quantile stage is the distributed part being exercised
+    merged = deg.merge(din, on=["r", "h"], how="outer").fillna(0)
+    merged["rel"] = rel_df.set_index("id")["name"] \
+        .reindex(merged["r"].to_numpy()).to_numpy()
+    ds = rd.from_pandas(merged[["rel", "out_deg", "in_deg"]].astype(
+        {"out_deg": np.int64, "in_deg": np.int64}))
+    out = exact_quantiles(ds, ["out_deg", "in_deg"],
+                          [0.0, 0.5, 0.9, 1.0], group_col="rel")
+    return out.astype({"out_deg_q": np.int64, "in_deg_q": np.int64}) \
+        .reset_index(drop=True)
+
+
 def kg_graph_features(sf_dir: str) -> pd.DataFrame:
     """Fused subgraph→PPR→RR features (T1+T2+T3) for the 20 smallest-id
     heads of the relational KG — EXACT SQL mirror including the PPR
