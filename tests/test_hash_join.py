@@ -44,3 +44,54 @@ def test_hash_join_no_matches():
     out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
                     on="k", n_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_left_join_fill_matches_pandas_left_merge():
+    from ttmf_ray.functions.joins import left_join_fill
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 100, 500).astype(np.int64),
+        "h": rng.integers(0, 50, 500).astype(np.int32),
+        "flag": rng.choice([1, -1], 500).astype(np.int8),
+    })
+    # right UNIQUE on k (attach contract)
+    right = pd.DataFrame({
+        "k": np.arange(0, 100, 3, dtype=np.int64),
+        "pr": rng.standard_normal(34),
+        "depth": rng.integers(1, 5, 34).astype(np.int64),
+    })
+    got = left_join_fill(
+        rd.from_pandas(left), rd.from_pandas(right), on="k",
+        fill={"pr": 0.0, "depth": 0}, hit_col="hit", n_buckets=8,
+    ).to_pandas().sort_values(["k", "h", "flag"]).reset_index(drop=True)
+
+    want = left.merge(right, on="k", how="left")
+    want["hit"] = want["pr"].notna().astype(np.float64)
+    want["pr"] = want["pr"].fillna(0.0)
+    want["depth"] = want["depth"].fillna(0).astype(np.int64)
+    want = want.sort_values(["k", "h", "flag"]).reset_index(drop=True)
+
+    assert len(got) == len(left)
+    pd.testing.assert_frame_equal(
+        got[["k", "h", "flag", "pr", "depth", "hit"]],
+        want[["k", "h", "flag", "pr", "depth", "hit"]])
+    # dtypes restored exactly (int32/int8 survive the null-widened union)
+    assert got["h"].dtype == np.int32
+    assert got["flag"].dtype == np.int8
+    assert got["depth"].dtype == np.int64
+
+
+def test_left_join_fill_empty_right():
+    from ttmf_ray.functions.joins import left_join_fill
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                         "x": np.array([1.0, 2.0, 3.0])})
+    right = pd.DataFrame({"k": np.array([], dtype=np.int64),
+                          "y": np.array([], dtype=np.float64)})
+    out = left_join_fill(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", fill={"y": -1.0}, hit_col="hit",
+                         n_buckets=4).to_pandas()
+    assert len(out) == 3
+    assert (out["y"] == -1.0).all()
+    assert (out["hit"] == 0.0).all()

@@ -109,3 +109,92 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     return unioned.groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas"
     )
+
+
+def left_join_fill(left, right, *, on: str, fill: dict,
+                   hit_col: str | None = None, n_buckets: int = 64):
+    """LEFT join Dataset ⋈ Dataset on an integer key with explicit miss
+    defaults — the feature-ATTACH join of the streaming trust pipeline.
+
+    Every left row survives exactly once per matching right row (the
+    caller guarantees the right side is unique on ``on`` — attach
+    semantics); unmatched left rows take ``fill[col]`` for every right
+    column.  Unlike a generic outer join, the dtype restore here is
+    SOUND: left columns are never null on left rows, and right columns
+    are explicitly filled, so both sides cast back to their original
+    Arrow dtypes unconditionally (the ``hash_join`` docstring explains
+    why that restore is unsound for a general outer join).
+
+    ``hit_col``: optional float64 1.0/0.0 match-indicator column (the
+    streaming RR/path stages key their miss sentinels off it).
+    """
+
+    lcols = [c for c in left.schema().names if c != on]
+    rcols = [c for c in right.schema().names if c != on]
+    overlap = (set(lcols) & set(rcols)) | ({on} & set(fill))
+    if overlap - {on}:
+        raise ValueError(f"left/right column overlap {overlap}: rename the "
+                         "right side before the attach join")
+    missing = [c for c in rcols if c not in fill]
+    if missing:
+        raise ValueError(f"fill defaults missing for right columns {missing}")
+
+    dtypes: dict[str, object] = {}
+    for schema in (left.schema(), right.schema()):
+        for name, typ in zip(schema.names, schema.types):
+            try:
+                dtypes[name] = typ.to_pandas_dtype()
+            except Exception:
+                pass
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t.column(on).to_numpy()
+            bucket = (key % n_buckets).astype(np.int32)
+            t = t.append_column("__bucket", pa.array(bucket))
+            if side == "r":
+                t = t.append_column("__hit", pa.array(
+                    np.ones(t.num_rows, dtype=np.int8)))
+            return t.append_column(
+                "__side", pa.array([side] * t.num_rows, pa.string()))
+        return fn
+
+    rset = rcols + ["__hit"]
+
+    def widen(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            for c in cols:
+                t = t.append_column(c, pa.nulls(t.num_rows))
+            return t
+        return fn
+
+    cols_order = [on] + lcols + rset + ["__bucket", "__side"]
+    lt = (left.map_batches(tag("l"), batch_format="pyarrow")
+          .map_batches(widen(rset), batch_format="pyarrow")
+          .map_batches(lambda t, c=cols_order: t.select(c),
+                       batch_format="pyarrow"))
+    rt = (right.map_batches(tag("r"), batch_format="pyarrow")
+          .map_batches(widen(lcols), batch_format="pyarrow")
+          .map_batches(lambda t, c=cols_order: t.select(c),
+                       batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][[on] + lcols].reset_index(drop=True)
+        rg = g[g["__side"] == "r"][[on] + rset].reset_index(drop=True)
+        out = lg.merge(rg, on=on, how="left")
+        hit = out["__hit"].notna()
+        for c in rcols:
+            want = dtypes.get(c)
+            col = out[c].fillna(fill[c])
+            out[c] = col.astype(want) if want is not None else col
+        for c in [on] + lcols:
+            want = dtypes.get(c)
+            if want is not None:
+                out[c] = out[c].astype(want)
+        out = out.drop(columns=["__hit"])
+        if hit_col is not None:
+            out[hit_col] = hit.to_numpy().astype(np.float64)
+        return out
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas")
