@@ -19,9 +19,11 @@ mirrored value-for-value):
   the ten sf parquet tables); correctness is pinned instead by
   byte-identity and P/R = 1.0 vs ``sources/pages.py:oracle_triples``
   (test_extract, test_kg_construct).
-- ``trust_scores`` / ``trust_pr_sweep`` / ``kg_error_report`` /
-  ``kg_link_prediction`` — outputs pass through trained KGE/fusion
-  weights (iterative seeded SGD), which SQL cannot reproduce; the
+- ``trust_scores`` / ``trust_scores_streaming`` / ``trust_pr_sweep`` /
+  ``kg_error_report`` / ``kg_link_prediction`` — outputs pass through
+  trained KGE/fusion weights (iterative seeded SGD), which SQL cannot
+  reproduce (the streaming variant additionally carries a bit-identity
+  parity test vs the driver path, test_trust_streaming.py); the
   protocol AROUND the models is mirrored exactly instead:
   ``emb_link_rank`` pins the rank rule + filtered anti-join with fixed
   embeddings, ``events_thresholds`` the threshold sweep,
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_extract": cq.pages_extract,
         "kg_construct_pages": cq.kg_construct_pages,
         "trust_scores": cq.trust_scores,
+        "trust_scores_streaming": cq.trust_scores_streaming,
         "docs_minhash_dedup": cq.docs_minhash_dedup,
         "docs_incremental_dedup": cq.docs_incremental_dedup,
         "docs_line_dedup": cq.docs_line_dedup,

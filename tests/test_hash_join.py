@@ -95,3 +95,26 @@ def test_left_join_fill_empty_right():
     assert len(out) == 3
     assert (out["y"] == -1.0).all()
     assert (out["hit"] == 0.0).all()
+
+
+def test_left_join_fill_combines_split_partials():
+    from ttmf_ray.functions.joins import left_join_fill
+
+    left = pd.DataFrame({"k": np.array([5, 6], dtype=np.int64),
+                         "x": np.array([1.0, 2.0])})
+    # key 5's pivot row was split into two zero-filled disjoint partials
+    right = pd.DataFrame({
+        "k": np.array([5, 5, 6], dtype=np.int64),
+        "p0": np.array([0.7, 0.0, 0.1]),
+        "p1": np.array([0.0, -0.3, 0.0]),
+        "p1_has": np.array([0.0, 1.0, 0.0]),
+    })
+    out = left_join_fill(
+        rd.from_pandas(left), rd.from_pandas(right), on="k",
+        fill={"p0": 0.0, "p1": 0.0, "p1_has": 0.0},
+        combine_right_sum=True, n_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "p0"] == 0.7 and out.loc[0, "p1"] == -0.3
+    assert out.loc[0, "p1_has"] == 1.0
+    assert out.loc[1, "p0"] == 0.1 and out.loc[1, "p1_has"] == 0.0

@@ -101,6 +101,14 @@ class Broadcast:
     def __init__(self, value: Any):
         self._ref = ray.put(value)
 
+    @classmethod
+    def from_ref(cls, ref) -> "Broadcast":
+        """Wrap an EXISTING ObjectRef (e.g. produced by a remote assembler
+        task) without round-tripping the value through the driver."""
+        bc = cls.__new__(cls)
+        bc._ref = ref
+        return bc
+
     def get(self) -> Any:
         return ray.get(self._ref)
 

@@ -112,7 +112,8 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
 
 
 def left_join_fill(left, right, *, on: str, fill: dict,
-                   hit_col: str | None = None, n_buckets: int = 64):
+                   hit_col: str | None = None, n_buckets: int = 64,
+                   combine_right_sum: bool = False):
     """LEFT join Dataset ⋈ Dataset on an integer key with explicit miss
     defaults — the feature-ATTACH join of the streaming trust pipeline.
 
@@ -127,6 +128,13 @@ def left_join_fill(left, right, *, on: str, fill: dict,
 
     ``hit_col``: optional float64 1.0/0.0 match-indicator column (the
     streaming RR/path stages key their miss sentinels off it).
+
+    ``combine_right_sum``: sum right rows sharing a key before the merge.
+    For ZERO-FILLED DISJOINT partial rows (e.g. a per-rank pivot whose
+    input block was split by the block-size limit) the sum reconstructs
+    the full row exactly; with unique keys it is the identity.  This is
+    what makes the streaming path-feature attach safe against Ray
+    splitting an oversized pivot block mid-query.
     """
 
     lcols = [c for c in left.schema().names if c != on]
@@ -181,6 +189,8 @@ def left_join_fill(left, right, *, on: str, fill: dict,
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][[on] + lcols].reset_index(drop=True)
         rg = g[g["__side"] == "r"][[on] + rset].reset_index(drop=True)
+        if combine_right_sum and len(rg):
+            rg = rg.groupby(on, as_index=False).sum()
         out = lg.merge(rg, on=on, how="left")
         hit = out["__hit"].notna()
         for c in rcols:

@@ -152,17 +152,22 @@ def labeled_examples(pos_ds, gold, *, n_entities: int, n_relations: int,
     """Positive (h,t,r) Dataset → labeled (h,t,r,flag) with 1:1 negatives.
 
     ``gold`` is the full gold triple set: an (n,3) int array (preferred),
-    or a frozenset of (h,t,r) tuples (converted).
+    a frozenset of (h,t,r) tuples (converted), or a ``Broadcast`` whose
+    value is the pre-sorted packed-key array (streaming mode — the gold
+    set then never lands on the driver heap).
     """
     from ..context import spread
 
-    if isinstance(gold, (set, frozenset)):
-        gold = np.array(sorted(gold), dtype=np.int64).reshape(-1, 3)
-    gold = np.asarray(gold)
-    packed = np.sort(pack_triples(gold[:, 0], gold[:, 1], gold[:, 2],
-                                  n_entities=n_entities,
-                                  n_relations=n_relations))
-    bc = Broadcast(packed)
+    if isinstance(gold, Broadcast):
+        bc = gold
+    else:
+        if isinstance(gold, (set, frozenset)):
+            gold = np.array(sorted(gold), dtype=np.int64).reshape(-1, 3)
+        gold = np.asarray(gold)
+        packed = np.sort(pack_triples(gold[:, 0], gold[:, 1], gold[:, 2],
+                                      n_entities=n_entities,
+                                      n_relations=n_relations))
+        bc = Broadcast(packed)
     return spread(pos_ds).map_batches(
         NegativeSampler,
         fn_constructor_kwargs={"gold_bc": bc, "n_entities": n_entities,

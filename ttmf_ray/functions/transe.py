@@ -342,14 +342,35 @@ def _combine_partials(a, b):
     return idx, acc, cnt, Ra + Rb, wa + wb
 
 
+def _make_shards(triples: np.ndarray, workers: int, rng_state: dict):
+    """Remote shard maker (streaming mode): draws the SAME permutation the
+    driver path draws (the bit-generator state is captured right after the
+    E/R init consumed the seed stream) and stores each shard separately —
+    the full triple array never lands on the driver heap."""
+    rng = np.random.default_rng()
+    rng.bit_generator.state = rng_state
+    shard_ids = rng.permutation(len(triples))
+    shards = [np.ascontiguousarray(triples[shard_ids[w::workers]])
+              for w in range(workers)]
+    # num_returns=1 stores the return value as-is — hand back the bare
+    # array so the single-worker shard ref holds an ndarray, not a tuple
+    return shards[0] if workers == 1 else tuple(shards)
+
+
+def _dev_loss_remote(E: np.ndarray, R: np.ndarray, dev: np.ndarray) -> float:
+    d = E[dev[:, 0]] + R[dev[:, 2]] - E[dev[:, 1]]
+    return float(np.linalg.norm(d, axis=1).mean())
+
+
 def train_transe_distributed(
-    triples: np.ndarray,
+    triples,
     n_entities: int,
     n_relations: int,
     cfg: TransEConfig = TransEConfig(),
-    dev_triples: np.ndarray | None = None,
+    dev_triples=None,
     workers: int = 8,
     local_epochs: int = 4,
+    n_triples: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Data-parallel TransE: per epoch, W Ray tasks each run one SGD epoch
     over a disjoint shard from the current weights; the results are
@@ -361,8 +382,18 @@ def train_transe_distributed(
     the cluster instead of serializing on the driver (SURVEY.md §7.5
     item 4).  Deterministic for a fixed ``workers`` count (seeded per
     (seed, round, epoch, worker), shards drawn from the config seed).
+
+    Streaming mode: ``triples`` / ``dev_triples`` may be ``ObjectRef``s
+    to the (n,3) arrays (pass ``n_triples``) — sharding then happens in a
+    remote task continuing the driver's exact rng stream, and the dev
+    loss is computed remotely per round, so the triple payloads never
+    land on the driver heap.  Bit-identical to the array path.
     """
     import ray
+
+    triples_is_ref = isinstance(triples, ray.ObjectRef)
+    dev_is_ref = isinstance(dev_triples, ray.ObjectRef)
+    has_dev = dev_triples is not None
 
     rng = np.random.default_rng(cfg.seed)
     bound = 6.0 / np.sqrt(cfg.dim)
@@ -373,15 +404,21 @@ def train_transe_distributed(
     R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12).astype(np.float32)
 
     worker = ray.remote(_epoch_worker)
-    n = len(triples)
+    n = int(n_triples) if triples_is_ref else len(triples)
     workers = max(1, min(workers, n // max(1, cfg.batch_size)))
     local_epochs = max(1, min(local_epochs, cfg.epochs))
     cfg_dict = {f: getattr(cfg, f) for f in cfg.__dataclass_fields__}
-    shard_ids = rng.permutation(n)
-    shards = [
-        ray.put(np.ascontiguousarray(triples[shard_ids[w::workers]]))
-        for w in range(workers)
-    ]
+    if triples_is_ref:
+        out = ray.remote(_make_shards).options(num_returns=workers).remote(
+            triples, workers, rng.bit_generator.state)
+        shards = [out] if workers == 1 else list(out)
+    else:
+        shard_ids = rng.permutation(n)
+        shards = [
+            ray.put(np.ascontiguousarray(triples[shard_ids[w::workers]]))
+            for w in range(workers)
+        ]
+    dev_task = ray.remote(_dev_loss_remote) if dev_is_ref else None
 
     combine = ray.remote(_combine_partials)
     best = (np.inf, E, R)
@@ -420,12 +457,16 @@ def train_transe_distributed(
         E = E.copy()
         E[idx] = acc / cnt[:, None]
         R = (r_sum / n_w).astype(np.float32)
-        if dev_triples is not None and len(dev_triples):
+        if dev_is_ref:
+            dl = ray.get(dev_task.remote(E, R, dev_triples))
+            if dl < best[0]:
+                best = (dl, E.copy(), R.copy())
+        elif has_dev and len(dev_triples):
             d = E[dev_triples[:, 0]] + R[dev_triples[:, 2]] - E[dev_triples[:, 1]]
             dl = float(np.linalg.norm(d, axis=1).mean())
             if dl < best[0]:
                 best = (dl, E.copy(), R.copy())
-    if dev_triples is not None and best[0] < np.inf:
+    if has_dev and best[0] < np.inf:
         return best[1], best[2]
     return E, R
 

@@ -67,6 +67,34 @@ def trust_scores(sf_dir: str) -> pd.DataFrame:
                        "flag": np.int64})
 
 
+def trust_scores_streaming(sf_dir: str) -> pd.DataFrame:
+    """Phase B in STREAMING mode (`pipelines/trust_streaming.py`): the
+    scale path where triples/conf tables never land on the driver heap
+    (object-store refs + Dataset left-joins).  Same output contract as
+    ``trust_scores``; smaller page cap — this query exists to exercise
+    the join-attach path inside the driver harness.  Rows-only for the
+    same reason as ``trust_scores`` (trained weights); the strong check
+    is tests/test_trust_streaming.py's bit-identity parity vs the
+    driver path."""
+    from ..functions.transe import TransEConfig
+    from ..pipelines.trust import TrustConfig, trust_pipeline
+
+    spec = _spec(sf_dir, cap=3000)
+    edges = kg_construct(pages_dataset(spec))
+    cfg = TrustConfig(
+        transe=TransEConfig(dim=32, epochs=25, lr=0.02),
+        ptranse=TransEConfig(dim=32, epochs=8, lr=0.01, loss="logistic"),
+        path_max_paths=5000,
+        kge_workers=4,  # pinned: results must not depend on cluster size
+        streaming=True,
+    )
+    res = trust_pipeline(edges, cfg)
+    out = res["scored_test"][["h", "t", "r", "flag", "conf"]].copy()
+    out["conf"] = out["conf"].round(6)
+    return out.astype({"h": np.int64, "t": np.int64, "r": np.int64,
+                       "flag": np.int64})
+
+
 def _docs_with_planted_dups(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 

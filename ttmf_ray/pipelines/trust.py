@@ -82,6 +82,13 @@ class TrustConfig:
     fusion_epochs: int = 200        # raise batch at large conf tables
     scorer_num_gpus: float | None = None  # per-actor GPU for the T6 pool
     checkpoint_dir: str | None = None     # stage checkpoints (KGE reuse)
+    # streaming=True routes to trust_pipeline_streaming: no triple/conf
+    # payload on the driver heap (object-store refs + Dataset joins) —
+    # feature table bit-identical for the same pinned worker counts,
+    # conf within ~1 ulp (see trust_streaming docstring).  The default
+    # (False) is the broadcast/driver path, faster below the
+    # weight-matrix ceiling quantified in this module's docstring.
+    streaming: bool = False
 
 
 def _dict_to_arr(d: dict[int, float], n: int, default: float) -> np.ndarray:
@@ -130,6 +137,11 @@ class _StageThread(threading.Thread):
 def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     """Edge Dataset (subj, pred, obj) → scored conf_test + metrics."""
     import time as _time
+
+    if cfg.streaming:
+        from .trust_streaming import trust_pipeline_streaming
+
+        return trust_pipeline_streaming(edges_ds, cfg)
 
     timings: dict[str, float] = {}
     _t = _time.time()

@@ -1,0 +1,464 @@
+"""Phase B, STREAMING variant — the full trust pipeline with NO triple or
+conf-table payload on the driver heap (SURVEY.md §7.5; the scale path the
+default ``trust_pipeline`` docstring's weight-matrix ceiling argument
+defers to).
+
+Residency contract (what lives where):
+
+- DRIVER heap: the vocab tables, the KGE weight matrices E/R, the theta
+  dicts/arrays, the fusion model — everything bounded by |entities| (the
+  same ceiling the dense-embedding algorithm itself imposes; see
+  ``trust.py`` module docstring).
+- OBJECT STORE: the id-mapped triple array, train/valid/test splits,
+  packed gold keys, CSR, trainer shards, queries/pairs metadata — each
+  assembled by a REMOTE task from Dataset block refs (`_assemble_*`) and
+  consumed by reference (``Broadcast.from_ref``); the driver only ever
+  holds the refs and the tiny count dict.
+- DATASETS (streamed, shuffled by Ray): the conf tables and every
+  feature attach.  PR/RR and path features are attached by partitioned
+  LEFT joins (`left_join_fill`) instead of the default path's
+  driver-side packed-key probes; the threshold sweeps and fusion
+  training run in remote tasks over the conf blocks.
+
+Bit-identity: with the same pinned worker counts the WIDE FEATURE TABLE
+(conf_valid, every feature column of scored_test) is bit-identical to
+``trust_pipeline`` — values and dtypes — and the fused ``conf`` matches
+within float rounding (~1 ulp: fusion training crosses a process
+boundary here, and numpy's alignment-sensitive SIMD reduction order is
+not stable across processes).  Asserted by
+``tests/test_trust_streaming.py``: every kernel is shared, the trainer
+shards are drawn from the identical rng stream (`transe._make_shards`),
+the samplers are content-seeded, and both paths canonicalize conf order
+by a final (h, t, r, flag) sort.
+
+Reference parity: same stage semantics as ``trust_pipeline`` (which maps
+`full_run.sh:34-36` stage by stage); this module changes only WHERE the
+intermediate state lives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..context import Broadcast, num_cpus
+from ..functions.fusion import (MAX_P, N_BRANCH, accuracy, pr_sweep,
+                                score_fusion_task, train_fusion)
+from ..functions.joins import left_join_fill
+from ..functions.sampling import (labeled_examples, pack_triples,
+                                  split_bucket, split_edges)
+from ..functions.transe import (thresholds_by_key, train_transe,
+                                train_transe_distributed, transe_energy)
+from ..functions.vocab import build_vocab, id_map_edges
+from ..stages.graph import (RR_F_MISS, RR_MISS_SENTINEL, build_csr,
+                            graph_features_for_heads, rr_sigmoid_f)
+from ..stages.paths import enumerate_paths_ds, score_paths_for_queries
+
+GF_COLS = ["in_c", "out_c", "in_n", "out_n", "depth"]
+GF_FILL = dict(zip(["pr"] + GF_COLS, [0.0] + RR_MISS_SENTINEL[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Remote assemblers (run as Ray tasks; outputs stay in the object store)
+# ---------------------------------------------------------------------------
+
+def _assemble_triples(n_entities: int, n_relations: int, *tbls):
+    """Id-mapped blocks → canonical (h,t,r)-sorted splits, sorted packed
+    gold keys, and the train CSR — the exact arrays the default path
+    builds on the driver (`trust.py` vocab_ids_split), stored remotely."""
+    h = np.concatenate([t.column("h").to_numpy() for t in tbls]).astype(np.int64)
+    t_ = np.concatenate([t.column("t").to_numpy() for t in tbls]).astype(np.int64)
+    r = np.concatenate([t.column("r").to_numpy() for t in tbls]).astype(np.int64)
+    order = np.lexsort((r, t_, h))
+    h, t_, r = h[order], t_[order], r[order]
+    b = split_bucket(h, t_, r)
+
+    def pack3(m):
+        return np.ascontiguousarray(np.stack([h[m], t_[m], r[m]], axis=1))
+
+    tr, dev, te = pack3(b < 8), pack3(b == 8), pack3(b == 9)
+    gold = np.sort(pack_triples(h, t_, r, n_entities=n_entities,
+                                n_relations=n_relations))
+    csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_entities)
+    counts = {"train": len(tr), "valid": len(dev), "test": len(te),
+              "total": len(h)}
+    return tr, dev, te, gold, csr, counts
+
+
+def _conf_meta(n_entities: int, n_relations: int, *tbls):
+    """Conf blocks → (sorted unique query triples, sorted packed (h,t)
+    pairs, distinct heads).  Matches the driver path's drop_duplicates +
+    lexsort / np.unique exactly (packed order == (h,t,r) lexsort)."""
+    h = np.concatenate([t.column("h").to_numpy() for t in tbls]).astype(np.int64)
+    t_ = np.concatenate([t.column("t").to_numpy() for t in tbls]).astype(np.int64)
+    r = np.concatenate([t.column("r").to_numpy() for t in tbls]).astype(np.int64)
+    pk = pack_triples(h, t_, r, n_entities=n_entities, n_relations=n_relations)
+    _, uidx = np.unique(pk, return_index=True)
+    queries = (h[uidx], t_[uidx], r[uidx])
+    pairs = np.unique((h << 32) | t_)
+    heads = np.unique(h)
+    return queries, pairs, heads
+
+
+def _sweep_remote(key: str, value: str, descending: bool, *tbls):
+    """Remote threshold sweep over the conf_valid rows of the blocks
+    (same `thresholds_by_key` kernel as the driver path)."""
+    frames = []
+    for t in tbls:
+        df = t.select([key, value, "flag", "which"]).to_pandas()
+        frames.append(df[df["which"] == 0][[key, value, "flag"]])
+    return thresholds_by_key(pd.concat(frames, ignore_index=True),
+                             key=key, value=value, descending=descending)
+
+
+def _train_serial_remote(tr, n_ent, n_rel, cfg, dev):
+    return train_transe(tr, n_ent, n_rel, cfg, dev_triples=dev)
+
+
+def _fusion_remote(path_emb, fusion_kwargs, *tbls):
+    """Remote fusion training: assemble the valid conf table (object
+    store, never the driver), canonical-sort, and run the SAME
+    ``train_fusion`` (its local-SGD rounds spawn nested Ray tasks)."""
+    df = pa.concat_tables(tbls, promote_options="default").to_pandas()
+    df = df[df["which"] == 0].drop(columns=["which"])
+    df = df.sort_values(["h", "t", "r", "flag"], ignore_index=True)
+    return train_fusion(df, path_emb=path_emb, **fusion_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Attach stages (map_batches; lookup state broadcast once)
+# ---------------------------------------------------------------------------
+
+def _add_keys(n_entities: int, n_relations: int):
+    def fn(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy().astype(np.int64)
+        t_ = t.column("t").to_numpy().astype(np.int64)
+        r = t.column("r").to_numpy().astype(np.int64)
+        ht = (h << 32) | t_
+        htr = pack_triples(h, t_, r, n_entities=n_entities,
+                           n_relations=n_relations).view(np.int64)
+        return (t.append_column("__ht", pa.array(ht))
+                 .append_column("__htr", pa.array(htr)))
+    return fn
+
+
+def _gf_right(t: pa.Table) -> pa.Table:
+    head = t.column("head").to_numpy().astype(np.int64)
+    node = t.column("node").to_numpy().astype(np.int64)
+    cols = {"__ht": (head << 32) | node,
+            "pr": t.column("pr").to_numpy().astype(np.float64)}
+    for c in GF_COLS:
+        cols[c] = t.column(c).to_numpy().astype(np.float64)
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+class _TransVAttach:
+    """+ transV (M5) — E/R broadcast once per actor/task."""
+
+    def __init__(self, emb_bc: Broadcast):
+        self.E, self.R = emb_bc.get()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        v = transe_energy(self.E, self.R,
+                          t.column("h").to_numpy(),
+                          t.column("t").to_numpy(),
+                          t.column("r").to_numpy())
+        return t.append_column("transV", pa.array(v))
+
+
+class _RRAttach:
+    """+ rr_f / rr6_f (M7/M8) from the joined pr + hit indicator; the
+    per-head thresholds arrive as a dense broadcast array."""
+
+    def __init__(self, theta_bc: Broadcast):
+        self.theta = theta_bc.get()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pr = t.column("pr").to_numpy()
+        h = t.column("h").to_numpy()
+        hit = t.column("__gf_hit").to_numpy() > 0
+        f = rr_sigmoid_f(pr, self.theta[h])
+        t = t.append_column("rr_f", pa.array(np.where(hit, f, RR_F_MISS)))
+        t = t.append_column(
+            "rr6_f", pa.array(np.where(hit, f, RR_MISS_SENTINEL[0])))
+        return t.drop_columns(["pr", "__gf_hit"])
+
+
+def _margin_attach(theta_r_arr: np.ndarray):
+    def fn(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy()
+        v = t.column("transV").to_numpy()
+        return t.append_column("conf_transe", pa.array(theta_r_arr[r] - v))
+    return fn
+
+
+def _paths_pivot(n_entities: int, n_relations: int):
+    """Ranked-path rows → one row per query with per-rank columns.
+
+    In-block pivot: ``PathScore`` emits all of a query's ranks inside one
+    output block and the rank filter is block-preserving, so each query's
+    rows are never split across blocks (contract documented on
+    `PathScore`); (query, rank) is unique."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy().astype(np.int64)
+        t_ = t.column("t").to_numpy().astype(np.int64)
+        r = t.column("r").to_numpy().astype(np.int64)
+        htr = pack_triples(h, t_, r, n_entities=n_entities,
+                           n_relations=n_relations).view(np.int64)
+        rank = t.column("rank").to_numpy()
+        score = t.column("score").to_numpy().astype(np.float64)
+        plen = t.column("path_len").to_numpy().astype(np.int64)
+        seqs = {
+            c: t.column(c).combine_chunks().flatten().to_numpy()
+            .reshape(-1, MAX_P).astype(np.int64)
+            for c in ("p_src", "p_dst", "p_rel")
+        }
+        keys, inv = np.unique(htr, return_inverse=True)
+        n = len(keys)
+        cols: dict[str, np.ndarray] = {"__htr": keys}
+        for k in range(N_BRANCH):
+            sel = rank == k
+            pos = inv[sel]
+            pk = np.zeros(n, dtype=np.float64)
+            pk[pos] = score[sel]
+            has = np.zeros(n, dtype=np.float64)
+            has[pos] = 1.0
+            ln = np.zeros(n, dtype=np.int64)
+            ln[pos] = plen[sel]
+            cols[f"p{k}"] = pk
+            cols[f"p{k}_has"] = has
+            cols[f"p{k}_len"] = ln
+            for col, pref in (("p_src", "s"), ("p_dst", "d"), ("p_rel", "r")):
+                m = seqs[col][sel]
+                for i in range(MAX_P):
+                    out = np.zeros(n, dtype=np.int64)
+                    out[pos] = m[:, i]
+                    cols[f"p{k}_{pref}{i}"] = out
+        return pa.table({k: pa.array(v) for k, v in cols.items()})
+    return fn
+
+
+def _path_fill() -> dict:
+    fill: dict = {}
+    for k in range(N_BRANCH):
+        fill[f"p{k}"] = 0.0
+        fill[f"p{k}_has"] = 0.0
+        fill[f"p{k}_len"] = 0
+        for pref in ("s", "d", "r"):
+            for i in range(MAX_P):
+                fill[f"p{k}_{pref}{i}"] = 0
+    return fill
+
+
+# ---------------------------------------------------------------------------
+# The pipeline
+# ---------------------------------------------------------------------------
+
+def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
+    """Edge Dataset (subj, pred, obj) → scored conf_test + metrics,
+    with all triple/conf payloads object-store- or Dataset-resident."""
+    import time as _time
+
+    from .trust import TrustConfig, _StageThread, _dict_to_arr
+
+    if cfg is None:
+        cfg = TrustConfig()
+    timings: dict[str, float] = {}
+    _t = _time.time()
+
+    def _lap(name: str) -> None:
+        nonlocal _t
+        timings[name] = round(_time.time() - _t, 3)
+        _t = _time.time()
+
+    # ---- vocab + id-map + remote assembly --------------------------------
+    edges_ds = edges_ds.materialize()
+    ent_df, rel_df = build_vocab(edges_ds)
+    n_ent, n_rel = len(ent_df), len(rel_df)
+    ids_ds = id_map_edges(edges_ds, ent_df, rel_df).materialize()
+    asm = ray.remote(_assemble_triples).options(num_returns=6)
+    (tr_ref, dev_ref, test_ref, gold_ref, csr_ref,
+     counts_ref) = asm.remote(n_ent, n_rel, *ids_ds.to_arrow_refs())
+    counts = ray.get(counts_ref)
+    _lap("vocab_ids_split")
+
+    kge_workers = cfg.kge_workers
+    if kge_workers is None:
+        kge_workers = min(8, max(2, num_cpus() // 2))
+    ptranse_workers = cfg.ptranse_workers
+    if ptranse_workers is None:
+        ptranse_workers = kge_workers
+    fusion_workers = cfg.fusion_workers
+    if fusion_workers is None:
+        fusion_workers = kge_workers
+    dev_arg = dev_ref if counts["valid"] else None
+
+    # ---- trainers launch first (they gate the longest chains) ------------
+    def _trainer(tcfg, workers):
+        if workers > 1:
+            return lambda: train_transe_distributed(
+                tr_ref, n_ent, n_rel, tcfg, dev_triples=dev_arg,
+                workers=workers, n_triples=counts["train"])
+        return lambda: ray.get(ray.remote(_train_serial_remote).remote(
+            tr_ref, n_ent, n_rel, tcfg, dev_arg))
+
+    th_pt = _StageThread(_trainer(cfg.ptranse, ptranse_workers))
+    th_kge = _StageThread(_trainer(cfg.transe, kge_workers))
+    th_pt.start()
+    th_kge.start()
+
+    # ---- conf tables (Dataset-resident from here on) ----------------------
+    _, valid_pos, test_pos = split_edges(ids_ds)
+    gold_bc = Broadcast.from_ref(gold_ref)
+
+    def _tag(which: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "which", pa.array(np.full(t.num_rows, which, dtype=np.int8)))
+        return fn
+
+    conf0 = (
+        labeled_examples(valid_pos, gold_bc, n_entities=n_ent,
+                         n_relations=n_rel, seed=cfg.neg_seed)
+        .map_batches(_tag(0), batch_format="pyarrow")
+        .union(
+            labeled_examples(test_pos, gold_bc, n_entities=n_ent,
+                             n_relations=n_rel, seed=cfg.neg_seed + 1)
+            .map_batches(_tag(1), batch_format="pyarrow"))
+        .map_batches(_add_keys(n_ent, n_rel), batch_format="pyarrow")
+        .materialize())
+    _lap("negative_sampling")
+
+    meta = ray.remote(_conf_meta).options(num_returns=3)
+    q_ref, pairs_ref, heads_ref = meta.remote(
+        n_ent, n_rel, *conf0.to_arrow_refs())
+    heads = ray.get(heads_ref)
+    heads_ds = rd.from_pandas(pd.DataFrame({"head": heads}))
+
+    # ---- path enumeration starts now (CSR-only; overlaps both trainers) --
+    th_enum = _StageThread(lambda: enumerate_paths_ds(
+        heads, Broadcast.from_ref(csr_ref),
+        max_paths=cfg.path_max_paths).materialize())
+    th_enum.start()
+
+    # ---- graph features + attach join -------------------------------------
+    def run_gf_join():
+        gf_right = graph_features_for_heads(
+            heads_ds, Broadcast.from_ref(csr_ref), depth=cfg.subgraph_depth,
+            max_nodes=cfg.subgraph_max_nodes,
+            pairs=Broadcast.from_ref(pairs_ref), batch_size=96,
+        ).map_batches(_gf_right, batch_format="pyarrow")
+        return left_join_fill(conf0, gf_right, on="__ht", fill=GF_FILL,
+                              hit_col="__gf_hit").materialize()
+
+    th_gf = _StageThread(run_gf_join)
+    th_gf.start()
+
+    conf1 = th_gf.join_result()
+    timings["graph_features_wall"] = th_gf.seconds
+    _lap("rr_join")
+
+    # per-head PR thresholds (A4) from the valid rows, computed remotely
+    theta_h = ray.get(ray.remote(_sweep_remote).remote(
+        "h", "pr", True, *conf1.to_arrow_refs()))
+    theta_h_arr = _dict_to_arr(theta_h, n_ent, 0.5)
+    _lap("theta_h_sweep")
+
+    E, R = th_kge.join_result()
+    timings["kge_train_wall"] = th_kge.seconds
+    _lap("kge_training")
+
+    conf2 = (conf1.map_batches(_TransVAttach,
+                               fn_constructor_kwargs={
+                                   "emb_bc": Broadcast((E, R))},
+                               batch_format="pyarrow",
+                               concurrency=(1, max(2, num_cpus() // 2)))
+             .map_batches(_RRAttach,
+                          fn_constructor_kwargs={
+                              "theta_bc": Broadcast(theta_h_arr)},
+                          batch_format="pyarrow",
+                          concurrency=(1, max(2, num_cpus() // 2)))
+             .materialize())
+    theta_r = ray.get(ray.remote(_sweep_remote).remote(
+        "r", "transV", False, *conf2.to_arrow_refs()))
+    theta_r_arr = _dict_to_arr(theta_r, n_rel, 0.0)
+    conf3 = conf2.map_batches(_margin_attach(theta_r_arr),
+                              batch_format="pyarrow")
+    _lap("transe_features")
+
+    # ---- ranked paths + attach join ---------------------------------------
+    Ep, Rp = th_pt.join_result()
+    timings["ptranse_wall"] = th_pt.seconds
+    enum_ds = th_enum.join_result()
+    timings["path_enum_wall"] = th_enum.seconds
+    import pyarrow.compute as pc
+
+    # batch_size=None: whole blocks, no re-batching — the pivot's in-block
+    # contract needs every rank row of a query in ONE batch (PathScore
+    # emits them together; the default 1024-row re-batch would split them)
+    paths_right = (score_paths_for_queries(
+        enum_ds, Broadcast.from_ref(q_ref), Ep, Rp,
+        keep_top=cfg.path_keep_top)
+        .map_batches(lambda t: t.filter(pc.less(t.column("rank"),
+                                                N_BRANCH)),
+                     batch_format="pyarrow", batch_size=None)
+        .map_batches(_paths_pivot(n_ent, n_rel), batch_format="pyarrow",
+                     batch_size=None)
+        .materialize())
+    final = (left_join_fill(conf3, paths_right, on="__htr",
+                            fill=_path_fill(), combine_right_sum=True)
+             .map_batches(lambda t: t.drop_columns(["__ht", "__htr"]),
+                          batch_format="pyarrow")
+             .materialize())
+    _lap("path_features")
+
+    # ---- fusion train (remote task over the valid blocks) + score --------
+    model = ray.get(ray.remote(_fusion_remote).remote(
+        (Ep, Rp),
+        {"batch_size": cfg.fusion_batch_size, "epochs": cfg.fusion_epochs,
+         "workers": fusion_workers},
+        *final.to_arrow_refs()))
+    _lap("fusion_train")
+
+    model_bc = Broadcast(model)
+    from functools import partial
+
+    scored_ds = (final
+                 .map_batches(lambda t: t.filter(
+                     pc.equal(t.column("which"), pa.scalar(1)))
+                     .drop_columns(["which"]),
+                     batch_format="pyarrow")
+                 .map_batches(partial(score_fusion_task, model_bc=model_bc),
+                              batch_format="pyarrow", batch_size=4096))
+    scored = scored_ds.to_pandas().sort_values(["h", "t", "r", "flag"],
+                                               ignore_index=True)
+    _lap("fusion_score")
+
+    conf = scored["conf"].to_numpy()
+    flags = scored["flag"].to_numpy()
+    sweep = pr_sweep(conf, flags)
+    conf_valid = (final.map_batches(
+        lambda t: t.filter(pc.equal(t.column("which"), pa.scalar(0)))
+        .drop_columns(["which"]), batch_format="pyarrow")
+        .to_pandas().sort_values(["h", "t", "r", "flag"],
+                                 ignore_index=True))
+    return {
+        "ent_vocab": ent_df,
+        "rel_vocab": rel_df,
+        "conf_valid": conf_valid,
+        "n_triples": counts["total"],
+        "theta_r": theta_r,
+        "theta_h": theta_h,
+        "scored_test": scored,
+        "scored_ds": scored_ds,
+        "accuracy": accuracy(conf, flags),
+        "pr_sweep": sweep,
+        "max_f1": float(sweep["f1"].max()),
+        "embeddings": (E, R),
+        "timings": timings,
+    }

@@ -282,12 +282,19 @@ def graph_features_for_heads(heads_ds, csr: CSR, *, depth: int = 4,
                              max_nodes: int = 4000, batch_size: int = 16,
                              pairs: "np.ndarray | None" = None,
                              concurrency: tuple[int, int] | int | None = None):
-    """heads Dataset['head'] → fused per-(head, node) feature Dataset."""
+    """heads Dataset['head'] → fused per-(head, node) feature Dataset.
+
+    ``csr`` / ``pairs`` may be ``Broadcast``s (streaming mode: the CSR and
+    the packed-pair filter are assembled by remote tasks and never land on
+    the driver — a ``Broadcast`` pairs value must be pre-sorted)."""
     from ..context import auto_pool, spread
 
-    bc = Broadcast(csr)
+    bc = csr if isinstance(csr, Broadcast) else Broadcast(csr)
     heads_ds = spread(heads_ds)
-    pairs_bc = Broadcast(np.sort(pairs)) if pairs is not None else None
+    if pairs is None or isinstance(pairs, Broadcast):
+        pairs_bc = pairs
+    else:
+        pairs_bc = Broadcast(np.sort(pairs))
     return heads_ds.map_batches(
         GraphFeatures,
         fn_constructor_kwargs={"csr_bc": bc, "depth": depth,

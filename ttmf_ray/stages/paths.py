@@ -350,9 +350,10 @@ def enumerate_paths_ds(heads: np.ndarray, csr: CSR, *, max_len: int = 3,
 
     heads_ds = rd.from_pandas(
         pd.DataFrame({"head": np.sort(np.asarray(heads, dtype=np.int64))}))
+    csr_bc = csr if isinstance(csr, Broadcast) else Broadcast(csr)
     return spread(heads_ds).map_batches(
         PathEnum,
-        fn_constructor_kwargs={"csr_bc": Broadcast(csr),
+        fn_constructor_kwargs={"csr_bc": csr_bc,
                                "max_len": max_len, "max_paths": max_paths},
         batch_format="pyarrow",
         batch_size=32,
@@ -461,12 +462,16 @@ def score_paths_for_queries(enum_ds, queries, E: np.ndarray, R: np.ndarray,
     """Per-head path Dataset (stage 1 output) + query table → ranked-path
     Dataset.  ``queries`` is a small (h, t, r) DataFrame/dict of arrays —
     broadcast sorted by (h, t, r) so each head's queries are a contiguous
-    slice probed by searchsorted."""
-    qh = np.asarray(queries["h"], dtype=np.int64)
-    qt = np.asarray(queries["t"], dtype=np.int64)
-    qr = np.asarray(queries["r"], dtype=np.int64)
-    order = np.lexsort((qr, qt, qh))
-    queries_bc = Broadcast((qh[order], qt[order], qr[order]))
+    slice probed by searchsorted — or a ``Broadcast`` of the already
+    (h, t, r)-sorted ``(qh, qt, qr)`` arrays (streaming mode)."""
+    if isinstance(queries, Broadcast):
+        queries_bc = queries
+    else:
+        qh = np.asarray(queries["h"], dtype=np.int64)
+        qt = np.asarray(queries["t"], dtype=np.int64)
+        qr = np.asarray(queries["r"], dtype=np.int64)
+        order = np.lexsort((qr, qt, qh))
+        queries_bc = Broadcast((qh[order], qt[order], qr[order]))
     return enum_ds.map_batches(
         PathScore,
         fn_constructor_kwargs={"emb_bc": Broadcast((E, R)),
