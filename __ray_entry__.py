@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": rel.revenue_by_nation,
         "top_parts": rel.top_parts,
         "ann_topk": rel.ann_topk,
+        "embeddings_kmeans": rel.embeddings_kmeans,
+        "embeddings_semantic_dedup": rel.embeddings_semantic_dedup,
         "order_priority_revenue": rel.order_priority_revenue,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
@@ -854,6 +856,83 @@ _EMB_LINK_RANK_SQL = """
 """
 
 
+def _kmeans_ctes(k: int = 8, n_iter: int = 4) -> tuple[str, str]:
+    """Shared CTE chain mirroring stages/cluster.py:kmeans — seeded
+    hash-rank init, ``n_iter`` UNROLLED Lloyd iterations (assignment =
+    row_number over round(list_distance,6) with cluster tie-break;
+    update = element-wise avg rounded to 6 dp, empty clusters keep the
+    previous centroid).  The 6-dp rounding on BOTH engines quantizes
+    away summation-order ulps, making assignments exactly reproducible.
+    Returns (cte_body, final_centroid_cte_name)."""
+    lat, ref = _mix_chain("km", ["e0.vec_id"], [628, 6])
+    ctes = [f"""emb AS MATERIALIZED (
+        SELECT e0.vec_id AS id, e0.embedding::DOUBLE[] AS v, {ref} AS h
+        FROM embeddings e0,
+        {lat})""",
+            f"""c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY h, id) - 1 AS c,
+               list_transform(v, x -> round(x, 6)) AS v
+        FROM (SELECT id, v, h FROM emb ORDER BY h, id LIMIT {k}))"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+        SELECT id, v, c FROM (
+            SELECT e.id, e.v, c.c,
+                   row_number() OVER (PARTITION BY e.id
+                       ORDER BY round(list_distance(e.v, c.v), 6), c.c)
+                       AS rn
+            FROM emb e CROSS JOIN c{i - 1} c)
+        WHERE rn = 1)""")
+        ctes.append(f"""m{i} AS MATERIALIZED (
+        SELECT c, list(xr ORDER BY pos) AS v FROM (
+            SELECT c, pos, round(avg(x), 6) AS xr FROM (
+                SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM a{i})
+            GROUP BY c, pos)
+        GROUP BY c)""")
+        ctes.append(f"""c{i} AS MATERIALIZED (
+        SELECT p.c, COALESCE(m.v, p.v) AS v
+        FROM c{i - 1} p LEFT JOIN m{i} m USING (c))""")
+    return ",\n".join(ctes), f"c{n_iter}"
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
+    body, cfin = _kmeans_ctes(k, n_iter)
+    return f"""
+    WITH {body}
+    SELECT id AS vec_id, CAST(c AS BIGINT) AS cluster, d AS dist FROM (
+        SELECT e.id, c.c, round(list_distance(e.v, c.v), 6) AS d,
+               row_number() OVER (PARTITION BY e.id
+                   ORDER BY round(list_distance(e.v, c.v), 6), c.c) AS rn
+        FROM emb e CROSS JOIN {cfin} c)
+    WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+def _semantic_dedup_sql(k: int = 8, n_iter: int = 4,
+                        tau: float = 0.35) -> str:
+    """Mirror of stages/cluster.py:semantic_dedup — final k-means
+    assignment + within-cluster self-join on lower ids at
+    round(cosine, 6) ≥ tau; dup_of = smallest such id, else -1."""
+    body, cfin = _kmeans_ctes(k, n_iter)
+    return f"""
+    WITH {body},
+    af AS MATERIALIZED (
+        SELECT id, v, c FROM (
+            SELECT e.id, e.v, c.c,
+                   row_number() OVER (PARTITION BY e.id
+                       ORDER BY round(list_distance(e.v, c.v), 6), c.c)
+                       AS rn
+            FROM emb e CROSS JOIN {cfin} c)
+        WHERE rn = 1)
+    SELECT a.id AS vec_id, CAST(a.c AS BIGINT) AS cluster,
+           COALESCE(MIN(b.id), -1) AS dup_of
+    FROM af a LEFT JOIN af b
+      ON a.c = b.c AND b.id < a.id
+     AND round(list_cosine_similarity(a.v, b.v), 6) >= {tau}
+    GROUP BY a.id, a.c ORDER BY a.id
+    """
+
+
 def _lineitem_sample_sql(n: int = 2000) -> str:
     """Mirror of deterministic_sample over lineitem: the n rows with the
     smallest mix64(628, 4, l_orderkey, l_linenumber), key tie-break."""
@@ -1485,6 +1564,8 @@ def oracle_sql() -> dict[str, str]:
                      e.vec_id
             LIMIT 10
         """,
+        "embeddings_kmeans": _kmeans_sql(),
+        "embeddings_semantic_dedup": _semantic_dedup_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "docs_shuffle_export": _shuffle_export_sql(),
         "docs_pack_bins": _pack_bins_sql(),

@@ -1,0 +1,70 @@
+"""K-means + semantic dedup (stages/cluster.py): recovery on planted
+blobs, dedup of planted near-identical vectors, determinism."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ttmf_ray.stages.cluster import kmeans, semantic_dedup
+
+
+def _blob_ds(n_per: int = 40, d: int = 8, sep: float = 20.0):
+    rng = np.random.default_rng(3)
+    centers = np.eye(3, d) * sep
+    vecs, labels = [], []
+    for b in range(3):
+        vecs.append(centers[b] + rng.standard_normal((n_per, d)))
+        labels.extend([b] * n_per)
+    V = np.concatenate(vecs)
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(V), dtype=np.int64),
+        "embedding": [row.astype(np.float32).tolist() for row in V],
+        "blob": np.asarray(labels),
+    })
+    return rd.from_pandas(df[["vec_id", "embedding"]]), df
+
+
+def test_kmeans_recovers_separated_blobs():
+    ds, df = _blob_ds()
+    assign_ds, C = kmeans(ds, k=3, n_iter=5)
+    out = assign_ds.to_pandas().sort_values("vec_id", ignore_index=True)
+    assert C.shape == (3, 8)
+    # each blob maps to exactly one cluster (perfect recovery at sep=20)
+    joined = out.merge(df[["vec_id", "blob"]], on="vec_id")
+    purity = joined.groupby("blob")["cluster"].nunique()
+    assert (purity == 1).all()
+    assert joined["cluster"].nunique() == 3
+
+
+def test_kmeans_deterministic():
+    ds, _ = _blob_ds()
+    a = kmeans(ds, k=3, n_iter=4)[0].to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    b = kmeans(ds, k=3, n_iter=4)[0].to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_semantic_dedup_flags_planted_near_identical():
+    ds, df = _blob_ds()
+    # plant near-identical copies of vec 0 and vec 40 (different blobs)
+    base = df[df.vec_id.isin([0, 40])].copy()
+    planted = base.copy()
+    planted["vec_id"] = planted["vec_id"] + 1_000
+    planted["embedding"] = planted["embedding"].map(
+        lambda v: (np.asarray(v) * 1.0001).astype(np.float32).tolist())
+    all_df = pd.concat([df, planted], ignore_index=True)
+    ds2 = rd.from_pandas(all_df[["vec_id", "embedding"]])
+    _, C = kmeans(ds2, k=3, n_iter=5)
+    out = semantic_dedup(ds2, C, tau=0.999).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    assert len(out) == len(all_df)
+    dup = out[out.dup_of >= 0]
+    # the planted copies point back at their originals
+    got = dict(zip(dup["vec_id"], dup["dup_of"]))
+    assert got.get(1000) == 0
+    assert got.get(1040) == 40
+    # cosine scaling (×1.0001) keeps direction: no false positives among
+    # the independent Gaussian rows at tau=0.999
+    assert len(dup) == 2

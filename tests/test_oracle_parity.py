@@ -46,6 +46,8 @@ SUBSET = [
     "docs_lm_perplexity",
     "docs_dup_clusters",
     "kg_degree_quantiles",
+    "embeddings_kmeans",
+    "embeddings_semantic_dedup",
 ]
 
 

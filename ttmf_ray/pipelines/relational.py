@@ -503,6 +503,39 @@ def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def embeddings_kmeans(sf_dir: str, k: int = 8, n_iter: int = 4) -> pd.DataFrame:
+    """Distributed k-means over the embedding column (stages/cluster.py):
+    seeded hash-rank init, per-batch (count, sum) partials, centroids
+    rounded to 6 dp per iteration so the unrolled-CTE DuckDB mirror
+    reproduces the assignments exactly.  Output (vec_id, cluster, dist)."""
+    from ..stages.cluster import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign_ds, _ = kmeans(ds, k=k, n_iter=n_iter)
+    out = assign_ds.to_pandas()
+    out["dist"] = out["dist"].round(6)
+    return out.astype({"vec_id": np.int64, "cluster": np.int64}) \
+        .sort_values("vec_id", ignore_index=True)
+
+
+def embeddings_semantic_dedup(sf_dir: str, k: int = 8, n_iter: int = 4,
+                              tau: float = 0.35) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup: k-means cluster, then mark members
+    with a lower-id neighbor at round(cosine,6) ≥ tau in the SAME
+    cluster (dup_of = smallest such id, else -1).  tau=0.35 exercises
+    the operator on the synthetic embeddings' natural cosine range
+    (max pairwise ≈ 0.48); production corpora use ≈0.9.  SQL mirror:
+    same unrolled k-means + a within-cluster self-join."""
+    from ..stages.cluster import kmeans, semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, centroids = kmeans(ds, k=k, n_iter=n_iter)
+    out = semantic_dedup(ds, centroids, tau=tau).to_pandas()
+    return out.astype({"vec_id": np.int64, "cluster": np.int64,
+                       "dup_of": np.int64}) \
+        .sort_values("vec_id", ignore_index=True)
+
+
 def events_sessions(sf_dir: str, gap_sec: int = 1800,
                     n_parts: int = 64) -> pd.DataFrame:
     """Gap-based sessionization per user (the streaming-shaped operator

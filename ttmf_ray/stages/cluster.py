@@ -1,0 +1,196 @@
+"""Distributed k-means over an embedding column + within-cluster semantic
+dedup (the SemDeDup-style curation primitive: cluster, then drop members
+that sit within an ε-ball of a lower-id representative).
+
+K-means, Ray-Data-first:
+
+- **Seeded deterministic init**: the k vectors whose ``(mix64(628,6,id),
+  id)`` rank is smallest, cluster index = rank.  Cluster-size- and
+  block-order-independent, and SQL-expressible (the same mix64 LATERAL
+  chain every other seeded mirror uses).
+- **One `map_batches` pass per iteration**: each batch computes distances
+  against the broadcast (k, d) centroid matrix and returns a k-row
+  partial (count, component sums) — the shuffle-free pre-aggregation
+  shape (CLAUDE.md rule 3); the driver folds the tiny partials and
+  updates centroids.  Empty clusters keep their previous centroid.
+- **Bit-reproducible iteration**: distances are computed as direct
+  squared differences (no expanded ‖v‖²−2v·c+‖c‖² cancellation) in
+  float64 and ROUNDED to 6 dp before the argmin (ties → smallest
+  cluster), and centroids are rounded to 6 dp after every update.  The
+  rounding quantizes away summation-order ulps, so a DuckDB mirror
+  running the identical unrolled iterations (list_distance on
+  DOUBLE-cast lists, round(,6), row_number tie-break, avg + round)
+  reproduces the assignments exactly — the same trick as the
+  `docs_lm_perplexity` SQL-rebuilt model.
+- Fixed ``n_iter`` (no data-dependent stopping) so the mirror can unroll.
+
+Scale shape: per-iteration traffic is (k·d) per block, independent of n;
+the final labeled output streams.  At 100 TB the read is the cost — the
+centroid state is broadcast once per iteration (``ray.put`` via
+``Broadcast``), never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..context import Broadcast, auto_pool, spread
+from ..sources.pages import mix64_vec
+from .ann import list_col_matrix
+
+KMEANS_SEED_TAG = 6     # mix64(seed, KMEANS_SEED_TAG, id) ranks the init
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    return np.round(x, 6)
+
+
+def seeded_init_centroids(ds, *, k: int, seed: int = 628,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> np.ndarray:
+    """(k, d) float64 centroid matrix: vectors of the k smallest
+    (mix64(seed, 6, id), id) ranks, rounded to 6 dp, cluster = rank."""
+
+    def part(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        h = mix64_vec(seed, KMEANS_SEED_TAG, ids)
+        keep = np.lexsort((ids, h))[:k]
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "__h": pa.array(h[keep]),
+            vec_col: t.column(vec_col).take(pa.array(keep)),
+        })
+
+    # per-batch partial top-k, then one tiny driver merge (arrow collect:
+    # the list column must not round-trip pandas — CLAUDE.md rule 10)
+    tbls = ray.get(ds.map_batches(part, batch_format="pyarrow")
+                   .to_arrow_refs())
+    t = pa.concat_tables([x for x in tbls if x.num_rows] or tbls[:1])
+    ids = t.column(id_col).to_numpy().astype(np.int64)
+    h = t.column("__h").to_numpy()
+    keep = np.lexsort((ids, h))[:k]
+    V = list_col_matrix(t.column(vec_col))
+    return _round6(V[keep])
+
+
+class _KMeansPartial:
+    """map_batches stage: batch → k-row (cluster, count, sum) partial."""
+
+    def __init__(self, cent_bc: Broadcast, *, vec_col: str):
+        self.C = cent_bc.get()
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        V = list_col_matrix(t.column(self.vec_col))
+        a = assign_clusters(V, self.C)[0]
+        k, d = self.C.shape
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, a, V)
+        return pa.table({
+            "c": pa.array(np.arange(k, dtype=np.int32)),
+            "n": pa.array(cnt),
+            "s": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.ravel()), d),
+        })
+
+
+def assign_clusters(V: np.ndarray, C: np.ndarray):
+    """(assignment, rounded distance) — direct squared differences,
+    round-6 argmin, ties to the smallest cluster index (the exact rule
+    the SQL mirror's row_number ORDER BY round(dist,6), c implements)."""
+    dif = V[:, None, :] - C[None, :, :]
+    dist = np.sqrt(np.einsum("nkd,nkd->nk", dif, dif))
+    rd = _round6(dist)
+    a = np.argmin(rd, axis=1)                    # first min = smallest c
+    return a, rd[np.arange(len(V)), a]
+
+
+def kmeans(ds, *, k: int = 8, n_iter: int = 4, seed: int = 628,
+           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Embedding Dataset → (assignment Dataset [id, cluster, dist],
+    final (k, d) centroid matrix)."""
+    ds = spread(ds.materialize())
+    C = seeded_init_centroids(ds, k=k, seed=seed, id_col=id_col,
+                              vec_col=vec_col)
+    for _ in range(n_iter):
+        tbls = ray.get(ds.map_batches(
+            _KMeansPartial,
+            fn_constructor_kwargs={"cent_bc": Broadcast(C),
+                                   "vec_col": vec_col},
+            batch_format="pyarrow",
+            concurrency=auto_pool(),
+        ).to_arrow_refs())
+        t = pa.concat_tables([x for x in tbls if x.num_rows] or tbls[:1])
+        c = t.column("c").to_numpy()
+        n = t.column("n").to_numpy()
+        s = (t.column("s").combine_chunks().flatten().to_numpy()
+             .reshape(-1, C.shape[1]))
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(cnt, c, n)
+        sums = np.zeros_like(C)
+        np.add.at(sums, c, s)
+        nonempty = cnt > 0
+        C = C.copy()
+        C[nonempty] = _round6(sums[nonempty] / cnt[nonempty, None])
+
+    cent_bc = Broadcast(C)
+
+    def label(t: pa.Table, *, C=None) -> pa.Table:
+        C_ = cent_bc.get() if C is None else C
+        V = list_col_matrix(t.column(vec_col))
+        a, dist = assign_clusters(V, C_)
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist": pa.array(dist),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow"), C
+
+
+def semantic_dedup(ds, centroids: np.ndarray, *, tau: float,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Within-cluster ε-ball dedup: a row is a duplicate iff some
+    LOWER-id member of its k-means cluster has round(cosine, 6) ≥ tau;
+    ``dup_of`` is the smallest such id (else -1).
+
+    Pairwise work is confined to one cluster at a time (the SemDeDup
+    contract: k bounds the ball size; raise k before raising cluster
+    sizes).  Output: (id, cluster, dup_of).
+    """
+    cent_bc = Broadcast(centroids)
+
+    def with_cluster(t: pa.Table) -> pa.Table:
+        V = list_col_matrix(t.column(vec_col))
+        a, _ = assign_clusters(V, cent_bc.get())
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+            vec_col: t.column(vec_col),
+        })
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, ignore_index=True)
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g[vec_col]])     # one cluster: small
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                            1e-12)
+        cos = _round6(Vn @ Vn.T)
+        hit = np.tril(cos >= tau, k=-1)          # lower-id neighbors only
+        any_hit = hit.any(axis=1)
+        first = np.argmax(hit, axis=1)           # smallest lower index
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": g["cluster"].to_numpy(),
+            "dup_of": np.where(any_hit, ids[first], -1).astype(np.int64),
+        })
+
+    return (ds.map_batches(with_cluster, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_group, batch_format="pandas"))
