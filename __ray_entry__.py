@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_bins": cq.docs_pack_bins,
         "docs_source_mixture": cq.docs_source_mixture,
         "docs_top_tokens": cq.docs_top_tokens,
+        "docs_stratified_sample": cq.docs_stratified_sample,
         "docs_clean_corpus": cq.docs_clean_corpus,
     }
 
@@ -856,6 +857,21 @@ _EMB_LINK_RANK_SQL = """
 """
 
 
+def _stratified_sample_sql(q: int = 40) -> str:
+    """Mirror of docs_stratified_sample: per-lang top-q by
+    (mix64(628, 7, doc_id), doc_id) rank."""
+    lat, ref = _mix_chain("ss", ["d.doc_id"], [628, 7])
+    return f"""
+    SELECT doc_id, lang FROM (
+        SELECT d.doc_id, d.lang,
+               row_number() OVER (PARTITION BY d.lang
+                   ORDER BY {ref}, d.doc_id) AS rn
+        FROM documents d,
+        {lat})
+    WHERE rn <= {q} ORDER BY lang, doc_id
+    """
+
+
 def _kmeans_ctes(k: int = 8, n_iter: int = 4) -> tuple[str, str]:
     """Shared CTE chain mirroring stages/cluster.py:kmeans — seeded
     hash-rank init, ``n_iter`` UNROLLED Lloyd iterations (assignment =
@@ -1571,5 +1587,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_bins": _pack_bins_sql(),
         "docs_source_mixture": _source_mixture_sql(),
         "docs_top_tokens": _TOP_TOKENS_SQL,
+        "docs_stratified_sample": _stratified_sample_sql(),
         "docs_clean_corpus": _clean_corpus_sql(),
     }

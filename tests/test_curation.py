@@ -264,3 +264,30 @@ def test_min_label_clusters_equal_union_find():
     pd.testing.assert_frame_equal(got, want)
     assert got[got["doc_id"].isin([10, 11, 12, 13])]["cluster_id"] \
         .eq(10).all()
+
+
+def test_stratified_sample_quota_and_determinism():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.stages.curation import stratified_sample
+
+    rng = np.random.default_rng(5)
+    # skewed groups: 500/50/5 rows
+    df = pd.DataFrame({
+        "doc_id": np.arange(555, dtype=np.int64),
+        "lang": ["en"] * 500 + ["fr"] * 50 + ["de"] * 5,
+    })
+    out = stratified_sample(rd.from_pandas(df.sample(frac=1, random_state=0)),
+                            n_per_group=20, group_col="lang",
+                            key_cols=["doc_id"]).to_pandas()
+    counts = out["lang"].value_counts().to_dict()
+    assert counts == {"en": 20, "fr": 20, "de": 5}  # capped by group size
+    # deterministic and input-order-independent
+    out2 = stratified_sample(rd.from_pandas(df), n_per_group=20,
+                             group_col="lang",
+                             key_cols=["doc_id"]).to_pandas()
+    a = out.sort_values(["lang", "doc_id"], ignore_index=True)
+    b = out2.sort_values(["lang", "doc_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)

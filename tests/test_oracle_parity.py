@@ -48,6 +48,7 @@ SUBSET = [
     "kg_degree_quantiles",
     "embeddings_kmeans",
     "embeddings_semantic_dedup",
+    "docs_stratified_sample",
 ]
 
 

@@ -730,6 +730,19 @@ def docs_source_mixture(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_stratified_sample(sf_dir: str, q: int = 40) -> pd.DataFrame:
+    """Per-language seeded quota sample (balanced-mixture primitive:
+    equal docs per language regardless of corpus skew) — hash-rank
+    top-q per group, per-batch combiner, no shuffle."""
+    from ..stages.curation import stratified_sample
+
+    out = stratified_sample(_docs_ds(sf_dir, ["doc_id", "lang"]),
+                            n_per_group=q, group_col="lang",
+                            key_cols=["doc_id"]).to_pandas()
+    return out.astype({"doc_id": np.int64}) \
+        .sort_values(["lang", "doc_id"], ignore_index=True)
+
+
 def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
     """Top-50 tokens by document frequency (vocabulary building)."""
     from ..stages.curation import top_tokens

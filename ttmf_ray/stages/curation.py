@@ -549,3 +549,40 @@ def line_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return kept.map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(rebuild, batch_format="pandas")
+
+
+def stratified_sample(ds, *, n_per_group: int, group_col: str,
+                      key_cols: list[str], seed: int = 628):
+    """Per-group seeded quota sample: for each distinct ``group_col``
+    value keep the ``n_per_group`` rows with the smallest
+    (mix64(seed, 7, *key_cols), *key_cols) rank — the balanced-mixture
+    primitive (equal docs per language/source regardless of corpus skew).
+
+    Same shape as ``deterministic_sample``: per-batch partial top-q PER
+    GROUP (top-q selection is associative, so merged per-batch winners
+    contain the global winners), then one tiny final cut.  Hash-rank
+    selection ⇒ no RNG state, order-independent, SQL-mirrorable
+    (row_number() OVER (PARTITION BY group ORDER BY mix64, keys) ≤ q).
+    Shuffle-free: the merge payload is ≤ q × |groups| per block.
+    """
+    from ..sources.pages import mix64_vec
+
+    def topq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        keys = [t.column(c).to_numpy() for c in key_cols]
+        h = mix64_vec(seed, 7, *keys).astype(np.uint64)
+        codes = np.unique(g, return_inverse=True)[1]
+        order = np.lexsort(tuple(reversed(keys)) + (h, codes))
+        gs = codes[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        start = np.maximum.accumulate(
+            np.where(first, np.arange(len(gs)), 0))
+        keep = order[np.arange(len(gs)) - start < n_per_group]
+        return t.take(pa.array(np.sort(keep)))
+
+    return (ds.map_batches(topq, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(topq, batch_format="pyarrow", batch_size=None))
