@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_mixture": cq.docs_source_mixture,
         "docs_top_tokens": cq.docs_top_tokens,
         "docs_stratified_sample": cq.docs_stratified_sample,
+        "docs_cm_heavy_hitters": cq.docs_cm_heavy_hitters,
+        "docs_hll_distinct": cq.docs_hll_distinct,
         "docs_clean_corpus": cq.docs_clean_corpus,
     }
 
@@ -855,6 +857,71 @@ _EMB_LINK_RANK_SQL = """
                 AND (cand = t OR NOT kt)) AS BIGINT) AS rank_tail_filtered
     FROM scored GROUP BY h, t ORDER BY h, t
 """
+
+
+def _cm_heavy_hitters_sql(k: int = 20, d: int = 4, w: int = 1024) -> str:
+    """Mirror of docs_cm_heavy_hitters: rebuild the (d, w) count-min
+    matrix from the identical mix64(91, row, word-fp) buckets, then
+    min-over-rows estimates for the exact top-k tokens."""
+    lat, ref = _mix_chain("cm", ["r.r", "wh.fp"], [91])
+    return f"""
+    WITH tok AS MATERIALIZED (
+        SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+        FROM documents),
+    tf AS MATERIALIZED (
+        SELECT w, count(*)::BIGINT AS tf FROM tok GROUP BY w),
+    wh AS MATERIALIZED (SELECT w, tf, {_wfp_sql('w')} AS fp FROM tf),
+    bk AS MATERIALIZED (
+        SELECT wh.w, wh.tf, r.r, ({ref}) % {w} AS b
+        FROM wh CROSS JOIN (SELECT range AS r FROM range({d})) r,
+        {lat}),
+    sums AS MATERIALIZED (
+        SELECT r, b, sum(tf)::BIGINT AS s FROM bk GROUP BY r, b),
+    top AS MATERIALIZED (
+        SELECT w, tf FROM tf ORDER BY tf DESC, w LIMIT {k})
+    SELECT top.w AS token, top.tf AS exact_tf,
+           CAST(min(s.s) AS BIGINT) AS cm_est
+    FROM top JOIN bk ON bk.w = top.w
+    JOIN sums s ON s.r = bk.r AND s.b = bk.b
+    GROUP BY top.w, top.tf
+    ORDER BY exact_tf DESC, token
+    """
+
+
+def _hll_distinct_sql(p: int = 12) -> str:
+    """Mirror of docs_hll_distinct: identical 2^p max-rho registers from
+    mix64(92, doc_id, word-fp) (remainder < 2^52 is float64-exact, so
+    floor(log2) gives the same bit length numpy's frexp does), then the
+    standard estimator with linear-counting correction."""
+    lat, ref = _mix_chain("hl", ["wh.doc_id", "wh.fp"], [92])
+    m = 1 << p
+    rem = 1 << (64 - p)
+    rb = 64 - p
+    return f"""
+    WITH tokd AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+        FROM documents),
+    wh AS MATERIALIZED (SELECT doc_id, w, {_wfp_sql('w')} AS fp
+                        FROM tokd),
+    hh AS MATERIALIZED (SELECT {ref} AS h FROM wh, {lat}),
+    reg AS MATERIALIZED (
+        SELECT h // {rem} AS b,
+               max(CASE WHEN h % {rem} = 0 THEN {rb + 1}
+                        ELSE {rb} - CAST(floor(log2((h % {rem})::DOUBLE))
+                                         AS BIGINT)
+                   END) AS rho
+        FROM hh GROUP BY b),
+    s AS (SELECT sum(power(2.0, -rho)) AS sp, count(*) AS nb FROM reg),
+    est AS (
+        SELECT CASE WHEN raw <= 2.5 * {m} AND ({m} - nb) > 0
+                    THEN {m} * ln({m}::DOUBLE / ({m} - nb))
+                    ELSE raw END AS hll_est
+        FROM (SELECT (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m}
+                     / (sp + ({m} - nb)) AS raw, nb FROM s))
+    SELECT (SELECT count(*)::BIGINT FROM tokd) AS exact_distinct,
+           hll_est FROM est
+    """
 
 
 def _stratified_sample_sql(q: int = 40) -> str:
@@ -1588,5 +1655,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_mixture": _source_mixture_sql(),
         "docs_top_tokens": _TOP_TOKENS_SQL,
         "docs_stratified_sample": _stratified_sample_sql(),
+        "docs_cm_heavy_hitters": _cm_heavy_hitters_sql(),
+        "docs_hll_distinct": _hll_distinct_sql(),
         "docs_clean_corpus": _clean_corpus_sql(),
     }

@@ -49,6 +49,8 @@ SUBSET = [
     "embeddings_kmeans",
     "embeddings_semantic_dedup",
     "docs_stratified_sample",
+    "docs_cm_heavy_hitters",
+    "docs_hll_distinct",
 ]
 
 

@@ -743,6 +743,54 @@ def docs_stratified_sample(sf_dir: str, q: int = 40) -> pd.DataFrame:
         .sort_values(["lang", "doc_id"], ignore_index=True)
 
 
+def docs_cm_heavy_hitters(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Count-min sketch heavy hitters: the exact top-k tokens by term
+    frequency alongside their sketch estimates (min over hash rows —
+    never below the truth).  Deterministic seeded hashes ⇒ the DuckDB
+    mirror rebuilds the identical (d, w) counter matrix."""
+    from ..stages.sketches import (_batch_token_tf, cm_estimate,
+                                   countmin_sketch)
+
+    ds = _docs_ds(sf_dir, ["text"])
+    M = countmin_sketch(ds)
+
+    def part(t: pa.Table) -> pa.Table:
+        uniq, tf = _batch_token_tf(t, "text")
+        return pa.table({"token": pa.array(uniq.astype(object), pa.string()),
+                         "tf": pa.array(tf)})
+
+    top = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("token").sum("tf")
+           .sort(["sum(tf)", "token"], descending=[True, False])
+           .limit(k).to_pandas().rename(columns={"sum(tf)": "exact_tf"}))
+    top["cm_est"] = cm_estimate(M, top["token"].to_numpy())
+    return top.astype({"exact_tf": np.int64, "cm_est": np.int64}) \
+        .sort_values(["exact_tf", "token"], ascending=[False, True],
+                     ignore_index=True)
+
+
+def docs_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog (p=12) over the corpus's distinct (doc_id, token)
+    pairs — the vocabulary-coverage cardinality — next to the exact
+    count.  Registers are deterministic (seeded mix64 over (doc_id,
+    word-fingerprint)), so the SQL mirror reproduces them bit-for-bit
+    and the estimates agree to float rounding."""
+    from ..stages.sketches import _batch_pairs, hll_estimate, hll_registers
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    regs = hll_registers(ds)
+
+    def part(t: pa.Table) -> pa.Table:
+        dids, _ = _batch_pairs(t, "doc_id", "text")
+        # docs are rows ⇒ per-batch-distinct pairs are globally distinct
+        return pa.table({"n": pa.array([len(dids)], pa.int64())})
+
+    exact = int(ds.map_batches(part, batch_format="pyarrow")
+                .sum("n"))
+    return pd.DataFrame({"exact_distinct": [np.int64(exact)],
+                         "hll_est": [hll_estimate(regs)]})
+
+
 def docs_top_tokens(sf_dir: str) -> pd.DataFrame:
     """Top-50 tokens by document frequency (vocabulary building)."""
     from ..stages.curation import top_tokens
