@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- SQL-checked: relational KG construction primitives ---------
         "kg_edges_relational": rel.kg_edges_relational,
+        "kg_edges_tsv_roundtrip": rel.kg_edges_tsv_roundtrip,
         "kg_vocab_entities": rel.kg_vocab_entities,
         "kg_edges_idmapped": rel.kg_edges_idmapped,
         "kg_split_counts": rel.kg_split_counts,
@@ -1190,6 +1191,8 @@ _TOP_TOKENS_SQL = """
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_edges_relational": _EDGES_SQL,
+        # the TSV write→read roundtrip must reproduce the same edge set
+        "kg_edges_tsv_roundtrip": _EDGES_SQL,
         "kg_vocab_entities": _VOCAB_SQL,
         "kg_edges_idmapped": _IDMAPPED_SQL,
         "kg_split_counts": f"""

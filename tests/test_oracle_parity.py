@@ -51,6 +51,7 @@ SUBSET = [
     "docs_stratified_sample",
     "docs_cm_heavy_hitters",
     "docs_hll_distinct",
+    "kg_edges_tsv_roundtrip",
 ]
 
 

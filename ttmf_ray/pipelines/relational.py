@@ -503,6 +503,28 @@ def ann_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def kg_edges_tsv_roundtrip(sf_dir: str):
+    """Reference-native TSV ingestion (S1): dump the relational KG to
+    tab-separated header-less triple files (the format the reference
+    moves KGs between stages in), re-read them with ray.data.read_csv,
+    and return the edges — value-identical to kg_edges_relational, so
+    the SAME SQL oracle checks the whole write→read roundtrip."""
+    import os
+
+    from ..sources.triples_tsv import read_triples_tsv, write_triples_tsv
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = f"/tmp/ttmf_tsv/{tag}"
+    marker = f"/tmp/ttmf_tsv/{tag}.done"
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        write_triples_tsv(kg_edges_relational(sf_dir), out_dir)
+        open(marker, "w").close()
+    return read_triples_tsv(out_dir)
+
+
 def embeddings_kmeans(sf_dir: str, k: int = 8, n_iter: int = 4) -> pd.DataFrame:
     """Distributed k-means over the embedding column (stages/cluster.py):
     seeded hash-rank init, per-batch (count, sum) partials, centroids
