@@ -76,3 +76,48 @@ def test_embeddings_roundtrip_and_unk(tmp_path):
     assert np.array_equal(W[1], vecs[0])          # vocab[0] → stored id 0
     assert np.array_equal(W[4], W[5])             # both missing → shared UNK
     assert np.array_equal(W[4], W[-1])
+
+
+def test_reference_text_formats_roundtrip(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.functions.text_formats import (
+        read_embeddings_txt, read_id_triples_txt, read_vocab_txt,
+        write_embeddings_txt, write_id_triples_txt, write_vocab_txt)
+
+    # entity2id.txt: name \t id (process_triples.py:105-111)
+    vocab = pd.DataFrame({"name": ["alpha", "beta c", "gamma_1"],
+                          "id": np.arange(3, dtype=np.int32)})
+    p = tmp_path / "entity2id.txt"
+    write_vocab_txt(vocab, str(p))
+    assert p.read_text().splitlines()[1] == "beta c\t1"
+    back = read_vocab_txt(str(p))
+    pd.testing.assert_frame_equal(back, vocab)
+
+    # train2id.txt: space-separated header-less id triples
+    rng = np.random.default_rng(0)
+    ids = pd.DataFrame({
+        "h": rng.integers(0, 50, 200).astype(np.int64),
+        "t": rng.integers(0, 50, 200).astype(np.int64),
+        "r": rng.integers(0, 7, 200).astype(np.int64),
+    })
+    d = tmp_path / "train2id"
+    write_id_triples_txt(rd.from_pandas(ids), str(d))
+    got = read_id_triples_txt(str(d)).to_pandas() \
+        .sort_values(["h", "t", "r"], ignore_index=True)
+    want = ids.sort_values(["h", "t", "r"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # key v1 .. vk embedding rows: float32-exact roundtrip
+    keys = [f"e{i}" for i in range(10)]
+    vecs = rng.standard_normal((10, 16)).astype(np.float32)
+    ep = tmp_path / "emb.txt"
+    write_embeddings_txt(str(ep), keys, vecs)
+    k2, v2 = read_embeddings_txt(str(ep))
+    assert k2 == keys
+    assert np.array_equal(v2, vecs)
+    # reference loader parses the same lines (first token = key)
+    first = ep.read_text().splitlines()[0].split()
+    assert first[0] == "e0" and len(first) == 17
