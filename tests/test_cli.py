@@ -34,3 +34,22 @@ def test_cli_e2e_and_trust_config(tmp_path):
                  "--out", str(tmp_path / "scores2"),
                  "--config", str(cfgf)])
     assert out2["scored"] > 0 and 0.0 <= out2["accuracy"] <= 1.0
+
+
+def test_cli_kmeans_dedup_curate(tmp_path):
+    out = _run(["kmeans", "--embeddings",
+                "/root/testdata/sf0.001/embeddings.parquet",
+                "--out", str(tmp_path / "km"), "--k", "4", "--iters", "2"])
+    assert out["k"] == 4 and os.path.isdir(str(tmp_path / "km"))
+    assert os.path.exists(str(tmp_path / "km") + "_centroids.txt")
+
+    out = _run(["dedup", "--docs",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--out", str(tmp_path / "dups")])
+    assert os.path.isdir(str(tmp_path / "dups"))
+
+    out = _run(["curate", "--docs",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--out", str(tmp_path / "curated"), "--shards", "4"])
+    assert out["shards_total"] == 4 and out["shards_processed"] == 4
+    assert os.path.isdir(str(tmp_path / "curated" / "shard=0"))

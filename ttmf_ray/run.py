@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="sharded scored output + manifest + stage "
                          "checkpoints (re-submit with the same --out to "
                          "resume)")
+    p2.add_argument("--streaming", action="store_true",
+                    help="object-store/Dataset-resident phase B "
+                         "(trust_streaming) — the beyond-driver-memory "
+                         "scale path; feature-identical results")
     p2.add_argument("--config", default=None,
                     help="reference-style KGE .properties file "
                          "(KGE_config_template.properties keys: DIMENSION,"
@@ -57,6 +61,28 @@ def main(argv: list[str] | None = None) -> int:
     p3 = sub.add_parser("e2e", help="synthetic corpus → edges → scores")
     p3.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p3.add_argument("--out", required=True)
+
+    p4 = sub.add_parser("kmeans", help="embedding parquet → cluster "
+                                       "assignments parquet")
+    p4.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id, embedding list<float>)")
+    p4.add_argument("--out", required=True)
+    p4.add_argument("--k", type=int, default=8)
+    p4.add_argument("--iters", type=int, default=4)
+
+    p5 = sub.add_parser("dedup", help="docs parquet → duplicate pairs "
+                                      "(MinHash-LSH + Jaccard verify)")
+    p5.add_argument("--docs", required=True,
+                    help="parquet with (doc_id, text)")
+    p5.add_argument("--out", required=True)
+    p5.add_argument("--threshold", type=float, default=0.5)
+
+    p6 = sub.add_parser("curate", help="docs parquet → cleaned + "
+                                       "shuffle-exported training shards")
+    p6.add_argument("--docs", required=True,
+                    help="parquet with (doc_id, text, source)")
+    p6.add_argument("--out", required=True)
+    p6.add_argument("--shards", type=int, default=8)
 
     args = ap.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -88,12 +114,14 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.trust import (TrustConfig, trust_pipeline,
                                       trust_scores_resumable)
 
-        cfg = TrustConfig(scorer_num_gpus=args.scorer_gpus)
+        cfg = TrustConfig(scorer_num_gpus=args.scorer_gpus,
+                          streaming=args.streaming)
         if args.config:
             from .functions.config import transe_config_from_properties
 
             cfg = TrustConfig(
                 scorer_num_gpus=args.scorer_gpus,
+                streaming=args.streaming,
                 transe=transe_config_from_properties(args.config),
                 ptranse=transe_config_from_properties(args.config,
                                                       loss="logistic"),
@@ -131,6 +159,51 @@ def main(argv: list[str] | None = None) -> int:
             "accuracy": round(res["accuracy"], 4),
             "out": args.out,
         }))
+    elif args.cmd == "kmeans":
+        import numpy as np
+
+        from .stages.cluster import kmeans
+
+        assign_ds, C = kmeans(rd.read_parquet(args.embeddings),
+                              k=args.k, n_iter=args.iters)
+        assign_ds.write_parquet(args.out)
+        np.savetxt(args.out.rstrip("/") + "_centroids.txt", C, fmt="%.9g")
+        print(json.dumps({"k": args.k, "iters": args.iters,
+                          "out": args.out}))
+    elif args.cmd == "dedup":
+        from .stages.dedup import MinHashLSH, candidate_pairs, \
+            verify_pairs_join
+
+        from .context import auto_pool
+
+        ds = rd.read_parquet(args.docs).materialize()
+        buckets = ds.map_batches(
+            MinHashLSH,
+            fn_constructor_kwargs={"id_col": "doc_id", "text_col": "text"},
+            batch_format="pyarrow", batch_size=2048,
+            concurrency=auto_pool(),
+        )
+        verified = verify_pairs_join(
+            candidate_pairs(buckets), ds, id_col="doc_id",
+            text_col="text", threshold=args.threshold)
+        verified.write_parquet(args.out)
+        print(json.dumps({"threshold": args.threshold, "out": args.out}))
+    elif args.cmd == "curate":
+        import pyarrow as pa
+
+        from .functions.joins import hash_join
+        from .stages.curation import clean_corpus, export_shuffled
+
+        ds = rd.read_parquet(args.docs).materialize()
+        weights = {s: 1.0 for s in ds.unique("source")}
+        flagged = clean_corpus(ds, weights, mix_seed=97)
+        kept_ids = flagged.map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("keep"), 1))
+            .select(["doc_id"]),
+            batch_format="pyarrow")
+        kept = hash_join(ds, kept_ids, on="doc_id")
+        r = export_shuffled(kept, args.out, n_shards=args.shards)
+        print(json.dumps(r))
     ray.shutdown()
     return 0
 
