@@ -39,6 +39,53 @@ def steal_canary() -> dict:
             "ratio": round(wall / max(cpu, 1e-9), 2), "_x": x % 2}
 
 
+def _canary_loop(path: str, interval: float) -> None:
+    while True:
+        c = steal_canary()
+        with open(path, "a") as f:
+            f.write(json.dumps(c) + "\n")
+        time.sleep(interval)
+
+
+class CanaryMonitor:
+    """INTRA-leg steal sampler: the between-rep canary misses episodes
+    that land inside a leg (measured 2026-08-18: a leg ran 9.5x slower
+    while every rep-boundary probe read 1.0).  Samples the same fixed
+    probe every ``interval`` seconds from a SUBPROCESS — its own GIL, so
+    the driver's stage threads cannot inflate the probe's wall time —
+    and summarizes worst/median ratio and the stolen fraction."""
+
+    def __init__(self, interval: float = 4.0):
+        import multiprocessing
+        import tempfile
+
+        self.path = tempfile.mktemp(prefix="ttmf_canary_")
+        self.proc = multiprocessing.Process(
+            target=_canary_loop, args=(self.path, interval), daemon=True)
+
+    def __enter__(self):
+        self.proc.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.proc.terminate()
+        self.proc.join(timeout=5)
+
+    def summary(self) -> dict:
+        ratios = []
+        try:
+            with open(self.path) as f:
+                ratios = [json.loads(line)["ratio"] for line in f if line.strip()]
+        except FileNotFoundError:
+            pass
+        if not ratios:
+            return {"n": 0}
+        r = sorted(ratios)
+        return {"n": len(r), "worst": r[-1],
+                "median": r[len(r) // 2],
+                "frac_gt2": round(sum(x > 2 for x in r) / len(r), 3)}
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,17 +132,19 @@ def run_bench() -> dict:
     reps = max(1, int(os.environ.get("RAY_GRAFT_BENCH_REPS", "3")))
     attempts = []
     canaries = []
-    for _ in range(reps):
+    with CanaryMonitor() as monitor:
+        for _ in range(reps):
+            canaries.append(steal_canary())
+            t0 = time.time()
+            edges = kg_construct(rd.read_parquet(corpus_path)).materialize()
+            n_edges = edges.count()
+            wall_a = round(time.time() - t0, 3)
+            t0 = time.time()
+            res = trust_pipeline(edges, cfg)
+            wall_b = round(time.time() - t0, 3)
+            attempts.append((wall_a, wall_b, n_edges, res))
         canaries.append(steal_canary())
-        t0 = time.time()
-        edges = kg_construct(rd.read_parquet(corpus_path)).materialize()
-        n_edges = edges.count()
-        wall_a = round(time.time() - t0, 3)
-        t0 = time.time()
-        res = trust_pipeline(edges, cfg)
-        wall_b = round(time.time() - t0, 3)
-        attempts.append((wall_a, wall_b, n_edges, res))
-    canaries.append(steal_canary())
+    steal_monitor = monitor.summary()
     rep_walls = [round(a + b, 3) for a, b, _, _ in attempts]
     wall_a, wall_b, n_edges, res = min(attempts, key=lambda x: x[0] + x[1])
     queries["kg_construct"] = wall_a
@@ -145,6 +194,9 @@ def run_bench() -> dict:
         # rep and after the last (wall≈cpu ⇒ quiet host; see BASELINE.md)
         "steal_canary": [{k: v for k, v in c.items() if k != "_x"}
                          for c in canaries],
+        # INTRA-leg sampler (subprocess, every ~4 s): catches episodes
+        # that land inside a rep, which the boundary probes miss
+        "steal_monitor": steal_monitor,
         "trust_timings": res.get("timings", {}),
     }
     ray.shutdown()
@@ -226,6 +278,12 @@ def run_scaling() -> dict:
         # blow up was measured during a steal episode, not a code change
         "steal_canary": {
             f"cpus{n}_rep{i}": r.get("steal_canary")
+            for n, runs in runs_map.items() for i, r in enumerate(runs)
+        },
+        # intra-leg sampler summaries (worst/median ratio, stolen
+        # fraction) — a leg is only trustworthy when BOTH are clean
+        "steal_monitor": {
+            f"cpus{n}_rep{i}": r.get("steal_monitor")
             for n, runs in runs_map.items() for i, r in enumerate(runs)
         },
         "trust_timings_lo": r_lo.get("trust_timings", {}),

@@ -140,10 +140,9 @@ def kmeans(ds, *, k: int = 8, n_iter: int = 4, seed: int = 628,
 
     cent_bc = Broadcast(C)
 
-    def label(t: pa.Table, *, C=None) -> pa.Table:
-        C_ = cent_bc.get() if C is None else C
+    def label(t: pa.Table) -> pa.Table:
         V = list_col_matrix(t.column(vec_col))
-        a, dist = assign_clusters(V, C_)
+        a, dist = assign_clusters(V, cent_bc.get())
         return pa.table({
             id_col: t.column(id_col),
             "cluster": pa.array(a.astype(np.int64)),
