@@ -39,6 +39,35 @@ def steal_canary() -> dict:
             "ratio": round(wall / max(cpu, 1e-9), 2), "_x": x % 2}
 
 
+def _probe_once(_=None) -> float:
+    t0 = time.process_time()
+    x = 0
+    for i in range(3_000_000):
+        x += i & 7
+    return time.process_time() - t0
+
+
+def bandwidth_canary(n: int) -> dict:
+    """AGGREGATE-bandwidth probe: ``n`` single-thread loops in ``n``
+    forked processes at once.  Effective parallelism = Σ cpu_i / wall.
+    Distinguishes the failure mode the per-core canary cannot see: a
+    host cap on total CPU bandwidth leaves 1-thread probes clean while
+    n-wide stages starve (observed 2026-08-18: the 4-CPU leg matched the
+    quiet-day wall to 0.5% while the 16-CPU leg ran 1.6x slow with every
+    per-core probe ≈ 1.0)."""
+    import multiprocessing as mp
+
+    with mp.Pool(n) as pool:
+        pool.map(len, [()] * n)          # warm the workers (fork cost out)
+        t0 = time.time()
+        cpus = pool.map(_probe_once, range(n), chunksize=1)
+        wall = time.time() - t0
+    eff = sum(cpus) / max(wall, 1e-9)
+    return {"n": n, "wall": round(wall, 3),
+            "effective_parallelism": round(eff, 2),
+            "ratio": round(eff / n, 2)}
+
+
 def _canary_loop(path: str, interval: float) -> None:
     while True:
         c = steal_canary()
@@ -132,9 +161,11 @@ def run_bench() -> dict:
     reps = max(1, int(os.environ.get("RAY_GRAFT_BENCH_REPS", "3")))
     attempts = []
     canaries = []
+    bw_canaries = []
     with CanaryMonitor() as monitor:
         for _ in range(reps):
             canaries.append(steal_canary())
+            bw_canaries.append(bandwidth_canary(num_cpus))
             t0 = time.time()
             edges = kg_construct(rd.read_parquet(corpus_path)).materialize()
             n_edges = edges.count()
@@ -197,6 +228,10 @@ def run_bench() -> dict:
         # INTRA-leg sampler (subprocess, every ~4 s): catches episodes
         # that land inside a rep, which the boundary probes miss
         "steal_monitor": steal_monitor,
+        # aggregate CPU bandwidth before each rep: ratio < ~0.8 means the
+        # host is capping total bandwidth even though per-core probes
+        # read clean — wide stages starve, narrow legs don't
+        "bandwidth_canary": bw_canaries,
         "trust_timings": res.get("timings", {}),
     }
     ray.shutdown()
@@ -284,6 +319,10 @@ def run_scaling() -> dict:
         # fraction) — a leg is only trustworthy when BOTH are clean
         "steal_monitor": {
             f"cpus{n}_rep{i}": r.get("steal_monitor")
+            for n, runs in runs_map.items() for i, r in enumerate(runs)
+        },
+        "bandwidth_canary": {
+            f"cpus{n}_rep{i}": r.get("bandwidth_canary")
             for n, runs in runs_map.items() for i, r in enumerate(runs)
         },
         "trust_timings_lo": r_lo.get("trust_timings", {}),
