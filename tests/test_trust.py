@@ -84,3 +84,23 @@ def test_split_deterministic_and_disjoint():
     n_tr, n_va, n_te = tr.count(), va.count(), te.count()
     assert n_tr + n_va + n_te == 1000
     assert n_tr > 600 and n_va > 20 and n_te > 20
+
+
+def test_trust_scores_driver_query_pinned_hash():
+    """Regression pin for the default phase-B path's RESULTS (BASELINE.md
+    §"trust_scores determinism pin"): deterministic w.r.t. cluster size
+    (kge_workers pinned inside the query), so the hash must match here
+    under the 4-CPU test session too.  An intentional semantic change
+    must update this pin AND the BASELINE entry in the same commit."""
+    import numpy as np
+    import pandas as pd
+
+    from ttmf_ray.pipelines.corpus_queries import trust_scores
+
+    df = trust_scores("/root/testdata/sf0.001")
+    df = df[sorted(df.columns)].sort_values(list(df.columns)) \
+        .reset_index(drop=True)
+    s = pd.util.hash_pandas_object(df, index=False).to_numpy() \
+        .astype(np.uint64).sum()
+    assert int(s & np.uint64(0xFFFFFFFFFFFFFFFF)) == 17719867744137486360
+    assert len(df) == 540
