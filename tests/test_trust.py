@@ -86,21 +86,34 @@ def test_split_deterministic_and_disjoint():
     assert n_tr > 600 and n_va > 20 and n_te > 20
 
 
-def test_trust_scores_driver_query_pinned_hash():
+def test_trust_scores_driver_query_pinned_fixture():
     """Regression pin for the default phase-B path's RESULTS (BASELINE.md
-    §"trust_scores determinism pin"): deterministic w.r.t. cluster size
-    (kge_workers pinned inside the query), so the hash must match here
-    under the 4-CPU test session too.  An intentional semantic change
-    must update this pin AND the BASELINE entry in the same commit."""
+    §"trust_scores determinism pin") against a committed fixture.
+
+    Split per rule 14 (CLAUDE.md): (h, t, r, flag) is pure seeded data
+    movement — pinned EXACTLY.  conf is downstream of multi-epoch float
+    training, where numpy's alignment/thread-sensitive SIMD reduction
+    order drifts ~1 ulp ACROSS SESSIONS; at float32 a 1-ulp drift flips
+    6-dp rounding on ~10% of rows, so an exact conf hash is inherently
+    flaky (observed 2026-08-18: two stable-within-session values hours
+    apart on identical code).  conf is therefore checked with a
+    tolerance that absorbs ulp drift but catches any semantic change."""
+    import os
+
     import numpy as np
     import pandas as pd
 
     from ttmf_ray.pipelines.corpus_queries import trust_scores
 
+    fixture = os.path.join(os.path.dirname(__file__), "data",
+                           "trust_scores_sf0001.parquet")
+    exp = pd.read_parquet(fixture)
+
     df = trust_scores("/root/testdata/sf0.001")
-    df = df[sorted(df.columns)].sort_values(list(df.columns)) \
-        .reset_index(drop=True)
-    s = pd.util.hash_pandas_object(df, index=False).to_numpy() \
-        .astype(np.uint64).sum()
-    assert int(s & np.uint64(0xFFFFFFFFFFFFFFFF)) == 17719867744137486360
-    assert len(df) == 540
+    df = df.sort_values(["h", "t", "r", "flag"]).reset_index(drop=True)
+    assert len(df) == len(exp) == 540
+    for col in ("h", "t", "r", "flag"):
+        assert (df[col].to_numpy() == exp[col].to_numpy()).all(), col
+    # 6-dp-rounded values; atol 2e-6 = one rounding quantum of slack.
+    np.testing.assert_allclose(df["conf"].to_numpy(),
+                               exp["conf"].to_numpy(), atol=2e-6, rtol=0)
