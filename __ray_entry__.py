@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cm_heavy_hitters": cq.docs_cm_heavy_hitters,
         "docs_hll_distinct": cq.docs_hll_distinct,
         "docs_clean_corpus": cq.docs_clean_corpus,
+        "docs_dup_ngrams": cq.docs_dup_ngrams,
+        "docs_domain_stats": cq.docs_domain_stats,
     }
 
 
@@ -1073,6 +1075,68 @@ def _decontaminate_sql() -> str:
     """
 
 
+def _dup_ngrams_sql(min_count: int = 2, thr: float = 0.5) -> str:
+    """Exact mirror of docs_dup_ngrams: the decontaminate shingle CTEs
+    (distinct word-trigram mix64(17,...) % 2^31-1 hashes per doc), then
+    per-shingle distinct-document counts and the per-doc duplicated
+    fraction (rounded to 6 dp, flag at >= thr on the ROUNDED value)."""
+    t3_lat, t3_ref = _mix_chain("dn", ["t.h0", "t.h1", "t.h2"], [17])
+    return f"""
+    WITH wl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+                FROM documents),
+    pw AS (SELECT doc_id, u['i'] AS i, u['w'] AS w FROM (
+               SELECT doc_id,
+                      unnest(list_transform(ws,
+                             (w, i) -> {{'i': i, 'w': w}})) AS u
+               FROM wl)),
+    gw AS (SELECT DISTINCT w FROM pw),
+    wh AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    ph AS (SELECT p.doc_id, p.i, wh.fp FROM pw p JOIN wh USING (w)),
+    tri AS (SELECT a.doc_id, a.fp AS h0, b.fp AS h1, c.fp AS h2
+            FROM ph a
+            JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN ph c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sh AS (SELECT DISTINCT t.doc_id,
+                  CAST({t3_ref} % 2147483647 AS BIGINT) AS x
+           FROM tri t, {t3_lat}),
+    df AS (SELECT x, count(*) AS c FROM sh GROUP BY x),
+    per AS (SELECT s.doc_id, count(*) AS n,
+                   sum(CASE WHEN d.c >= {min_count} THEN 1 ELSE 0 END) AS nd
+            FROM sh s JOIN df d USING (x) GROUP BY s.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_shingles,
+           CAST(nd AS BIGINT) AS n_dup,
+           ROUND(nd / n::DOUBLE, 6) AS dup_fraction,
+           CAST(CASE WHEN ROUND(nd / n::DOUBLE, 6) >= {thr}
+                THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM per
+    """
+
+
+_DOMAIN_STATS_SQL = f"""
+    WITH q AS (SELECT source,
+                      length(text) AS n_chars,
+                      length({_TOKENS}) AS n_tokens,
+                      length(list_filter({_TOKENS},
+                          x -> list_contains({_STOPS},
+                               trim(lower(x), '.,!?;:')))) AS stop_cnt
+               FROM documents),
+    g AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                 sum(n_tokens) AS sum_tokens, sum(stop_cnt) AS sum_stop
+          FROM q GROUP BY source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_chars AS BIGINT) AS sum_chars,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens,
+           ROUND(sum_stop / sum_tokens::DOUBLE, 6) AS stop_ratio,
+           CAST(CASE WHEN n_docs >= 5
+                      AND ROUND(sum_stop / sum_tokens::DOUBLE, 6) >= 0.05
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM g
+    """
+
+
 def _shuffle_export_sql() -> str:
     """Exact mirror of docs_shuffle_export: key = mix64(41, doc_id) mod
     2^63, shard = key mod 8, pos = rank of (key, doc_id) within shard."""
@@ -1661,4 +1725,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_cm_heavy_hitters": _cm_heavy_hitters_sql(),
         "docs_hll_distinct": _hll_distinct_sql(),
         "docs_clean_corpus": _clean_corpus_sql(),
+        "docs_dup_ngrams": _dup_ngrams_sql(),
+        "docs_domain_stats": _DOMAIN_STATS_SQL,
     }

@@ -291,3 +291,44 @@ def test_stratified_sample_quota_and_determinism():
     a = out.sort_values(["lang", "doc_id"], ignore_index=True)
     b = out2.sort_values(["lang", "doc_id"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dup_ngram_fraction_planted_copy():
+    from ttmf_ray.stages.curation import dup_ngram_fraction
+
+    out = dup_ngram_fraction(_ds(DOCS), min_count=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # docs 0 and 2 are identical: every shingle occurs in >= 2 docs
+    for d in (0, 2):
+        assert out.loc[d, "n_dup"] == out.loc[d, "n_shingles"] > 0
+        assert out.loc[d, "dup_fraction"] == 1.0
+        assert out.loc[d, "flagged"] == 1
+    # docs 1 and 3 share exactly ONE trigram ("stream processing engines")
+    for d in (1, 3):
+        assert out.loc[d, "n_dup"] == 1
+        assert out.loc[d, "flagged"] == 0
+    # the 2-word doc gets a whole-doc hash shared with nothing
+    assert out.loc[4, "n_shingles"] == 1
+    assert out.loc[4, "n_dup"] == 0
+
+
+def test_domain_stats_gate_matches_pandas():
+    from ttmf_ray.stages.curation import domain_stats
+    from ttmf_ray.stages.text import quality_batch
+
+    srcs = ["a", "a", "b", "b", "b", "c"]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(DOCS + ["tiny"], pa.string()),
+                  "source": pa.array(srcs, pa.string())})
+    out = domain_stats(rd.from_arrow(t), min_docs=2).to_pandas() \
+        .set_index("source").sort_index()
+    q = quality_batch(t, id_col="source", text_col="text").to_pandas()
+    ref = q.groupby("doc_id").agg(n=("n_chars", "size"),
+                                  st=("n_tokens", "sum"),
+                                  ss=("stop_cnt", "sum"))
+    assert (out["n_docs"] == ref["n"].reindex(out.index)).all()
+    assert (out["sum_tokens"] == ref["st"].reindex(out.index)).all()
+    ratio = np.round(ref["ss"] / ref["st"], 6).reindex(out.index)
+    assert np.allclose(out["stop_ratio"], ratio)
+    # c has a single doc -> fails the min_docs gate regardless of quality
+    assert out.loc["c", "keep"] == 0

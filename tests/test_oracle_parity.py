@@ -52,6 +52,8 @@ SUBSET = [
     "docs_cm_heavy_hitters",
     "docs_hll_distinct",
     "kg_edges_tsv_roundtrip",
+    "docs_dup_ngrams",
+    "docs_domain_stats",
 ]
 
 

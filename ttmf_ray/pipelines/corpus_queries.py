@@ -809,3 +809,30 @@ def docs_clean_corpus(sf_dir: str) -> pd.DataFrame:
                        _MIX_WEIGHTS, mix_seed=_MIX_SEED).to_pandas()
     return out.astype({c: np.int64 for c in out.columns}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_dup_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Per-doc fraction of distinct word-trigram shingles duplicated
+    across >= 2 documents corpus-wide (Lee et al. 2022 signal),
+    SQL-mirrored (same shingle hash chain as minhash/decontaminate)."""
+    from ..stages.curation import dup_ngram_fraction
+
+    out = dup_ngram_fraction(_docs_ds(sf_dir, ["doc_id", "text"])) \
+        .to_pandas()
+    out["dup_fraction"] = out["dup_fraction"].round(6)
+    return out.astype({c: np.int64 for c in
+                       ("doc_id", "n_shingles", "n_dup", "flagged")}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source aggregate quality stats + domain keep gate,
+    SQL-mirrored (same token/stopword defs as docs_quality)."""
+    from ..stages.curation import domain_stats
+
+    out = domain_stats(_docs_ds(sf_dir, ["doc_id", "text", "source"])) \
+        .to_pandas()
+    out["stop_ratio"] = out["stop_ratio"].round(6)
+    return out.astype({c: np.int64 for c in
+                       ("n_docs", "sum_chars", "sum_tokens", "keep")}) \
+        .sort_values("source").reset_index(drop=True)

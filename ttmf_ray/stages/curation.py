@@ -586,3 +586,124 @@ def stratified_sample(ds, *, n_per_group: int, group_col: str,
     return (ds.map_batches(topq, batch_format="pyarrow")
             .repartition(1)
             .map_batches(topq, batch_format="pyarrow", batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-ngram fraction (Lee et al. 2022-style signal)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_fraction(docs_ds, *, id_col: str = "doc_id",
+                       text_col: str = "text", ngram: int = 3,
+                       min_count: int = 2, flag_threshold: float = 0.5,
+                       n_buckets: int = 64):
+    """Per-document fraction of its DISTINCT word-``ngram`` shingles that
+    occur in ≥ ``min_count`` distinct documents corpus-wide — the
+    "duplicated n-gram" signal of *Deduplicating Training Data Makes
+    Language Models Better* (Lee et al., ACL 2022), reduced to a per-doc
+    statistic + keep flag instead of span surgery.
+
+    Scale shape: the corpus never moves — only (doc_id, shingle-hash)
+    int rows do.  Shuffle 1 partitions the pair rows by a shingle-hash
+    bucket, so each partition holds EVERY occurrence of its shingles and
+    a local value_count is the global document frequency; the partition
+    emits one (doc_id, n, n_dup) partial per document it saw.  Shuffle 2
+    is a tiny groupby-sum over those partials (≤ |docs| × |buckets|
+    rows).  Documents too short to shingle yield no pair rows — callers
+    needing them must left-join against the doc table (the driver query
+    does).
+
+    Output: (doc_id, n_shingles, n_dup, dup_fraction, flagged).
+    """
+    from .dedup import batch_shingle_hashes
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        flat, lens = batch_shingle_hashes(t.column(text_col), ngram)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens)),
+            "x": pa.array(flat),
+            "bucket": pa.array(flat % np.int64(n_buckets)),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, x) rows are distinct per doc by construction, so the
+        # per-x row count IS the number of distinct docs containing x
+        df_cnt = df["x"].map(df["x"].value_counts())
+        dup = (df_cnt.to_numpy() >= min_count).astype(np.int64)
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                          "n": np.int64(1), "n_dup": dup}) \
+            .groupby("doc_id", sort=False).sum().reset_index()
+        return g
+
+    part = (docs_ds.map_batches(pair_rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
+    agg = part.groupby("doc_id").sum(["n", "n_dup"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("sum(n)").to_numpy().astype(np.int64)
+        nd = t.column("sum(n_dup)").to_numpy().astype(np.int64)
+        frac = np.round(np.where(n > 0, nd / np.maximum(n, 1), 0.0), 6)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_shingles": pa.array(n),
+            "n_dup": pa.array(nd),
+            "dup_fraction": pa.array(frac),
+            "flagged": pa.array((frac >= flag_threshold).astype(np.int64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Domain-level aggregation + quality gating (per-source stats)
+# ---------------------------------------------------------------------------
+
+def domain_stats(docs_ds, *, source_col: str = "source",
+                 text_col: str = "text", min_docs: int = 5,
+                 min_stop_ratio: float = 0.05):
+    """Per-domain corpus statistics + a keep gate (the classic
+    domain-blocklist construction: drop whole sources whose aggregate
+    quality is low, instead of scoring every document independently).
+
+    Scale shape: per-batch partial sums keyed by source (the combiner —
+    each batch emits ≤ |sources seen| rows), then one groupby-sum whose
+    input is already collapsed; the domain table is small by definition.
+
+    Output: (source, n_docs, sum_chars, sum_tokens, stop_ratio, keep)
+    with stop_ratio = Σstop_cnt / Σn_tokens rounded to 6 dp.
+    """
+    from .text import quality_batch
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        q = quality_batch(t, id_col=source_col, text_col=text_col) \
+            .to_pandas()
+        g = q.groupby("doc_id", sort=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+            sum_tokens=("n_tokens", "sum"), sum_stop=("stop_cnt", "sum"),
+        ).reset_index().rename(columns={"doc_id": "source"})
+        return g
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .sum(["n_docs", "sum_chars", "sum_tokens", "sum_stop"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t.column("sum(n_docs)").to_numpy().astype(np.int64)
+        sc = t.column("sum(sum_chars)").to_numpy().astype(np.int64)
+        st = t.column("sum(sum_tokens)").to_numpy().astype(np.int64)
+        ss = t.column("sum(sum_stop)").to_numpy().astype(np.int64)
+        ratio = np.round(
+            np.where(st > 0, ss / np.maximum(st, 1), 0.0), 6)
+        keep = ((nd >= min_docs) & (ratio >= min_stop_ratio)) \
+            .astype(np.int64)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.array(nd),
+            "sum_chars": pa.array(sc),
+            "sum_tokens": pa.array(st),
+            "stop_ratio": pa.array(ratio),
+            "keep": pa.array(keep),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
