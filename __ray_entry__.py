@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_redact_pii": rel.docs_redact_pii,
         "docs_length_band_filter": rel.docs_length_band_filter,
         "docs_lm_perplexity": rel.docs_lm_perplexity,
+        "docs_nb_quality": rel.docs_nb_quality,
+        "docs_dsir_weights": rel.docs_dsir_weights,
         "lang_counts": rel.lang_counts,
         "events_hourly": rel.events_hourly,
         "events_thresholds": rel.events_thresholds,
@@ -221,6 +223,46 @@ def _wfp_sql(col: str) -> str:
     return (f"list_reduce(list_transform(split({col}, ''),"
             f" c -> unicode(c)::HUGEINT),"
             f" (x, y) -> (x * 1000003 + y) % 2305843009213693951)")
+
+
+def _dsir_sql() -> str:
+    """Exact mirror of docs_dsir_weights (stages/classify.py): lowercase
+    `[0-9a-z_]+` word OCCURRENCES, bucket = mix64(101, rolling-fp(w)) %
+    1024, lw[b] = ln((ct+1)/(Σct+1024)) - ln((cr+1)/(Σcr+1024)) with
+    target = lang='en' docs and raw = all docs; per-doc weight = Σ
+    occurrence lw, selected = weight > 0 (pre-rounding)."""
+    lat, ref = _mix_chain("dsir", ["wf.fp"], [101])
+    return f"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                      regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+               FROM documents),
+    flat AS (SELECT doc_id, lang, unnest(ws) AS w FROM d),
+    gw AS (SELECT DISTINCT w FROM flat),
+    wf AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    wb AS (SELECT wf.w, CAST({ref} % 1024 AS BIGINT) AS b
+           FROM wf, {lat}),
+    occ AS (SELECT f.doc_id, f.lang, wb.b
+            FROM flat f JOIN wb ON wb.w = f.w),
+    cnts AS (SELECT b,
+                    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+                    count(*) AS cr
+             FROM occ GROUP BY b),
+    tot AS (SELECT (sum(ct) + 1024)::DOUBLE AS tt,
+                   (sum(cr) + 1024)::DOUBLE AS tr
+            FROM cnts),
+    lw AS (SELECT b, ln((ct + 1)::DOUBLE / tot.tt)
+                     - ln((cr + 1)::DOUBLE / tot.tr) AS lw
+           FROM cnts, tot),
+    agg AS (SELECT o.doc_id, count(*) AS n_words, sum(lw.lw) AS s
+            FROM occ o JOIN lw USING (b) GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+           ROUND(COALESCE(a.s, 0.0), 6) AS log_weight,
+           CAST(CASE WHEN COALESCE(a.s, 0.0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS selected
+    FROM d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """
 
 
 def _simhash_sql() -> str:
@@ -1333,6 +1375,57 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN agg a USING (doc_id)
             ORDER BY t.doc_id
         """,
+        # NB quality gate: two-class token model fitted on even doc_ids
+        # (pos = lang='en'; vocab top-20000 by (c1+c0) DESC, token;
+        # add-one over V+1 per class), score = prior + sum of weights
+        # (stages/classify.py fit_nb_quality/NBScorer)
+        "docs_nb_quality": f"""
+            WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                                 list_transform({_TOKENS}, x -> lower(x))
+                                     AS ts
+                          FROM documents),
+            train AS (SELECT doc_id, (lang = 'en') AS ispos,
+                             unnest(ts) AS token
+                      FROM toks WHERE doc_id % 2 = 0),
+            counts AS (SELECT token,
+                              sum(CASE WHEN ispos THEN 1 ELSE 0 END) AS c1,
+                              sum(CASE WHEN ispos THEN 0 ELSE 1 END) AS c0
+                       FROM train GROUP BY token),
+            tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM counts),
+            nd AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                              AS d1,
+                          sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                              AS d0
+                   FROM toks WHERE doc_id % 2 = 0),
+            top AS (SELECT token, c1, c0 FROM counts
+                    ORDER BY (c1 + c0) DESC, token LIMIT 20000),
+            den AS (SELECT (t.n1 + v.v + 1)::DOUBLE AS d1,
+                           (t.n0 + v.v + 1)::DOUBLE AS d0
+                    FROM tot t, (SELECT count(*) AS v FROM top) v),
+            w AS (SELECT token,
+                         ln((c1 + 1)::DOUBLE / den.d1)
+                         - ln((c0 + 1)::DOUBLE / den.d0) AS w
+                  FROM top, den),
+            flat AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            scored AS (SELECT f.doc_id,
+                              COALESCE(w.w, (SELECT ln(1.0 / d1)
+                                             - ln(1.0 / d0) FROM den)) AS w
+                       FROM flat f LEFT JOIN w ON w.token = f.token),
+            agg AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS s
+                    FROM scored GROUP BY doc_id),
+            pri AS (SELECT ln((d1 + 1.0) / (d0 + 1.0)) AS p FROM nd)
+            SELECT t.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   ROUND(pri.p + COALESCE(a.s, 0.0), 6) AS nb_score,
+                   CAST(CASE WHEN pri.p + COALESCE(a.s, 0.0) >= 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS pred
+            FROM toks t LEFT JOIN agg a USING (doc_id), pri
+            ORDER BY t.doc_id
+        """,
+        # DSIR importance weights: per-occurrence hashed buckets
+        # mix64(101, word-fp) % 1024, target = lang='en' docs, raw = all
+        # (stages/classify.py fit_dsir/DSIRScorer)
+        "docs_dsir_weights": _dsir_sql(),
         # quantile-threshold filter: keep docs inside their language's
         # [p10, p99] token band (same lower-disc quantile rule)
         "docs_length_band_filter": f"""

@@ -246,6 +246,59 @@ def test_lm_perplexity_scores_order():
     assert out["logprob_mean"][2] == 0.0
 
 
+def test_nb_classifier_separates_classes():
+    """Docs built from positive-class tokens must score above docs built
+    from negative-class tokens; token-less docs score the bare prior."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.stages.classify import fit_nb_quality, nb_quality_score
+
+    train = pd.DataFrame({
+        "doc_id": range(6),
+        "lang": ["en", "en", "en", "de", "de", "de"],
+        "text": ["the cat sat", "the dog sat", "cat and dog",
+                 "der hund", "die katze", "der und die"],
+    })
+    model = fit_nb_quality(rd.from_pandas(train))
+    probe = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat", "der hund", "   "],
+    })
+    out = nb_quality_score(rd.from_pandas(probe), model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["nb_score"][0] > out["nb_score"][1]
+    assert out["pred"].tolist()[:2] == [1, 0]
+    assert out["n_tokens"].tolist() == [2, 2, 0]
+    assert abs(out["nb_score"][2] - model["prior"]) < 1e-12
+
+
+def test_dsir_weights_favor_target_distribution():
+    """Importance weights must rank target-like docs above raw-only docs
+    and stay deterministic across runs (seeded bucket hashing)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.stages.classify import dsir_weights, fit_dsir
+
+    corpus = pd.DataFrame({
+        "doc_id": range(6),
+        "lang": ["en", "en", "en", "xx", "xx", "xx"],
+        "text": ["alpha beta gamma", "alpha beta", "beta gamma alpha",
+                 "zork quux", "quux blarg", "zork blarg quux"],
+    })
+    ds = rd.from_pandas(corpus)
+    model = fit_dsir(ds, n_buckets=64)
+    out = dsir_weights(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    en = out.loc[:2, "log_weight"]
+    xx = out.loc[3:, "log_weight"]
+    assert en.min() > xx.max()
+    assert out["selected"].tolist() == [1, 1, 1, 0, 0, 0]
+    model2 = fit_dsir(ds, n_buckets=64)
+    assert (model2["lw"] == model["lw"]).all()
+
+
 def test_min_label_clusters_equal_union_find():
     """The distributed min-label propagation must produce exactly the
     driver union-find clustering (chains force multi-round propagation)."""

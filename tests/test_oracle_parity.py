@@ -44,6 +44,8 @@ SUBSET = [
     "docs_line_dedup",
     "docs_length_band_filter",
     "docs_lm_perplexity",
+    "docs_nb_quality",
+    "docs_dsir_weights",
     "docs_dup_clusters",
     "kg_degree_quantiles",
     "embeddings_kmeans",

@@ -241,6 +241,48 @@ def docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_nb_quality(sf_dir: str) -> pd.DataFrame:
+    """fastText-style Naive-Bayes quality gate (stages/classify.py): fit
+    the two-class token model on the even-doc_id half (label = lang ==
+    'en'), score every doc by prior + Σ token weights.  Fit is (token,
+    c1, c0) rows through ONE groupby; the model broadcasts once; scoring
+    is a stateless vectorized pass.  SQL twin rebuilds the identical
+    model (same (c1+c0) DESC, token tie-break, same add-one smoothing)."""
+    import pyarrow.compute as pc
+
+    from ..stages.classify import fit_nb_quality, nb_quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    train = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    model = fit_nb_quality(train, vocab_k=20000)
+    out = nb_quality_score(ds, model).to_pandas()
+    out["nb_score"] = out["nb_score"].round(6)
+    return out.astype({"doc_id": np.int64, "n_tokens": np.int64,
+                       "pred": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR hashed-n-gram importance weights (stages/classify.py): fit
+    per-bucket occurrence counts (target = lang=='en' docs, raw = all
+    docs) in one streaming pass + one 1024-row groupby, then score every
+    doc by Σ per-occurrence ln ratios.  SQL twin rebuilds the identical
+    mix64 buckets from the word fingerprints."""
+    from ..stages.classify import dsir_weights, fit_dsir
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = fit_dsir(ds, n_buckets=1024)
+    out = dsir_weights(ds, model).to_pandas()
+    out["log_weight"] = out["log_weight"].round(6)
+    return out.astype({"doc_id": np.int64, "n_words": np.int64,
+                       "selected": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_length_band_filter(sf_dir: str) -> pd.DataFrame:
     """Quantile-threshold corpus filter — the operator composition the
     quantile stage exists for: keep docs whose token count sits inside

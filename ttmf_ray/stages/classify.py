@@ -1,0 +1,255 @@
+"""Model-based corpus selection: a Naive-Bayes (fastText-style linear)
+quality classifier and DSIR hashed-n-gram importance weights.
+
+Both are counts-based, so training is the same distributed shape as the
+unigram LM (stages/lm_score.py): per-batch count combiners → ONE small
+groupby over tokens/buckets → a few-MB model broadcast once → stateless
+vectorized per-batch scoring.  Nothing but (token, count) rows ever
+shuffles; the corpus itself streams.
+
+NB classifier (CCNet-style "is this reference-like text?" gate; Joulin et
+al. 2017 reduce fastText to exactly this shape for bag-of-words):
+  trained on the doc_id %% 2 == 0 half, label y=1 iff lang == 'en';
+  vocab = top-V train tokens by (count DESC, token ASC);
+  w(t)  = ln((c1(t)+1)/(n1+V+1)) - ln((c0(t)+1)/(n0+V+1)), add-one over
+          the kept vocab, OOV tokens get the c=0 weight;
+  score(doc) = ln((N1+1)/(N0+1)) + Σ_tokens w(t);  pred = score >= 0.
+
+DSIR (Xie et al., NeurIPS 2023 "Data Selection for Language Models via
+Importance Resampling"): hashed word features, bucket = mix64(DSIR_SEED,
+word_fp(w)) %% B; target distribution fitted on lang == 'en' docs, raw on
+ALL docs; per-doc log importance weight = Σ_occurrences
+ln((ct[b]+1)/(Tt+B)) - ln((cr[b]+1)/(Tr+B)); selected = weight > 0.
+
+The reference engine has no model-based corpus selection; these are
+training-data-pipeline extensions (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..context import Broadcast, auto_pool
+
+DSIR_SEED = 101
+
+
+def _doc_words(col):
+    """(flat lowercase `[0-9a-z_]+` words, doc index per word, n_docs) —
+    the shingle/fingerprint word definition (stages/dedup.py), NOT the
+    whitespace tokens of the quality kernels."""
+    from .text import _as_array, _split_flat
+
+    import pyarrow.compute as pc
+
+    arr = _as_array(col)
+    lowered = pc.utf8_lower(arr)
+    flat, doc_idx, n = _split_flat(lowered, "[^0-9a-z_]+")
+    keep = flat != ""
+    return flat[keep], doc_idx[keep], n
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes quality classifier
+# ---------------------------------------------------------------------------
+
+def fit_nb_quality(docs_ds, *, text_col: str = "text",
+                   label_col: str = "lang", pos_label: str = "en",
+                   vocab_k: int = 20000) -> dict:
+    """Fit the two-class token model on ``docs_ds`` (caller pre-filters
+    to the train split).  Returns the broadcastable model dict."""
+    from ray.data.aggregate import Sum
+
+    from .lm_score import _doc_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, doc_idx, _ = _doc_tokens(t.column(text_col))
+        is_pos = (np.asarray(t.column(label_col)) == pos_label)
+        codes, uniq = pd.factorize(toks)
+        pos_tok = is_pos[doc_idx]
+        c1 = np.bincount(codes[pos_tok], minlength=len(uniq)) \
+            .astype(np.int64)
+        c0 = np.bincount(codes[~pos_tok], minlength=len(uniq)) \
+            .astype(np.int64)
+        out = pa.table({"token": pa.array(uniq, pa.string()),
+                        "c1": pa.array(c1), "c0": pa.array(c0)})
+        # doc-count partials ride along as a sentinel row (token = "")
+        n1 = int(is_pos.sum())
+        sent = pa.table({"token": pa.array([""], pa.string()),
+                         "c1": pa.array([n1], pa.int64()),
+                         "c0": pa.array([len(is_pos) - n1], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    counts = (docs_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("c1", alias_name="c1"),
+                         Sum("c0", alias_name="c0"))
+              .to_pandas())
+    sent = counts["token"] == ""
+    n_docs1 = int(counts.loc[sent, "c1"].sum())
+    n_docs0 = int(counts.loc[sent, "c0"].sum())
+    counts = counts[~sent]
+    n1 = int(counts["c1"].sum())
+    n0 = int(counts["c0"].sum())
+    counts = counts.assign(cnt=counts["c1"] + counts["c0"])
+    top = counts.sort_values(["cnt", "token"],
+                             ascending=[False, True]).head(vocab_k)
+    v = len(top)
+    den1, den0 = float(n1 + v + 1), float(n0 + v + 1)
+    order = np.argsort(top["token"].to_numpy())
+    tokens = top["token"].to_numpy()[order]
+    w = (np.log((top["c1"].to_numpy().astype(np.float64)[order] + 1.0)
+                / den1)
+         - np.log((top["c0"].to_numpy().astype(np.float64)[order] + 1.0)
+                  / den0))
+    return {"tokens": tokens, "w": w,
+            "w_unk": float(np.log(1.0 / den1) - np.log(1.0 / den0)),
+            "prior": float(np.log((n_docs1 + 1.0) / (n_docs0 + 1.0)))}
+
+
+class NBScorer:
+    """Actor stage: docs → (doc_id, n_tokens, nb_score, pred)."""
+
+    def __init__(self, model_bc: Broadcast, *, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        m = model_bc.get()
+        self.tokens, self.w = m["tokens"], m["w"]
+        self.w_unk, self.prior = m["w_unk"], m["prior"]
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .lm_score import _doc_tokens
+
+        toks, doc_idx, n = _doc_tokens(batch.column(self.text_col))
+        codes, uniq = pd.factorize(toks)
+        if len(uniq) and len(self.tokens):
+            pos = np.clip(np.searchsorted(self.tokens, uniq),
+                          0, len(self.tokens) - 1)
+            hit = self.tokens[pos] == uniq
+            uw = np.where(hit, self.w[pos], self.w_unk)
+        else:
+            uw = np.full(len(uniq), self.w_unk)
+        tok_w = uw[codes] if len(codes) else np.empty(0)
+        sums = np.bincount(doc_idx, weights=tok_w, minlength=n)
+        cnts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        score = self.prior + sums
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_tokens": pa.array(cnts),
+            "nb_score": pa.array(score),
+            "pred": pa.array((score >= 0).astype(np.int64)),
+        })
+
+
+def nb_quality_score(docs_ds, model: dict, *, id_col: str = "doc_id",
+                     text_col: str = "text", concurrency=None):
+    bc = Broadcast(model)
+    return docs_ds.map_batches(
+        NBScorer,
+        fn_constructor_kwargs={"model_bc": bc, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or auto_pool(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed importance weights
+# ---------------------------------------------------------------------------
+
+def _word_buckets(col, n_buckets: int):
+    """(bucket per word occurrence, doc index, n_docs) — words hashed
+    once per UNIQUE token via the memoized word_fp (dedup kernel)."""
+    import pyarrow.compute as pc
+
+    from .dedup import mix64_vec, word_fp
+    from .text import _as_array
+
+    arr = _as_array(col)
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, pa.string())
+    split = pc.split_pattern_regex(pc.utf8_lower(pa.array(arr)),
+                                   pattern="[^0-9a-z_]+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    n = len(arr)
+    offs = split.offsets.to_numpy()
+    counts = np.diff(offs).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    dic = pc.dictionary_encode(split.flatten())
+    codes = dic.indices.to_numpy().astype(np.int64)
+    uniq = dic.dictionary.to_pylist()
+    if uniq and "" in uniq:
+        ok = codes != uniq.index("")
+        codes, doc_idx = codes[ok], doc_idx[ok]
+    ufp = np.fromiter((word_fp(w) for w in uniq), dtype=np.uint64,
+                      count=len(uniq))
+    ub = (mix64_vec(DSIR_SEED, ufp) % np.uint64(n_buckets)) \
+        .astype(np.int64)
+    return ub[codes], doc_idx, n
+
+
+def fit_dsir(docs_ds, *, text_col: str = "text",
+             target_col: str = "lang", target_label: str = "en",
+             n_buckets: int = 1024) -> dict:
+    """Hashed-bucket occurrence counts: target = ``target_label`` docs,
+    raw = ALL docs.  Returns {"lw": per-bucket ln ratio array}."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        b, doc_idx, _ = _word_buckets(t.column(text_col), n_buckets)
+        is_t = (np.asarray(t.column(target_col)) == target_label)[doc_idx]
+        ct = np.bincount(b[is_t], minlength=n_buckets).astype(np.int64)
+        cr = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(n_buckets,
+                                                      dtype=np.int64)),
+                         "ct": pa.array(ct), "cr": pa.array(cr)})
+
+    g = (docs_ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("bucket")
+         .aggregate(Sum("ct", alias_name="ct"),
+                    Sum("cr", alias_name="cr"))
+         .to_pandas().sort_values("bucket"))
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    ct[g["bucket"].to_numpy()] = g["ct"].to_numpy()
+    cr[g["bucket"].to_numpy()] = g["cr"].to_numpy()
+    tt, tr = float(ct.sum() + n_buckets), float(cr.sum() + n_buckets)
+    lw = (np.log((ct + 1.0) / tt) - np.log((cr + 1.0) / tr))
+    return {"lw": lw, "n_buckets": n_buckets}
+
+
+class DSIRScorer:
+    """Actor stage: docs → (doc_id, n_words, log_weight, selected)."""
+
+    def __init__(self, model_bc: Broadcast, *, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        m = model_bc.get()
+        self.lw, self.n_buckets = m["lw"], m["n_buckets"]
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b, doc_idx, n = _word_buckets(batch.column(self.text_col),
+                                      self.n_buckets)
+        sums = np.bincount(doc_idx, weights=self.lw[b], minlength=n)
+        cnts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_words": pa.array(cnts),
+            "log_weight": pa.array(sums),
+            "selected": pa.array((sums > 0).astype(np.int64)),
+        })
+
+
+def dsir_weights(docs_ds, model: dict, *, id_col: str = "doc_id",
+                 text_col: str = "text", concurrency=None):
+    bc = Broadcast(model)
+    return docs_ds.map_batches(
+        DSIRScorer,
+        fn_constructor_kwargs={"model_bc": bc, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or auto_pool(),
+    )
