@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": rel.top_parts,
         "ann_topk": rel.ann_topk,
         "embeddings_kmeans": rel.embeddings_kmeans,
+        "embeddings_rp_project": rel.embeddings_rp_project,
         "embeddings_semantic_dedup": rel.embeddings_semantic_dedup,
         "order_priority_revenue": rel.order_priority_revenue,
         # (events_sessions registered below with the corpus queries)
@@ -262,6 +263,39 @@ def _dsir_sql() -> str:
                 AS BIGINT) AS selected
     FROM d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id
+    """
+
+
+def _rp_sql(k: int = 8) -> str:
+    """Exact mirror of embeddings_rp_project (stages/ann.py): sign matrix
+    S[d,j] = +1 iff mix64(211, d, j) % 2 = 0, y_j = Σ_d x_d·S[d,j] /
+    sqrt(k), rounded 6 dp; code packs the rounded signs."""
+    lat, ref = _mix_chain("rp", ["sg0.d", "sg0.j"], [211])
+    pcols = ",\n           ".join(
+        f"ROUND(SUM(CASE WHEN j = {j} THEN v END) / sqrt({k}.0), 6) AS p{j}"
+        for j in range(k))
+    code = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(k))
+    return f"""
+    WITH flat AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                         unnest(embedding)::DOUBLE AS x,
+                         (generate_subscripts(embedding, 1) - 1)::BIGINT
+                             AS d
+                  FROM embeddings),
+    dims AS (SELECT DISTINCT d FROM flat),
+    js AS (SELECT range AS j FROM range({k})),
+    sg0 AS (SELECT d, j FROM dims, js),
+    sg AS (SELECT sg0.d, sg0.j,
+                  CASE WHEN {ref} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+           FROM sg0, {lat}),
+    proj AS (SELECT f.vec_id, sg.j, sum(f.x * sg.s) AS v
+             FROM flat f JOIN sg ON sg.d = f.d GROUP BY f.vec_id, sg.j),
+    piv AS (SELECT vec_id,
+           {pcols}
+            FROM proj GROUP BY vec_id)
+    SELECT vec_id, {", ".join(f"p{j}" for j in range(k))},
+           CAST({code} AS BIGINT) AS code
+    FROM piv ORDER BY vec_id
     """
 
 
@@ -1808,6 +1842,9 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "embeddings_kmeans": _kmeans_sql(),
+        # JL sign random projection: ±1 from mix64(211, d, j), rounded
+        # projections + packed sign code (stages/ann.py)
+        "embeddings_rp_project": _rp_sql(),
         "embeddings_semantic_dedup": _semantic_dedup_sql(),
         "docs_decontaminate": _decontaminate_sql(),
         "docs_shuffle_export": _shuffle_export_sql(),

@@ -72,3 +72,34 @@ def test_ivf_hash_mode_subset_of_brute():
     by_id = {int(i): float(s) for i, s in zip(df["vec_id"], sims)}
     for _, row in ivf.iterrows():
         assert abs(by_id[int(row["vec_id"])] - row["cosine"]) < 1e-9
+
+
+def test_random_projection_jl_property():
+    """Sign projection must roughly preserve pairwise geometry (JL):
+    projected squared distances correlate strongly with the originals,
+    and the output is block-count invariant (pure function of the seed)."""
+    from ttmf_ray.stages.ann import random_projection
+
+    df = _vec_table(300, 64, seed=11)
+    one = random_projection(rd.from_pandas(df), k=16).to_pandas() \
+        .sort_values("vec_id", ignore_index=True)
+    many = random_projection(rd.from_pandas(df).repartition(5), k=16) \
+        .to_pandas().sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(one, many)
+
+    # E[|y_i - y_j|^2] = |x_i - x_j|^2 for ±1/sqrt(k) signs; with k=16
+    # each ratio concentrates with std ≈ sqrt(2/k) ≈ 0.35 — check the
+    # estimator is unbiased in aggregate and no ratio is wildly off
+    # (isotropic data makes all pairwise distances similar, so a
+    # correlation test would only measure noise).
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    y = one[[f"p{j}" for j in range(16)]].to_numpy()
+    rng = np.random.default_rng(0)
+    i, j = rng.integers(0, len(x), 400), rng.integers(0, len(x), 400)
+    keep = i != j
+    dx = ((x[i[keep]] - x[j[keep]]) ** 2).sum(axis=1)
+    dy = ((y[i[keep]] - y[j[keep]]) ** 2).sum(axis=1)
+    ratio = dy / dx
+    assert 0.9 < ratio.mean() < 1.1
+    assert 0.2 < np.quantile(ratio, 0.02)
+    assert np.quantile(ratio, 0.98) < 2.5

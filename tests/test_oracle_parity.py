@@ -49,6 +49,7 @@ SUBSET = [
     "docs_dup_clusters",
     "kg_degree_quantiles",
     "embeddings_kmeans",
+    "embeddings_rp_project",
     "embeddings_semantic_dedup",
     "docs_stratified_sample",
     "docs_cm_heavy_hitters",

@@ -582,6 +582,26 @@ def embeddings_kmeans(sf_dir: str, k: int = 8, n_iter: int = 4) -> pd.DataFrame:
         .sort_values("vec_id", ignore_index=True)
 
 
+def embeddings_rp_project(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """JL sign random projection (stages/ann.py:random_projection):
+    y = X @ S / sqrt(k), S[d,j] = ±1 from mix64(211, d, j) — nothing
+    broadcast, every task rebuilds the tiny sign matrix from the seed.
+    ``code`` packs the signs of the ROUNDED projections (an LSH bucket
+    id, the downstream use of the projection).  SQL twin rebuilds the
+    identical sign matrix via the mix64 chain."""
+    from ..stages.ann import random_projection
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = random_projection(ds, k=k).to_pandas()
+    code = np.zeros(len(out), dtype=np.int64)
+    for j in range(k):
+        out[f"p{j}"] = out[f"p{j}"].round(6)
+        code |= (out[f"p{j}"].to_numpy() > 0).astype(np.int64) << j
+    out["code"] = code
+    return out.astype({"vec_id": np.int64}) \
+        .sort_values("vec_id", ignore_index=True)
+
+
 def embeddings_semantic_dedup(sf_dir: str, k: int = 8, n_iter: int = 4,
                               tau: float = 0.35) -> pd.DataFrame:
     """SemDeDup-style semantic dedup: k-means cluster, then mark members

@@ -302,3 +302,50 @@ def ivf_topk_partitioned(out_dir: str, queries: np.ndarray, k: int, *,
             files.extend(sorted(glob.glob(f"{d}/*.parquet")))
     ds = rd.read_parquet(files)
     return brute_topk(ds, queries, k, id_col=id_col, vec_col=vec_col)
+
+
+# --- JL sign random projection (dimensionality reduction) ------------------
+
+RP_SEED = 211
+
+
+def random_projection(ds, *, k: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding", seed: int = RP_SEED):
+    """Achlioptas/JL sign random projection: ``y = X @ S / sqrt(k)`` with
+    ``S[d, j] = +1 if mix64(seed, d, j) % 2 == 0 else -1``.
+
+    The projection matrix is a pure function of (seed, d, j), so nothing
+    is broadcast or shipped — every task rebuilds the (d, k) sign matrix
+    from the stream of mix64 draws (d·k calls, microseconds) and the
+    whole op stays a stateless zero-copy ``map_batches``.  This is the
+    scale-path precursor to clustering / semantic dedup on very wide
+    embeddings: project once, run k-means / SemDeDup in the k-dim space.
+
+    Output: ``(id_col, p0..p{k-1})`` float64, unrounded.
+    """
+    from ..sources.pages import mix64_vec
+
+    sign_cache: dict[int, np.ndarray] = {}
+
+    def signs(d: int) -> np.ndarray:
+        s = sign_cache.get(d)
+        if s is None:
+            dg = np.arange(d, dtype=np.int64)[:, None]
+            jg = np.arange(k, dtype=np.int64)[None, :]
+            s = np.where(mix64_vec(seed, dg, jg) % np.uint64(2) == 0,
+                         1.0, -1.0)
+            sign_cache[d] = s
+        return s
+
+    scale = 1.0 / np.sqrt(float(k))
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = list_col_matrix(batch.column(vec_col), np.float64)
+        y = (x @ signs(x.shape[1])) * scale if x.shape[0] else \
+            np.empty((0, k))
+        cols = {id_col: batch.column(id_col)}
+        for j in range(k):
+            cols[f"p{j}"] = pa.array(y[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
