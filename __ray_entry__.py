@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hll_distinct": cq.docs_hll_distinct,
         "docs_clean_corpus": cq.docs_clean_corpus,
         "docs_dup_ngrams": cq.docs_dup_ngrams,
+        "docs_remove_dup_spans": cq.docs_remove_dup_spans,
         "docs_domain_stats": cq.docs_domain_stats,
     }
 
@@ -296,6 +297,52 @@ def _rp_sql(k: int = 8) -> str:
     SELECT vec_id, {", ".join(f"p{j}" for j in range(k))},
            CAST({code} AS BIGINT) AS code
     FROM piv ORDER BY vec_id
+    """
+
+
+def _dup_spans_sql(ngram: int = 3) -> str:
+    """Exact mirror of docs_remove_dup_spans (stages/curation.py):
+    positional word-``ngram`` hashes mix64(73, fp(lower(w_i))..) over the
+    whitespace tokens, duplicated = ≥2 distinct docs, every covered
+    token dropped, text rebuilt by joining kept tokens with spaces."""
+    aliases = [chr(ord("a") + j) for j in range(ngram)]
+    lat, ref = _mix_chain("dsp", [f"{al}.fp" for al in aliases], [73])
+    joins = " ".join(
+        f"JOIN fl {aliases[j]} ON {aliases[j]}.doc_id = a.doc_id "
+        f"AND {aliases[j]}.p = a.p + {j}"
+        for j in range(1, ngram))
+    h64 = (f"CASE WHEN {ref} >= 9223372036854775808::HUGEINT "
+           f"THEN {ref} - 18446744073709551616::HUGEINT "
+           f"ELSE {ref} END")
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKENS} AS ts
+                  FROM documents),
+    flat AS (SELECT doc_id, unnest(ts) AS w,
+                    (generate_subscripts(ts, 1) - 1)::BIGINT AS p
+             FROM toks),
+    gw AS (SELECT DISTINCT lower(w) AS lw FROM flat),
+    wf AS (SELECT lw, {_wfp_sql('lw')} AS fp FROM gw),
+    fl AS (SELECT f.doc_id, f.p, wf.fp
+           FROM flat f JOIN wf ON wf.lw = lower(f.w)),
+    tri AS (SELECT a.doc_id, a.p, CAST({h64} AS BIGINT) AS h
+            FROM fl a {joins}, {lat}),
+    dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+                           FROM tri GROUP BY h) WHERE c >= 2),
+    cover AS (SELECT DISTINCT t.doc_id, t.p + o.o AS p
+              FROM tri t JOIN dup USING (h),
+                   (SELECT range AS o FROM range({ngram})) o),
+    kept AS (SELECT f.doc_id, f.p, f.w
+             FROM flat f LEFT JOIN cover c
+                  ON c.doc_id = f.doc_id AND c.p = f.p
+             WHERE c.p IS NULL),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(w, ' ' ORDER BY p) AS text_clean
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(length(t.ts) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
     """
 
 
@@ -1856,5 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_hll_distinct": _hll_distinct_sql(),
         "docs_clean_corpus": _clean_corpus_sql(),
         "docs_dup_ngrams": _dup_ngrams_sql(),
+        # span surgery: drop tokens under cross-doc duplicated 5-grams
+        "docs_remove_dup_spans": _dup_spans_sql(5),
         "docs_domain_stats": _DOMAIN_STATS_SQL,
     }

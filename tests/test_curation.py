@@ -385,3 +385,32 @@ def test_domain_stats_gate_matches_pandas():
     assert np.allclose(out["stop_ratio"], ratio)
     # c has a single doc -> fails the min_docs gate regardless of quality
     assert out.loc["c", "keep"] == 0
+
+
+def test_remove_dup_spans_surgery():
+    """Cross-doc duplicated windows are excised token-exactly; a phrase
+    repeated only WITHIN one doc survives (>=2 distinct docs rule); case
+    differences don't defeat the match (hashes are case-insensitive)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.stages.curation import remove_dup_spans
+
+    shared = "the quick brown fox jumps"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"alpha beta {shared} gamma delta",
+            f"one two {shared.upper()} three four",
+            "unique words only here nothing repeats at all",
+            "self self self self self self but only in this doc",
+        ],
+    })
+    out = remove_dup_spans(rd.from_pandas(docs), ngram=5).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out.loc[0, "text_clean"] == "alpha beta gamma delta"
+    assert out.loc[1, "text_clean"] == "one two three four"
+    assert out.loc[2, "text_clean"] == docs.loc[2, "text"]
+    assert out.loc[3, "text_clean"] == docs.loc[3, "text"]
+    assert out["n_tokens"].tolist() == [9, 9, 8, 11]
+    assert out["n_kept"].tolist() == [4, 4, 8, 11]

@@ -56,6 +56,7 @@ SUBSET = [
     "docs_hll_distinct",
     "kg_edges_tsv_roundtrip",
     "docs_dup_ngrams",
+    "docs_remove_dup_spans",
     "docs_domain_stats",
 ]
 

@@ -825,6 +825,21 @@ def docs_dup_ngrams(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_remove_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022 span
+    surgery): tokens covered by a cross-doc duplicated word-5-gram are
+    dropped, text rebuilt from the kept tokens.  SQL-mirrored exactly
+    (same window hashes, same ≥2-distinct-docs rule) — all-int/string
+    output, zero float drift."""
+    from ..stages.curation import remove_dup_spans
+
+    out = remove_dup_spans(_docs_ds(sf_dir, ["doc_id", "text"]),
+                           ngram=5).to_pandas()
+    return out.astype({c: np.int64 for c in
+                       ("doc_id", "n_tokens", "n_kept")}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_domain_stats(sf_dir: str) -> pd.DataFrame:
     """Per-source aggregate quality stats + domain keep gate,
     SQL-mirrored (same token/stopword defs as docs_quality)."""

@@ -707,3 +707,128 @@ def domain_stats(docs_ds, *, source_col: str = "source",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring removal (span surgery)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_SEED = 73
+
+
+def _window_hashes(col, ngram: int):
+    """Positional word-``ngram`` hashes over whitespace tokens.
+
+    Returns (flat original-case tokens, doc index per token, n_docs,
+    window-start flat indices, int64 window hashes) — hash =
+    mix64(DUP_SPAN_SEED, fp(lower(w_i)), ..., fp(lower(w_{i+n-1}))),
+    emitted as the int64 two's-complement view (uint64 > 2^63 keys fall
+    back to pickled-object blocks in a Ray groupby — CLAUDE.md).
+    Vectorized: one Arrow split + lower, fp per UNIQUE lowercase token
+    (memoized), one broadcast mix64 over slice views.
+    """
+    from .dedup import word_fp
+    from .text import _as_array, _split_flat
+
+    flat, didx, n = _split_flat(_as_array(col), r"[ \t\n\r\f\v]+")
+    keep = flat != ""
+    flat, didx = flat[keep], didx[keep]
+    if len(flat) < ngram:
+        return flat, didx, n, np.empty(0, np.int64), np.empty(0, np.int64)
+    low = pc.utf8_lower(pa.array(flat)).to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(low)
+    ufp = np.fromiter((word_fp(w) for w in uniq), dtype=np.uint64,
+                      count=len(uniq))
+    fps = ufp[codes]
+    m = len(fps) - (ngram - 1)
+    valid = didx[:m] == didx[ngram - 1:]
+    h = mix64_vec(DUP_SPAN_SEED,
+                  *[fps[j:m + j] for j in range(ngram)])[valid]
+    starts = np.nonzero(valid)[0]
+    return flat, didx, n, starts, h.view(np.int64)
+
+
+def remove_dup_spans(docs_ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", ngram: int = 3,
+                     min_count: int = 2, n_buckets: int = 64,
+                     concurrency=None):
+    """Exact duplicated-substring REMOVAL — the span-surgery operator of
+    *Deduplicating Training Data Makes Language Models Better* (Lee et
+    al., ACL 2022): every token covered by a word-``ngram`` window whose
+    case-insensitive hash occurs in ≥ ``min_count`` DISTINCT documents
+    corpus-wide is dropped; the cleaned text is the kept tokens joined
+    by single spaces.  (``dup_ngram_fraction`` is the per-doc statistic;
+    this emits the surgically cleaned corpus.)
+
+    Scale shape: pass 1 ships only distinct (doc_id, hash) int rows,
+    bucketed by hash so one partition sees every occurrence (the
+    ``dup_ngram_fraction`` shuffle); the resulting duplicated-hash set
+    (dup n-grams only — a small fraction of the shingle space by Zipf)
+    broadcasts once.  Pass 2 is stateless and vectorized: membership by
+    one searchsorted, cover mask by ``ngram`` shifted scatter-ORs, text
+    rebuilt with ONE ``pc.binary_join`` per batch (no per-doc loop).  If
+    the dup set ever outgrew a broadcast, pass 2 becomes a hash-join of
+    the window rows against it (the line-dedup shape) — same semantics.
+
+    Output: (id_col, n_tokens, n_kept, text_clean).
+    """
+    from ..context import Broadcast, auto_pool
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        _, didx, _, starts, h = _window_hashes(t.column(text_col), ngram)
+        doc = ids[didx[starts]] if len(starts) else np.empty(0, np.int64)
+        # distinct (doc, h) per batch — the DF combiner
+        if len(h):
+            key = pd.MultiIndex.from_arrays([doc, h])
+            keep = ~key.duplicated()
+            doc, h = doc[keep], h[keep]
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "h": pa.array(h),
+            "bucket": pa.array(h % np.int64(n_buckets)),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df[["doc_id", "h"]].drop_duplicates()
+        vc = dd["h"].value_counts()
+        return pd.DataFrame({"h": vc[vc >= min_count].index.to_numpy()})
+
+    dup_df = (docs_ds.map_batches(pair_rows, batch_format="pyarrow")
+              .groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+              .to_pandas())
+    dup_bc = Broadcast(np.sort(dup_df["h"].to_numpy().astype(np.int64)))
+
+    class SpanCleaner:
+        def __init__(self, dup):
+            self.dup = dup.get()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, didx, n, starts, h = _window_hashes(
+                batch.column(text_col), ngram)
+            cover = np.zeros(len(flat), dtype=bool)
+            if len(h) and len(self.dup):
+                pos = np.clip(np.searchsorted(self.dup, h), 0,
+                              len(self.dup) - 1)
+                hit_starts = starts[self.dup[pos] == h]
+                for j in range(ngram):
+                    cover[hit_starts + j] = True
+            kept = ~cover
+            n_tok = np.bincount(didx, minlength=n).astype(np.int64)
+            n_kept = np.bincount(didx[kept], minlength=n).astype(np.int64)
+            offs = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(n_kept, out=offs[1:])
+            la = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(flat[kept], pa.string()))
+            return pa.table({
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tok),
+                "n_kept": pa.array(n_kept),
+                "text_clean": pc.binary_join(la, " "),
+            })
+
+    return docs_ds.map_batches(
+        SpanCleaner, fn_constructor_kwargs={"dup": dup_bc},
+        batch_format="pyarrow", concurrency=concurrency or auto_pool(),
+    )
