@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_rp_project": rel.embeddings_rp_project,
         "embeddings_semantic_dedup": rel.embeddings_semantic_dedup,
         "order_priority_revenue": rel.order_priority_revenue,
+        "docs_tfidf": rel.docs_tfidf,
+        "docs_bm25": rel.docs_bm25,
+        "docs_winnow": rel.docs_winnow,
+        "docs_source_kl": rel.docs_source_kl,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -344,6 +348,138 @@ def _dup_spans_sql(ngram: int = 3) -> str:
     FROM toks t LEFT JOIN agg a USING (doc_id)
     ORDER BY t.doc_id
     """
+
+
+def _rel_bm25_terms() -> list[str]:
+    from ttmf_ray.pipelines.relational import BM25_TERMS
+
+    return BM25_TERMS
+
+
+_TFIDF_SQL = """
+    WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      unnest(regexp_extract_all(lower(text),
+                                                '[0-9a-z_]+')) AS token
+               FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM w
+           GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM w
+           GROUP BY token),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 ROUND(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0),
+                       6) AS tfidf
+          FROM tf JOIN df USING (token), n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, tf DESC, token) AS rk FROM s)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, tfidf
+    FROM r WHERE rk <= 5
+"""
+
+
+def _bm25_sql(terms: list[str], k: int = 20, k1: float = 1.2,
+              b: float = 0.75) -> str:
+    """Exact mirror of docs_bm25 (stages/retrieval.py): Lucene idf
+    ln(1+(N-df+.5)/(df+.5)), per-term contributions added LEFT TO RIGHT
+    (the same float64 chain as the numpy kernel, so scores are bitwise
+    equal), rank on the 6-dp-rounded score then doc_id."""
+    tf_cols = ", ".join(
+        f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf{j}"
+        for j, t in enumerate(terms))
+    expr = " + ".join(
+        f"(ln(1.0 + (st.n - st.df{j} + 0.5) / (st.df{j} + 0.5))"
+        f" * (tf{j} * ({k1} + 1.0))"
+        f" / (tf{j} + {k1} * (1.0 - {b} + {b} * dl / st.avgdl)))"
+        for j in range(len(terms)))
+    df_cols = ", ".join(
+        f"(SELECT count(*)::DOUBLE FROM tfp WHERE tf{j} > 0) AS df{j}"
+        for j in range(len(terms)))
+    return f"""
+    WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      unnest(regexp_extract_all(lower(text),
+                                                '[0-9a-z_]+')) AS w
+               FROM documents),
+    dl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  length(regexp_extract_all(lower(text),
+                                            '[0-9a-z_]+'))::BIGINT AS dl
+           FROM documents),
+    tfp AS (SELECT doc_id, {tf_cols} FROM w GROUP BY doc_id),
+    st AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                  (SELECT sum(dl)::DOUBLE FROM dl)
+                      / (SELECT count(*)::DOUBLE FROM documents) AS avgdl,
+                  {df_cols}),
+    sc AS (SELECT dl.doc_id, dl.dl, ROUND({expr}, 6) AS score
+           FROM dl LEFT JOIN tfp USING (doc_id), st)
+    SELECT doc_id, dl, score FROM sc
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+def _winnow_sql(ngram: int = 3, window: int = 4) -> str:
+    """Exact mirror of docs_winnow (stages/retrieval.py): the dup-spans
+    positional n-gram hash CTEs (mix64 seed 73 over word fingerprints),
+    then min per ``window`` consecutive hashes with the rightmost
+    position of the minimum (max(p) over the in-window matches)."""
+    aliases = [chr(ord("a") + j) for j in range(ngram)]
+    lat, ref = _mix_chain("wn", [f"{al}.fp" for al in aliases], [73])
+    joins = " ".join(
+        f"JOIN fl {aliases[j]} ON {aliases[j]}.doc_id = a.doc_id "
+        f"AND {aliases[j]}.p = a.p + {j}"
+        for j in range(1, ngram))
+    h64 = (f"CASE WHEN {ref} >= 9223372036854775808::HUGEINT "
+           f"THEN {ref} - 18446744073709551616::HUGEINT "
+           f"ELSE {ref} END")
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKENS} AS ts
+                  FROM documents),
+    flat AS (SELECT doc_id, unnest(ts) AS w,
+                    (generate_subscripts(ts, 1) - 1)::BIGINT AS p
+             FROM toks),
+    gw AS (SELECT DISTINCT lower(w) AS lw FROM flat),
+    wf AS (SELECT lw, {_wfp_sql('lw')} AS fp FROM gw),
+    fl AS (SELECT f.doc_id, f.p, wf.fp
+           FROM flat f JOIN wf ON wf.lw = lower(f.w)),
+    tri AS (SELECT a.doc_id, a.p, CAST({h64} AS BIGINT) AS h
+            FROM fl a {joins}, {lat}),
+    win AS (SELECT doc_id, p,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND {window - 1}
+                       FOLLOWING) AS mh,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND {window - 1}
+                       FOLLOWING) AS c
+            FROM tri),
+    sel AS (SELECT f.doc_id, f.mh AS fp, max(t.p) AS pos
+            FROM (SELECT * FROM win WHERE c = {window}) f
+            JOIN tri t ON t.doc_id = f.doc_id AND t.h = f.mh
+                       AND t.p BETWEEN f.p AND f.p + {window - 1}
+            GROUP BY f.doc_id, f.p, f.mh)
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
+    ORDER BY doc_id, pos, fp
+    """
+
+
+_SOURCE_KL_SQL = """
+    WITH w AS (SELECT source,
+                      unnest(regexp_extract_all(lower(text),
+                                                '[0-9a-z_]+')) AS token
+               FROM documents),
+    st AS (SELECT source, token, count(*) AS cnt FROM w
+           GROUP BY source, token),
+    gt AS (SELECT token, sum(cnt) AS gcnt FROM st GROUP BY token),
+    g AS (SELECT sum(cnt)::DOUBLE AS gtot FROM st),
+    stot AS (SELECT source, sum(cnt)::DOUBLE AS stot FROM st
+             GROUP BY source)
+    SELECT st.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(st.cnt) AS BIGINT) AS n_words,
+           ROUND(sum((st.cnt / stot.stot)
+                     * ln((st.cnt / stot.stot) / (gt.gcnt / g.gtot))),
+                 6) AS kl
+    FROM st JOIN gt USING (token) JOIN stot USING (source), g
+    GROUP BY st.source ORDER BY st.source
+"""
 
 
 def _simhash_sql() -> str:
@@ -1906,4 +2042,8 @@ def oracle_sql() -> dict[str, str]:
         # span surgery: drop tokens under cross-doc duplicated 5-grams
         "docs_remove_dup_spans": _dup_spans_sql(5),
         "docs_domain_stats": _DOMAIN_STATS_SQL,
+        "docs_tfidf": _TFIDF_SQL,
+        "docs_bm25": _bm25_sql(_rel_bm25_terms()),
+        "docs_winnow": _winnow_sql(),
+        "docs_source_kl": _SOURCE_KL_SQL,
     }

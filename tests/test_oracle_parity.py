@@ -58,6 +58,10 @@ SUBSET = [
     "docs_dup_ngrams",
     "docs_remove_dup_spans",
     "docs_domain_stats",
+    "docs_tfidf",
+    "docs_bm25",
+    "docs_winnow",
+    "docs_source_kl",
 ]
 
 

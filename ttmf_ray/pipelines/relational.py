@@ -829,3 +829,57 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     out["revenue"] = out["revenue"].round(2)
     out["n_items"] = out["n_items"].astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / divergence queries (stages/retrieval.py)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["join", "window", "hash", "vector"]
+
+
+def docs_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Top-5 TF-IDF terms per document — one (token, df) combiner pass +
+    vocab-sized groupby, df table broadcast once, stateless per-batch
+    scoring with an in-batch top-k (ranked on the 6-dp-rounded score so
+    the SQL row_number() picks identical rows)."""
+    from ..stages.retrieval import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, k=5).to_pandas()
+    return out.astype({"doc_id": np.int64, "tf": np.int64,
+                       "df": np.int64}) \
+        .sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
+def docs_bm25(sf_dir: str) -> pd.DataFrame:
+    """Top-20 documents by BM25 against the fixed probe query
+    BM25_TERMS (k1=1.2, b=0.75, Lucene idf) — per-doc int rows
+    materialized once, constant-size stats reduce, broadcast-stats
+    scoring with per-batch partial top-k."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, BM25_TERMS, k=20)
+
+
+def docs_winnow(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints (word-3-gram hashes, window 4, rightmost
+    minimum) — the plagiarism-robust fingerprint set; pure per-batch
+    kernel, no shuffle."""
+    from ..stages.retrieval import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = winnow_fingerprints(ds, ngram=3, window=4).to_pandas()
+    return out.astype({"doc_id": np.int64, "pos": np.int64,
+                       "fp": np.int64}) \
+        .sort_values(["doc_id", "pos", "fp"]).reset_index(drop=True)
+
+
+def docs_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution —
+    the distribution-drift monitor of a mixture pipeline."""
+    from ..stages.retrieval import source_kl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return source_kl(ds)

@@ -1,0 +1,360 @@
+"""Corpus retrieval / divergence operators: TF-IDF top terms, BM25
+ranking against a broadcast query, MOSS-style winnowing fingerprints,
+and per-source unigram KL divergence.
+
+These extend the text-analysis surface (SURVEY.md §2.9) with the
+standard retrieval-side primitives of a training-data pipeline: picking
+representative terms per document (TF-IDF), scoring documents against a
+probe query (BM25, the Robertson/Sparck-Jones formula in its Lucene
+ln(1 + (N-df+.5)/(df+.5)) form), plagiarism-robust document
+fingerprinting (Schleimer et al., SIGMOD 2003 winnowing — the rightmost
+minimum of each hash window), and distribution drift per source
+(KL(p_source ‖ p_corpus) over unigrams).
+
+Distributed shapes (all stream; nothing but token-count rows shuffles):
+  * TF-IDF — one (token, df) combiner pass + ONE vocab-sized groupby,
+    model broadcast once, then stateless per-batch scoring with an
+    in-batch vectorized top-k (a doc's tokens never leave its batch).
+    At web scale the df table outgrows a broadcast long before the
+    corpus does; the fallback is a hash join of (doc, token, tf) rows
+    against the df table on the token key — same outputs, one shuffle.
+  * BM25 — per-doc (dl, tf per query term) rows materialized once
+    (ints only, ~16 B × |terms| per doc), a constant-size stats reduce,
+    then broadcast-stats scoring with per-batch partial top-k; only
+    k rows per batch reach the driver merge.
+  * Winnowing — per-batch kernel over the positional n-gram hashes of
+    stages/curation.py:_window_hashes (sliding-window minimum via a
+    stride view; rightmost tie via argmin over the reversed window).
+  * KL — (source, token) count combiner → one groupby, token totals
+    broadcast back, per-row contributions, tiny per-source sum.
+
+Scoring ties are broken on ROUND(score, 6) then integer/string keys so
+the DuckDB mirrors rank identically (the quantize-the-comparison trick
+of docs_lm_perplexity; CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..context import Broadcast, auto_pool
+
+__all__ = ["tfidf_top_terms", "bm25_topk", "winnow_fingerprints",
+           "source_kl"]
+
+
+def _words(col):
+    """(flat lowercase `[0-9a-z_]+` words, doc index, n_docs) — the
+    word class shared by top_tokens / DSIR / the dedup shingles."""
+    from .classify import _doc_words
+
+    return _doc_words(col)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+def _df_table(docs_ds, text_col: str) -> pd.DataFrame:
+    """(token, df) over the corpus — distinct (doc, token) per batch
+    collapses to one row per token before the single vocab-sized
+    shuffle (same combiner as curation.top_tokens, without the limit)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _words(t.column(text_col))
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(flat)
+        key = doc_idx * np.int64(len(uniq)) + codes
+        ucodes = np.unique(key) % len(uniq)
+        toks, dfc = np.unique(ucodes, return_counts=True)
+        return pa.table({"token": pa.array(uniq[toks], pa.string()),
+                         "df": pa.array(dfc.astype(np.int64))})
+
+    df = (docs_ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("token").sum("df")
+          .to_pandas().rename(columns={"sum(df)": "df"}))
+    order = np.argsort(df["token"].to_numpy())
+    return pd.DataFrame({"token": df["token"].to_numpy()[order],
+                         "df": df["df"].to_numpy()[order].astype(np.int64)})
+
+
+class _TfidfScorer:
+    """Actor stage: docs → top-k (doc_id, token, tf, df, tfidf) rows.
+
+    idf = ln((1+N)/(1+df)) + 1 (the smoothed sklearn form); rank by
+    (round(tf·idf, 6) DESC, tf DESC, token ASC) so the SQL mirror's
+    row_number() selects the identical rows.
+    """
+
+    def __init__(self, model_bc: Broadcast, *, k: int, n_docs: int,
+                 id_col: str, text_col: str):
+        m = model_bc.get()
+        self.tokens, self.df = m["tokens"], m["df"]
+        self.k, self.n_docs = k, n_docs
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _words(batch.column(self.text_col))
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "tfidf": pa.array([], pa.float64())})
+        if not len(flat):
+            return empty
+        codes, uniq = pd.factorize(flat)
+        key = doc_idx * np.int64(len(uniq)) + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        d_loc = (ukey // len(uniq)).astype(np.int64)
+        t_loc = (ukey % len(uniq)).astype(np.int64)
+        # df lookup against the sorted broadcast vocab
+        pos = np.clip(np.searchsorted(self.tokens, uniq), 0,
+                      max(len(self.tokens) - 1, 0))
+        hit = (self.tokens[pos] == uniq) if len(self.tokens) else \
+            np.zeros(len(uniq), bool)
+        udf = np.where(hit, self.df[pos] if len(self.df) else 0, 0)
+        dfv = udf[t_loc].astype(np.int64)
+        idf = np.log((1.0 + self.n_docs) / (1.0 + dfv)) + 1.0
+        score = np.round(tf.astype(np.float64) * idf, 6)
+        toks = uniq[t_loc]
+        order = np.lexsort((toks, -tf, -score, d_loc))
+        d_s = d_loc[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        rank = np.arange(len(d_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(d_s)]))
+        keep = order[rank < self.k]
+        ids = np.asarray(batch.column(self.id_col), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[d_loc[keep]]),
+            "token": pa.array(toks[keep], pa.string()),
+            "tf": pa.array(tf[keep].astype(np.int64)),
+            "df": pa.array(dfv[keep]),
+            "tfidf": pa.array(score[keep], pa.float64())})
+
+
+def tfidf_top_terms(docs_ds, *, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text", concurrency=None):
+    """Top-``k`` TF-IDF terms per document.  Returns a Dataset of
+    (doc_id, token, tf, df, tfidf) rows, ≤ k per doc."""
+    dft = _df_table(docs_ds, text_col)
+    n_docs = docs_ds.count()
+    bc = Broadcast({"tokens": dft["token"].to_numpy(),
+                    "df": dft["df"].to_numpy()})
+    return docs_ds.map_batches(
+        _TfidfScorer, batch_format="pyarrow",
+        concurrency=concurrency or auto_pool(),
+        fn_constructor_kwargs={"model_bc": bc, "k": k, "n_docs": n_docs,
+                               "id_col": id_col, "text_col": text_col})
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def bm25_topk(docs_ds, terms: list[str], *, k: int = 20, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> pd.DataFrame:
+    """Top-``k`` documents by BM25 against the fixed query ``terms``.
+
+    Two streaming passes over a materialized per-doc int table; the
+    score is accumulated TERM BY TERM in list order (a fixed float64
+    chain the SQL mirror reproduces left-associatively, so equal inputs
+    give bitwise-equal scores in both engines).
+    """
+    terms = list(terms)
+    m = len(terms)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        flat, doc_idx, n = _words(t.column(text_col))
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        cols = {"doc_id": pa.array(ids),
+                "dl": pa.array(np.bincount(doc_idx, minlength=n)
+                               .astype(np.int64))}
+        for j, term in enumerate(terms):
+            sel = flat == term
+            cols[f"tf{j}"] = pa.array(
+                np.bincount(doc_idx[sel], minlength=n).astype(np.int64))
+        return pa.table(cols)
+
+    d1 = docs_ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        out = {"n": pa.array([t.num_rows], pa.int64()),
+               "sum_dl": pa.array(
+                   [int(np.asarray(t.column("dl")).sum())], pa.int64())}
+        for j in range(m):
+            out[f"df{j}"] = pa.array(
+                [int((np.asarray(t.column(f"tf{j}")) > 0).sum())],
+                pa.int64())
+        return pa.table(out)
+
+    stats = (d1.map_batches(stats_partial, batch_format="pyarrow")
+             .to_pandas().sum())
+    n_docs = int(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n_docs if n_docs else 1.0
+    idf = [float(np.log(1.0 + (n_docs - int(stats[f"df{j}"]) + 0.5)
+                        / (int(stats[f"df{j}"]) + 0.5)))
+           for j in range(m)]
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        dl = np.asarray(t.column("dl"), dtype=np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        score = np.zeros(t.num_rows, np.float64)
+        for j in range(m):          # fixed order → bitwise SQL parity
+            tf = np.asarray(t.column(f"tf{j}"), dtype=np.float64)
+            score = score + idf[j] * (tf * (k1 + 1.0)) / (tf + norm)
+        score = np.round(score, 6)
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "dl": pa.array(np.asarray(t.column("dl"))[order]),
+                         "score": pa.array(score[order], pa.float64())})
+
+    parts = (d1.map_batches(score_partial, batch_format="pyarrow")
+             .to_pandas())
+    out = parts.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return out.astype({"doc_id": np.int64, "dl": np.int64}) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(docs_ds, *, ngram: int = 3, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing (Schleimer et al. 2003): over the positional word
+    ``ngram`` hashes, keep the minimum of every ``window`` consecutive
+    hashes, rightmost position on ties; distinct (doc, pos, fp) rows.
+
+    Guarantees: any shared substring of ≥ window+ngram-1 tokens yields
+    at least one shared fingerprint.  Pure per-batch kernel (a doc's
+    hashes never cross batches) — no shuffle at all.
+    """
+    from .curation import _window_hashes
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        flat, didx, n, starts, h = _window_hashes(
+            t.column(text_col), ngram)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+        if len(h) < window:
+            return empty
+        # token position of each n-gram start within its own doc
+        first = np.zeros(n, np.int64)
+        ud, fi = np.unique(didx, return_index=True)
+        first[ud] = fi
+        kdoc = didx[starts]
+        p = starts - first[kdoc]
+        W = np.lib.stride_tricks.sliding_window_view(h, window)
+        valid = kdoc[:len(kdoc) - window + 1] == kdoc[window - 1:]
+        if not valid.any():
+            return empty
+        mins = W.min(axis=1)
+        ra = (window - 1) - np.argmin(W[:, ::-1], axis=1)
+        sel = np.flatnonzero(valid)
+        rows = np.stack([kdoc[sel], p[sel + ra[sel]], mins[sel]], axis=1)
+        rows = np.unique(rows, axis=0)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids[rows[:, 0]]),
+                         "pos": pa.array(rows[:, 1]),
+                         "fp": pa.array(rows[:, 2])})
+
+    return docs_ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence
+# ---------------------------------------------------------------------------
+
+def source_kl(docs_ds, *, source_col: str = "source",
+              text_col: str = "text") -> pd.DataFrame:
+    """KL(p_source ‖ p_corpus) over unigram word distributions.
+
+    One (source, token) combiner pass → one groupby over the packed
+    key; global token totals come back as a vocab-sized broadcast, the
+    per-row contributions stream, and only |sources| rows land on the
+    driver.  (At web scale with per-domain sources the aggregated table
+    is |S|·|V| rows — it stays a Dataset throughout; only the final
+    per-source sums collect.)
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_idx, _ = _words(t.column(text_col))
+        if not len(flat):
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        src = np.asarray(t.column(source_col)).astype(str)
+        s_codes, s_uniq = pd.factorize(src)
+        t_codes, t_uniq = pd.factorize(flat)
+        key = s_codes[doc_idx] * np.int64(len(t_uniq)) + t_codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        sname = s_uniq[(ukey // len(t_uniq)).astype(np.int64)]
+        tname = t_uniq[(ukey % len(t_uniq)).astype(np.int64)]
+        packed = np.char.add(np.char.add(sname.astype(str), "\x1f"),
+                             tname.astype(str))
+        return pa.table({"key": pa.array(packed, pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("key").sum("cnt")).materialize()
+
+    def split(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column("key")).astype(str)
+        cnt = np.asarray(t.column("sum(cnt)"), dtype=np.int64)
+        parts = np.char.partition(keys, "\x1f")
+        return pa.table({"source": pa.array(parts[:, 0], pa.string()),
+                         "token": pa.array(parts[:, 2], pa.string()),
+                         "cnt": pa.array(cnt)})
+
+    rows = agg.map_batches(split, batch_format="pyarrow").materialize()
+
+    gtok = rows.groupby("token").sum("cnt").to_pandas()
+    g_order = np.argsort(gtok["token"].to_numpy())
+    g_tokens = gtok["token"].to_numpy()[g_order]
+    g_cnt = gtok["sum(cnt)"].to_numpy()[g_order].astype(np.float64)
+    g_tot = float(g_cnt.sum())
+    stot = rows.groupby("source").sum("cnt").to_pandas()
+    s_order = np.argsort(stot["source"].to_numpy())
+    s_sources = stot["source"].to_numpy()[s_order]
+    s_cnt = stot["sum(cnt)"].to_numpy()[s_order].astype(np.float64)
+    bc = Broadcast({"g_tokens": g_tokens, "g_cnt": g_cnt, "g_tot": g_tot,
+                    "s_sources": s_sources, "s_cnt": s_cnt})
+
+    class Contrib:
+        def __init__(self, model_bc: Broadcast):
+            self.m = model_bc.get()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self.m
+            src = np.asarray(t.column("source")).astype(str)
+            tok = np.asarray(t.column("token")).astype(str)
+            cnt = np.asarray(t.column("cnt"), dtype=np.float64)
+            si = np.searchsorted(m["s_sources"], src)
+            ti = np.searchsorted(m["g_tokens"], tok)
+            ps = cnt / m["s_cnt"][si]
+            pg = m["g_cnt"][ti] / m["g_tot"]
+            contrib = ps * np.log(ps / pg)
+            return pa.table({"source": pa.array(src, pa.string()),
+                             "contrib": pa.array(contrib, pa.float64()),
+                             "cnt": t.column("cnt")})
+
+    out = (rows.map_batches(Contrib, batch_format="pyarrow",
+                            concurrency=auto_pool(0.5),
+                            fn_constructor_kwargs={"model_bc": bc})
+           .groupby("source")
+           .aggregate(Count(alias_name="n_tokens"),
+                      Sum("cnt", alias_name="n_words"),
+                      Sum("contrib", alias_name="kl"))
+           .to_pandas())
+    out["kl"] = out["kl"].round(6)
+    return out.astype({"n_tokens": np.int64, "n_words": np.int64}) \
+        .sort_values("source").reset_index(drop=True)
