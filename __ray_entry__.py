@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": rel.docs_bm25,
         "docs_winnow": rel.docs_winnow,
         "docs_source_kl": rel.docs_source_kl,
+        "docs_weighted_sample": rel.docs_weighted_sample,
+        "docs_collocations": rel.docs_collocations,
+        "kg_components": cq.kg_components,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -479,6 +482,89 @@ _SOURCE_KL_SQL = """
                  6) AS kl
     FROM st JOIN gt USING (token) JOIN stot USING (source), g
     GROUP BY st.source ORDER BY st.source
+"""
+
+
+def _weighted_sample_sql(n: int = 50, seed: int = 173) -> str:
+    """Exact mirror of docs_weighted_sample (stages/curation.py):
+    Efraimidis–Spirakis exponential race, u = (mix64(seed,id)>>11 + 1) /
+    2^53, key = -ln(u)/max(w,1) rounded 9 dp, keep the n smallest."""
+    lat, ref = _mix_chain("ws2", ["d.doc_id"], [seed])
+    return f"""
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           ROUND(-ln((({ref} // 2048)::DOUBLE + 1.0)
+                     / 9007199254740992.0)
+                 / greatest(d.n_chars::DOUBLE, 1.0), 9) AS key
+    FROM documents d, {lat}
+    ORDER BY key, doc_id LIMIT {n}
+    """
+
+
+_COLLOCATIONS_SQL = """
+    WITH dt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-z_]+') AS ws
+                FROM documents),
+    flat AS (SELECT doc_id, unnest(ws) AS w,
+                    (generate_subscripts(ws, 1) - 1)::BIGINT AS p
+             FROM dt),
+    uni AS (SELECT w, count(*)::DOUBLE AS c FROM flat GROUP BY w),
+    wt AS (SELECT sum(c) AS w_tot FROM uni),
+    bg AS (SELECT f1.w AS a, f2.w AS b, count(*) AS cnt
+           FROM flat f1 JOIN flat f2
+                ON f2.doc_id = f1.doc_id AND f2.p = f1.p + 1
+           GROUP BY f1.w, f2.w),
+    tt AS (SELECT sum(cnt)::DOUBLE AS t_tot FROM bg),
+    s AS (SELECT bg.a, bg.b, bg.cnt,
+                 ROUND(ln((bg.cnt / tt.t_tot)
+                          / ((ua.c / wt.w_tot) * (ub.c / wt.w_tot))),
+                       6) AS pmi
+          FROM bg JOIN uni ua ON ua.w = bg.a
+                  JOIN uni ub ON ub.w = bg.b, tt, wt
+          WHERE bg.cnt >= 5)
+    SELECT a, b, CAST(cnt AS BIGINT) AS cnt, pmi FROM s
+    ORDER BY pmi DESC, a, b LIMIT 50
+"""
+
+_KG_COMPONENTS_SQL = f"""
+    WITH RECURSIVE edges AS MATERIALIZED ({_EDGES_SQL}),
+    names AS MATERIALIZED (
+        -- NOT `a UNION b`: inside WITH RECURSIVE DuckDB treats a CTE's
+        -- top-level UNION as the recursion split and skips the dedup
+        SELECT DISTINCT name FROM (
+            SELECT subj AS name FROM edges
+            UNION ALL SELECT obj FROM edges)),
+    ents AS MATERIALIZED (
+        SELECT name, row_number() OVER (ORDER BY name) - 1 AS id
+        FROM names),
+    vp AS MATERIALIZED (
+        SELECT eh.id AS a, et.id AS b
+        FROM edges e
+        JOIN ents eh ON e.subj = eh.name
+        JOIN ents et ON e.obj = et.name
+        WHERE e.pred <> 'in_region'),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT n FROM (
+            SELECT a AS n FROM vp UNION ALL SELECT b FROM vp)),
+    esym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM vp
+        UNION ALL SELECT b, a FROM vp
+        UNION ALL SELECT n, n FROM nodes),
+    lab(it, node, l, chg) AS (
+        SELECT 0, n, n, 1::BIGINT FROM nodes
+        UNION ALL
+        SELECT x.it + 1, x.node, x.nl,
+               SUM(CASE WHEN x.nl < x.ol THEN 1 ELSE 0 END) OVER ()
+        FROM (SELECT p.it, e.v AS node, MIN(p.l) AS nl,
+                     MIN(CASE WHEN e.u = e.v THEN p.l END) AS ol
+              FROM lab p JOIN esym e ON e.u = p.node
+              WHERE p.chg > 0 AND p.it < 100
+              GROUP BY p.it, e.v) x
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(l AS BIGINT) AS component
+    FROM lab QUALIFY it = MAX(it) OVER ()
+    ORDER BY node
 """
 
 
@@ -2046,4 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bm25": _bm25_sql(_rel_bm25_terms()),
         "docs_winnow": _winnow_sql(),
         "docs_source_kl": _SOURCE_KL_SQL,
+        "docs_weighted_sample": _weighted_sample_sql(),
+        "docs_collocations": _COLLOCATIONS_SQL,
+        "kg_components": _KG_COMPONENTS_SQL,
     }

@@ -62,6 +62,9 @@ SUBSET = [
     "docs_bm25",
     "docs_winnow",
     "docs_source_kl",
+    "docs_weighted_sample",
+    "docs_collocations",
+    "kg_components",
 ]
 
 

@@ -851,3 +851,24 @@ def docs_domain_stats(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: np.int64 for c in
                        ("n_docs", "sum_chars", "sum_tokens", "keep")}) \
         .sort_values("source").reset_index(drop=True)
+
+
+def kg_components(sf_dir: str) -> pd.DataFrame:
+    """Weakly connected components of the KG with the in_region edges
+    removed (regions disconnect → one component per nation-neighborhood)
+    via the distributed min-label propagation of
+    stages/dedup.py:cluster_pairs_min_label — one hash-join + one
+    groupby-min per round over the symmetrized id-mapped edge list,
+    label-sum convergence witness.  The SQL twin runs the identical
+    propagation as a recursive CTE over the same id map."""
+    from ..context import spread
+    from ..stages.dedup import cluster_pairs_min_label
+
+    _ent, rel, ids = _relational_kg(sf_dir)
+    rid = int(rel.loc[rel["name"] == "in_region", "id"].iloc[0])
+    pairs = ids.loc[ids["r"] != rid, ["h", "t"]] \
+        .rename(columns={"h": "a", "t": "b"})
+    out = cluster_pairs_min_label(spread(rd.from_pandas(pairs)))
+    out = out.rename(columns={"doc_id": "node", "cluster_id": "component"})
+    return out.astype({"node": np.int64, "component": np.int64}) \
+        .sort_values("node").reset_index(drop=True)

@@ -883,3 +883,23 @@ def docs_source_kl(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     return source_kl(ds)
+
+
+def docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Seeded Efraimidis–Spirakis weighted sample (50 docs, weight =
+    n_chars) — per-batch partial bottom-n, ≤ n rows per block reach the
+    driver merge."""
+    from ..stages.curation import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, n=50)
+
+
+def docs_collocations(sf_dir: str) -> pd.DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI (min count 5) — one
+    tagged unigram+bigram combiner pass, one groupby, unigram totals
+    broadcast back."""
+    from ..stages.retrieval import pmi_collocations
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pmi_collocations(ds, k=50, min_count=5)

@@ -832,3 +832,43 @@ def remove_dup_spans(docs_ds, *, id_col: str = "doc_id",
         SpanCleaner, fn_constructor_kwargs={"dup": dup_bc},
         batch_format="pyarrow", concurrency=concurrency or auto_pool(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_SEED = 173
+
+
+def weighted_sample(docs_ds, *, n: int, weight_col: str = "n_chars",
+                    id_col: str = "doc_id",
+                    seed: int = WEIGHTED_SAMPLE_SEED) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows,
+    inclusion probability ∝ ``weight_col`` — the exponential-race form
+    of Efraimidis & Spirakis (2006): key = -ln(u)/w with
+    u = (mix64(seed, id) >> 11 + 1) / 2^53, keep the n SMALLEST keys.
+
+    Per-batch partial bottom-n → driver merge of ≤ n rows per block;
+    nothing else leaves the workers.  Keys are ranked 9-dp-rounded so
+    the SQL mirror (same mix64 chain, same ln) selects identical rows.
+    """
+    two53 = float(1 << 53)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        w = np.asarray(t.column(weight_col), dtype=np.float64)
+        w = np.maximum(w, 1.0)
+        u = ((mix64_vec(seed, ids) >> np.uint64(11)).astype(np.float64)
+             + 1.0) / two53
+        key = np.round(-np.log(u) / w, 9)
+        order = np.lexsort((ids, key))[:n]
+        return pa.table({id_col: pa.array(ids[order]),
+                         weight_col: t.column(weight_col).take(
+                             pa.array(order)),
+                         "key": pa.array(key[order], pa.float64())})
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.sort_values(["key", id_col]).head(n)
+    return out.astype({id_col: np.int64}).reset_index(drop=True)

@@ -358,3 +358,114 @@ def source_kl(docs_ds, *, source_col: str = "source",
     out["kl"] = out["kl"].round(6)
     return out.astype({"n_tokens": np.int64, "n_words": np.int64}) \
         .sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def pmi_collocations(docs_ds, *, k: int = 50, min_count: int = 5,
+                     text_col: str = "text") -> pd.DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information: PMI(a,b) = ln((c_ab/T) / ((c_a/W)·(c_b/W))) over word
+    occurrences, bigrams with < ``min_count`` occurrences dropped.
+
+    ONE pass over the corpus emits tagged (kind, key, cnt) combiner rows
+    (kind 0 = unigram, 1 = bigram) → one groupby; unigram totals come
+    back as a vocab-sized broadcast; only the top-k rows reach the
+    driver.  Rank on (round(pmi,6) DESC, a, b) — the SQL row ordering.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        flat, didx, _ = _words(t.column(text_col))
+        if not len(flat):
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(flat)
+        utok, ucnt = np.unique(codes, return_counts=True)
+        adj = didx[:-1] == didx[1:] if len(flat) > 1 else \
+            np.zeros(0, bool)
+        bg = codes[:-1][adj].astype(np.int64) * len(uniq) + codes[1:][adj]
+        ubg, bcnt = np.unique(bg, return_counts=True)
+        u = uniq.astype(str)
+        bkey = np.char.add(np.char.add(u[(ubg // len(uniq))], "\x1f"),
+                           u[(ubg % len(uniq))])
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(utok), np.int64),
+                                   np.ones(len(ubg), np.int64)]),
+            "key": pa.array(np.r_[u[utok], bkey], pa.string()),
+            "cnt": pa.array(np.r_[ucnt, bcnt].astype(np.int64))})
+
+    def pack(t: pa.Table) -> pa.Table:
+        kind = np.asarray(t.column("kind"), dtype=np.int64).astype(str)
+        key = np.asarray(t.column("key")).astype(str)
+        return pa.table({"kk": pa.array(np.char.add(
+            np.char.add(kind, "\x1e"), key), pa.string()),
+            "cnt": t.column("cnt")})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .map_batches(pack, batch_format="pyarrow")
+           .groupby("kk").sum("cnt")).materialize()
+
+    def unpacked(t: pa.Table) -> pa.Table:
+        kk = np.asarray(t.column("kk")).astype(str)
+        parts = np.char.partition(kk, "\x1e")
+        return pa.table({"kind": pa.array(parts[:, 0], pa.string()),
+                         "key": pa.array(parts[:, 2], pa.string()),
+                         "cnt": t.column("sum(cnt)")})
+
+    rows = agg.map_batches(unpacked, batch_format="pyarrow").materialize()
+    udf = rows.map_batches(
+        lambda t: t.filter(pa.array(
+            np.asarray(t.column("kind")).astype(str) == "0")),
+        batch_format="pyarrow").to_pandas()
+    order = np.argsort(udf["key"].to_numpy())
+    u_tok = udf["key"].to_numpy()[order]
+    u_cnt = udf["cnt"].to_numpy()[order].astype(np.float64)
+    w_tot = float(u_cnt.sum())
+    bsum = rows.map_batches(
+        lambda t: pa.table({"s": pa.array([int(np.asarray(
+            t.column("cnt"))[np.asarray(t.column("kind")).astype(str)
+                             == "1"].sum())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    t_tot = float(bsum["s"].sum())
+    bc = Broadcast({"u_tok": u_tok, "u_cnt": u_cnt,
+                    "w_tot": w_tot, "t_tot": t_tot})
+
+    class Pmi:
+        def __init__(self, model_bc: Broadcast, *, k: int, min_count: int):
+            self.m = model_bc.get()
+            self.k, self.min_count = k, min_count
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self.m
+            kind = np.asarray(t.column("kind")).astype(str)
+            sel = (kind == "1") & (np.asarray(t.column("cnt"))
+                                   >= self.min_count)
+            key = np.asarray(t.column("key")).astype(str)[sel]
+            cnt = np.asarray(t.column("cnt"), dtype=np.int64)[sel]
+            if not len(key):
+                return pa.table({"a": pa.array([], pa.string()),
+                                 "b": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "pmi": pa.array([], pa.float64())})
+            parts = np.char.partition(key, "\x1f")
+            a, b = parts[:, 0], parts[:, 2]
+            ca = m["u_cnt"][np.searchsorted(m["u_tok"], a)]
+            cb = m["u_cnt"][np.searchsorted(m["u_tok"], b)]
+            pmi = np.round(np.log((cnt / m["t_tot"])
+                                  / ((ca / m["w_tot"])
+                                     * (cb / m["w_tot"]))), 6)
+            order = np.lexsort((b, a, -pmi))[:self.k]
+            return pa.table({"a": pa.array(a[order], pa.string()),
+                             "b": pa.array(b[order], pa.string()),
+                             "cnt": pa.array(cnt[order]),
+                             "pmi": pa.array(pmi[order], pa.float64())})
+
+    parts = rows.map_batches(
+        Pmi, batch_format="pyarrow", concurrency=auto_pool(0.5),
+        fn_constructor_kwargs={"model_bc": bc, "k": k,
+                               "min_count": min_count}).to_pandas()
+    out = parts.sort_values(["pmi", "a", "b"],
+                            ascending=[False, True, True]).head(k)
+    return out.astype({"cnt": np.int64}).reset_index(drop=True)
