@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": rel.docs_weighted_sample,
         "docs_collocations": rel.docs_collocations,
         "kg_components": cq.kg_components,
+        "embeddings_pq_codes": rel.embeddings_pq_codes,
+        "docs_jsonl_roundtrip": rel.docs_jsonl_roundtrip,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -1287,43 +1289,47 @@ def _stratified_sample_sql(q: int = 40) -> str:
     """
 
 
-def _kmeans_ctes(k: int = 8, n_iter: int = 4) -> tuple[str, str]:
+def _kmeans_ctes(k: int = 8, n_iter: int = 4, tag: str = "",
+                 vexpr: str = "e0.embedding::DOUBLE[]") -> tuple[str, str]:
     """Shared CTE chain mirroring stages/cluster.py:kmeans — seeded
     hash-rank init, ``n_iter`` UNROLLED Lloyd iterations (assignment =
     row_number over round(list_distance,6) with cluster tie-break;
     update = element-wise avg rounded to 6 dp, empty clusters keep the
     previous centroid).  The 6-dp rounding on BOTH engines quantizes
     away summation-order ulps, making assignments exactly reproducible.
+    ``tag`` prefixes every CTE name so several chains (e.g. the PQ
+    subspaces) can coexist in one query; ``vexpr`` is the vector
+    expression over ``embeddings e0`` (a list_slice for PQ subspaces).
     Returns (cte_body, final_centroid_cte_name)."""
-    lat, ref = _mix_chain("km", ["e0.vec_id"], [628, 6])
-    ctes = [f"""emb AS MATERIALIZED (
-        SELECT e0.vec_id AS id, e0.embedding::DOUBLE[] AS v, {ref} AS h
+    lat, ref = _mix_chain(f"km{tag}", ["e0.vec_id"], [628, 6])
+    ctes = [f"""{tag}emb AS MATERIALIZED (
+        SELECT e0.vec_id AS id, {vexpr} AS v, {ref} AS h
         FROM embeddings e0,
         {lat})""",
-            f"""c0 AS MATERIALIZED (
+            f"""{tag}c0 AS MATERIALIZED (
         SELECT row_number() OVER (ORDER BY h, id) - 1 AS c,
                list_transform(v, x -> round(x, 6)) AS v
-        FROM (SELECT id, v, h FROM emb ORDER BY h, id LIMIT {k}))"""]
+        FROM (SELECT id, v, h FROM {tag}emb ORDER BY h, id LIMIT {k}))"""]
     for i in range(1, n_iter + 1):
-        ctes.append(f"""a{i} AS MATERIALIZED (
+        ctes.append(f"""{tag}a{i} AS MATERIALIZED (
         SELECT id, v, c FROM (
             SELECT e.id, e.v, c.c,
                    row_number() OVER (PARTITION BY e.id
                        ORDER BY round(list_distance(e.v, c.v), 6), c.c)
                        AS rn
-            FROM emb e CROSS JOIN c{i - 1} c)
+            FROM {tag}emb e CROSS JOIN {tag}c{i - 1} c)
         WHERE rn = 1)""")
-        ctes.append(f"""m{i} AS MATERIALIZED (
+        ctes.append(f"""{tag}m{i} AS MATERIALIZED (
         SELECT c, list(xr ORDER BY pos) AS v FROM (
             SELECT c, pos, round(avg(x), 6) AS xr FROM (
                 SELECT c, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-                FROM a{i})
+                FROM {tag}a{i})
             GROUP BY c, pos)
         GROUP BY c)""")
-        ctes.append(f"""c{i} AS MATERIALIZED (
+        ctes.append(f"""{tag}c{i} AS MATERIALIZED (
         SELECT p.c, COALESCE(m.v, p.v) AS v
-        FROM c{i - 1} p LEFT JOIN m{i} m USING (c))""")
-    return ",\n".join(ctes), f"c{n_iter}"
+        FROM {tag}c{i - 1} p LEFT JOIN {tag}m{i} m USING (c))""")
+    return ",\n".join(ctes), f"{tag}c{n_iter}"
 
 
 def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
@@ -1336,6 +1342,41 @@ def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
                    ORDER BY round(list_distance(e.v, c.v), 6), c.c) AS rn
         FROM emb e CROSS JOIN {cfin} c)
     WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+def _pq_sql(m: int = 2, k: int = 4, n_iter: int = 2) -> str:
+    """Exact mirror of embeddings_pq_codes (stages/cluster.py:pq_codes):
+    one quantized-iteration k-means chain per contiguous subspace
+    (list_slice of the double-cast embedding), assignments + rounded
+    distances joined on the id."""
+    bodies, finals = [], []
+    for j in range(m):
+        vexpr = (f"list_slice(e0.embedding::DOUBLE[], "
+                 f"{j} * (len(e0.embedding) // {m}) + 1, "
+                 f"{j + 1} * (len(e0.embedding) // {m}))")
+        body, cf = _kmeans_ctes(k, n_iter, tag=f"p{j}", vexpr=vexpr)
+        bodies.append(body)
+        finals.append(f"""q{j} AS (
+        SELECT id, c, d FROM (
+            SELECT e.id, c.c, round(list_distance(e.v, c.v), 6) AS d,
+                   row_number() OVER (PARTITION BY e.id
+                       ORDER BY round(list_distance(e.v, c.v), 6), c.c)
+                       AS rn
+            FROM p{j}emb e CROSS JOIN {cf} c)
+        WHERE rn = 1)""")
+    sel = ", ".join(
+        f"CAST(q{j}.c AS BIGINT) AS c{j}, q{j}.d AS d{j}"
+        for j in range(m))
+    joins = " ".join(f"JOIN q{j} ON q{j}.id = q0.id"
+                     for j in range(1, m))
+    all_bodies = ",\n".join(bodies)
+    all_finals = ",\n".join(finals)
+    return f"""
+    WITH {all_bodies},
+    {all_finals}
+    SELECT q0.id AS vec_id, {sel}
+    FROM q0 {joins} ORDER BY vec_id
     """
 
 
@@ -2135,4 +2176,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_sample": _weighted_sample_sql(),
         "docs_collocations": _COLLOCATIONS_SQL,
         "kg_components": _KG_COMPONENTS_SQL,
+        "embeddings_pq_codes": _pq_sql(),
+        "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+                                " text, lang, source,"
+                                " CAST(n_chars AS BIGINT) AS n_chars"
+                                " FROM documents ORDER BY doc_id",
     }

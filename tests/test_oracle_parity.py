@@ -65,6 +65,8 @@ SUBSET = [
     "docs_weighted_sample",
     "docs_collocations",
     "kg_components",
+    "embeddings_pq_codes",
+    "docs_jsonl_roundtrip",
 ]
 
 

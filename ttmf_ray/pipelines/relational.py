@@ -903,3 +903,31 @@ def docs_collocations(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return pmi_collocations(ds, k=50, min_count=5)
+
+
+def embeddings_pq_codes(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization codes: 2 subspaces × 4 centroids, 2
+    quantized-iteration Lloyd rounds per subspace (assignments exactly
+    SQL-reproducible), codes joined via the bucketed hash_join."""
+    from ..stages.cluster import pq_codes
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_codes(ds, m=2, k=4, n_iter=2).to_pandas()
+    cast = {c: np.int64 for c in out.columns if c.startswith(("vec", "c"))}
+    return out.astype(cast).sort_values("vec_id").reset_index(drop=True)
+
+
+def docs_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """documents → sharded JSONL (ray.data.Dataset.write_json) → read
+    back with read_json — the source-format coverage for JSONL-native
+    web corpora.  Exactness: the table is int64/string only, so the
+    JSON round-trip is lossless and the oracle is the identity SELECT."""
+    import shutil
+
+    out_dir = "/tmp/ttmf_jsonl_roundtrip"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", None)
+    ds.write_json(out_dir)
+    back = rd.read_json(out_dir).to_pandas()
+    return back.astype({"doc_id": np.int64, "n_chars": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)

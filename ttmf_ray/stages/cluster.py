@@ -193,3 +193,57 @@ def semantic_dedup(ds, centroids: np.ndarray, *, tau: float,
     return (ds.map_batches(with_cluster, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(dedup_group, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the IVF-PQ scale path's encoding half)
+# ---------------------------------------------------------------------------
+
+def pq_codes(ds, *, m: int = 2, k: int = 4, n_iter: int = 2,
+             seed: int = 628, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """Product-quantization codes (Jégou et al., TPAMI 2011): split each
+    vector into ``m`` contiguous subspaces, run the quantized-iteration
+    k-means per subspace (same 6-dp-rounded Lloyd loop as
+    :func:`kmeans`, so the SQL mirror reproduces every assignment
+    exactly), emit per-vector (c_j, dist_j) codes joined on the id.
+
+    The per-subspace codebooks are k·(d/m) floats — broadcast-sized at
+    any scale; the join is the repo's bucketed hash_join, so nothing
+    but (id, code, dist) rows shuffle.  Returns a Dataset with columns
+    (id, c0, d0, ..., c{m-1}, d{m-1}).
+    """
+    from ..functions.joins import hash_join
+
+    ds = ds.materialize()
+    first = ds.take(1)[0][vec_col]
+    dim = len(first)
+    d = dim // m
+
+    out = None
+    for j in range(m):
+        lo, hi = j * d, (j + 1) * d
+
+        def slice_b(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            V = list_col_matrix(t.column(vec_col)).astype(np.float64)
+            sub = np.ascontiguousarray(V[:, lo:hi])
+            return pa.table({
+                id_col: t.column(id_col),
+                vec_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(sub.reshape(-1), type=pa.float64()),
+                    hi - lo)})
+
+        sub_ds = ds.map_batches(slice_b, batch_format="pyarrow")
+        asg, _C = kmeans(sub_ds, k=k, n_iter=n_iter, seed=seed,
+                         id_col=id_col, vec_col=vec_col)
+
+        def tag(t: pa.Table, j=j) -> pa.Table:
+            return pa.table({
+                id_col: t.column(id_col),
+                f"c{j}": t.column("cluster"),
+                f"d{j}": t.column("dist")})
+
+        tagged = asg.map_batches(tag, batch_format="pyarrow")
+        out = tagged if out is None else \
+            hash_join(out, tagged, on=id_col)
+    return out
