@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": cq.kg_components,
         "embeddings_pq_codes": rel.embeddings_pq_codes,
         "docs_jsonl_roundtrip": rel.docs_jsonl_roundtrip,
+        "embeddings_pq_adc": rel.embeddings_pq_adc,
+        "docs_bigram_perplexity": rel.docs_bigram_perplexity,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -567,6 +569,42 @@ _KG_COMPONENTS_SQL = f"""
     SELECT CAST(node AS BIGINT) AS node, CAST(l AS BIGINT) AS component
     FROM lab QUALIFY it = MAX(it) OVER ()
     ORDER BY node
+"""
+
+
+
+
+def _bigram_ppl_sql() -> str:
+    return """
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         list_transform(""" + _TOKENS + """,
+                                        t -> lower(t)) AS ts
+                  FROM documents),
+    flat AS (SELECT doc_id, unnest(ts) AS w,
+                    (generate_subscripts(ts, 1) - 1)::BIGINT AS p
+             FROM toks),
+    bg AS (SELECT f1.doc_id, f1.w AS prev, f2.w AS cur
+           FROM flat f1 JOIN flat f2
+                ON f2.doc_id = f1.doc_id AND f2.p = f1.p + 1),
+    v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM flat
+          WHERE doc_id % 2 = 0),
+    bc AS (SELECT prev, cur, count(*) AS cnt FROM bg
+           WHERE doc_id % 2 = 0 GROUP BY prev, cur),
+    cc AS (SELECT prev, sum(cnt) AS cnt FROM bc GROUP BY prev),
+    lp AS (SELECT g.doc_id,
+                  ln((COALESCE(b.cnt, 0) + 1.0)
+                     / (COALESCE(c.cnt, 0) + v.v)) AS lp
+           FROM bg g
+           LEFT JOIN bc b ON b.prev = g.prev AND b.cur = g.cur
+           LEFT JOIN cc c ON c.prev = g.prev, v),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS logp
+            FROM lp GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(COALESCE(a.logp, 0.0), 6) AS logp,
+           ROUND(exp(-COALESCE(a.logp, 0.0)), 6) AS ppl
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
 """
 
 
@@ -1380,6 +1418,53 @@ def _pq_sql(m: int = 2, k: int = 4, n_iter: int = 2) -> str:
     """
 
 
+def _pq_adc_sql(m: int = 2, k: int = 4, n_iter: int = 2,
+                k_top: int = 10) -> str:
+    """Exact mirror of embeddings_pq_adc: the PQ assignment chains of
+    _pq_sql plus a per-codebook query-distance table (round6 L2 of the
+    vec_id=0 subvector to each centroid); adc = round6(Σ dq_j²)."""
+    bodies, finals, dqs = [], [], []
+    for j in range(m):
+        vexpr = (f"list_slice(e0.embedding::DOUBLE[], "
+                 f"{j} * (len(e0.embedding) // {m}) + 1, "
+                 f"{j + 1} * (len(e0.embedding) // {m}))")
+        body, cf = _kmeans_ctes(k, n_iter, tag=f"p{j}", vexpr=vexpr)
+        bodies.append(body)
+        finals.append(f"""q{j} AS (
+        SELECT id, c FROM (
+            SELECT e.id, c.c,
+                   row_number() OVER (PARTITION BY e.id
+                       ORDER BY round(list_distance(e.v, c.v), 6), c.c)
+                       AS rn
+            FROM p{j}emb e CROSS JOIN {cf} c)
+        WHERE rn = 1)""")
+        dqs.append(f"""dq{j} AS (
+        SELECT c.c, round(list_distance(
+            list_slice(qv.v, {j} * (len(qv.v) // {m}) + 1,
+                       {j + 1} * (len(qv.v) // {m})), c.v), 6) AS d
+        FROM {cf} c, qv)""")
+    adc = " + ".join(f"dq{j}.d * dq{j}.d" for j in range(m))
+    code_cols = ", ".join(f"CAST(q{j}.c AS BIGINT) AS c{j}"
+                          for j in range(m))
+    joins = " ".join(f"JOIN q{j} ON q{j}.id = q0.id"
+                     for j in range(1, m))
+    dq_joins = " ".join(f"JOIN dq{j} ON dq{j}.c = q{j}.c"
+                        for j in range(m))
+    all_bodies = ",\n".join(bodies)
+    all_finals = ",\n".join(finals)
+    all_dqs = ",\n".join(dqs)
+    return f"""
+    WITH {all_bodies},
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id = 0),
+    {all_finals},
+    {all_dqs}
+    SELECT q0.id AS vec_id, {code_cols}, round({adc}, 6) AS adc
+    FROM q0 {joins} {dq_joins}
+    ORDER BY adc, vec_id LIMIT {k_top}
+    """
+
+
 def _semantic_dedup_sql(k: int = 8, n_iter: int = 4,
                         tau: float = 0.35) -> str:
     """Mirror of stages/cluster.py:semantic_dedup — final k-means
@@ -2177,6 +2262,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_collocations": _COLLOCATIONS_SQL,
         "kg_components": _KG_COMPONENTS_SQL,
         "embeddings_pq_codes": _pq_sql(),
+        "embeddings_pq_adc": _pq_adc_sql(),
+        "docs_bigram_perplexity": _bigram_ppl_sql(),
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

@@ -67,6 +67,8 @@ SUBSET = [
     "kg_components",
     "embeddings_pq_codes",
     "docs_jsonl_roundtrip",
+    "embeddings_pq_adc",
+    "docs_bigram_perplexity",
 ]
 
 

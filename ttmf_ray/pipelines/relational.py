@@ -931,3 +931,42 @@ def docs_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
     back = rd.read_json(out_dir).to_pandas()
     return back.astype({"doc_id": np.int64, "n_chars": np.int64}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def embeddings_pq_adc(sf_dir: str) -> pd.DataFrame:
+    """ADC top-10 vs the embedding of vec_id=0 over the 2×4 PQ codes —
+    the search half of IVF-PQ (codebook-only query distances, fixed
+    order quantized float chain, per-batch partial top-k)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import pq_adc_topk
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    row = int(np.nonzero(ids == 0)[0][0])
+    q = np.asarray(t.column("embedding").to_pylist()[row],
+                   dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_adc_topk(ds, q, k_top=10, m=2, k=4, n_iter=2)
+
+
+def docs_bigram_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Conditional (bigram) LM quality score: fit the add-one-smoothed
+    bigram model on the even-doc_id half, score every doc by mean
+    ln p(cur|prev) — the KenLM-flavored upgrade of docs_lm_perplexity.
+    Same fit shape (combiner → one groupby → broadcast model)."""
+    import pyarrow.compute as pc
+
+    from ..stages.lm_score import bigram_perplexity, fit_bigram_lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    model = fit_bigram_lm(ref)
+    out = bigram_perplexity(ds, model).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_bigrams": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)

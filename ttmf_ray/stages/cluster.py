@@ -199,6 +199,46 @@ def semantic_dedup(ds, centroids: np.ndarray, *, tau: float,
 # Product quantization (the IVF-PQ scale path's encoding half)
 # ---------------------------------------------------------------------------
 
+def _pq_fit(ds, *, m: int, k: int, n_iter: int, seed: int,
+            id_col: str, vec_col: str):
+    """(codes Dataset, per-subspace round-6 codebooks, subspace dim)."""
+    from ..functions.joins import hash_join
+
+    ds = ds.materialize()
+    first = ds.take(1)[0][vec_col]
+    dim = len(first)
+    d = dim // m
+
+    out, cents = None, []
+    for j in range(m):
+        lo, hi = j * d, (j + 1) * d
+
+        def slice_b(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            V = list_col_matrix(t.column(vec_col)).astype(np.float64)
+            sub = np.ascontiguousarray(V[:, lo:hi])
+            return pa.table({
+                id_col: t.column(id_col),
+                vec_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(sub.reshape(-1), type=pa.float64()),
+                    hi - lo)})
+
+        sub_ds = ds.map_batches(slice_b, batch_format="pyarrow")
+        asg, C = kmeans(sub_ds, k=k, n_iter=n_iter, seed=seed,
+                        id_col=id_col, vec_col=vec_col)
+        cents.append(C)
+
+        def tag(t: pa.Table, j=j) -> pa.Table:
+            return pa.table({
+                id_col: t.column(id_col),
+                f"c{j}": t.column("cluster"),
+                f"d{j}": t.column("dist")})
+
+        tagged = asg.map_batches(tag, batch_format="pyarrow")
+        out = tagged if out is None else \
+            hash_join(out, tagged, on=id_col)
+    return out, cents, d
+
+
 def pq_codes(ds, *, m: int = 2, k: int = 4, n_iter: int = 2,
              seed: int = 628, id_col: str = "vec_id",
              vec_col: str = "embedding"):
@@ -213,37 +253,48 @@ def pq_codes(ds, *, m: int = 2, k: int = 4, n_iter: int = 2,
     but (id, code, dist) rows shuffle.  Returns a Dataset with columns
     (id, c0, d0, ..., c{m-1}, d{m-1}).
     """
-    from ..functions.joins import hash_join
-
-    ds = ds.materialize()
-    first = ds.take(1)[0][vec_col]
-    dim = len(first)
-    d = dim // m
-
-    out = None
-    for j in range(m):
-        lo, hi = j * d, (j + 1) * d
-
-        def slice_b(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
-            V = list_col_matrix(t.column(vec_col)).astype(np.float64)
-            sub = np.ascontiguousarray(V[:, lo:hi])
-            return pa.table({
-                id_col: t.column(id_col),
-                vec_col: pa.FixedSizeListArray.from_arrays(
-                    pa.array(sub.reshape(-1), type=pa.float64()),
-                    hi - lo)})
-
-        sub_ds = ds.map_batches(slice_b, batch_format="pyarrow")
-        asg, _C = kmeans(sub_ds, k=k, n_iter=n_iter, seed=seed,
-                         id_col=id_col, vec_col=vec_col)
-
-        def tag(t: pa.Table, j=j) -> pa.Table:
-            return pa.table({
-                id_col: t.column(id_col),
-                f"c{j}": t.column("cluster"),
-                f"d{j}": t.column("dist")})
-
-        tagged = asg.map_batches(tag, batch_format="pyarrow")
-        out = tagged if out is None else \
-            hash_join(out, tagged, on=id_col)
+    out, _cents, _d = _pq_fit(ds, m=m, k=k, n_iter=n_iter, seed=seed,
+                              id_col=id_col, vec_col=vec_col)
     return out
+
+
+def pq_adc_topk(ds, query: np.ndarray, *, k_top: int = 10, m: int = 2,
+                k: int = 4, n_iter: int = 2, seed: int = 628,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of IVF-PQ: the query is compared to each CODEBOOK entry once
+    (m·k rounded subspace distances, a lookup table of a few floats),
+    then every vector's approximate distance is the fixed-order sum of
+    its codes' table entries.  Only (id, code) rows stream; per-batch
+    partial top-k, ≤ k_top rows per block reach the driver merge.
+
+    adc = round6(Σ_j dq_j[c_j]²) with dq_j = round6(‖q_j − C_j[c]‖) —
+    every float in the chain is quantized, so the SQL mirror ranks
+    identically."""
+    codes, cents, d = _pq_fit(ds, m=m, k=k, n_iter=n_iter, seed=seed,
+                              id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    dq = [_round6(np.sqrt(((cents[j] - q[j * d:(j + 1) * d]) ** 2)
+                          .sum(axis=1))) for j in range(m)]
+
+    def adc_part(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        acc = np.zeros(len(ids), np.float64)
+        for j in range(m):              # fixed order → SQL parity
+            cj = t.column(f"c{j}").to_numpy().astype(np.int64)
+            acc = acc + dq[j][cj] ** 2
+        adc = _round6(acc)
+        order = np.lexsort((ids, adc))[:k_top]
+        cols = {id_col: pa.array(ids[order])}
+        for j in range(m):
+            cols[f"c{j}"] = pa.array(
+                t.column(f"c{j}").to_numpy().astype(np.int64)[order])
+        cols["adc"] = pa.array(adc[order], pa.float64())
+        return pa.table(cols)
+
+    parts = codes.map_batches(adc_part, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.sort_values(["adc", id_col]).head(k_top)
+    cast = {id_col: np.int64, **{f"c{j}": np.int64 for j in range(m)}}
+    return out.astype(cast).reset_index(drop=True)

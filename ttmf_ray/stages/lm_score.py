@@ -120,3 +120,115 @@ def perplexity_score(docs_ds, model: dict, *, id_col: str = "doc_id",
         batch_format="pyarrow",
         concurrency=concurrency or auto_pool(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM (KenLM-flavored conditional model, add-one smoothed)
+# ---------------------------------------------------------------------------
+
+def fit_bigram_lm(docs_ds, *, text_col: str = "text") -> dict:
+    """Adjacent-bigram counts over the reference corpus → add-one
+    conditional model: p(cur|prev) = (c(prev,cur)+1) / (c(prev)+V) with
+    c(prev) = Σ_cur c(prev,cur) (prefix occurrences) and V = distinct
+    tokens in the reference.  Same distributed shape as the unigram fit:
+    per-batch combiner rows → ONE groupby; the model (bigram keys +
+    counts, prefix counts, V) broadcasts once.  At web scale the bigram
+    table outgrows a broadcast before the corpus does — the fallback is
+    a hash join of scoring rows on the packed bigram key."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, didx, _ = _doc_tokens(t.column(text_col))
+        rows_k, rows_c = [], []
+        if len(toks) > 1:
+            adj = didx[:-1] == didx[1:]
+            prev, cur = toks[:-1][adj], toks[1:][adj]
+            bk = np.char.add(np.char.add(prev.astype(str), "\x1f"),
+                             cur.astype(str))
+            kk, cnt = np.unique(bk, return_counts=True)
+            rows_k.append(np.char.add("b\x1e", kk))
+            rows_c.append(cnt)
+        if len(toks):
+            ut, uc = np.unique(toks, return_counts=True)
+            rows_k.append(np.char.add("u\x1e", ut.astype(str)))
+            rows_c.append(uc)
+        if not rows_k:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.array(np.concatenate(rows_k), pa.string()),
+            "cnt": pa.array(np.concatenate(rows_c).astype(np.int64))})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    keys = agg["key"].to_numpy().astype(str)
+    cnt = agg["cnt"].to_numpy().astype(np.int64)
+    is_bg = np.char.startswith(keys, "b\x1e")
+    bg_keys = np.asarray([k[2:] for k in keys[is_bg]], dtype=object)
+    bg_cnt = cnt[is_bg]
+    uni_tok = np.asarray([k[2:] for k in keys[~is_bg]], dtype=object)
+    n_vocab = len(uni_tok)
+    # prefix counts from the bigram table itself (Σ_cur c(prev,cur))
+    prevs = np.asarray([k.split("\x1f", 1)[0] for k in bg_keys],
+                       dtype=object)
+    p_uniq, p_inv = np.unique(prevs, return_inverse=True)
+    p_cnt = np.bincount(p_inv, weights=bg_cnt).astype(np.int64)
+    order = np.argsort(bg_keys)
+    return {"bg_keys": bg_keys[order], "bg_cnt": bg_cnt[order],
+            "prev_tok": p_uniq, "prev_cnt": p_cnt,
+            "V": int(n_vocab)}
+
+
+class BigramScorer:
+    """Actor stage: docs → (doc_id, n_bigrams, logp, ppl)."""
+
+    def __init__(self, model_bc: Broadcast, *, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        m = model_bc.get()
+        self.bg_keys, self.bg_cnt = m["bg_keys"], m["bg_cnt"]
+        self.prev_tok, self.prev_cnt = m["prev_tok"], m["prev_cnt"]
+        self.V = m["V"]
+        self.id_col, self.text_col = id_col, text_col
+
+    def _lookup(self, keys, table, counts):
+        if not len(table):
+            return np.zeros(len(keys), np.int64)
+        pos = np.clip(np.searchsorted(table, keys), 0, len(table) - 1)
+        hit = table[pos] == keys
+        return np.where(hit, counts[pos], 0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, didx, n = _doc_tokens(batch.column(self.text_col))
+        logp_sum = np.zeros(n, np.float64)
+        nbg = np.zeros(n, np.int64)
+        if len(toks) > 1:
+            adj = didx[:-1] == didx[1:]
+            prev, cur = toks[:-1][adj], toks[1:][adj]
+            dbg = didx[:-1][adj]
+            bk = np.char.add(np.char.add(prev.astype(str), "\x1f"),
+                             cur.astype(str)).astype(object)
+            cb = self._lookup(bk, self.bg_keys, self.bg_cnt)
+            cp = self._lookup(prev.astype(object),
+                              self.prev_tok, self.prev_cnt)
+            lp = np.log((cb + 1.0) / (cp + float(self.V)))
+            logp_sum = np.bincount(dbg, weights=lp, minlength=n)
+            nbg = np.bincount(dbg, minlength=n).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            logp = np.where(nbg > 0, logp_sum / np.maximum(nbg, 1), 0.0)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_bigrams": pa.array(nbg),
+            "logp": pa.array(np.round(logp, 6), pa.float64()),
+            "ppl": pa.array(np.round(np.exp(-logp), 6), pa.float64())})
+
+
+def bigram_perplexity(docs_ds, model: dict, *, id_col: str = "doc_id",
+                      text_col: str = "text", concurrency=None):
+    from ..context import auto_pool
+
+    return docs_ds.map_batches(
+        BigramScorer, batch_format="pyarrow",
+        concurrency=concurrency or auto_pool(),
+        fn_constructor_kwargs={"model_bc": Broadcast(model),
+                               "id_col": id_col, "text_col": text_col})
