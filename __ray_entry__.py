@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": rel.docs_jsonl_roundtrip,
         "embeddings_pq_adc": rel.embeddings_pq_adc,
         "docs_bigram_perplexity": rel.docs_bigram_perplexity,
+        "events_cohort_retention": rel.events_cohort_retention,
+        "events_funnel": rel.events_funnel,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -605,6 +607,43 @@ def _bigram_ppl_sql() -> str:
            ROUND(exp(-COALESCE(a.logp, 0.0)), 6) AS ppl
     FROM toks t LEFT JOIN agg a USING (doc_id)
     ORDER BY t.doc_id
+"""
+
+
+_COHORT_RETENTION_SQL = """
+    WITH ud AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events),
+    co AS (SELECT user_id, min(day) AS cohort_day FROM ud
+           GROUP BY user_id)
+    SELECT co.cohort_day, ud.day - co.cohort_day AS "offset",
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ud JOIN co USING (user_id)
+    WHERE ud.day - co.cohort_day <= 13
+    GROUP BY co.cohort_day, ud.day - co.cohort_day
+    ORDER BY cohort_day, "offset"
+"""
+
+_FUNNEL_SQL = """
+    WITH m AS (SELECT user_id, event_type, min(ts) AS t FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')
+               GROUP BY user_id, event_type),
+    p AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN t END) AS t0,
+                 min(CASE WHEN event_type = 'click' THEN t END) AS t1,
+                 min(CASE WHEN event_type = 'purchase' THEN t END) AS t2
+          FROM m GROUP BY user_id)
+    SELECT 0::BIGINT AS step, 'view' AS event_type,
+           CAST(count(*) FILTER (WHERE t0 IS NOT NULL) AS BIGINT)
+               AS n_users FROM p
+    UNION ALL
+    SELECT 1, 'click',
+           CAST(count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0)
+                AS BIGINT) FROM p
+    UNION ALL
+    SELECT 2, 'purchase',
+           CAST(count(*) FILTER (WHERE t0 IS NOT NULL AND t1 > t0
+                                 AND t2 > t1) AS BIGINT) FROM p
 """
 
 
@@ -2264,6 +2303,8 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_pq_codes": _pq_sql(),
         "embeddings_pq_adc": _pq_adc_sql(),
         "docs_bigram_perplexity": _bigram_ppl_sql(),
+        "events_cohort_retention": _COHORT_RETENTION_SQL,
+        "events_funnel": _FUNNEL_SQL,
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

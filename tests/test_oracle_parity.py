@@ -69,6 +69,8 @@ SUBSET = [
     "docs_jsonl_roundtrip",
     "embeddings_pq_adc",
     "docs_bigram_perplexity",
+    "events_cohort_retention",
+    "events_funnel",
 ]
 
 

@@ -970,3 +970,25 @@ def docs_bigram_perplexity(sf_dir: str) -> pd.DataFrame:
     out = bigram_perplexity(ds, model).to_pandas()
     return out.astype({"doc_id": np.int64, "n_bigrams": np.int64}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Day-granularity cohort retention matrix (cohort = first active
+    day, offsets 0..13) — distinct-(user,day) combiner, cohort attach
+    via bucketed hash_join, tiny (cohort, offset) groupby."""
+    from ..stages.temporal import cohort_retention
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    return cohort_retention(ds, max_offset=13)
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered view→click→purchase funnel on first-event times (strict
+    ordering), counted through chained bucketed hash_joins."""
+    from ..stages.temporal import funnel_counts
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return funnel_counts(ds, FUNNEL_STEPS)

@@ -190,3 +190,131 @@ def range_join_broadcast(ds, *, value_col: str, edges: np.ndarray,
         return b.append_column(band_col, pa.array(lab[idx[ok]]))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + ordered funnel (event-analytics primitives)
+# ---------------------------------------------------------------------------
+
+def cohort_retention(events_ds, *, ts_col: str = "ts",
+                     user_col: str = "user_id",
+                     max_offset: int = 13) -> pd.DataFrame:
+    """Classic day-granularity cohort retention: cohort = a user's first
+    active day; cell (cohort_day, offset) = #users of that cohort active
+    offset days later (offset 0..max_offset).
+
+    Shape: distinct (user, day) per-batch combiner → one groupby over
+    signature rows; cohorts attach via the bucketed hash_join (no
+    per-user driver state); the final (cohort, offset) count is a tiny
+    groupby.  Days are integer epoch-days so both engines bucket
+    identically.
+    """
+    from ..functions.joins import hash_join
+    from ..stages.dedup import distinct_rows
+
+    us = 86_400_000_000
+
+    def days(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        return pa.table({
+            user_col: t.column(user_col),
+            "day": pa.array((ts // us).astype(np.int64))})
+
+    ud = distinct_rows(
+        events_ds.map_batches(days, batch_format="pyarrow"),
+        [user_col, "day"]).materialize()
+    cohort = ud.groupby(user_col).min("day").map_batches(
+        lambda t: pa.table({user_col: t.column(user_col),
+                            "cohort_day": t.column("min(day)")}),
+        batch_format="pyarrow")
+    j = hash_join(ud, cohort, on=user_col)
+
+    def offs(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy().astype(np.int64)
+        cd = t.column("cohort_day").to_numpy().astype(np.int64)
+        off = day - cd
+        keep = off <= max_offset
+        return pa.table({"cohort_day": pa.array(cd[keep]),
+                         "offset": pa.array(off[keep])})
+
+    out = (j.map_batches(offs, batch_format="pyarrow")
+           .groupby(["cohort_day", "offset"]).count().to_pandas()
+           .rename(columns={"count()": "n_users"}))
+    return out.astype({"cohort_day": np.int64, "offset": np.int64,
+                       "n_users": np.int64}) \
+        .sort_values(["cohort_day", "offset"]).reset_index(drop=True)
+
+
+def funnel_counts(events_ds, steps: list[str], *, ts_col: str = "ts",
+                  user_col: str = "user_id",
+                  type_col: str = "event_type") -> pd.DataFrame:
+    """Ordered funnel: a user converts step i when their FIRST step-i
+    event is strictly after their first step-(i-1) event.  Returns one
+    row per step (step, event_type, n_users).
+
+    Shape: per-batch (user, step, min ts) combiner → one groupby; the
+    per-step min-ts tables then chain through ``len(steps)-1`` bucketed
+    hash_joins with a strict-ordering filter — conversion counting with
+    no per-user driver state.
+    """
+    from ray.data.aggregate import Min
+
+    from ..functions.joins import hash_join
+
+    k = len(steps)
+    order = {s: i for i, s in enumerate(steps)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column(type_col).to_numpy(zero_copy_only=False)
+        sel = np.isin(et, steps)
+        if not sel.any():
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "step": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        u = t.column(user_col).to_numpy().astype(np.int64)[sel]
+        s = np.asarray([order[x] for x in et[sel]], dtype=np.int64)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()[sel]
+        key = u * np.int64(k) + s
+        ukey, inv = np.unique(key, return_inverse=True)
+        tmin = np.full(len(ukey), np.iinfo(np.int64).max)
+        np.minimum.at(tmin, inv, ts)
+        return pa.table({user_col: pa.array(ukey // k),
+                         "step": pa.array(ukey % k),
+                         "t": pa.array(tmin)})
+
+    def pack(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy().astype(np.int64)
+        s = t.column("step").to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(u * np.int64(k) + s),
+                         "t": t.column("t")})
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .map_batches(pack, batch_format="pyarrow")
+           .groupby("key").aggregate(Min("t", alias_name="t"))
+           ).materialize()
+
+    def step_tbl(j):
+        def split(t: pa.Table, j=j) -> pa.Table:
+            key = t.column("key").to_numpy().astype(np.int64)
+            sel = (key % k) == j
+            return pa.table({
+                user_col: pa.array((key[sel] // k)),
+                f"t{j}": pa.array(t.column("t").to_numpy()[sel])})
+        return agg.map_batches(split, batch_format="pyarrow")
+
+    cur = step_tbl(0).materialize()
+    counts = [cur.count()]
+    for j in range(1, k):
+        cur = hash_join(cur, step_tbl(j), on=user_col)
+
+        def keep(t: pa.Table, j=j) -> pa.Table:
+            a = t.column(f"t{j - 1}").to_numpy()
+            b = t.column(f"t{j}").to_numpy()
+            return t.filter(pa.array(b > a))
+
+        cur = cur.map_batches(keep, batch_format="pyarrow").materialize()
+        counts.append(cur.count())
+    return pd.DataFrame({
+        "step": np.arange(k, dtype=np.int64),
+        "event_type": steps,
+        "n_users": np.asarray(counts, dtype=np.int64)})
