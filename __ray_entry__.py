@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_perplexity": rel.docs_bigram_perplexity,
         "events_cohort_retention": rel.events_cohort_retention,
         "events_funnel": rel.events_funnel,
+        "embeddings_ivfpq": rel.embeddings_ivfpq,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -1504,6 +1505,81 @@ def _pq_adc_sql(m: int = 2, k: int = 4, n_iter: int = 2,
     """
 
 
+def _ivfpq_sql(n_centroids: int = 16, n_probe: int = 4, m: int = 2,
+               k: int = 4, n_iter: int = 2, k_top: int = 10,
+               salt: int = 17) -> str:
+    """Exact mirror of embeddings_ivfpq: the hash-centroid IVF CTEs
+    (probe = top-n_probe centroids by cosine to the vec_id=0 query,
+    assignment = per-vector cosine argmax with rank tie-break) composed
+    with the PQ chains of _pq_adc_sql; only probed vectors rank."""
+    lat, ref = _mix_chain("ivq", ["e.vec_id"], [salt])
+    bodies, finals, dqs = [], [], []
+    for j in range(m):
+        vexpr = (f"list_slice(e0.embedding::DOUBLE[], "
+                 f"{j} * (len(e0.embedding) // {m}) + 1, "
+                 f"{j + 1} * (len(e0.embedding) // {m}))")
+        body, cf = _kmeans_ctes(k, n_iter, tag=f"p{j}", vexpr=vexpr)
+        bodies.append(body)
+        finals.append(f"""q{j} AS (
+        SELECT id, c FROM (
+            SELECT e.id, c.c,
+                   row_number() OVER (PARTITION BY e.id
+                       ORDER BY round(list_distance(e.v, c.v), 6), c.c)
+                       AS rn
+            FROM p{j}emb e CROSS JOIN {cf} c)
+        WHERE rn = 1)""")
+        dqs.append(f"""dq{j} AS (
+        SELECT c.c, round(list_distance(
+            list_slice(qv.v, {j} * (len(qv.v) // {m}) + 1,
+                       {j + 1} * (len(qv.v) // {m})), c.v), 6) AS d
+        FROM {cf} c, qv)""")
+    adc = " + ".join(f"dq{j}.d * dq{j}.d" for j in range(m))
+    joins = " ".join(f"JOIN q{j} ON q{j}.id = q0.id"
+                     for j in range(1, m))
+    dq_joins = " ".join(f"JOIN dq{j} ON dq{j}.c = q{j}.c"
+                        for j in range(m))
+    all_bodies = ",\n".join(bodies)
+    all_finals = ",\n".join(finals)
+    all_dqs = ",\n".join(dqs)
+    return f"""
+    WITH {all_bodies},
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id = 0),
+    {all_finals},
+    {all_dqs},
+    hk AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {ref} AS hkey
+        FROM embeddings e,
+        {lat}
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cv,
+               ROW_NUMBER() OVER (ORDER BY hkey, vec_id) AS cent_rank
+        FROM hk ORDER BY hkey, vec_id LIMIT {n_centroids}
+    ),
+    probe AS (
+        SELECT c.cent_rank FROM cents c, qv
+        ORDER BY list_cosine_similarity(c.cv, qv.v) DESC, c.cent_rank
+        LIMIT {n_probe}
+    ),
+    assign AS (
+        SELECT vec_id, cent_rank FROM (
+            SELECT e.vec_id, c.cent_rank,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                c.cent_rank) AS rn
+            FROM hk e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT q0.id AS vec_id, round({adc}, 6) AS adc
+    FROM q0 {joins} {dq_joins}
+    JOIN assign a ON a.vec_id = q0.id
+    JOIN probe p USING (cent_rank)
+    ORDER BY adc, vec_id LIMIT {k_top}
+    """
+
+
 def _semantic_dedup_sql(k: int = 8, n_iter: int = 4,
                         tau: float = 0.35) -> str:
     """Mirror of stages/cluster.py:semantic_dedup — final k-means
@@ -2305,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bigram_perplexity": _bigram_ppl_sql(),
         "events_cohort_retention": _COHORT_RETENTION_SQL,
         "events_funnel": _FUNNEL_SQL,
+        "embeddings_ivfpq": _ivfpq_sql(),
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

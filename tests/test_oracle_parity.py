@@ -71,6 +71,7 @@ SUBSET = [
     "docs_bigram_perplexity",
     "events_cohort_retention",
     "events_funnel",
+    "embeddings_ivfpq",
 ]
 
 

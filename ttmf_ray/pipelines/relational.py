@@ -992,3 +992,22 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
     return funnel_counts(ds, FUNNEL_STEPS)
+
+
+def embeddings_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ top-10 vs the embedding of vec_id=0: hash-centroid coarse
+    probe (4/16 partitions) + ADC over the probed vectors' 2×4 PQ
+    codes — the composed scale-path ANN."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivfpq_topk
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    row = int(np.nonzero(ids == 0)[0][0])
+    q = np.asarray(t.column("embedding").to_pylist()[row],
+                   dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivfpq_topk(ds, q, k_top=10, n_centroids=16, n_probe=4,
+                      m=2, k=4, n_iter=2)

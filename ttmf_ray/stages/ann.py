@@ -349,3 +349,52 @@ def random_projection(ds, *, k: int = 8, id_col: str = "vec_id",
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def ivfpq_topk(ds, query: np.ndarray, *, k_top: int = 10,
+               n_centroids: int = 16, n_probe: int = 4, salt: int = 17,
+               m: int = 2, k: int = 4, n_iter: int = 2, seed: int = 628,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> "pd.DataFrame":
+    """IVF-PQ: the full scale-path ANN composition — hash-centroid IVF
+    picks the ``n_probe`` coarse partitions (cosine, exact deterministic
+    function of the table), then only the PROBED vectors' PQ codes are
+    ranked by ADC against the query's rounded codebook distance tables.
+
+    Everything heavy streams: the coarse assignment is a broadcast-
+    centroid map_batches, the probe filter drops rows to (id) signature
+    rows, the PQ codes attach via the bucketed hash_join, and the ADC
+    rank is a per-batch partial top-k.  At real scale the assignment is
+    the partitioned-parquet layout of ivf_build_partitioned and the
+    codes ride in the same files.
+    """
+    from .cluster import _pq_fit, adc_rank
+
+    ds = ds.materialize()
+    codes, cbooks, d_sub = _pq_fit(ds, m=m, k=k, n_iter=n_iter,
+                                   seed=seed, id_col=id_col,
+                                   vec_col=vec_col)
+    cents = hash_centroids(ds, n_centroids, salt=salt, id_col=id_col,
+                           vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    qn = _l2norm(q[None, :])
+    probe = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[0, :n_probe]
+    allowed = np.unique(probe)
+
+    tagged = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"cents_bc": Broadcast(cents),
+                               "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 2))
+
+    def keep_ids(t: pa.Table) -> pa.Table:
+        mask = np.isin(t.column("bucket").to_numpy(), allowed)
+        return pa.table({id_col: pa.array(
+            t.column(id_col).to_numpy().astype(np.int64)[mask])})
+
+    probed = tagged.map_batches(keep_ids, batch_format="pyarrow")
+    from ..functions.joins import hash_join
+
+    joined = hash_join(probed, codes, on=id_col)
+    return adc_rank(joined, cbooks, q, d_sub, m=m, k_top=k_top,
+                    id_col=id_col, keep_codes=False)

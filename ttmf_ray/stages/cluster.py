@@ -274,7 +274,15 @@ def pq_adc_topk(ds, query: np.ndarray, *, k_top: int = 10, m: int = 2,
     identically."""
     codes, cents, d = _pq_fit(ds, m=m, k=k, n_iter=n_iter, seed=seed,
                               id_col=id_col, vec_col=vec_col)
-    q = np.asarray(query, dtype=np.float64)
+    return adc_rank(codes, cents, np.asarray(query, np.float64), d,
+                    m=m, k_top=k_top, id_col=id_col)
+
+
+def adc_rank(codes_ds, cents: list, q: np.ndarray, d: int, *, m: int,
+             k_top: int, id_col: str = "vec_id",
+             keep_codes: bool = True) -> pd.DataFrame:
+    """Rank a codes Dataset by ADC vs the query's rounded codebook
+    distance tables (fixed-order float chain; per-batch partial top-k)."""
     dq = [_round6(np.sqrt(((cents[j] - q[j * d:(j + 1) * d]) ** 2)
                           .sum(axis=1))) for j in range(m)]
 
@@ -287,14 +295,17 @@ def pq_adc_topk(ds, query: np.ndarray, *, k_top: int = 10, m: int = 2,
         adc = _round6(acc)
         order = np.lexsort((ids, adc))[:k_top]
         cols = {id_col: pa.array(ids[order])}
-        for j in range(m):
-            cols[f"c{j}"] = pa.array(
-                t.column(f"c{j}").to_numpy().astype(np.int64)[order])
+        if keep_codes:
+            for j in range(m):
+                cols[f"c{j}"] = pa.array(
+                    t.column(f"c{j}").to_numpy().astype(np.int64)[order])
         cols["adc"] = pa.array(adc[order], pa.float64())
         return pa.table(cols)
 
-    parts = codes.map_batches(adc_part, batch_format="pyarrow") \
+    parts = codes_ds.map_batches(adc_part, batch_format="pyarrow") \
         .to_pandas()
     out = parts.sort_values(["adc", id_col]).head(k_top)
-    cast = {id_col: np.int64, **{f"c{j}": np.int64 for j in range(m)}}
+    cast = {id_col: np.int64}
+    if keep_codes:
+        cast.update({f"c{j}": np.int64 for j in range(m)})
     return out.astype(cast).reset_index(drop=True)
