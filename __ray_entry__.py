@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": rel.events_cohort_retention,
         "events_funnel": rel.events_funnel,
         "embeddings_ivfpq": rel.embeddings_ivfpq,
+        "part_cooccur_triangles": cq.part_cooccur_triangles,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -533,6 +534,39 @@ _COLLOCATIONS_SQL = """
     SELECT a, b, CAST(cnt AS BIGINT) AS cnt, pmi FROM s
     ORDER BY pmi DESC, a, b LIMIT 50
 """
+
+_TRIANGLES_SQL = """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                        CAST(l_partkey AS BIGINT) AS p
+        FROM lineitem),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON y.o = x.o AND y.p > x.p),
+    tri AS MATERIALIZED (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.b
+        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (SELECT node, count(*)::BIGINT AS tri FROM (
+               SELECT u AS node FROM tri
+               UNION ALL SELECT v FROM tri
+               UNION ALL SELECT w FROM tri)
+           GROUP BY node),
+    dg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+               SELECT a AS node FROM ed
+               UNION ALL SELECT b FROM ed)
+           GROUP BY node)
+    SELECT dg.node, dg.deg,
+           COALESCE(tn.tri, 0)::BIGINT AS tri,
+           ROUND(CASE WHEN dg.deg >= 2
+                      THEN 2.0 * COALESCE(tn.tri, 0)::DOUBLE
+                           / (dg.deg::DOUBLE * (dg.deg::DOUBLE - 1.0))
+                      ELSE 0.0 END, 6) AS coeff
+    FROM dg LEFT JOIN tn USING (node)
+    ORDER BY node
+"""
+
 
 _KG_COMPONENTS_SQL = f"""
     WITH RECURSIVE edges AS MATERIALIZED ({_EDGES_SQL}),
@@ -2382,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": _COHORT_RETENTION_SQL,
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
+        "part_cooccur_triangles": _TRIANGLES_SQL,
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

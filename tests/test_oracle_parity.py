@@ -72,6 +72,7 @@ SUBSET = [
     "events_cohort_retention",
     "events_funnel",
     "embeddings_ivfpq",
+    "part_cooccur_triangles",
 ]
 
 

@@ -872,3 +872,23 @@ def kg_components(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"doc_id": "node", "cluster_id": "component"})
     return out.astype({"node": np.int64, "component": np.int64}) \
         .sort_values("node").reset_index(drop=True)
+
+
+def part_cooccur_triangles(sf_dir: str) -> pd.DataFrame:
+    """Bipartite projection + triangle counting: parts co-ordered in the
+    same order become an undirected edge; per-node triangle count,
+    distinct-neighbor degree and local clustering coefficient.
+
+    Shape (stages/graph.py): in-batch distinct → group-hash partitions →
+    vectorized segment cross-product (cooccur_pairs) → one exact-distinct
+    shuffle of (a, b) int pairs → edge-iterator triangle probe against a
+    broadcast oriented adjacency (zero further shuffles).  The SQL twin
+    is the 3-way self-join over the same distinct projection."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.graph import cooccur_pairs, triangle_stats
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pairs = cooccur_pairs(ds, group_col="l_orderkey",
+                          item_col="l_partkey")
+    return triangle_stats(distinct_rows(pairs, ["a", "b"]))

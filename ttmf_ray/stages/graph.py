@@ -305,3 +305,170 @@ def graph_features_for_heads(heads_ds, csr: CSR, *, depth: int = 4,
         # become the straggler tail of the whole stage
         concurrency=concurrency or auto_pool(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite co-occurrence projection + triangle counting
+# ---------------------------------------------------------------------------
+
+def cooccur_pairs(ds, *, group_col: str, item_col: str,
+                  max_group: int = 100_000):
+    """Distinct co-occurring item pairs within groups — the bipartite
+    projection (items sharing a group get an undirected edge).
+
+    Shape: in-batch distinct → hash-partition by GROUP so every group's
+    rows meet in exactly one partition → per-partition vectorized pair
+    generation (segment cross-product via repeat/arange offsets — no
+    Python loop over groups, which is the many-tiny-groups trap of
+    CLAUDE.md rule 3).  Output pairs are oriented ``a < b`` by item id;
+    duplicates across partitions remain (same pair from two groups in
+    different partitions) — compose with ``distinct_rows``.
+
+    ``max_group`` caps the per-group fan-out (a group of size s emits
+    s·(s−1)/2 pairs); capped groups are DROPPED and the count is
+    reported via a log line, never silently.  TPC-H orders hold ≤7
+    items, so the default cap never binds on the test tables.
+    """
+    from ..context import num_cpus
+
+    n_part = min(512, max(64, num_cpus() * 4))
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, item_col]) \
+             .group_by([group_col, item_col]).aggregate([])
+        g = t.column(group_col).to_numpy()
+        part = (g % n_part).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([group_col, item_col])
+        df = df.sort_values([group_col, item_col])
+        g = df[group_col].to_numpy(np.int64)
+        it = df[item_col].to_numpy(np.int64)
+        if len(g) == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        sizes = ends - starts
+        big = sizes > max_group
+        if big.any():
+            print(f"cooccur_pairs: dropped {int(big.sum())} groups "
+                  f"over max_group={max_group}")
+        # per-element pair fan-out: element at local offset j of a
+        # segment of size s pairs with the s-1-j later elements
+        seg_end = np.repeat(ends, sizes)
+        seg_ok = np.repeat(~big, sizes)
+        idx = np.arange(len(g))
+        rep = np.where(seg_ok, seg_end - idx - 1, 0)
+        total = int(rep.sum())
+        if total == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        lefts = np.repeat(idx, rep)
+        off = np.concatenate(([0], np.cumsum(rep)[:-1]))
+        rights = np.arange(total) - np.repeat(off, rep) \
+            + np.repeat(idx + 1, rep)
+        # segment rows are item-sorted and distinct, so a < b always
+        out = pd.DataFrame({"a": it[lefts], "b": it[rights]})
+        return out.drop_duplicates()
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(pairs_in_part, batch_format="pandas"))
+
+
+class _TriangleCounter:
+    """Edge-iterator triangle kernel over a broadcast oriented adjacency.
+
+    For each edge (u, v) of the batch: wedge partners w = out-neighbors
+    of v (all > v under the a<b orientation), probe the packed (u, w)
+    key in the sorted edge-key array — one vectorized searchsorted per
+    batch, no shuffle.  Emits per-node partial triangle counts."""
+
+    def __init__(self, adj_bc: Broadcast):
+        indptr, nbr, keys = adj_bc.get()
+        self.indptr, self.nbr, self.keys = indptr, nbr, keys
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        u = t.column("a").to_numpy().astype(np.int64)
+        v = t.column("b").to_numpy().astype(np.int64)
+        cnt = self.indptr[v + 1] - self.indptr[v]
+        total = int(cnt.sum())
+        if total == 0 or len(self.keys) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "tri": pa.array([], pa.int64())})
+        starts = self.indptr[v]
+        off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        w = self.nbr[np.arange(total) - np.repeat(off, cnt)
+                     + np.repeat(starts, cnt)]
+        uu = np.repeat(u, cnt)
+        probe = (uu << 32) | w
+        pos = np.searchsorted(self.keys, probe)
+        pos = np.clip(pos, 0, len(self.keys) - 1)
+        hit = self.keys[pos] == probe
+        tri_nodes = np.concatenate(
+            [uu[hit], np.repeat(v, cnt)[hit], w[hit]])
+        node, c = np.unique(tri_nodes, return_counts=True)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "tri": pa.array(c.astype(np.int64), pa.int64())})
+
+
+def triangle_stats(pairs_ds) -> pd.DataFrame:
+    """Per-node triangle count + degree + clustering coefficient over a
+    DISTINCT oriented (a<b) undirected edge Dataset.
+
+    Edge-iterator algorithm: the oriented adjacency (CSR by ``a``) and
+    the sorted packed edge keys broadcast ONCE; the edge Dataset streams
+    through an actor pool probing wedges — zero shuffles beyond the tiny
+    per-node partial-count groupby.  Broadcast is O(|E|) ints; at the
+    scale where the edge list outgrows a node's object store, swap the
+    probe for the bucketed ``hash_join`` on the wedge endpoint (same
+    outputs, one shuffle) — the membership test is the only broadcast.
+
+    coeff = 2·tri / (deg·(deg−1)), deg = distinct-neighbor degree.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..context import auto_pool, spread
+
+    import ray.data as rd
+
+    ed = pairs_ds.to_pandas()
+    a = ed["a"].to_numpy(np.int64)
+    b = ed["b"].to_numpy(np.int64)
+    assert (a < b).all(), "triangle_stats expects oriented a<b pairs"
+    assert len(a) == 0 or int(max(a.max(), b.max())) < (1 << 31), \
+        "packed-key probe needs node ids < 2^31"
+    keys = np.sort((a << 32) | b)
+    order = np.argsort(a, kind="stable")
+    a_s, b_s = a[order], b[order]
+    n_max = int(max(a.max(), b.max())) + 1 if len(a) else 0
+    indptr = np.zeros(n_max + 1, np.int64)
+    if len(a):
+        np.add.at(indptr, a_s + 1, 1)
+        indptr = np.cumsum(indptr)
+    adj_bc = Broadcast((indptr, b_s, keys))
+
+    deg = np.bincount(a, minlength=n_max) + np.bincount(b, minlength=n_max)
+
+    edge_ds = spread(rd.from_pandas(pd.DataFrame({"a": a, "b": b})))
+    tri = (edge_ds.map_batches(
+               _TriangleCounter,
+               fn_constructor_kwargs={"adj_bc": adj_bc},
+               batch_format="pyarrow",
+               concurrency=auto_pool())
+           .groupby("node")
+           .aggregate(Sum("tri", alias_name="tri"))
+           .to_pandas())
+
+    nodes = np.flatnonzero(deg > 0).astype(np.int64)
+    out = pd.DataFrame({"node": nodes, "deg": deg[nodes].astype(np.int64)})
+    out = out.merge(tri, on="node", how="left")
+    out["tri"] = out["tri"].fillna(0).astype(np.int64)
+    d = out["deg"].to_numpy(np.float64)
+    t3 = out["tri"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = np.where(d >= 2, 2.0 * t3 / (d * (d - 1.0)), 0.0)
+    out["coeff"] = np.round(coeff, 6)
+    return out.sort_values("node").reset_index(drop=True)
