@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": rel.events_funnel,
         "embeddings_ivfpq": rel.embeddings_ivfpq,
         "part_cooccur_triangles": cq.part_cooccur_triangles,
+        "docs_bpe_merges": rel.docs_bpe_merges,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -534,6 +535,71 @@ _COLLOCATIONS_SQL = """
     SELECT a, b, CAST(cnt AS BIGINT) AS cnt, pmi FROM s
     ORDER BY pmi DESC, a, b LIMIT 50
 """
+
+def _bpe_sql(k: int = 8) -> str:
+    """Exact mirror of docs_bpe_merges (stages/bpe.py): K unrolled merge
+    rounds over the word-frequency table.  Per round: lead() adjacency →
+    weighted pair counts → argmax (c DESC, a, b — all integers/strings,
+    zero float drift) → leftmost-greedy non-overlap matching via the
+    row_number-parity trick (runs of consecutive match positions keep
+    odd ranks) → renumbered symbol table.  Every multiply-referenced CTE
+    is MATERIALIZED (CLAUDE.md: DuckDB inlines level-unrolled CTEs
+    exponentially otherwise)."""
+    parts = ["""
+    WITH wc AS MATERIALIZED (
+        SELECT w AS word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                               '[0-9a-z_]+')) AS w
+              FROM documents)
+        GROUP BY w),
+    s0 AS MATERIALIZED (
+        SELECT word, cnt, unnest(cs) AS sym,
+               (generate_subscripts(cs, 1) - 1)::BIGINT AS p
+        FROM (SELECT word, cnt, regexp_extract_all(word, '.') AS cs
+              FROM wc))"""]
+    for r in range(1, k + 1):
+        parts.append(f""",
+    a{r} AS MATERIALIZED (
+        SELECT word, cnt, p, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY p) AS nxt
+        FROM s{r - 1}),
+    b{r} AS MATERIALIZED (
+        SELECT sym AS a, nxt AS b, sum(cnt) AS c FROM a{r}
+        WHERE nxt IS NOT NULL GROUP BY sym, nxt
+        ORDER BY c DESC, a, b LIMIT 1),
+    k{r} AS MATERIALIZED (
+        SELECT word, p FROM (
+            SELECT word, p,
+                   row_number() OVER (PARTITION BY word, grp
+                                      ORDER BY p) AS j
+            FROM (SELECT m.word, m.p,
+                         m.p - row_number() OVER (PARTITION BY m.word
+                                                  ORDER BY m.p) AS grp
+                  FROM a{r} m, b{r} bb
+                  WHERE m.sym = bb.a AND m.nxt = bb.b))
+        WHERE j % 2 = 1),
+    s{r} AS MATERIALIZED (
+        SELECT word, cnt,
+               row_number() OVER (PARTITION BY word ORDER BY p) - 1 AS p,
+               sym
+        FROM (SELECT x.word, x.cnt, x.p,
+                     CASE WHEN kk.p IS NOT NULL THEN x.sym || x.nxt
+                          ELSE x.sym END AS sym
+              FROM a{r} x
+              LEFT JOIN k{r} kk ON kk.word = x.word AND kk.p = x.p
+              LEFT JOIN k{r} dd ON dd.word = x.word AND dd.p = x.p - 1
+              WHERE dd.p IS NULL))""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS step, a AS lhs, b AS rhs,"
+        f" c::BIGINT AS cnt FROM b{r}"
+        for r in range(1, k + 1))
+    parts.append(f"""
+    SELECT * FROM (
+        {unions})
+    ORDER BY step
+    """)
+    return "".join(parts)
+
 
 _TRIANGLES_SQL = """
     WITH li AS MATERIALIZED (
@@ -2417,6 +2483,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        "docs_bpe_merges": _bpe_sql(8),
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

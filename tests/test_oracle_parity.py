@@ -73,6 +73,7 @@ SUBSET = [
     "events_funnel",
     "embeddings_ivfpq",
     "part_cooccur_triangles",
+    "docs_bpe_merges",
 ]
 
 

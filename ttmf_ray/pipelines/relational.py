@@ -1011,3 +1011,15 @@ def embeddings_ivfpq(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivfpq_topk(ds, q, k_top=10, n_centroids=16, n_probe=4,
                       m=2, k=4, n_iter=2)
+
+
+def docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Top-8 learned BPE merges over the documents word table —
+    tokenizer training as an operator (stages/bpe.py): one corpus pass
+    for (word, cnt), then per round an adjacent-pair count + greedy
+    non-overlap merge apply.  Integer counts + (cnt DESC, pair ASC)
+    tie-break make every round exact; the SQL twin unrolls the rounds."""
+    from ..stages.bpe import learn_bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return learn_bpe(ds, k=8)
