@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivfpq": rel.embeddings_ivfpq,
         "part_cooccur_triangles": cq.part_cooccur_triangles,
         "docs_bpe_merges": rel.docs_bpe_merges,
+        "docs_cdc_dedup": rel.docs_cdc_dedup,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -535,6 +536,54 @@ _COLLOCATIONS_SQL = """
     SELECT a, b, CAST(cnt AS BIGINT) AS cnt, pmi FROM s
     ORDER BY pmi DESC, a, b LIMIT 50
 """
+
+def _cdc_sql(ngram: int = 3, mod: int = 8, min_occ: int = 2) -> str:
+    """Exact mirror of docs_cdc_dedup (stages/curation.py): the
+    dup-span positional window hashes (mix64 seed 73), boundary flag
+    where the uint64 hash % mod == 0, chunk id = count of boundaries
+    strictly before the token (window frame ... 1 PRECEDING), chunk
+    content = lowercase tokens joined by ' ' → md5, then one groupby."""
+    aliases = [chr(ord("a") + j) for j in range(ngram)]
+    lat, ref = _mix_chain("cd", [f"{al}.fp" for al in aliases], [73])
+    joins = " ".join(
+        f"JOIN fl {aliases[j]} ON {aliases[j]}.doc_id = a.doc_id "
+        f"AND {aliases[j]}.p = a.p + {j}"
+        for j in range(1, ngram))
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKENS} AS ts
+                  FROM documents),
+    flat AS MATERIALIZED (
+        SELECT doc_id, unnest(ts) AS w,
+               (generate_subscripts(ts, 1) - 1)::BIGINT AS p
+        FROM toks),
+    gw AS (SELECT DISTINCT lower(w) AS lw FROM flat),
+    wf AS (SELECT lw, {_wfp_sql('lw')} AS fp FROM gw),
+    fl AS MATERIALIZED (
+        SELECT f.doc_id, f.p, wf.lw, wf.fp
+        FROM flat f JOIN wf ON wf.lw = lower(f.w)),
+    bnd AS MATERIALIZED (
+        SELECT a.doc_id, a.p
+        FROM fl a {joins}, {lat}
+        WHERE {ref} % {mod} = 0),
+    tc AS (SELECT f.doc_id, f.p, f.lw,
+                  COALESCE(sum(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY f.doc_id ORDER BY f.p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk
+           FROM fl f LEFT JOIN bnd b
+                ON b.doc_id = f.doc_id AND b.p = f.p),
+    ch AS (SELECT doc_id, chunk, count(*)::BIGINT AS n_tokens,
+                  md5(string_agg(lw, ' ' ORDER BY p)) AS chunk_md5
+           FROM tc GROUP BY doc_id, chunk),
+    oc AS (SELECT chunk_md5, n_tokens, doc_id, count(*)::BIGINT AS occ
+           FROM ch GROUP BY chunk_md5, n_tokens, doc_id)
+    SELECT chunk_md5, max(n_tokens)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_docs, sum(occ)::BIGINT AS n_occ
+    FROM oc GROUP BY chunk_md5
+    HAVING sum(occ) >= {min_occ}
+    ORDER BY chunk_md5
+    """
+
 
 def _bpe_sql(k: int = 8) -> str:
     """Exact mirror of docs_bpe_merges (stages/bpe.py): K unrolled merge
@@ -2484,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
         "docs_bpe_merges": _bpe_sql(8),
+        "docs_cdc_dedup": _cdc_sql(),
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

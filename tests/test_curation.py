@@ -414,3 +414,21 @@ def test_remove_dup_spans_surgery():
     assert out.loc[3, "text_clean"] == docs.loc[3, "text"]
     assert out["n_tokens"].tolist() == [9, 9, 8, 11]
     assert out["n_kept"].tolist() == [4, 4, 8, 11]
+
+
+def test_cdc_chunks_survive_prefix_insertion(ray_session):
+    """Content-anchored boundaries: prepending tokens to a doc must not
+    shift the chunking of the shared suffix (fixed-size blocks would)."""
+    import ray.data as rd
+
+    from ttmf_ray.stages.curation import cdc_dedup
+
+    body = " ".join(f"tok{i % 37}x{(i * 7) % 23}" for i in range(400))
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": [body, "alpha beta gamma " + body],
+    })
+    out = cdc_dedup(rd.from_pandas(docs)).to_pandas()
+    # every interior chunk of the shared body dedups across the two docs
+    assert len(out) >= 5
+    assert (out["n_docs"] == 2).sum() >= 5

@@ -74,6 +74,7 @@ SUBSET = [
     "embeddings_ivfpq",
     "part_cooccur_triangles",
     "docs_bpe_merges",
+    "docs_cdc_dedup",
 ]
 
 

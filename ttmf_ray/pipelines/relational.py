@@ -1023,3 +1023,18 @@ def docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return learn_bpe(ds, k=8)
+
+
+def docs_cdc_dedup(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking dedup: word-window rolling-hash
+    boundaries (hash % 8 == 0) split each document into
+    insertion-robust chunks; duplicated chunks (≥2 occurrences
+    corpus-wide) surface with doc/occurrence counts
+    (stages/curation.py:cdc_dedup)."""
+    from ..stages.curation import cdc_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = cdc_dedup(ds).to_pandas()
+    return out.astype({"n_tokens": np.int64, "n_docs": np.int64,
+                       "n_occ": np.int64}) \
+        .sort_values("chunk_md5").reset_index(drop=True)

@@ -872,3 +872,79 @@ def weighted_sample(docs_ds, *, n: int, weight_col: str = "n_chars",
         .to_pandas()
     out = parts.sort_values(["key", id_col]).head(n)
     return out.astype({id_col: np.int64}).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) sub-document dedup
+# ---------------------------------------------------------------------------
+
+def cdc_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
+              ngram: int = 3, mod: int = 8, min_occ: int = 2):
+    """Content-defined chunking dedup — the Rabin/LBFS boundary rule
+    (Muthitacharoen et al., SOSP 2001) lifted to word windows: a chunk
+    boundary falls AFTER token p whenever the ``ngram``-token rolling
+    hash starting at p satisfies ``hash % mod == 0``, so chunk edges
+    are content-anchored and survive insertions/deletions (where
+    fixed-size blocks would shift every downstream chunk).  Emits the
+    duplicated chunks: (chunk_md5, n_tokens, n_docs, n_occ ≥ min_occ).
+
+    Per-batch kernel end-to-end (a doc's tokens never leave its batch):
+    the positional window hashes of `_window_hashes` (seed 73, the
+    dup-span machinery) → boundary flags → per-doc cumulative chunk id
+    → md5 over the lowercase-token join.  Only (md5, doc, occ)
+    signature rows shuffle through ONE groupby; at 100 TB the md5 key
+    space is uniform so no salt is needed.  The md5 loop per chunk is
+    linear in text size — the same cost class as any content hash.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    def chunks(t: pa.Table) -> pa.Table:
+        flat, didx, _n, starts, h = _window_hashes(t.column(text_col),
+                                                   ngram)
+        ids = t.column(id_col).to_numpy()
+        if len(flat) == 0:
+            return pa.table({"chunk_md5": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "occ": pa.array([], pa.int64())})
+        low = pc.utf8_lower(pa.array(flat)).to_numpy(zero_copy_only=False)
+        bflag = np.zeros(len(flat), dtype=np.int64)
+        bnd = starts[(h.view(np.uint64) % mod) == 0]
+        bflag[bnd] = 1
+        # chunk id = #boundaries strictly before the token, per doc
+        cs = np.cumsum(np.r_[0, bflag[:-1]])
+        doc_start = np.r_[0, np.flatnonzero(didx[1:] != didx[:-1]) + 1]
+        base = np.zeros(len(flat), dtype=np.int64)
+        base[doc_start] = cs[doc_start]
+        np.maximum.accumulate(base, out=base)
+        chunk = cs - base
+        # segment boundaries of (doc, chunk)
+        seg = np.r_[True, (didx[1:] != didx[:-1]) | (chunk[1:] != chunk[:-1])]
+        seg_start = np.flatnonzero(seg)
+        seg_end = np.r_[seg_start[1:], len(flat)]
+        md5s, ntok, docs = [], [], []
+        for s, epos in zip(seg_start.tolist(), seg_end.tolist()):
+            txt = " ".join(low[s:epos])
+            md5s.append(hashlib.md5(txt.encode()).hexdigest())
+            ntok.append(epos - s)
+            docs.append(int(ids[didx[s]]))
+        df = pd.DataFrame({"chunk_md5": md5s, "n_tokens": ntok,
+                           "doc_id": docs})
+        # in-batch combiner: occurrences per (doc, chunk)
+        df = df.groupby(["chunk_md5", "n_tokens", "doc_id"],
+                        as_index=False).size().rename(columns={"size": "occ"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (docs_ds.map_batches(chunks, batch_format="pyarrow")
+           .groupby("chunk_md5")
+           .aggregate(Max("n_tokens", alias_name="n_tokens"),
+                      Count(alias_name="n_docs"),
+                      Sum("occ", alias_name="n_occ")))
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("n_occ"), min_occ)
+        return t.filter(keep)
+
+    return agg.map_batches(flt, batch_format="pyarrow")
