@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cooccur_triangles": cq.part_cooccur_triangles,
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_cdc_dedup": rel.docs_cdc_dedup,
+        "part_cooccur_kcore": cq.part_cooccur_kcore,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -536,6 +537,36 @@ _COLLOCATIONS_SQL = """
     SELECT a, b, CAST(cnt AS BIGINT) AS cnt, pmi FROM s
     ORDER BY pmi DESC, a, b LIMIT 50
 """
+
+_KCORE_SQL = """
+    WITH RECURSIVE li AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                        CAST(l_partkey AS BIGINT) AS p
+        FROM lineitem),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON y.o = x.o AND y.p > x.p),
+    sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM ed
+        UNION ALL SELECT b, a FROM ed),
+    core(it, u, v) AS (
+        SELECT 0, u, v FROM sym
+        UNION ALL
+        SELECT x.it + 1, x.u, x.v
+        FROM (SELECT y.*,
+                     min(CASE WHEN y.du >= 60 AND y.dv >= 60
+                              THEN 1 ELSE 0 END) OVER () AS allkept
+              FROM (SELECT p.it, p.u, p.v,
+                           count(*) OVER (PARTITION BY p.u) AS du,
+                           count(*) OVER (PARTITION BY p.v) AS dv
+                    FROM core p WHERE p.it < 100) y) x
+        WHERE x.du >= 60 AND x.dv >= 60 AND x.allkept = 0
+    ),
+    last AS (SELECT u, it FROM core QUALIFY it = max(it) OVER ())
+    SELECT u AS node, count(*)::BIGINT AS deg
+    FROM last GROUP BY u ORDER BY node
+"""
+
 
 def _cdc_sql(ngram: int = 3, mod: int = 8, min_occ: int = 2) -> str:
     """Exact mirror of docs_cdc_dedup (stages/curation.py): the
@@ -2534,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
         "part_cooccur_triangles": _TRIANGLES_SQL,
         "docs_bpe_merges": _bpe_sql(8),
         "docs_cdc_dedup": _cdc_sql(),
+        "part_cooccur_kcore": _KCORE_SQL,
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

@@ -4,6 +4,7 @@ reference formulas — SURVEY.md §5's duplicated-implementation strategy),
 threshold sweeps, degrees/depth features."""
 
 import numpy as np
+import pandas as pd
 
 from ttmf_ray.functions.transe import threshold_sweep
 from ttmf_ray.stages.graph import (_bfs_subgraph, build_csr,
@@ -121,3 +122,21 @@ def test_graph_features_stage_end_to_end():
     # out-degree of node 1 within subgraph = 2
     assert out.loc[1, "out_n"] == 2
     assert abs(out["pr"].sum() - 1.0) < 0.2  # mass roughly conserved
+
+
+def test_kcore_pool_path_matches_driver_path(ray_session):
+    """Rule-13 parity: the Dataset peeling loop and the driver numpy
+    kernel land on the identical (unique) k-core."""
+    import ray.data as rd
+
+    from ttmf_ray.stages.graph import kcore
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, size=1500).astype(np.int64)
+    b = rng.integers(0, 60, size=1500).astype(np.int64)
+    keep = a < b
+    ed = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+    drv = kcore(rd.from_pandas(ed), k=8)
+    dist = kcore(rd.from_pandas(ed), k=8, driver_max=0)
+    pd.testing.assert_frame_equal(drv.reset_index(drop=True),
+                                  dist.reset_index(drop=True))

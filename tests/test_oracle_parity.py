@@ -75,6 +75,7 @@ SUBSET = [
     "part_cooccur_triangles",
     "docs_bpe_merges",
     "docs_cdc_dedup",
+    "part_cooccur_kcore",
 ]
 
 

@@ -892,3 +892,24 @@ def part_cooccur_triangles(sf_dir: str) -> pd.DataFrame:
     pairs = cooccur_pairs(ds, group_col="l_orderkey",
                           item_col="l_partkey")
     return triangle_stats(distinct_rows(pairs, ["a", "b"]))
+
+
+def part_cooccur_kcore(sf_dir: str) -> pd.DataFrame:
+    """Maximal 60-core of the part co-occurrence graph → (node, deg in
+    core).  Simultaneous peeling (stages/graph.py:kcore): per round one
+    node-sized degree groupby + a broadcast surviving-node filter over
+    the edge Dataset; the k-core fixpoint is unique, so the SQL twin's
+    level-by-level recursive CTE lands on the identical set.  The
+    mirror reads the LAST recursion level, so it assumes a non-empty
+    core — asserted here (k=60 is chosen under the test graphs' minimum
+    q25 degree; an empty core would match trivially anyway)."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.graph import cooccur_pairs, kcore
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pairs = cooccur_pairs(ds, group_col="l_orderkey",
+                          item_col="l_partkey")
+    out = kcore(distinct_rows(pairs, ["a", "b"]), k=60)
+    assert len(out), "60-core unexpectedly empty (mirror reads last level)"
+    return out

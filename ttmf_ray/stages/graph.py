@@ -472,3 +472,93 @@ def triangle_stats(pairs_ds) -> pd.DataFrame:
         coeff = np.where(d >= 2, 2.0 * t3 / (d * (d - 1.0)), 0.0)
     out["coeff"] = np.round(coeff, 6)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def _kcore_arrays(a: np.ndarray, b: np.ndarray, k: int):
+    """Simultaneous-peeling fixpoint: drop every edge touching a node of
+    degree < k, recompute, repeat.  The k-core is unique, so any
+    peeling schedule (and the SQL level-by-level twin) lands on the
+    same (a, b) set."""
+    while len(a):
+        n = int(max(a.max(), b.max())) + 1
+        deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+        keep = deg >= k
+        m = keep[a] & keep[b]
+        if m.all():
+            break
+        a, b = a[m], b[m]
+    return a, b
+
+
+def kcore(pairs_ds, *, k: int, driver_max: int = 2_000_000) -> pd.DataFrame:
+    """Maximal k-core of a distinct oriented (a<b) edge Dataset →
+    (node, deg) rows, deg = degree inside the core.
+
+    Scale shape per round: per-batch degree combiner → one node-sized
+    groupby (V ≪ E: the node table is the small side even at web
+    scale) → surviving-node set broadcast once → vectorized edge
+    membership filter; rounds repeat until no edge drops (k-core
+    peeling converges in few rounds on heavy-tailed graphs).  Under
+    ``driver_max`` edges the identical kernel runs driver-side
+    (CLAUDE.md rule 13; parity pinned in tests)."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from ..context import Broadcast, spread
+
+    ed = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    if isinstance(ed, pd.DataFrame) and len(ed) <= driver_max:
+        a, b = _kcore_arrays(ed["a"].to_numpy(np.int64),
+                             ed["b"].to_numpy(np.int64), k)
+        if len(a) == 0:
+            return pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "deg": np.empty(0, np.int64)})
+        n = int(max(a.max(), b.max())) + 1
+        deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+        nodes = np.flatnonzero(deg > 0).astype(np.int64)
+        return pd.DataFrame({"node": nodes,
+                             "deg": deg[nodes].astype(np.int64)})
+
+    ds = spread(rd.from_pandas(ed)).materialize() \
+        if isinstance(ed, pd.DataFrame) else ed.materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate([t.column("a").to_numpy(),
+                                t.column("b").to_numpy()]).astype(np.int64)
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    def degrees(edge_ds) -> pd.DataFrame:
+        return (edge_ds.map_batches(deg_partial, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+                .to_pandas())
+
+    n_edges = ds.count()
+    while n_edges:
+        dd = degrees(ds)
+        surv = np.sort(dd.loc[dd["deg"] >= k, "node"].to_numpy(np.int64))
+        bc = Broadcast(surv)
+
+        def flt(t: pa.Table, _bc=bc) -> pa.Table:
+            s = _bc.get()
+            aa = t.column("a").to_numpy().astype(np.int64)
+            bb = t.column("b").to_numpy().astype(np.int64)
+            if len(s) == 0:
+                return t.slice(0, 0)
+            ina = s[np.clip(np.searchsorted(s, aa), 0, len(s) - 1)] == aa
+            inb = s[np.clip(np.searchsorted(s, bb), 0, len(s) - 1)] == bb
+            return t.filter(pa.array(ina & inb))
+
+        nxt = ds.map_batches(flt, batch_format="pyarrow").materialize()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        ds, n_edges = nxt, n_next
+
+    if n_edges == 0:
+        return pd.DataFrame({"node": np.empty(0, np.int64),
+                             "deg": np.empty(0, np.int64)})
+    out = degrees(ds).astype({"node": np.int64, "deg": np.int64})
+    return out.sort_values("node", ignore_index=True)
