@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_cdc_dedup": rel.docs_cdc_dedup,
         "part_cooccur_kcore": cq.part_cooccur_kcore,
+        "docs_sb_perplexity": rel.docs_sb_perplexity,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -537,6 +538,59 @@ _COLLOCATIONS_SQL = """
     SELECT a, b, CAST(cnt AS BIGINT) AS cnt, pmi FROM s
     ORDER BY pmi DESC, a, b LIMIT 50
 """
+
+def _sb_ppl_sql() -> str:
+    return """
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         list_transform(""" + _TOKENS + """,
+                                        t -> lower(t)) AS ts
+                  FROM documents),
+    flat AS MATERIALIZED (
+        SELECT doc_id, unnest(ts) AS w,
+               (generate_subscripts(ts, 1) - 1)::BIGINT AS p
+        FROM toks),
+    tg AS MATERIALIZED (
+        SELECT f1.doc_id, f1.w AS w1, f2.w AS w2, f3.w AS w3
+        FROM flat f1
+        JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.p = f1.p + 1
+        JOIN flat f3 ON f3.doc_id = f1.doc_id AND f3.p = f1.p + 2),
+    tc AS MATERIALIZED (
+        SELECT w1, w2, w3, count(*)::BIGINT AS c FROM tg
+        WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+    p12 AS (SELECT w1, w2, sum(c)::BIGINT AS c FROM tc GROUP BY w1, w2),
+    bgm AS MATERIALIZED (
+        SELECT f1.w AS w1, f2.w AS w2, count(*)::BIGINT AS c
+        FROM flat f1 JOIN flat f2
+             ON f2.doc_id = f1.doc_id AND f2.p = f1.p + 1
+        WHERE f1.doc_id % 2 = 0 GROUP BY f1.w, f2.w),
+    p1 AS (SELECT w1, sum(c)::BIGINT AS c FROM bgm GROUP BY w1),
+    un AS (SELECT w, count(*)::BIGINT AS c FROM flat
+           WHERE doc_id % 2 = 0 GROUP BY w),
+    nv AS (SELECT (SELECT count(*) FROM flat WHERE doc_id % 2 = 0) AS n,
+                  (SELECT count(*) FROM un) AS v),
+    lp AS (SELECT g.doc_id,
+                  ln(CASE WHEN t.c > 0
+                          THEN t.c::DOUBLE / x12.c::DOUBLE
+                          WHEN b.c > 0
+                          THEN 0.4 * b.c::DOUBLE / x1.c::DOUBLE
+                          ELSE 0.16 * (COALESCE(u.c, 0) + 1.0)
+                               / (nv.n + nv.v) END) AS lp
+           FROM tg g
+           LEFT JOIN tc t ON t.w1 = g.w1 AND t.w2 = g.w2 AND t.w3 = g.w3
+           LEFT JOIN p12 x12 ON x12.w1 = g.w1 AND x12.w2 = g.w2
+           LEFT JOIN bgm b ON b.w1 = g.w2 AND b.w2 = g.w3
+           LEFT JOIN p1 x1 ON x1.w1 = g.w2
+           LEFT JOIN un u ON u.w = g.w3, nv),
+    agg AS (SELECT doc_id, count(*) AS n_trigrams, avg(lp) AS logs
+            FROM lp GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           ROUND(COALESCE(a.logs, 0.0), 6) AS logs,
+           ROUND(exp(-COALESCE(a.logs, 0.0)), 6) AS sb_ppl
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
 
 _KCORE_SQL = """
     WITH RECURSIVE li AS MATERIALIZED (
@@ -2566,6 +2620,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_merges": _bpe_sql(8),
         "docs_cdc_dedup": _cdc_sql(),
         "part_cooccur_kcore": _KCORE_SQL,
+        "docs_sb_perplexity": _sb_ppl_sql(),
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

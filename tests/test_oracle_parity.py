@@ -76,6 +76,7 @@ SUBSET = [
     "docs_bpe_merges",
     "docs_cdc_dedup",
     "part_cooccur_kcore",
+    "docs_sb_perplexity",
 ]
 
 

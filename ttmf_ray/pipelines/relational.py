@@ -1038,3 +1038,24 @@ def docs_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     return out.astype({"n_tokens": np.int64, "n_docs": np.int64,
                        "n_occ": np.int64}) \
         .sort_values("chunk_md5").reset_index(drop=True)
+
+
+def docs_sb_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Stupid Backoff trigram quality score (Brants et al., 2007): fit
+    trigram/bigram/unigram counts on the even-doc_id half in ONE
+    tagged-key groupby, score every doc by the mean log backoff score
+    (0.4 discount per backoff level, add-one unigram base)."""
+    import pyarrow.compute as pc
+
+    from ..stages.lm_score import fit_sb_lm, stupid_backoff_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    model = fit_sb_lm(ref)
+    out = stupid_backoff_score(ds, model).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_trigrams": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)

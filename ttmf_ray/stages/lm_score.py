@@ -232,3 +232,147 @@ def bigram_perplexity(docs_ds, model: dict, *, id_col: str = "doc_id",
         concurrency=concurrency or auto_pool(),
         fn_constructor_kwargs={"model_bc": Broadcast(model),
                                "id_col": id_col, "text_col": text_col})
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram scoring (Brants et al., EMNLP 2007)
+# ---------------------------------------------------------------------------
+
+def fit_sb_lm(docs_ds, *, text_col: str = "text") -> dict:
+    """Trigram/bigram/unigram counts in ONE tagged-key groupby →
+    Stupid Backoff model.  Score of w3 given (w1, w2):
+
+        s = c(w1 w2 w3) / c(w1 w2)            if the trigram was seen
+          = 0.4 · c(w2 w3) / c(w2)            elif the bigram was seen
+          = 0.4² · (c(w3)+1) / (N+V)          otherwise (add-one base,
+                                               so OOV stays finite)
+
+    All context counts come from the n-gram tables themselves
+    (Σ over continuations), the same convention as fit_bigram_lm.  The
+    model broadcasts once; at web scale the trigram table outgrows the
+    broadcast first — the fallback is a hash join on the packed key."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, didx, _ = _doc_tokens(t.column(text_col))
+        rows_k, rows_c = [], []
+        if len(toks) > 2:
+            adj3 = didx[:-2] == didx[2:]
+            w1, w2, w3 = toks[:-2][adj3], toks[1:-1][adj3], toks[2:][adj3]
+            tk = np.char.add(np.char.add(
+                np.char.add(np.char.add(w1.astype(str), "\x1f"),
+                            w2.astype(str)), "\x1f"), w3.astype(str))
+            kk, cc = np.unique(tk, return_counts=True)
+            rows_k.append(np.char.add("t\x1e", kk)); rows_c.append(cc)
+        if len(toks) > 1:
+            adj = didx[:-1] == didx[1:]
+            bk = np.char.add(np.char.add(toks[:-1][adj].astype(str),
+                                         "\x1f"),
+                             toks[1:][adj].astype(str))
+            kk, cc = np.unique(bk, return_counts=True)
+            rows_k.append(np.char.add("b\x1e", kk)); rows_c.append(cc)
+        if len(toks):
+            ut, uc = np.unique(toks, return_counts=True)
+            rows_k.append(np.char.add("u\x1e", ut.astype(str)))
+            rows_c.append(uc)
+        if not rows_k:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.array(np.concatenate(rows_k), pa.string()),
+            "cnt": pa.array(np.concatenate(rows_c).astype(np.int64))})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    keys = agg["key"].to_numpy().astype(str)
+    cnt = agg["cnt"].to_numpy().astype(np.int64)
+
+    def grab(tag):
+        m = np.char.startswith(keys, tag + "\x1e")
+        kk = np.asarray([k[2:] for k in keys[m]], dtype=object)
+        cc = cnt[m]
+        order = np.argsort(kk)
+        return kk[order], cc[order]
+
+    tg_k, tg_c = grab("t")
+    bg_k, bg_c = grab("b")
+    un_k, un_c = grab("u")
+    # context counts = sum over continuations of the next-order table
+    ctx2 = np.asarray([k.rsplit("\x1f", 1)[0] for k in tg_k], dtype=object)
+    c2_u, c2_i = np.unique(ctx2, return_inverse=True)
+    c2_c = np.bincount(c2_i, weights=tg_c).astype(np.int64) \
+        if len(tg_k) else np.empty(0, np.int64)
+    ctx1 = np.asarray([k.rsplit("\x1f", 1)[0] for k in bg_k], dtype=object)
+    c1_u, c1_i = np.unique(ctx1, return_inverse=True)
+    c1_c = np.bincount(c1_i, weights=bg_c).astype(np.int64) \
+        if len(bg_k) else np.empty(0, np.int64)
+    return {"tg_k": tg_k, "tg_c": tg_c, "bg_k": bg_k, "bg_c": bg_c,
+            "un_k": un_k, "un_c": un_c, "c2_u": c2_u, "c2_c": c2_c,
+            "c1_u": c1_u, "c1_c": c1_c,
+            "N": int(un_c.sum()) if len(un_c) else 0,
+            "V": int(len(un_k))}
+
+
+class SBScorer:
+    """Actor stage: docs → (doc_id, n_trigrams, logs, sb_ppl) under the
+    broadcast Stupid Backoff model."""
+
+    def __init__(self, model_bc: Broadcast, *, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.m = model_bc.get()
+        self.id_col, self.text_col = id_col, text_col
+
+    @staticmethod
+    def _lookup(keys, table, counts):
+        if not len(table):
+            return np.zeros(len(keys), np.int64)
+        pos = np.clip(np.searchsorted(table, keys), 0, len(table) - 1)
+        hit = table[pos] == keys
+        return np.where(hit, counts[pos], 0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        toks, didx, n = _doc_tokens(batch.column(self.text_col))
+        logs_sum = np.zeros(n, np.float64)
+        ntg = np.zeros(n, np.int64)
+        if len(toks) > 2:
+            adj3 = didx[:-2] == didx[2:]
+            w1, w2, w3 = toks[:-2][adj3], toks[1:-1][adj3], toks[2:][adj3]
+            dtg = didx[:-2][adj3]
+            k12 = np.char.add(np.char.add(w1.astype(str), "\x1f"),
+                              w2.astype(str)).astype(object)
+            k123 = np.char.add(np.char.add(k12.astype(str), "\x1f"),
+                               w3.astype(str)).astype(object)
+            k23 = np.char.add(np.char.add(w2.astype(str), "\x1f"),
+                              w3.astype(str)).astype(object)
+            c123 = self._lookup(k123, m["tg_k"], m["tg_c"])
+            c12 = self._lookup(k12, m["c2_u"], m["c2_c"])
+            c23 = self._lookup(k23, m["bg_k"], m["bg_c"])
+            c2 = self._lookup(w2.astype(object), m["c1_u"], m["c1_c"])
+            c3 = self._lookup(w3.astype(object), m["un_k"], m["un_c"])
+            base = 0.16 * (c3 + 1.0) / (m["N"] + m["V"])
+            s2 = np.where((c23 > 0) & (c2 > 0),
+                          0.4 * c23 / np.maximum(c2, 1), base)
+            s = np.where((c123 > 0) & (c12 > 0),
+                         c123 / np.maximum(c12, 1.0), s2)
+            lp = np.log(s)
+            logs_sum = np.bincount(dtg, weights=lp, minlength=n)
+            ntg = np.bincount(dtg, minlength=n).astype(np.int64)
+        logs = np.where(ntg > 0, logs_sum / np.maximum(ntg, 1), 0.0)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_trigrams": pa.array(ntg),
+            "logs": pa.array(np.round(logs, 6), pa.float64()),
+            "sb_ppl": pa.array(np.round(np.exp(-logs), 6), pa.float64())})
+
+
+def stupid_backoff_score(docs_ds, model: dict, *, id_col: str = "doc_id",
+                         text_col: str = "text", concurrency=None):
+    from ..context import auto_pool
+
+    return docs_ds.map_batches(
+        SBScorer, batch_format="pyarrow",
+        concurrency=concurrency or auto_pool(),
+        fn_constructor_kwargs={"model_bc": Broadcast(model),
+                               "id_col": id_col, "text_col": text_col})
