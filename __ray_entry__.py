@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_dedup": rel.docs_cdc_dedup,
         "part_cooccur_kcore": cq.part_cooccur_kcore,
         "docs_sb_perplexity": rel.docs_sb_perplexity,
+        "docs_hybrid_rrf": rel.docs_hybrid_rrf,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -620,6 +621,43 @@ _KCORE_SQL = """
     SELECT u AS node, count(*)::BIGINT AS deg
     FROM last GROUP BY u ORDER BY node
 """
+
+
+def _hybrid_rrf_sql(n_list: int = 50, k: int = 20, kr: int = 60) -> str:
+    """Exact mirror of docs_hybrid_rrf (stages/retrieval.py): the BM25
+    mirror runs as a nested-WITH CTE for the top-n_list list, the
+    cosine list is the brute ANN ordering, ranks are row_number over the
+    6-dp-rounded scores (id tie-break), and the fused score is the
+    rank-rational sum — integers in, so both engines agree exactly."""
+    bm25 = _bm25_sql(_rel_bm25_terms(), k=n_list)
+    return f"""
+    WITH bmtop AS MATERIALIZED ({bm25}),
+    bm AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS bm25_rank
+           FROM bmtop),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ctop AS MATERIALIZED (
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               list_cosine_similarity(e.embedding, q.qv) AS cs
+        FROM embeddings e, q
+        ORDER BY cs DESC, e.vec_id LIMIT {n_list}),
+    cr AS (SELECT vec_id AS doc_id,
+                  row_number() OVER (ORDER BY ROUND(cs, 6) DESC, vec_id)
+                      AS cos_rank
+           FROM ctop),
+    f AS (SELECT COALESCE(bm.doc_id, cr.doc_id) AS doc_id,
+                 COALESCE(bm.bm25_rank, 0)::BIGINT AS bm25_rank,
+                 COALESCE(cr.cos_rank, 0)::BIGINT AS cos_rank,
+                 ROUND(CASE WHEN bm.bm25_rank IS NULL THEN 0.0
+                            ELSE 1.0 / ({kr} + bm.bm25_rank) END
+                       + CASE WHEN cr.cos_rank IS NULL THEN 0.0
+                              ELSE 1.0 / ({kr} + cr.cos_rank) END,
+                       6) AS rrf
+          FROM bm FULL OUTER JOIN cr ON cr.doc_id = bm.doc_id)
+    SELECT doc_id, bm25_rank, cos_rank, rrf FROM f
+    ORDER BY rrf DESC, doc_id LIMIT {k}
+    """
 
 
 def _cdc_sql(ngram: int = 3, mod: int = 8, min_occ: int = 2) -> str:
@@ -2621,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cdc_dedup": _cdc_sql(),
         "part_cooccur_kcore": _KCORE_SQL,
         "docs_sb_perplexity": _sb_ppl_sql(),
+        "docs_hybrid_rrf": _hybrid_rrf_sql(),
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

@@ -77,6 +77,7 @@ SUBSET = [
     "docs_cdc_dedup",
     "part_cooccur_kcore",
     "docs_sb_perplexity",
+    "docs_hybrid_rrf",
 ]
 
 

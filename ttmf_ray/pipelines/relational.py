@@ -1059,3 +1059,23 @@ def docs_sb_perplexity(sf_dir: str) -> pd.DataFrame:
     out = stupid_backoff_score(ds, model).to_pandas()
     return out.astype({"doc_id": np.int64, "n_trigrams": np.int64}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid search: reciprocal-rank fusion of the BM25 top-50 (probe
+    BM25_TERMS) and brute-cosine top-50 (query = embedding of vec_id 0,
+    doc_id-aligned) → top-20 by rrf = 1/(60+r_bm25) + 1/(60+r_cos)
+    (stages/retrieval.py:hybrid_rrf)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.retrieval import hybrid_rrf
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    row = int(np.nonzero(ids == 0)[0][0])
+    q = np.asarray(t.column("embedding").to_pylist()[row],
+                   dtype=np.float64)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return hybrid_rrf(docs, emb, BM25_TERMS, q)

@@ -469,3 +469,55 @@ def pmi_collocations(docs_ds, *, k: int = 50, min_count: int = 5,
     out = parts.sort_values(["pmi", "a", "b"],
                             ascending=[False, True, True]).head(k)
     return out.astype({"cnt": np.int64}).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ cosine via reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+def hybrid_rrf(docs_ds, emb_ds, terms, qvec: np.ndarray, *,
+               n_list: int = 50, k: int = 20, kr: int = 60,
+               id_col: str = "doc_id", text_col: str = "text",
+               vec_id_col: str = "vec_id",
+               vec_col: str = "embedding") -> pd.DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR 2009) of the BM25
+    top-``n_list`` and cosine top-``n_list`` lists:
+
+        rrf(d) = Σ_lists 1 / (kr + rank_list(d))      (absent → 0)
+
+    Production-shape hybrid search: each retriever reduces the corpus
+    to a bounded candidate list via per-batch partial top-k (only
+    ~n_list rows per batch reach the driver merge), and the fusion
+    touches ≤ 2·n_list rows — rank-based, so the fused score is a sum
+    of exact rationals with zero float-drift risk.  In-list ranks are
+    taken on the 6-dp-rounded scores (id tie-break), the repo's
+    quantize-the-comparison convention, so the SQL twin ranks
+    identically."""
+    from .ann import brute_topk
+
+    bm = bm25_topk(docs_ds, terms, k=n_list, id_col=id_col,
+                   text_col=text_col).reset_index(drop=True)
+    bm_rank = pd.DataFrame({
+        "doc_id": bm[id_col].to_numpy(np.int64),
+        "bm25_rank": np.arange(1, len(bm) + 1, dtype=np.int64)})
+
+    cs = brute_topk(emb_ds, np.asarray(qvec, np.float64)[None, :],
+                    n_list, id_col=vec_id_col, vec_col=vec_col)
+    cs = cs.copy()
+    cs["cos6"] = np.round(cs["cosine"].to_numpy(np.float64), 6)
+    cs = cs.sort_values(["cos6", "vec_id"], ascending=[False, True],
+                        ignore_index=True)
+    cos_rank = pd.DataFrame({
+        "doc_id": cs["vec_id"].to_numpy(np.int64),
+        "cos_rank": np.arange(1, len(cs) + 1, dtype=np.int64)})
+
+    f = bm_rank.merge(cos_rank, on="doc_id", how="outer") \
+        .fillna(0).astype(np.int64)
+    br = f["bm25_rank"].to_numpy(np.float64)
+    cr = f["cos_rank"].to_numpy(np.float64)
+    rrf = np.where(br > 0, 1.0 / (kr + br), 0.0) \
+        + np.where(cr > 0, 1.0 / (kr + cr), 0.0)
+    f["rrf"] = np.round(rrf, 6)
+    f = f.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                      ignore_index=True).head(k)
+    return f[["doc_id", "bm25_rank", "cos_rank", "rrf"]]
