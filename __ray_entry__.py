@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cooccur_kcore": cq.part_cooccur_kcore,
         "docs_sb_perplexity": rel.docs_sb_perplexity,
         "docs_hybrid_rrf": rel.docs_hybrid_rrf,
+        "embeddings_knn_graph": rel.embeddings_knn_graph,
+        "embeddings_knn_clusters": rel.embeddings_knn_clusters,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -623,6 +625,60 @@ _KCORE_SQL = """
 """
 
 
+_KNN_RANKED = """
+    s AS MATERIALIZED (
+        SELECT CAST(a.vec_id AS BIGINT) AS va,
+               CAST(b.vec_id AS BIGINT) AS vb,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]),
+                     6) AS cs
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+    r AS MATERIALIZED (
+        SELECT va, vb, cs, rk FROM (
+            SELECT va, vb, cs,
+                   row_number() OVER (PARTITION BY va
+                                      ORDER BY cs DESC, vb) AS rk
+            FROM s)
+        WHERE rk <= 5)
+"""
+
+_KNN_GRAPH_SQL = f"""
+    WITH {_KNN_RANKED}
+    SELECT va AS vec_id, vb AS nbr_id, cs AS cosine,
+           rk::BIGINT AS rank
+    FROM r ORDER BY vec_id, rank
+"""
+
+_KNN_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_KNN_RANKED},
+    mu AS MATERIALIZED (
+        SELECT x.va AS a, x.vb AS b
+        FROM r x JOIN r y ON y.va = x.vb AND y.vb = x.va
+        WHERE x.va < x.vb),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT n FROM (
+            SELECT a AS n FROM mu UNION ALL SELECT b FROM mu)),
+    esym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM mu
+        UNION ALL SELECT b, a FROM mu
+        UNION ALL SELECT n, n FROM nodes),
+    lab(it, node, l, chg) AS (
+        SELECT 0, n, n, 1::BIGINT FROM nodes
+        UNION ALL
+        SELECT x.it + 1, x.node, x.nl,
+               SUM(CASE WHEN x.nl < x.ol THEN 1 ELSE 0 END) OVER ()
+        FROM (SELECT p.it, e.v AS node, MIN(p.l) AS nl,
+                     MIN(CASE WHEN e.u = e.v THEN p.l END) AS ol
+              FROM lab p JOIN esym e ON e.u = p.node
+              WHERE p.chg > 0 AND p.it < 100
+              GROUP BY p.it, e.v) x
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(l AS BIGINT) AS component
+    FROM lab QUALIFY it = MAX(it) OVER ()
+    ORDER BY node
+"""
+
+
 def _hybrid_rrf_sql(n_list: int = 50, k: int = 20, kr: int = 60) -> str:
     """Exact mirror of docs_hybrid_rrf (stages/retrieval.py): the BM25
     mirror runs as a nested-WITH CTE for the top-n_list list, the
@@ -636,10 +692,11 @@ def _hybrid_rrf_sql(n_list: int = 50, k: int = 20, kr: int = 60) -> str:
                   row_number() OVER (ORDER BY score DESC, doc_id)
                       AS bm25_rank
            FROM bmtop),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = 0),
     ctop AS MATERIALIZED (
         SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-               list_cosine_similarity(e.embedding, q.qv) AS cs
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cs
         FROM embeddings e, q
         ORDER BY cs DESC, e.vec_id LIMIT {n_list}),
     cr AS (SELECT vec_id AS doc_id,
@@ -2660,6 +2717,8 @@ def oracle_sql() -> dict[str, str]:
         "part_cooccur_kcore": _KCORE_SQL,
         "docs_sb_perplexity": _sb_ppl_sql(),
         "docs_hybrid_rrf": _hybrid_rrf_sql(),
+        "embeddings_knn_graph": _KNN_GRAPH_SQL,
+        "embeddings_knn_clusters": _KNN_CLUSTERS_SQL,
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

@@ -103,3 +103,28 @@ def test_random_projection_jl_property():
     assert 0.9 < ratio.mean() < 1.1
     assert 0.2 < np.quantile(ratio, 0.02)
     assert np.quantile(ratio, 0.98) < 2.5
+
+
+def test_union_find_matches_distributed_label_prop(ray_session):
+    """Rule-13 parity: driver union-find and the distributed min-label
+    propagation produce the identical min-id-labeled partition."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.context import spread
+    from ttmf_ray.stages.ann import _components_min_label
+    from ttmf_ray.stages.dedup import cluster_pairs_min_label
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 80, size=120).astype(np.int64)
+    b = rng.integers(0, 80, size=120).astype(np.int64)
+    keep = a < b
+    ed = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
+    drv = _components_min_label(ed["a"].to_numpy(), ed["b"].to_numpy()) \
+        .sort_values("node", ignore_index=True)
+    dist = cluster_pairs_min_label(spread(rd.from_pandas(ed))) \
+        .rename(columns={"doc_id": "node", "cluster_id": "component"}) \
+        .astype({"node": np.int64, "component": np.int64}) \
+        .sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(drv, dist)

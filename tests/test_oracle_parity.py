@@ -78,6 +78,8 @@ SUBSET = [
     "part_cooccur_kcore",
     "docs_sb_perplexity",
     "docs_hybrid_rrf",
+    "embeddings_knn_graph",
+    "embeddings_knn_clusters",
 ]
 
 

@@ -1079,3 +1079,27 @@ def docs_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return hybrid_rrf(docs, emb, BM25_TERMS, q)
+
+
+def embeddings_knn_graph(sf_dir: str) -> pd.DataFrame:
+    """Top-5 cosine-neighbor graph over the embeddings table
+    (stages/ann.py:knn_graph): corpus matrix broadcast once, one matmul
+    per batch, ranks on the 6-dp-rounded cosine with neighbor-id
+    tie-break."""
+    from ..stages.ann import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_graph(ds, k=5).to_pandas()
+    return out.astype({"vec_id": np.int64, "nbr_id": np.int64,
+                       "rank": np.int64}) \
+        .sort_values(["vec_id", "rank"], ignore_index=True)
+
+
+def embeddings_knn_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components of the mutual top-5-NN graph — the
+    density-robust clustering of the embedding corpus (mutual check on
+    the N·k signature rows, then distributed min-label propagation)."""
+    from ..stages.ann import mutual_knn_clusters
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mutual_knn_clusters(ds, k=5)

@@ -398,3 +398,142 @@ def ivfpq_topk(ds, query: np.ndarray, *, k_top: int = 10,
     joined = hash_join(probed, codes, on=id_col)
     return adc_rank(joined, cbooks, q, d_sub, m=m, k_top=k_top,
                     id_col=id_col, keep_codes=False)
+
+
+# ---------------------------------------------------------------------------
+# kNN graph + mutual-kNN clustering
+# ---------------------------------------------------------------------------
+
+def _collect_id_matrix(ds, id_col: str, vec_col: str):
+    """Full (ids, matrix) collect via Arrow refs (rule 10: never through
+    pandas), sorted by id so stable argsort tie-breaks on neighbor id."""
+    import ray as _ray
+
+    tbls = _ray.get(ds.to_arrow_refs())
+    tbls = [t.select([id_col, vec_col]) for t in tbls if t.num_rows]
+    t = pa.concat_tables(tbls)
+    ids = t.column(id_col).to_numpy().astype(np.int64)
+    mat = list_col_matrix(t.column(vec_col))
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+class _KnnBatch:
+    """Per-batch rows × broadcast corpus matmul → top-k neighbor rows.
+
+    Ranks (and the k-selection) use the 6-dp-ROUNDED cosine with
+    ascending-neighbor tie-break — the quantize-the-comparison
+    convention, so the SQL row_number ranks identically."""
+
+    def __init__(self, corpus_bc: Broadcast, *, k: int, id_col: str,
+                 vec_col: str):
+        ids, mat = corpus_bc.get()
+        self.ids, self.mat = ids, _l2norm(mat)
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = list_col_matrix(batch.column(self.vec_col))
+        bids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        if len(bids) == 0 or len(self.ids) < 2:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "nbr_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int64())})
+        sims = np.round(_l2norm(vecs) @ self.mat.T, 6)   # (b, N)
+        sims[bids[:, None] == self.ids[None, :]] = -np.inf   # mask self
+        k = min(self.k, len(self.ids) - 1)
+        # stable argsort on -cos6: ties fall back to ascending column
+        # index == ascending neighbor id (corpus sorted by id)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(bids, k)
+        nbr = self.ids[top.ravel()]
+        cs = np.take_along_axis(sims, top, axis=1).ravel()
+        rank = np.tile(np.arange(1, k + 1, dtype=np.int64), len(bids))
+        return pa.table({"vec_id": pa.array(rows),
+                         "nbr_id": pa.array(nbr),
+                         "cosine": pa.array(cs, pa.float64()),
+                         "rank": pa.array(rank)})
+
+
+def knn_graph(emb_ds, *, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding", concurrency=None):
+    """Top-``k`` cosine neighbors per vector → Dataset of (vec_id,
+    nbr_id, cosine, rank) rows.
+
+    Baseline shape: corpus matrix broadcast once, one matmul per batch —
+    exact, O(N²/batch) work that streams.  At the scale where the
+    corpus outgrows a node's object store, the IVF path (`ivf_topk`)
+    bounds each probe to its coarse cells; the graph layout
+    (vec-sorted neighbor rows) is identical."""
+    from ..context import auto_pool
+
+    bc = Broadcast(_collect_id_matrix(emb_ds, id_col, vec_col))
+    return emb_ds.map_batches(
+        _KnnBatch, batch_format="pyarrow", batch_size=2048,
+        concurrency=concurrency or auto_pool(0.5),
+        fn_constructor_kwargs={"corpus_bc": bc, "k": k,
+                               "id_col": id_col, "vec_col": vec_col})
+
+
+def _components_min_label(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Union-find components of (a, b) edges, labeled by the min node id
+    — the same unique partition the distributed min-label propagation
+    (and its recursive-CTE mirror) converges to."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    parent = np.arange(len(nodes))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for x, y in zip(ai.tolist(), bi.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.fromiter((find(i) for i in range(len(nodes))),
+                        dtype=np.int64, count=len(nodes))
+    # label = min node id per root; roots are min-index already, and
+    # nodes is sorted, so nodes[root] IS the min id of the component
+    return pd.DataFrame({"node": nodes.astype(np.int64),
+                         "component": nodes[roots].astype(np.int64)})
+
+
+def mutual_knn_clusters(emb_ds, *, k: int = 5, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        driver_max: int = 2_000_000) -> pd.DataFrame:
+    """Connected components of the MUTUAL kNN graph (edge kept iff each
+    endpoint is in the other's top-k) — the classic density-robust
+    clustering of an embedding corpus.  kNN rows are the small side
+    (N·k signature rows); the mutual check is one self-merge.  Under
+    ``driver_max`` edges the union-find runs driver-side (rule 13: the
+    mutual-kNN graph has long thin chains, so round-per-hop label
+    propagation costs Dataset rounds for a millisecond kernel); above
+    it, the distributed min-label propagation takes over — both land on
+    the identical unique partition with min-id labels."""
+    import ray.data as rd
+
+    from ..context import spread
+    from .dedup import cluster_pairs_min_label
+
+    kn = knn_graph(emb_ds, k=k, id_col=id_col, vec_col=vec_col) \
+        .to_pandas()[["vec_id", "nbr_id"]]
+    rev = kn.rename(columns={"vec_id": "nbr_id", "nbr_id": "vec_id"})
+    mutual = kn.merge(rev, on=["vec_id", "nbr_id"], how="inner")
+    mutual = mutual[mutual["vec_id"] < mutual["nbr_id"]] \
+        .rename(columns={"vec_id": "a", "nbr_id": "b"}) \
+        .drop_duplicates(ignore_index=True)
+    if mutual.empty:
+        return pd.DataFrame({"node": np.empty(0, np.int64),
+                             "component": np.empty(0, np.int64)})
+    if len(mutual) <= driver_max:
+        out = _components_min_label(mutual["a"].to_numpy(np.int64),
+                                    mutual["b"].to_numpy(np.int64))
+    else:
+        out = cluster_pairs_min_label(spread(rd.from_pandas(mutual))) \
+            .rename(columns={"doc_id": "node", "cluster_id": "component"})
+    return out.astype({"node": np.int64, "component": np.int64}) \
+        .sort_values("node", ignore_index=True)
