@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hybrid_rrf": rel.docs_hybrid_rrf,
         "embeddings_knn_graph": rel.embeddings_knn_graph,
         "embeddings_knn_clusters": rel.embeddings_knn_clusters,
+        "docs_phrase_search": rel.docs_phrase_search,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -677,6 +678,38 @@ _KNN_CLUSTERS_SQL = f"""
     FROM lab QUALIFY it = MAX(it) OVER ()
     ORDER BY node
 """
+
+
+def _rel_phrase() -> list[str]:
+    from ttmf_ray.pipelines.relational import PHRASE_QUERY
+
+    return PHRASE_QUERY
+
+
+def _phrase_sql(phrase: list[str]) -> str:
+    """Exact mirror of docs_phrase_search (stages/invindex.py): the
+    positional self-join chain over the flat `[0-9a-z_]+` word table —
+    term i of the phrase at position p + i."""
+    joins = " ".join(
+        f"JOIN flat f{i} ON f{i}.doc_id = f0.doc_id "
+        f"AND f{i}.p = f0.p + {i}"
+        for i in range(1, len(phrase)))
+    conds = " AND ".join(
+        f"f{i}.w = '{w}'" for i, w in enumerate(phrase))
+    return f"""
+    WITH dt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[0-9a-z_]+') AS ws
+                FROM documents),
+    flat AS MATERIALIZED (
+        SELECT doc_id, unnest(ws) AS w,
+               (generate_subscripts(ws, 1) - 1)::BIGINT AS p
+        FROM dt)
+    SELECT f0.doc_id, f0.p AS start_pos
+    FROM flat f0 {joins}
+    WHERE {conds}
+    ORDER BY f0.doc_id, start_pos
+    """
 
 
 def _hybrid_rrf_sql(n_list: int = 50, k: int = 20, kr: int = 60) -> str:
@@ -2719,6 +2752,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_hybrid_rrf": _hybrid_rrf_sql(),
         "embeddings_knn_graph": _KNN_GRAPH_SQL,
         "embeddings_knn_clusters": _KNN_CLUSTERS_SQL,
+        "docs_phrase_search": _phrase_sql(_rel_phrase()),
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

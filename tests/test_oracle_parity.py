@@ -80,6 +80,7 @@ SUBSET = [
     "docs_hybrid_rrf",
     "embeddings_knn_graph",
     "embeddings_knn_clusters",
+    "docs_phrase_search",
 ]
 
 

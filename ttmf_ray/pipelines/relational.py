@@ -1103,3 +1103,25 @@ def embeddings_knn_clusters(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return mutual_knn_clusters(ds, k=5)
+
+
+PHRASE_QUERY = ["hash", "join"]
+
+
+def docs_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase occurrences via a STORED positional inverted index
+    (stages/invindex.py): one corpus pass writes (token, doc_id, pos)
+    rows hash-bucketed into partitioned parquet; the probe reads ONLY
+    the phrase terms' buckets (partition pruning) and chains sorted
+    packed-key positional joins.  The SQL twin is the positional
+    self-join on the flat token table."""
+    import os
+    import uuid
+
+    from ..stages.invindex import build_positional_index, phrase_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out_dir = f"/tmp/ttmf_invindex/{uuid.uuid4().hex}"
+    os.makedirs(out_dir, exist_ok=True)
+    build_positional_index(ds, out_dir)
+    return phrase_search(out_dir, PHRASE_QUERY)
