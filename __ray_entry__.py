@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_graph": rel.embeddings_knn_graph,
         "embeddings_knn_clusters": rel.embeddings_knn_clusters,
         "docs_phrase_search": rel.docs_phrase_search,
+        "docs_blocklist": rel.docs_blocklist,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -678,6 +679,29 @@ _KNN_CLUSTERS_SQL = f"""
     FROM lab QUALIFY it = MAX(it) OVER ()
     ORDER BY node
 """
+
+
+def _blocklist_sql() -> str:
+    from ttmf_ray.pipelines.relational import BLOCK_TERMS
+
+    lst = ", ".join(f"'{t}'" for t in sorted(BLOCK_TERMS))
+    return f"""
+    WITH flat AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               unnest(regexp_extract_all(lower(text),
+                                         '[0-9a-z_]+')) AS w
+        FROM documents),
+    h AS (SELECT doc_id, count(*)::BIGINT AS n_hits,
+                 count(DISTINCT w)::BIGINT AS n_terms
+          FROM flat WHERE w IN ({lst}) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           COALESCE(h.n_terms, 0)::BIGINT AS n_terms,
+           CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END::BIGINT AS keep
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+    LEFT JOIN h USING (doc_id)
+    ORDER BY doc_id
+    """
 
 
 def _rel_phrase() -> list[str]:
@@ -2753,6 +2777,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_knn_graph": _KNN_GRAPH_SQL,
         "embeddings_knn_clusters": _KNN_CLUSTERS_SQL,
         "docs_phrase_search": _phrase_sql(_rel_phrase()),
+        "docs_blocklist": _blocklist_sql(),
         "docs_jsonl_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"

@@ -81,6 +81,7 @@ SUBSET = [
     "embeddings_knn_graph",
     "embeddings_knn_clusters",
     "docs_phrase_search",
+    "docs_blocklist",
 ]
 
 

@@ -1125,3 +1125,46 @@ def docs_phrase_search(sf_dir: str) -> pd.DataFrame:
     os.makedirs(out_dir, exist_ok=True)
     build_positional_index(ds, out_dir)
     return phrase_search(out_dir, PHRASE_QUERY)
+
+
+BLOCK_TERMS = ["slow", "error", "crash"]
+
+
+def docs_blocklist(sf_dir: str) -> pd.DataFrame:
+    """Word-level blocklist gate: per doc the total blocked-word hits,
+    the number of distinct blocked terms present, and keep = no hits —
+    the broadcast-term-set filter every curation pipeline carries.
+    Stateless per-batch kernel (factorize + membership on the tiny
+    term array); nothing shuffles."""
+    from ..stages.classify import _doc_words
+
+    terms = np.asarray(sorted(BLOCK_TERMS), dtype=object)
+
+    def gate(t: pa.Table) -> pa.Table:
+        flat, didx, n = _doc_words(t.column("text"))
+        hits = np.zeros(n, np.int64)
+        nterms = np.zeros(n, np.int64)
+        if len(flat):
+            codes, uniq = pd.factorize(flat)
+            pos = np.clip(np.searchsorted(terms, uniq), 0,
+                          len(terms) - 1)
+            blocked = terms[pos] == uniq
+            bmask = blocked[codes]
+            hits = np.bincount(didx[bmask], minlength=n).astype(np.int64)
+            # distinct blocked terms per doc
+            if bmask.any():
+                key = didx[bmask] * np.int64(len(terms)) \
+                    + pos[codes][bmask]
+                uk = np.unique(key)
+                nterms = np.bincount((uk // len(terms)).astype(np.int64),
+                                     minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_hits": pa.array(hits),
+            "n_terms": pa.array(nterms),
+            "keep": pa.array((hits == 0).astype(np.int64))})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(gate, batch_format="pyarrow").to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("doc_id", ignore_index=True)
