@@ -53,3 +53,23 @@ def test_cli_kmeans_dedup_curate(tmp_path):
                 "--out", str(tmp_path / "curated"), "--shards", "4"])
     assert out["shards_total"] == 4 and out["shards_processed"] == 4
     assert os.path.isdir(str(tmp_path / "curated" / "shard=0"))
+
+
+def test_cli_bpe_index_graph(tmp_path):
+    out = _run(["bpe", "--docs", "/root/testdata/sf0.001/documents.parquet",
+                "--out", str(tmp_path / "merges.jsonl"), "--merges", "6"])
+    assert out["merges"] == 6
+
+    out = _run(["index", "--docs",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--out", str(tmp_path / "idx"), "--probe", "hash join"])
+    assert out["hits"] == 25          # pinned by the docs_phrase_search oracle
+
+    import numpy as np
+    import pandas as pd
+    pd.DataFrame({"a": np.array([1, 1, 2], dtype=np.int64),
+                  "b": np.array([2, 3, 3], dtype=np.int64)}) \
+        .to_parquet(tmp_path / "pairs.parquet")
+    out = _run(["graph", "--pairs", str(tmp_path / "pairs.parquet"),
+                "--out", str(tmp_path / "tri")])
+    assert out["rows"] == 3           # the 3-cycle: every node tri=1

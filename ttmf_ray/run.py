@@ -84,6 +84,26 @@ def main(argv: list[str] | None = None) -> int:
     p6.add_argument("--out", required=True)
     p6.add_argument("--shards", type=int, default=8)
 
+    p7 = sub.add_parser("bpe", help="docs parquet → learned BPE merges")
+    p7.add_argument("--docs", required=True)
+    p7.add_argument("--out", required=True, help="merges JSON path")
+    p7.add_argument("--merges", type=int, default=32)
+
+    p8 = sub.add_parser("index", help="docs parquet → stored positional "
+                                      "inverted index (+ optional probe)")
+    p8.add_argument("--docs", required=True)
+    p8.add_argument("--out", required=True, help="index directory")
+    p8.add_argument("--probe", default=None,
+                    help="space-separated phrase to search after building")
+
+    p9 = sub.add_parser("graph", help="(a, b) pair parquet → triangle "
+                                      "stats or k-core")
+    p9.add_argument("--pairs", required=True,
+                    help="parquet with int64 columns a, b (a < b)")
+    p9.add_argument("--out", required=True)
+    p9.add_argument("--kcore", type=int, default=None,
+                    help="emit the maximal k-core instead of triangles")
+
     args = ap.parse_args(argv)
     _init_ray(args.num_cpus)
 
@@ -204,6 +224,33 @@ def main(argv: list[str] | None = None) -> int:
         kept = hash_join(ds, kept_ids, on="doc_id")
         r = export_shuffled(kept, args.out, n_shards=args.shards)
         print(json.dumps(r))
+    elif args.cmd == "bpe":
+        from .stages.bpe import learn_bpe
+
+        merges = learn_bpe(rd.read_parquet(args.docs), k=args.merges)
+        merges.to_json(args.out, orient="records", lines=True)
+        print(json.dumps({"merges": len(merges), "out": args.out}))
+    elif args.cmd == "index":
+        from .stages.invindex import build_positional_index, phrase_search
+
+        build_positional_index(rd.read_parquet(args.docs), args.out)
+        info = {"out": args.out}
+        if args.probe:
+            hits = phrase_search(args.out, args.probe.split())
+            info["probe"] = args.probe
+            info["hits"] = len(hits)
+        print(json.dumps(info))
+    elif args.cmd == "graph":
+        from .stages.dedup import distinct_rows
+        from .stages.graph import kcore, triangle_stats
+
+        pairs = distinct_rows(rd.read_parquet(args.pairs), ["a", "b"])
+        if args.kcore:
+            out = kcore(pairs, k=args.kcore)
+        else:
+            out = triangle_stats(pairs)
+        rd.from_pandas(out).write_parquet(args.out)
+        print(json.dumps({"rows": len(out), "out": args.out}))
     ray.shutdown()
     return 0
 
