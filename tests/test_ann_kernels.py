@@ -123,7 +123,8 @@ def test_union_find_matches_distributed_label_prop(ray_session):
     ed = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
     drv = _components_min_label(ed["a"].to_numpy(), ed["b"].to_numpy()) \
         .sort_values("node", ignore_index=True)
-    dist = cluster_pairs_min_label(spread(rd.from_pandas(ed))) \
+    dist = cluster_pairs_min_label(spread(rd.from_pandas(ed)),
+                                   driver_max=None) \
         .rename(columns={"doc_id": "node", "cluster_id": "component"}) \
         .astype({"node": np.int64, "component": np.int64}) \
         .sort_values("node", ignore_index=True)

@@ -315,6 +315,10 @@ def test_min_label_clusters_equal_union_find():
     got = cluster_pairs_min_label(rd.from_pandas(pairs).repartition(3))
     want = cluster_pairs(pairs)
     pd.testing.assert_frame_equal(got, want)
+    # the distributed rounds (driver fast path bypassed) must agree too
+    got_dist = cluster_pairs_min_label(
+        rd.from_pandas(pairs).repartition(3), driver_max=None)
+    pd.testing.assert_frame_equal(got_dist, want)
     assert got[got["doc_id"].isin([10, 11, 12, 13])]["cluster_id"] \
         .eq(10).all()
 

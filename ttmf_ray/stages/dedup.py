@@ -852,7 +852,9 @@ def incremental_pairs_from_index(index_dir: str, new_ds, *,
 
 
 def cluster_pairs_min_label(pairs_ds, *, n_buckets: int = 64,
-                            max_iters: int = 100) -> pd.DataFrame:
+                            max_iters: int = 100,
+                            driver_max: int | None = 2_000_000
+                            ) -> pd.DataFrame:
     """Distributed connected components over verified pairs — the groupby
     min-label propagation variant :func:`cluster_pairs`' guard points at.
 
@@ -861,13 +863,31 @@ def cluster_pairs_min_label(pairs_ds, *, n_buckets: int = 64,
     the symmetrized edge list (self-loops carry the node's own label).
     Labels only decrease, so the label SUM is a monotone convergence
     witness: one tiny aggregate per round, stop when it stops falling.
-    Rounds = component diameter (near-dup clusters are near-cliques —
-    2-3 in practice); per round the shuffle moves edge rows only.
+    Rounds = component diameter — fine for near-clique dup clusters, but
+    a Dataset round per hop is pathological on thin-chain graphs
+    (measured 167 s on the sf0.01 KG for a ms-sized kernel), so under
+    ``driver_max`` edges the identical min-id partition comes from a
+    driver union-find (rule 13; parity pinned in tests — pass
+    ``driver_max=None`` to force the distributed rounds).
     Returns (doc_id, cluster_id=min member), identical to
     :func:`cluster_pairs` (asserted in tests)."""
     import pyarrow.compute as pc  # noqa: F401
 
     from ..functions.joins import hash_join
+
+    if driver_max is not None:
+        pairs_ds = pairs_ds.materialize()
+        if pairs_ds.count() <= driver_max:
+            from .ann import _components_min_label
+
+            ed = pairs_ds.to_pandas()
+            out = _components_min_label(
+                ed["a"].to_numpy(np.int64), ed["b"].to_numpy(np.int64)) \
+                .rename(columns={"node": "doc_id",
+                                 "component": "cluster_id"})
+            return out.astype({"doc_id": np.int64,
+                               "cluster_id": np.int64}) \
+                .sort_values("doc_id").reset_index(drop=True)
 
     def sym(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy().astype(np.int64)
