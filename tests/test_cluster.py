@@ -46,6 +46,21 @@ def test_kmeans_deterministic():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_kmeans_driver_fast_path_parity():
+    """Rule-13 contract: the driver fast path (driver_max high) must be
+    BIT-IDENTICAL to the actor-pool path (driver_max=0) — same
+    assignments, same rounded distances, same centroid matrix."""
+    ds, _ = _blob_ds()
+    fast_ds, fast_C = kmeans(ds, k=3, n_iter=4, driver_max=10_000)
+    pool_ds, pool_C = kmeans(ds, k=3, n_iter=4, driver_max=0)
+    fast = fast_ds.to_pandas().sort_values("vec_id", ignore_index=True)
+    pool = pool_ds.to_pandas().sort_values("vec_id", ignore_index=True)
+    np.testing.assert_array_equal(fast_C, pool_C)
+    pd.testing.assert_frame_equal(
+        fast.astype({"cluster": np.int64}),
+        pool.astype({"cluster": np.int64}))
+
+
 def test_semantic_dedup_flags_planted_near_identical():
     ds, df = _blob_ds()
     # plant near-identical copies of vec 0 and vec 40 (different blobs)

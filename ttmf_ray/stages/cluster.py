@@ -110,11 +110,55 @@ def assign_clusters(V: np.ndarray, C: np.ndarray):
     return a, rd[np.arange(len(V)), a]
 
 
+def _kmeans_driver(ids: np.ndarray, V: np.ndarray, *, k: int,
+                   n_iter: int, seed: int):
+    """The identical quantized iteration on collected arrays (rule 13:
+    per-iteration actor-pool spin-up cost SECONDS on FB15K-scale
+    tables; the numpy kernel costs milliseconds).  Same init rank,
+    same round-6 centroid update, same assignment rule."""
+    h = mix64_vec(seed, KMEANS_SEED_TAG, ids)
+    keep = np.lexsort((ids, h))[:k]
+    C = _round6(np.asarray(V[keep], dtype=np.float64))
+    for _ in range(n_iter):
+        a = assign_clusters(V, C)[0]
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, V)
+        nonempty = cnt > 0
+        C = C.copy()
+        C[nonempty] = _round6(sums[nonempty] / cnt[nonempty, None])
+    a, dist = assign_clusters(V, C)
+    out = pa.table({"vec_id": pa.array(ids),
+                    "cluster": pa.array(a.astype(np.int64)),
+                    "dist": pa.array(dist)})
+    return out, C
+
+
 def kmeans(ds, *, k: int = 8, n_iter: int = 4, seed: int = 628,
-           id_col: str = "vec_id", vec_col: str = "embedding"):
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           driver_max: int = 200_000):
     """Embedding Dataset → (assignment Dataset [id, cluster, dist],
-    final (k, d) centroid matrix)."""
-    ds = spread(ds.materialize())
+    final (k, d) centroid matrix).  Under ``driver_max`` rows the whole
+    quantized iteration runs driver-side on the collected matrix
+    (identical kernels; pass ``driver_max=0`` to force the pool path);
+    the round-6 centroid quantization per iteration makes both paths —
+    and the SQL mirror's unrolled CTEs — land on the same centroids."""
+    import ray.data as rd
+
+    ds = ds.materialize()
+    if driver_max and ds.count() <= driver_max:
+        tbls = ray.get(ds.to_arrow_refs())
+        tbls = [t.select([id_col, vec_col]) for t in tbls if t.num_rows]
+        t = pa.concat_tables(tbls)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        V = list_col_matrix(t.column(vec_col))[order]
+        out, C = _kmeans_driver(ids[order], V, k=k, n_iter=n_iter,
+                                seed=seed)
+        if id_col != "vec_id":
+            out = out.rename_columns([id_col, "cluster", "dist"])
+        return spread(rd.from_arrow(out)), C
+    ds = spread(ds)
     C = seeded_init_centroids(ds, k=k, seed=seed, id_col=id_col,
                               vec_col=vec_col)
     for _ in range(n_iter):
