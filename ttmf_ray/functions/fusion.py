@@ -46,6 +46,45 @@ FEATURES = [
 MAX_P = 3   # steps per path sequence (Model1.py:995)
 N_BRANCH = 3  # top-k paths fed as branches
 
+# Driver/actor scoring kernels work in fixed row chunks on REUSED
+# thread-local scratch (fresh 100 MB+ temps page-fault every page —
+# CLAUDE.md rule 9 — and were 5 s of a 6 s scoring wall).  Chunk size is
+# a constant so results never depend on table or cluster size.
+_SCORE_CHUNK = 32768
+
+
+def _tls_buf(name: str, shape: tuple, dtype) -> np.ndarray:
+    """Per-thread reusable scratch buffer (grown-once, keyed by name)."""
+    import threading
+
+    tls = _tls_buf._tls
+    key = (name, shape, np.dtype(dtype))
+    buf = getattr(tls, "bufs", None)
+    if buf is None:
+        buf = tls.bufs = {}
+    arr = buf.get(key)
+    if arr is None:
+        arr = buf[key] = np.empty(shape, dtype)
+    return arr
+
+
+_tls_buf._tls = __import__("threading").local()
+
+
+def _chunk_map(work, n: int, *, threads: int = 8) -> None:
+    """Run ``work(start_row)`` over fixed _SCORE_CHUNK strides, fanned
+    across a small thread pool (numpy kernels release the GIL).  Chunk
+    boundaries are size-independent, so outputs are bit-stable."""
+    starts = range(0, n, _SCORE_CHUNK)
+    if n <= _SCORE_CHUNK or threads <= 1:
+        for s in starts:
+            work(s)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(threads) as ex:
+        list(ex.map(work, starts))
+
 
 def seq_columns(k: int) -> list[str]:
     """Wide-table columns of branch k's padded edge-id sequences."""
@@ -147,37 +186,98 @@ class FusionModel:
 
     def pool_stacked(self, seqs: list) -> np.ndarray:
         """All branches' pooled vectors as one (B, N_BRANCH, 3·dim) slab —
-        allocated ONCE; each branch pools straight into its slice."""
+        allocated ONCE; each branch pools straight into its slice, row
+        chunks fanned over a thread pool (numpy releases the GIL in
+        take/einsum; per-row masked means are chunk-invariant, so the
+        bits match the serial pass exactly)."""
         Ep, Rp = self.emb
         B = len(seqs[0][3])
         d_step = 2 * Ep.shape[1] + Rp.shape[1]
         slab = np.empty((B, len(seqs), d_step), dtype=np.float32)
-        gather = np.empty((B, MAX_P, max(Ep.shape[1], Rp.shape[1])),
-                          dtype=Ep.dtype)
-        for k, seq in enumerate(seqs):
-            self._pool_into(seq, slab[:, k, :], gather)
+        ke = max(Ep.shape[1], Rp.shape[1])
+
+        def work(s0: int) -> None:
+            s1 = min(s0 + _SCORE_CHUNK, B)
+            gather = _tls_buf("pool_gather",
+                              (_SCORE_CHUNK, MAX_P, ke), Ep.dtype)
+            for k, (s, d, r, ln) in enumerate(seqs):
+                self._pool_into((s[s0:s1], d[s0:s1], r[s0:s1], ln[s0:s1]),
+                                slab[s0:s1, k, :], gather[:s1 - s0])
+
+        _chunk_map(work, B)
         return slab
 
-    def branch_outputs(self, pooled: np.ndarray):
-        """pooled (B, K, d) → ((B, K) sigmoid outputs, cache).
+    def branch_outputs(self, pooled: np.ndarray) -> np.ndarray:
+        """pooled (B, K, d) → (B, K) sigmoid outputs.
 
-        Batched matmul over the branch axis (NOT einsum — the bkd,kdh
-        einsum contraction takes numpy's non-BLAS path, measured 12x
-        slower than stacked np.matmul)."""
+        Chunked per-k GEMM on a reused float64 scratch: the old
+        whole-slab ``np.matmul(pooled.transpose(1,0,2), Wb)`` promoted
+        the float32 slab to a fresh float64 temp (hundreds of MB) every
+        call — the page faults on that alloc, not the FLOPs, measured
+        5 s of a 6 s scoring wall (CLAUDE.md rule 9).  Bitwise identical
+        to the promoted matmul (elementwise cast + same (m,d)@(d,h)
+        GEMM k-order, verified on the captured 137k-row slab)."""
+        B = pooled.shape[0]
+        zk = np.empty((B, len(self.branches[0])), np.float64)
+        for s0 in range(0, B, _SCORE_CHUNK):
+            s1 = min(s0 + _SCORE_CHUNK, B)
+            self._branch_zk_chunk(pooled[s0:s1], zk[s0:s1])
+        return zk
+
+    def _branch_zk_chunk(self, pooled_c: np.ndarray,
+                         zk_out: np.ndarray) -> None:
+        """One row chunk of branch_outputs into ``zk_out`` (thread-local
+        scratch; safe under a thread pool)."""
         Wb, bb, wb, cb = self.branches
-        Hk = np.tanh(
-            np.matmul(pooled.transpose(1, 0, 2), Wb).transpose(1, 0, 2)
-            + bb)
-        zk = 1.0 / (1.0 + np.exp(-((Hk * wb[None]).sum(axis=2) + cb)))
-        return zk, (pooled, Hk, zk)
+        m = len(pooled_c)
+        K, dd, h = Wb.shape
+        c64 = _tls_buf("branch_c64", (_SCORE_CHUNK, K, dd), np.float64)
+        Hk = _tls_buf("branch_hk", (_SCORE_CHUNK, K, h), np.float64)
+        np.copyto(c64[:m], pooled_c)        # == matmul's f64 promotion
+        for k in range(K):
+            np.matmul(c64[:m, k, :], Wb[k], out=Hk[:m, k, :])
+        np.add(Hk[:m], bb, out=Hk[:m])
+        np.tanh(Hk[:m], out=Hk[:m])
+        zk_out[:] = 1.0 / (1.0 + np.exp(-((Hk[:m] * wb[None]).sum(axis=2)
+                                          + cb)))
+
+    def _zk_from_seqs(self, seqs: list) -> np.ndarray:
+        """seqs → (B, K) branch outputs WITHOUT materializing the full
+        pooled slab: each thread pools one row chunk into its own
+        (chunk, K, d) scratch and immediately reduces it to zk.  The
+        scoring path for big tables — peak extra memory is
+        threads × chunk × K × d instead of B × K × d."""
+        Ep, Rp = self.emb
+        B = len(seqs[0][3])
+        K = len(seqs)
+        d_step = 2 * Ep.shape[1] + Rp.shape[1]
+        ke = max(Ep.shape[1], Rp.shape[1])
+        zk = np.empty((B, K), np.float64)
+
+        def work(s0: int) -> None:
+            s1 = min(s0 + _SCORE_CHUNK, B)
+            m = s1 - s0
+            slab = _tls_buf("score_slab", (_SCORE_CHUNK, K, d_step),
+                            np.float32)
+            gather = _tls_buf("pool_gather",
+                              (_SCORE_CHUNK, MAX_P, ke), Ep.dtype)
+            for k, (s, d, r, ln) in enumerate(seqs):
+                self._pool_into((s[s0:s1], d[s0:s1], r[s0:s1], ln[s0:s1]),
+                                slab[:m, k, :], gather[:m])
+            self._branch_zk_chunk(slab[:m], zk[s0:s1])
+
+        _chunk_map(work, B)
+        return zk
 
     def forward(self, X: np.ndarray, seqs=None, pooled=None) -> np.ndarray:
         Z = (X - self.mu) / self.sd
         if self.branches is not None:
-            if pooled is None and seqs is not None:
-                pooled = self.pool_stacked(seqs)
+            zb = None
             if pooled is not None:
-                zb, _ = self.branch_outputs(pooled)
+                zb = self.branch_outputs(pooled)
+            elif seqs is not None:
+                zb = self._zk_from_seqs(seqs)
+            if zb is not None:
                 Z = np.concatenate([zb, Z], axis=1)
         H = np.tanh(Z @ self.W1 + self.b1)
         return 1.0 / (1.0 + np.exp(-(H @ self.W2 + self.b2)))
@@ -422,6 +522,23 @@ def score_fusion_batch(batch: pa.Table, model: FusionModel) -> pa.Table:
         seqs = _extract_seqs_table(batch)
     conf = model.forward(X, seqs)[:, 0]
     return batch.append_column("conf", pa.array(conf))
+
+
+def score_fusion_df(df: pd.DataFrame, model: FusionModel) -> pd.DataFrame:
+    """Driver-side scoring that never leaves pandas/numpy: identical
+    math to :func:`score_fusion_batch` (same column extraction values,
+    same forward kernels) without the arrow round-trip that measured
+    ~1 s on a 137k×54 conf table."""
+    X = np.nan_to_num(df[model.features].to_numpy(dtype=np.float64),
+                      nan=0.0, posinf=0.0, neginf=0.0)
+    seqs = None
+    if (model.branches is not None
+            and all(c in df.columns for c in ALL_SEQ_COLUMNS)):
+        seqs = _extract_seqs(df)
+    conf = model.forward(X, seqs)[:, 0]
+    out = df.copy(deep=False)
+    out["conf"] = conf
+    return out
 
 
 def score_fusion_task(batch: pa.Table, *, model_bc: Broadcast) -> pa.Table:

@@ -161,26 +161,38 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     edges_ds = edges_ds.materialize()
     if edges_ds.count() <= 5_000_000:
         # driver fast path: the KG is FB15K-scale by contract (module
-        # docstring) — ONE Arrow collect, vocab via np.unique, id-map via
-        # searchsorted.  Bit-identical to build_vocab + id_map_edges
-        # (same sort-assigned ids, no OOV possible when the vocab comes
-        # from the same edges); replaces three Ray passes that measured
-        # ~4-5 s of the critical chain at 239k edges.
+        # docstring) — ONE Arrow collect, vocab + id-map via Arrow HASH
+        # kernels (pc.unique / pc.index_in against the sorted unique
+        # set), never numpy object arrays: np.unique + searchsorted on
+        # 1.4M Python strings measured 1.1 s where the Arrow kernels
+        # take 45 ms (bit-identical ids verified — names are ASCII, so
+        # Arrow's byte sort == Python's code-point sort).  Replaces
+        # three Ray passes that measured ~4-5 s of the critical chain.
+        import pyarrow.compute as _pc
         _tbls = _ray.get(edges_ds.to_arrow_refs())
         _tbl = pa.concat_tables([t for t in _tbls if t.num_rows]
                                 or _tbls[:1])
-        _subj = _tbl.column("subj").to_numpy(zero_copy_only=False)
-        _pred = _tbl.column("pred").to_numpy(zero_copy_only=False)
-        _obj = _tbl.column("obj").to_numpy(zero_copy_only=False)
-        _ents = np.unique(np.concatenate([_subj, _obj]))
-        _rels = np.unique(_pred)
-        ent_df = pd.DataFrame({"name": _ents,
-                               "id": np.arange(len(_ents), dtype=np.int32)})
-        rel_df = pd.DataFrame({"name": _rels,
-                               "id": np.arange(len(_rels), dtype=np.int32)})
-        _h = np.searchsorted(_ents, _subj).astype(np.int64)
-        _t2 = np.searchsorted(_ents, _obj).astype(np.int64)
-        _r = np.searchsorted(_rels, _pred).astype(np.int64)
+        _subj_c = _tbl.column("subj").combine_chunks()
+        _pred_c = _tbl.column("pred").combine_chunks()
+        _obj_c = _tbl.column("obj").combine_chunks()
+        _ents_u = _pc.unique(pa.chunked_array([_subj_c, _obj_c]))
+        _ents_s = _ents_u.take(_pc.array_sort_indices(_ents_u))
+        _rels_u = _pc.unique(_pred_c)
+        _rels_s = _rels_u.take(_pc.array_sort_indices(_rels_u))
+        ent_df = pd.DataFrame({"name": _ents_s.to_numpy(
+                                   zero_copy_only=False),
+                               "id": np.arange(len(_ents_s),
+                                               dtype=np.int32)})
+        rel_df = pd.DataFrame({"name": _rels_s.to_numpy(
+                                   zero_copy_only=False),
+                               "id": np.arange(len(_rels_s),
+                                               dtype=np.int32)})
+        _h = _pc.index_in(_subj_c, value_set=_ents_s).to_numpy() \
+            .astype(np.int64)
+        _t2 = _pc.index_in(_obj_c, value_set=_ents_s).to_numpy() \
+            .astype(np.int64)
+        _r = _pc.index_in(_pred_c, value_set=_rels_s).to_numpy() \
+            .astype(np.int64)
     else:
         ent_df, rel_df = build_vocab(edges_ds)
         _tbls = _ray.get(
@@ -504,17 +516,22 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
                          epochs=cfg.fusion_epochs, path_emb=(Ep, Rp),
                          workers=fusion_workers)
     _lap("fusion_train")
-    from ..functions.fusion import score_fusion_batch
-
     if cfg.scorer_num_gpus is None and len(conf_test) <= 1_000_000:
         # driver fast path: per-row math on a conf table this small is
         # ~20 ms of numpy; the Ray round-trip (from_pandas + spread +
         # dispatch + collect) measured 6.7 s for the same 48k rows.  Same
         # kernel as the pool path ⇒ bit-identical conf values.
-        scored = score_fusion_batch(
-            pa.Table.from_pandas(conf_test, preserve_index=False), model
-        ).to_pandas().sort_values(["h", "t", "r", "flag"],
-                                  ignore_index=True)
+        # pandas-native: the arrow round-trip + wide 4-key sort_values
+        # measured ~2.5 s of the lap at 137k×54; lexsort + take is the
+        # identical permutation (the (h,t,r,flag) key is unique).
+        from ..functions.fusion import score_fusion_df
+
+        scored = score_fusion_df(conf_test, model)
+        _ord = np.lexsort((scored["flag"].to_numpy(),
+                           scored["r"].to_numpy(),
+                           scored["t"].to_numpy(),
+                           scored["h"].to_numpy()))
+        scored = scored.take(_ord).reset_index(drop=True)
     else:
         model_bc = Broadcast(model)
         from functools import partial
