@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_quantiles": cq.kg_degree_quantiles,
         "kg_subgraph_stats": cq.kg_subgraph_stats,
         "kg_ppr_micro": cq.kg_ppr_micro,
+        "kg_pagerank": cq.kg_pagerank,
+        "kg_relation_cardinality": cq.kg_relation_cardinality,
+        "docs_dup_canonical": cq.docs_dup_canonical,
         "kg_kgc_negatives": cq.kg_kgc_negatives,
         "kg_link_prediction": cq.kg_link_prediction,
         "kg_error_report": cq.kg_error_report,
@@ -200,6 +203,49 @@ _IDMAPPED_SQL = f"""
     JOIN ents et ON e.obj = et.name
     JOIN rels rl ON e.pred = rl.name
 """
+
+def _pagerank_sql(n_iter: int = 10, d: str = "0.85") -> str:
+    """Unrolled global-PageRank mirror of stages/pagerank.py: per
+    iteration the per-edge pr/outdeg SUM per target, the dangling-mass
+    (outdeg-0) redistribution, and the 9-dp quantization that keeps the
+    two engines' summation-order ulps from compounding.  MATERIALIZED on
+    every level (CLAUDE.md: unrolled iteration CTEs referenced twice
+    inline exponentially otherwise)."""
+    its = []
+    prev = "p0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    c{i} AS MATERIALIZED (
+        SELECT e.v AS id, sum({prev}.pr / od.od) AS s
+        FROM e JOIN {prev} ON {prev}.id = e.u
+               JOIN odeg od ON od.u = e.u
+        GROUP BY e.v),
+    g{i} AS MATERIALIZED (
+        SELECT COALESCE(sum(p.pr), 0) AS m
+        FROM {prev} p LEFT JOIN odeg od ON od.u = p.id
+        WHERE od.u IS NULL),
+    p{i} AS MATERIALIZED (
+        SELECT n.id,
+               round((1 - {d}) / nn.n
+                     + {d} * (COALESCE(c{i}.s, 0) + g{i}.m / nn.n),
+                     9) AS pr
+        FROM nodes n CROSS JOIN nn CROSS JOIN g{i}
+        LEFT JOIN c{i} ON c{i}.id = n.id)""")
+        prev = f"p{i}"
+    return f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
+    e AS MATERIALIZED (SELECT DISTINCT h AS u, t AS v FROM edges0),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (SELECT u AS id FROM e
+                                 UNION ALL SELECT v FROM e)),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+    odeg AS MATERIALIZED (SELECT u, count(*) AS od FROM e GROUP BY u),
+    p0 AS MATERIALIZED (
+        SELECT id, round(1.0 / nn.n, 9) AS pr FROM nodes CROSS JOIN nn),
+    {",".join(its)}
+    SELECT CAST(id AS BIGINT) AS node, pr FROM {prev} ORDER BY node
+    """
+
 
 # --- splitmix64 in SQL (mirrors sources/pages.py:mix64 bit-for-bit) --------
 # 64-bit wraparound multiply in HUGEINT via hi/lo 32-bit split; each mix
@@ -2225,6 +2271,33 @@ _TOP_TOKENS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # min-label-propagation components over verified near-dup pairs —
+    # shared by docs_dup_clusters and docs_dup_canonical
+    dup_clusters_sql = f"""
+            WITH RECURSIVE vp AS MATERIALIZED (
+                SELECT a, b FROM ({_minhash_dedup_sql()})),
+            nodes AS MATERIALIZED (
+                SELECT a AS n FROM vp UNION SELECT b FROM vp),
+            esym AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM vp
+                UNION ALL SELECT b, a FROM vp
+                UNION ALL SELECT n, n FROM nodes),
+            lab(it, node, l, chg) AS (
+                SELECT 0, n, n, 1::BIGINT FROM nodes
+                UNION ALL
+                SELECT x.it + 1, x.node, x.nl,
+                       SUM(CASE WHEN x.nl < x.ol THEN 1 ELSE 0 END) OVER ()
+                FROM (SELECT p.it, e.v AS node, MIN(p.l) AS nl,
+                             MIN(CASE WHEN e.u = e.v THEN p.l END) AS ol
+                      FROM lab p JOIN esym e ON e.u = p.node
+                      WHERE p.chg > 0 AND p.it < 100
+                      GROUP BY p.it, e.v) x
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(l AS BIGINT) AS cluster_id
+            FROM lab QUALIFY it = MAX(it) OVER ()
+            ORDER BY doc_id
+        """
     return {
         "kg_edges_relational": _EDGES_SQL,
         # the TSV write→read roundtrip must reproduce the same edge set
@@ -2653,6 +2726,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_subgraph_stats": _SUBGRAPH_STATS_SQL,
         "kg_ppr_micro": _PPR_MICRO_SQL,
+        # global PageRank: unrolled quantized power iteration (9 dp per
+        # update — no cross-engine drift compounds); stages/pagerank.py
+        "kg_pagerank": _pagerank_sql(),
+        # Bordes et al. 2013 §4 relation cardinality profile: triples
+        # per distinct head/tail, 1.5 cutoff
+        "kg_relation_cardinality": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            agg AS (SELECT pred AS rel,
+                           count(*) AS n_triples,
+                           count(DISTINCT subj) AS n_heads,
+                           count(DISTINCT obj) AS n_tails
+                    FROM edges GROUP BY pred)
+            SELECT rel,
+                   CAST(n_triples AS BIGINT) AS n_triples,
+                   CAST(n_heads AS BIGINT) AS n_heads,
+                   CAST(n_tails AS BIGINT) AS n_tails,
+                   n_triples * 1.0 / n_heads AS tph,
+                   n_triples * 1.0 / n_tails AS hpt,
+                   CASE WHEN n_triples * 1.0 / n_heads < 1.5
+                         AND n_triples * 1.0 / n_tails < 1.5 THEN '1-1'
+                        WHEN n_triples * 1.0 / n_heads < 1.5 THEN 'N-1'
+                        WHEN n_triples * 1.0 / n_tails < 1.5 THEN '1-N'
+                        ELSE 'N-N' END AS category
+            FROM agg ORDER BY rel
+        """,
+        # canonical doc per near-dup cluster: max n_tokens, tie -> min
+        # doc_id (window over the shared min-label-propagation clusters)
+        "docs_dup_canonical": f"""
+            WITH clusters AS MATERIALIZED ({dup_clusters_sql}),
+            q AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         length({_TOKENS}) AS n_tokens
+                  FROM documents),
+            m AS (SELECT c.doc_id, c.cluster_id,
+                         COALESCE(q.n_tokens, 0) AS n_tokens
+                  FROM clusters c LEFT JOIN q ON q.doc_id = c.doc_id),
+            win AS (SELECT m.*, first_value(doc_id) OVER (
+                        PARTITION BY cluster_id
+                        ORDER BY n_tokens DESC, doc_id) AS canonical_id
+                    FROM m)
+            SELECT doc_id, cluster_id, canonical_id,
+                   CAST(doc_id = canonical_id AS BIGINT) AS keep,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM win ORDER BY doc_id
+        """,
         "docs_lang_detect": _LANG_DETECT_SQL,
         "docs_simhash": _simhash_sql(),
         "docs_minhash_dedup": _minhash_dedup_sql(),
@@ -2667,31 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         # min-label propagation as a recursive CTE — self-edge carrier rows
         # expose each node's previous label, a changed-label window count
         # is the stopping rule (same shape as the PPR mirror)
-        "docs_dup_clusters": f"""
-            WITH RECURSIVE vp AS MATERIALIZED (
-                SELECT a, b FROM ({_minhash_dedup_sql()})),
-            nodes AS MATERIALIZED (
-                SELECT a AS n FROM vp UNION SELECT b FROM vp),
-            esym AS MATERIALIZED (
-                SELECT a AS u, b AS v FROM vp
-                UNION ALL SELECT b, a FROM vp
-                UNION ALL SELECT n, n FROM nodes),
-            lab(it, node, l, chg) AS (
-                SELECT 0, n, n, 1::BIGINT FROM nodes
-                UNION ALL
-                SELECT x.it + 1, x.node, x.nl,
-                       SUM(CASE WHEN x.nl < x.ol THEN 1 ELSE 0 END) OVER ()
-                FROM (SELECT p.it, e.v AS node, MIN(p.l) AS nl,
-                             MIN(CASE WHEN e.u = e.v THEN p.l END) AS ol
-                      FROM lab p JOIN esym e ON e.u = p.node
-                      WHERE p.chg > 0 AND p.it < 100
-                      GROUP BY p.it, e.v) x
-            )
-            SELECT CAST(node AS BIGINT) AS doc_id,
-                   CAST(l AS BIGINT) AS cluster_id
-            FROM lab QUALIFY it = MAX(it) OVER ()
-            ORDER BY doc_id
-        """,
+        "docs_dup_clusters": dup_clusters_sql,
         # line winner = min(doc_id<<20 | line_no); blank lines bypass dedup
         # (stages/curation.py:line_dedup, same fixture: second line = next
         # doc's text)

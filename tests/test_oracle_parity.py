@@ -82,6 +82,9 @@ SUBSET = [
     "embeddings_knn_clusters",
     "docs_phrase_search",
     "docs_blocklist",
+    "kg_pagerank",
+    "kg_relation_cardinality",
+    "docs_dup_canonical",
 ]
 
 

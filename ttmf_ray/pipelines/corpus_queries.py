@@ -913,3 +913,103 @@ def part_cooccur_kcore(sf_dir: str) -> pd.DataFrame:
     out = kcore(distinct_rows(pairs, ["a", "b"]), k=60)
     assert len(out), "60-core unexpectedly empty (mirror reads last level)"
     return out
+
+
+def kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Global PageRank over the distinct-(h,t) relational KG — the
+    whole-graph power iteration (d=0.85, 10 iterations, dangling mass
+    redistributed, PR quantized to 9 dp per update) complementing the
+    per-head PERSONALIZED PageRank of kg_graph_features.  The SQL twin
+    unrolls the identical iterations over the same id assignment
+    (stages/pagerank.py docstring: quantize-the-iteration ⇒ no
+    cross-engine drift compounds)."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.pagerank import pagerank
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    e = rd.from_pandas(ids[["h", "t"]].rename(
+        columns={"h": "src", "t": "dst"}))
+    pr = pagerank(distinct_rows(e, ["src", "dst"]), len(ent_df))
+    return pr.sort_values("node", ignore_index=True)
+
+
+def kg_relation_cardinality(sf_dir: str) -> pd.DataFrame:
+    """Per-relation cardinality profile (the Bordes et al. 2013 §4
+    protocol behind every KGE eval split): tph = triples per distinct
+    head, hpt = triples per distinct tail, classified 1-1 / 1-N / N-1 /
+    N-N at the 1.5 cutoff.  Per-batch combiner (distinct packed keys +
+    counts), one driver fold — the KG vocabulary bounds the state, the
+    triple stream never lands anywhere whole."""
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    n_ent = len(ent_df)
+    ds = rd.from_pandas(ids[["h", "t", "r"]])
+
+    # three vocab-bounded reductions: distinct (r,h), distinct (r,t),
+    # triple counts per r — each a per-batch unique/bincount partial
+    import ray as _ray
+
+    def parts(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy().astype(np.int64)
+        tt = t.column("t").to_numpy().astype(np.int64)
+        r = t.column("r").to_numpy().astype(np.int64)
+        kh = np.unique(r * n_ent + h)
+        kt = np.unique(r * n_ent + tt)
+        side = np.concatenate([np.zeros(len(kh), np.int8),
+                               np.ones(len(kt), np.int8)])
+        return pa.table({"key": pa.array(np.concatenate([kh, kt])),
+                         "side": pa.array(side)})
+
+    tbls = _ray.get(ds.map_batches(parts, batch_format="pyarrow")
+                    .to_arrow_refs())
+    t = pa.concat_tables([x for x in tbls if x.num_rows])
+    key = t.column("key").to_numpy()
+    side = t.column("side").to_numpy()
+    n_rel = len(rel_df)
+    heads = np.zeros(n_rel, np.int64)
+    tails = np.zeros(n_rel, np.int64)
+    for s, acc in ((0, heads), (1, tails)):
+        u = np.unique(key[side == s])
+        acc += np.bincount(u // n_ent, minlength=n_rel)
+    n_tr = np.bincount(ids["r"].to_numpy(), minlength=n_rel).astype(np.int64)
+    tph = n_tr / np.maximum(heads, 1)
+    hpt = n_tr / np.maximum(tails, 1)
+    cat = np.where(tph < 1.5, np.where(hpt < 1.5, "1-1", "N-1"),
+                   np.where(hpt < 1.5, "1-N", "N-N"))
+    return pd.DataFrame({
+        "rel": rel_df["name"].to_numpy(),
+        "n_triples": n_tr,
+        "n_heads": heads,
+        "n_tails": tails,
+        "tph": tph,
+        "hpt": hpt,
+        "category": cat,
+    }).sort_values("rel", ignore_index=True)
+
+
+def docs_dup_canonical(sf_dir: str) -> pd.DataFrame:
+    """Canonical-document selection over the near-dup clusters (the last
+    step of a dedup pass: keep ONE representative per cluster) — the
+    winner is the member with the most whitespace tokens, ties to the
+    smallest doc_id.  Composition: minhash pairs → min-label clusters →
+    a per-doc quality probe (the pinned token counter) → per-cluster
+    argmax, all over the same Datasets the parent queries stream."""
+    from ..pipelines.relational import docs_quality
+
+    clusters = docs_dup_clusters(sf_dir)          # (doc_id, cluster_id)
+    q = docs_quality(sf_dir)[["doc_id", "n_tokens"]]
+    m = clusters.merge(q, on="doc_id", how="left")
+    m["n_tokens"] = m["n_tokens"].fillna(0).astype(np.int64)
+    # winner per cluster: max n_tokens, tie -> min doc_id
+    m = m.sort_values(["cluster_id", "n_tokens", "doc_id"],
+                      ascending=[True, False, True], ignore_index=True)
+    first = m.groupby("cluster_id", as_index=False).first() \
+        .rename(columns={"doc_id": "canonical_id"})[["cluster_id",
+                                                     "canonical_id"]]
+    out = m.merge(first, on="cluster_id")
+    out["keep"] = (out["doc_id"] == out["canonical_id"]).astype(np.int64)
+    return out[["doc_id", "cluster_id", "canonical_id", "keep",
+                "n_tokens"]].astype({c: np.int64 for c in
+                                     ["doc_id", "cluster_id",
+                                      "canonical_id", "keep",
+                                      "n_tokens"]}) \
+        .sort_values("doc_id", ignore_index=True)

@@ -1,0 +1,112 @@
+"""Global PageRank over an id-mapped edge Dataset — the whole-graph
+power iteration (vs. stages/graph.py's per-head PERSONALIZED PageRank on
+bounded subgraph balls).
+
+Ray-Data-first shape (the k-means partial pattern, CLAUDE.md rule 3):
+
+- **Out-degrees**: one ``map_batches`` pass emitting per-batch
+  ``bincount`` partials over the source column; the driver folds the
+  vocab-bounded vectors (|V| floats — the KG vocabulary is the small
+  object; the edge list streams).
+- **One pass per iteration**: the PR vector is broadcast (``ray.put``
+  once per iteration, never per batch); each batch returns
+  ``bincount(dst, weights=pr[src]/outdeg[src])`` — a |V|-float partial,
+  independent of batch size.  No shuffle: the fold is a driver-side
+  vector add, exactly like the k-means centroid update.
+- **Quantized iteration**: the new PR vector is rounded to 9 dp every
+  update, so float summation-order ulps never compound and a DuckDB
+  mirror running the identical unrolled iterations (per-edge pr/od
+  SUM + the dangling-mass redistribution) lands on the same vector —
+  the `docs_lm_perplexity` / `kmeans` quantize-the-iteration trick.
+- **Dangling nodes** (outdeg 0) redistribute their mass uniformly each
+  iteration (the standard stochastic-matrix fix; same formula as the
+  reference's per-ball PPR dangling handling, `pagerank.py:18-85`).
+
+Driver fast path (rule 13): under ``driver_max`` edges the identical
+kernels run on the collected int arrays — at FB15K scale the per-
+iteration Ray round-trip costs seconds where the bincounts cost
+milliseconds.  Parity is pinned by a driver-vs-pool test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..context import Broadcast, spread
+
+DAMPING = 0.85
+PR_ROUND = 9      # dp of the per-iteration quantization (mirror contract)
+
+
+def _pr_round(x: np.ndarray) -> np.ndarray:
+    return np.round(x, PR_ROUND)
+
+
+def _pr_step(pr: np.ndarray, contrib: np.ndarray, dangling: float,
+             d: float) -> np.ndarray:
+    n = len(pr)
+    return _pr_round((1.0 - d) / n + d * (contrib + dangling / n))
+
+
+def pagerank(edges_ds, n_nodes: int, *, d: float = DAMPING,
+             n_iter: int = 10, src_col: str = "src", dst_col: str = "dst",
+             driver_max: int = 5_000_000) -> pd.DataFrame:
+    """Distinct (src, dst) edge Dataset → (node, pr) DataFrame.
+
+    ``driver_max=0`` forces the pool path (used by the parity test)."""
+    edges_ds = edges_ds.materialize()
+    if driver_max and edges_ds.count() <= driver_max:
+        tbls = ray.get(edges_ds.to_arrow_refs())
+        t = pa.concat_tables([x.select([src_col, dst_col])
+                              for x in tbls if x.num_rows])
+        src = t.column(src_col).to_numpy().astype(np.int64)
+        dst = t.column(dst_col).to_numpy().astype(np.int64)
+        od = np.bincount(src, minlength=n_nodes)
+        pr = _pr_round(np.full(n_nodes, 1.0 / n_nodes))
+        w = np.empty(len(src), np.float64)
+        for _ in range(n_iter):
+            np.divide(pr[src], od[src], out=w)
+            contrib = np.bincount(dst, weights=w, minlength=n_nodes)
+            dangling = float(pr[od == 0].sum())
+            pr = _pr_step(pr, contrib, dangling, d)
+        return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                             "pr": pr})
+
+    edges_ds = spread(edges_ds)
+
+    def od_part(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy().astype(np.int64)
+        return pa.table({"od": pa.array(
+            np.bincount(s, minlength=n_nodes).astype(np.int64))})
+
+    od = np.zeros(n_nodes, dtype=np.int64)
+    for t in ray.get(edges_ds.map_batches(
+            od_part, batch_format="pyarrow").to_arrow_refs()):
+        if len(t):            # empty blocks may arrive as pandas passthrough
+            od += t.column("od").to_numpy()
+
+    pr = _pr_round(np.full(n_nodes, 1.0 / n_nodes))
+    zero_od = od == 0
+    for _ in range(n_iter):
+        state = Broadcast((pr, od))
+
+        def contrib_part(t: pa.Table, state=state) -> pa.Table:
+            p, o = state.get()
+            s = t.column(src_col).to_numpy().astype(np.int64)
+            v = t.column(dst_col).to_numpy().astype(np.int64)
+            c = np.bincount(v, weights=p[s] / o[s], minlength=n_nodes)
+            return pa.table({"c": pa.array(c)})
+
+        contrib = np.zeros(n_nodes, dtype=np.float64)
+        for t in ray.get(edges_ds.map_batches(
+                contrib_part, batch_format="pyarrow").to_arrow_refs()):
+            if len(t):
+                contrib += t.column("c").to_numpy()
+        dangling = float(pr[zero_od].sum())
+        pr = _pr_step(pr, contrib, dangling, d)
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "pr": pr})
