@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivfpq": rel.embeddings_ivfpq,
         "part_cooccur_triangles": cq.part_cooccur_triangles,
         "docs_bpe_merges": rel.docs_bpe_merges,
+        "docs_bpe_encode": rel.docs_bpe_encode,
+        "docs_token_budget_mixture": rel.docs_token_budget_mixture,
         "docs_cdc_dedup": rel.docs_cdc_dedup,
         "part_cooccur_kcore": cq.part_cooccur_kcore,
         "docs_sb_perplexity": rel.docs_sb_perplexity,
@@ -868,7 +870,7 @@ def _cdc_sql(ngram: int = 3, mod: int = 8, min_occ: int = 2) -> str:
     """
 
 
-def _bpe_sql(k: int = 8) -> str:
+def _bpe_sql(k: int = 8, tail: str | None = None) -> str:
     """Exact mirror of docs_bpe_merges (stages/bpe.py): K unrolled merge
     rounds over the word-frequency table.  Per round: lead() adjacency →
     weighted pair counts → argmax (c DESC, a, b — all integers/strings,
@@ -921,6 +923,9 @@ def _bpe_sql(k: int = 8) -> str:
               LEFT JOIN k{r} kk ON kk.word = x.word AND kk.p = x.p
               LEFT JOIN k{r} dd ON dd.word = x.word AND dd.p = x.p - 1
               WHERE dd.p IS NULL))""")
+    if tail is not None:
+        parts.append(tail)
+        return "".join(parts)
     unions = "\n        UNION ALL ".join(
         f"SELECT {r}::BIGINT AS step, a AS lhs, b AS rhs,"
         f" c::BIGINT AS cnt FROM b{r}"
@@ -2863,6 +2868,32 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
         "docs_bpe_merges": _bpe_sql(8),
+        # the encode half: the unrolled merge chain's FINAL symbol table
+        "docs_bpe_encode": _bpe_sql(8, tail="""
+    SELECT word, CAST(any_value(cnt) AS BIGINT) AS cnt,
+           count(*)::BIGINT AS n_syms,
+           string_agg(sym, ' ' ORDER BY p) AS encoded
+    FROM s8 GROUP BY word ORDER BY word
+    """),
+        # token-budget mixture plan: per-source doc/token totals +
+        # normalized-weight repeat factor against a 2M-token budget
+        "docs_token_budget_mixture": f"""
+            WITH agg AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(length({_TOKENS})) AS n_tokens
+                FROM documents GROUP BY source),
+            w AS (SELECT * FROM (VALUES {", ".join(
+                f"('src{i}', {1.0 if i < 5 else 0.5 if i < 10 else 0.1 if i < 15 else 0.0})"
+                for i in range(20))}) AS t(source, weight)),
+            ws AS (SELECT sum(weight) AS s FROM w)
+            SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+                   CAST(a.n_tokens AS BIGINT) AS n_tokens,
+                   w.weight,
+                   w.weight / ws.s * 2000000.0 / a.n_tokens
+                       AS repeat_factor
+            FROM agg a JOIN w ON w.source = a.source CROSS JOIN ws
+            ORDER BY a.source
+        """,
         "docs_cdc_dedup": _cdc_sql(),
         "part_cooccur_kcore": _KCORE_SQL,
         "docs_sb_perplexity": _sb_ppl_sql(),

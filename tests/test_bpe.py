@@ -47,3 +47,27 @@ def test_dataset_path_matches_driver_path(ray_session):
                            wdf["cnt"].to_numpy(np.int64), 6)
     dist = _learn_bpe_dataset(wdf, 6)
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_encode_words_paths_match(ray_session):
+    from ttmf_ray.stages.bpe import _encode_dataset, _encode_state
+
+    rng = np.random.default_rng(11)
+    vocab = ["".join(rng.choice(list("abcde_"), size=rng.integers(2, 8)))
+             for _ in range(200)]
+    wdf = pd.DataFrame({"word": sorted(set(vocab))})
+    wdf["cnt"] = (np.arange(len(wdf), dtype=np.int64) % 13) + 1
+
+    words = wdf["word"].to_numpy(dtype=object)
+    syms, wid = _encode_state(words, wdf["cnt"].to_numpy(np.int64), 5)
+    drv = pd.DataFrame({
+        "word": words,
+        "cnt": wdf["cnt"].to_numpy(np.int64),
+        "n_syms": np.bincount(wid, minlength=len(wdf)).astype(np.int64),
+        "encoded": pd.Series(syms).groupby(wid).agg(" ".join)
+        .reindex(np.arange(len(wdf))).to_numpy(),
+    })
+    dist = _encode_dataset(wdf, 5).sort_values("word", ignore_index=True)
+    pd.testing.assert_frame_equal(drv, dist.astype(drv.dtypes.to_dict()))
+    # every encoded sequence rebuilds its word
+    assert (dist["encoded"].str.replace(" ", "") == dist["word"]).all()

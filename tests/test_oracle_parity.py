@@ -85,6 +85,8 @@ SUBSET = [
     "kg_pagerank",
     "kg_relation_cardinality",
     "docs_dup_canonical",
+    "docs_bpe_encode",
+    "docs_token_budget_mixture",
 ]
 
 

@@ -1025,6 +1025,56 @@ def docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return learn_bpe(ds, k=8)
 
 
+def docs_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """The learned tokenizer APPLIED: every vocabulary word's final
+    symbol sequence after the top-8 merges (word, cnt, n_syms, encoded)
+    — the encode half of the BPE story (train on the word table, then
+    tokenize with the learned merges).  The SQL twin reads the unrolled
+    merge chain's final symbol table (string_agg over s8)."""
+    from ..stages.bpe import encode_words
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = encode_words(ds, k=8)
+    return out.astype({"cnt": np.int64, "n_syms": np.int64})
+
+
+def docs_token_budget_mixture(sf_dir: str) -> pd.DataFrame:
+    """Token-budget mixture planning (the DoReMi/Pile-style recipe
+    step): per source, document + whitespace-token totals and the
+    repeat factor that hits a 2M-token budget at the source's
+    normalized quality-tier weight — repeat > 1 means the source is
+    epoch-ed, < 1 means it is subsampled.  One per-batch combiner +
+    driver fold; only (source, n_docs, n_tokens) partials move."""
+    import ray as _ray
+
+    from ..pipelines.corpus_queries import _MIX_WEIGHTS
+    from ..stages.text import _as_array, _split_flat
+
+    budget = 2_000_000.0
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def part(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pandas()
+        flat, doc_idx, n = _split_flat(_as_array(t.column("text")),
+                                       r"[ \t\n\r\f\v]+")
+        toks = np.bincount(doc_idx[flat != ""], minlength=n)
+        g = pd.DataFrame({"source": src, "n_docs": 1,
+                          "n_tokens": toks.astype(np.int64)}) \
+            .groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = _ray.get(ds.map_batches(part, batch_format="pyarrow")
+                     .to_arrow_refs())
+    agg = pa.concat_tables([t for t in parts if len(t)]).to_pandas() \
+        .groupby("source", as_index=False).sum()
+    wsum = sum(_MIX_WEIGHTS.values())
+    agg["weight"] = agg["source"].map(_MIX_WEIGHTS).astype(np.float64)
+    agg["repeat_factor"] = (agg["weight"] / wsum * budget
+                            / agg["n_tokens"].to_numpy(np.float64))
+    return agg.astype({"n_docs": np.int64, "n_tokens": np.int64}) \
+        .sort_values("source", ignore_index=True)
+
+
 def docs_cdc_dedup(sf_dir: str) -> pd.DataFrame:
     """Content-defined chunking dedup: word-window rolling-hash
     boundaries (hash % 8 == 0) split each document into

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["word_counts", "learn_bpe", "learn_bpe_arrays"]
+__all__ = ["word_counts", "learn_bpe", "learn_bpe_arrays", "encode_words"]
 
 
 def word_counts(docs_ds, *, text_col: str = "text"):
@@ -175,6 +175,99 @@ def learn_bpe(docs_ds, *, text_col: str = "text", k: int = 8,
         return learn_bpe_arrays(wdf["word"].to_numpy(dtype=object),
                                 wdf["cnt"].to_numpy(np.int64), k)
     return _learn_bpe_dataset(wdf, k)
+
+
+def _encode_state(words, counts: np.ndarray, k: int):
+    """Run K merge rounds and return the FINAL symbol state
+    (syms, wid) — the encoding the learned tokenizer assigns every
+    vocabulary word (identical round loop as learn_bpe_arrays)."""
+    syms, wid = _flat_syms(words)
+    counts = np.asarray(counts, dtype=np.int64)
+    for _step in range(1, k + 1):
+        pc_df = _pair_counts(syms, wid, counts)
+        if pc_df.empty:
+            break
+        best = pc_df.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True],
+            ignore_index=True).iloc[0]
+        syms, wid = _apply_merge(syms, wid, str(best["a"]), str(best["b"]))
+    return syms, wid
+
+
+def encode_words(docs_ds, *, text_col: str = "text", k: int = 8,
+                 driver_max: int = 500_000) -> pd.DataFrame:
+    """Apply the corpus's own top-K learned merges to its word table →
+    (word, cnt, n_syms, encoded) with ``encoded`` the space-joined final
+    symbol sequence — the tokenizer-training story's second half (train
+    on the word table, then ENCODE with the learned merges).
+
+    Same driver/Dataset split as learn_bpe; the Dataset path applies
+    each round's winner as a broadcast map_batches pass and joins the
+    per-word symbol lists at the end (parity pinned in test_bpe.py)."""
+    wc = word_counts(docs_ds, text_col=text_col)
+    wdf = wc.to_pandas().sort_values("word", ignore_index=True)
+    if len(wdf) <= driver_max:
+        words = wdf["word"].to_numpy(dtype=object)
+        syms, wid = _encode_state(words, wdf["cnt"].to_numpy(np.int64), k)
+        enc = pd.Series(syms).groupby(wid).agg(" ".join)
+        n_syms = np.bincount(wid, minlength=len(wdf)).astype(np.int64)
+        return pd.DataFrame({
+            "word": words,
+            "cnt": wdf["cnt"].to_numpy(np.int64),
+            "n_syms": n_syms,
+            "encoded": enc.reindex(np.arange(len(wdf))).to_numpy(),
+        })
+    ds = _encode_dataset(wdf, k)
+    return ds.sort_values("word", ignore_index=True)
+
+
+def _encode_dataset(wdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Scale path of encode_words: the _learn_bpe_dataset round loop,
+    returning the final per-word symbol lists instead of the merges."""
+    import ray.data as rd
+
+    from ..context import spread
+
+    start = pd.DataFrame({
+        "word": wdf["word"].to_numpy(dtype=object),
+        "syms": [list(w) for w in wdf["word"]],
+        "cnt": wdf["cnt"].to_numpy(np.int64),
+    })
+    ds = spread(rd.from_pandas(start)).materialize()
+    for _step in range(1, k + 1):
+        partial = ds.map_batches(_count_batch,
+                                 batch_format="pyarrow").to_pandas()
+        if partial.empty:
+            break
+        pc_df = partial.groupby(["a", "b"], as_index=False)["c"].sum()
+        best = pc_df.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True],
+            ignore_index=True).iloc[0]
+        ds = ds.map_batches(
+            _ApplyMergeKeep(str(best["a"]), str(best["b"])),
+            batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t.column("syms").combine_chunks()
+        return pa.table({
+            "word": t.column("word"),
+            "cnt": t.column("cnt"),
+            "n_syms": pc.list_value_length(col).cast(pa.int64()),
+            "encoded": pc.binary_join(col.cast(pa.list_(pa.string())),
+                                      " "),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow").to_pandas()
+
+
+class _ApplyMergeKeep(_ApplyMerge):
+    """_ApplyMerge that carries the word column through each round."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = super().__call__(t.select(["syms", "cnt"]))
+        return out.append_column("word", t.column("word"))
 
 
 def _learn_bpe_dataset(wdf: pd.DataFrame, k: int) -> pd.DataFrame:
