@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_bpe_encode": rel.docs_bpe_encode,
         "docs_token_budget_mixture": rel.docs_token_budget_mixture,
+        "docs_ngram_coverage": rel.docs_ngram_coverage,
+        "events_markov_transitions": rel.events_markov_transitions,
+        "kg_inverse_relations": cq.kg_inverse_relations,
         "docs_cdc_dedup": rel.docs_cdc_dedup,
         "part_cooccur_kcore": cq.part_cooccur_kcore,
         "docs_sb_perplexity": rel.docs_sb_perplexity,
@@ -2756,6 +2759,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'N-N' END AS category
             FROM agg ORDER BY rel
         """,
+        # inverse/symmetric relation audit on the KG + reversed twin
+        # (Toutanova & Chen 2015 leakage check)
+        "kg_inverse_relations": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            all_e AS (SELECT subj, pred, obj FROM edges
+                      UNION ALL
+                      SELECT obj, pred || '_rev' AS pred, subj FROM edges),
+            sizes AS (SELECT pred, count(*) AS n FROM all_e GROUP BY pred),
+            ov AS (SELECT a.pred AS rel1, b.pred AS rel2,
+                          count(*) AS n_overlap
+                   FROM all_e a JOIN all_e b
+                     ON b.subj = a.obj AND b.obj = a.subj
+                   GROUP BY a.pred, b.pred)
+            SELECT ov.rel1, ov.rel2, CAST(s.n AS BIGINT) AS n_rel1,
+                   CAST(ov.n_overlap AS BIGINT) AS n_overlap,
+                   ov.n_overlap * 1.0 / s.n AS frac,
+                   CASE WHEN ov.rel1 = ov.rel2 THEN 'symmetric'
+                        ELSE 'inverse' END AS kind
+            FROM ov JOIN sizes s ON s.pred = ov.rel1
+            ORDER BY ov.rel1, ov.rel2
+        """,
         # canonical doc per near-dup cluster: max n_tokens, tie -> min
         # doc_id (window over the shared min-label-propagation clusters)
         "docs_dup_canonical": f"""
@@ -2875,6 +2899,49 @@ def oracle_sql() -> dict[str, str]:
            string_agg(sym, ' ' ORDER BY p) AS encoded
     FROM s8 GROUP BY word ORDER BY word
     """),
+        # vocabulary coverage curve: occurrence mass of the top-N words
+        "docs_ngram_coverage": """
+            WITH wc AS MATERIALIZED (
+                SELECT w AS word, count(*) AS cnt
+                FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                       '[0-9a-z_]+')) AS w
+                      FROM documents)
+                GROUP BY w),
+            rk AS MATERIALIZED (
+                SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word)
+                           AS rk
+                FROM wc),
+            tot AS (SELECT count(*) AS vocab_size, sum(cnt) AS total
+                    FROM wc),
+            ns AS (SELECT * FROM (VALUES (100), (1000), (10000))
+                       AS t(top_n))
+            SELECT CAST(ns.top_n AS BIGINT) AS top_n,
+                   CAST(tot.vocab_size AS BIGINT) AS vocab_size,
+                   CAST(COALESCE((SELECT sum(cnt) FROM rk
+                                  WHERE rk.rk <= ns.top_n), 0) AS BIGINT)
+                       AS covered,
+                   CAST(tot.total AS BIGINT) AS total,
+                   COALESCE((SELECT sum(cnt) FROM rk
+                             WHERE rk.rk <= ns.top_n), 0) * 1.0 / tot.total
+                       AS frac
+            FROM ns CROSS JOIN tot ORDER BY top_n
+        """,
+        # per-user first-order Markov transitions, (ts, event_id)-pinned
+        "events_markov_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events),
+            agg AS (SELECT event_type AS from_type, nxt AS to_type,
+                           count(*) AS cnt
+                    FROM seq WHERE nxt IS NOT NULL
+                    GROUP BY event_type, nxt)
+            SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+                   cnt * 1.0 / sum(cnt) OVER (PARTITION BY from_type)
+                       AS prob
+            FROM agg ORDER BY from_type, to_type
+        """,
         # token-budget mixture plan: per-source doc/token totals +
         # normalized-weight repeat factor against a 2M-token budget
         "docs_token_budget_mixture": f"""

@@ -87,6 +87,9 @@ SUBSET = [
     "docs_dup_canonical",
     "docs_bpe_encode",
     "docs_token_budget_mixture",
+    "kg_inverse_relations",
+    "events_markov_transitions",
+    "docs_ngram_coverage",
 ]
 
 

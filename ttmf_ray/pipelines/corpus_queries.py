@@ -1013,3 +1013,66 @@ def docs_dup_canonical(sf_dir: str) -> pd.DataFrame:
                                       "canonical_id", "keep",
                                       "n_tokens"]}) \
         .sort_values("doc_id", ignore_index=True)
+
+
+def kg_inverse_relations(sf_dir: str) -> pd.DataFrame:
+    """Inverse/symmetric relation detection — the KG-hygiene audit that
+    motivated FB15k-237 (Toutanova & Chen 2015: inverse relations leak
+    test answers into training).  Run on the KG plus its reversed twin
+    (each relation r gains r_rev — a graph constructed to CONTAIN
+    inverses, the kg_graph_features_sym trick), so every (r, r_rev)
+    pair surfaces at frac 1.0 and the detector's join path is exercised
+    end-to-end.
+
+    Shape: forward edges keyed h·|V|+t hash-join reversed edges keyed
+    t·|V|+h (only same-bucket rows meet), then a per-batch (r1, r2)
+    count combiner folds on the driver — |R|² cells, however large the
+    edge stream."""
+    from ..functions.joins import hash_join
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    n_ent = len(ent_df)
+    n_rel = len(rel_df)
+    h = ids["h"].to_numpy()
+    t = ids["t"].to_numpy()
+    r = ids["r"].to_numpy()
+    # symmetrized id table: reversed edges get relation id r + n_rel
+    h2 = np.concatenate([h, t])
+    t2 = np.concatenate([t, h])
+    r2 = np.concatenate([r, r + n_rel])
+    fwd = rd.from_pandas(pd.DataFrame({
+        "key": h2 * np.int64(n_ent) + t2, "r1": r2}))
+    rev = rd.from_pandas(pd.DataFrame({
+        "key": t2 * np.int64(n_ent) + h2, "r2": r2}))
+    joined = hash_join(fwd, rev, on="key")
+
+    import ray as _ray
+
+    def part(tb: pa.Table) -> pa.Table:
+        a = tb.column("r1").to_numpy().astype(np.int64)
+        b = tb.column("r2").to_numpy().astype(np.int64)
+        k = a * (2 * n_rel) + b
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    cnt = np.zeros(4 * n_rel * n_rel, dtype=np.int64)
+    for tb in _ray.get(joined.map_batches(part, batch_format="pyarrow")
+                       .to_arrow_refs()):
+        if len(tb):
+            np.add.at(cnt, tb.column("k").to_numpy(),
+                      tb.column("c").to_numpy())
+    names = np.concatenate([rel_df["name"].to_numpy(dtype=object),
+                            rel_df["name"].to_numpy(dtype=object) + "_rev"])
+    sizes = np.concatenate([np.bincount(r, minlength=n_rel)] * 2) \
+        .astype(np.int64)
+    nz = np.flatnonzero(cnt)
+    r1i, r2i = nz // (2 * n_rel), nz % (2 * n_rel)
+    frac = cnt[nz] / sizes[r1i]
+    return pd.DataFrame({
+        "rel1": names[r1i],
+        "rel2": names[r2i],
+        "n_rel1": sizes[r1i],
+        "n_overlap": cnt[nz],
+        "frac": frac,
+        "kind": np.where(r1i == r2i, "symmetric", "inverse"),
+    }).sort_values(["rel1", "rel2"], ignore_index=True)

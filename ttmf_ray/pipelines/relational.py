@@ -668,6 +668,72 @@ def events_sessions(sf_dir: str, gap_sec: int = 1800,
         .sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def events_markov_transitions(sf_dir: str, n_parts: int = 64) -> pd.DataFrame:
+    """First-order Markov transition table over each user's event stream
+    (the sequence-model view of the event log): consecutive event-type
+    pairs per user → global (from_type, to_type) counts → row-normalized
+    probabilities.  Same shuffle shape as sessionization: users hash into
+    partitions, each partition's transitions are computed VECTORIZED in
+    one sort + one shift, and only the tiny per-partition (from, to, cnt)
+    combiner rows leave the workers."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return t.append_column(
+            "__part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def transitions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        # same[0] is always False, so roll(1) never wraps into a pair
+        out = pd.DataFrame({"from_type": np.roll(et, 1)[same],
+                            "to_type": et[same]})
+        return out.groupby(["from_type", "to_type"], as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(transitions_part, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby(["from_type", "to_type"], as_index=False)["cnt"] \
+        .sum()
+    tot = agg.groupby("from_type")["cnt"].transform("sum")
+    agg["prob"] = agg["cnt"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    return agg.astype({"cnt": np.int64}) \
+        .sort_values(["from_type", "to_type"], ignore_index=True)
+
+
+def docs_ngram_coverage(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary coverage curve (tokenizer/vocab sizing signal): the
+    fraction of all word OCCURRENCES covered by the top-N words for
+    N ∈ {100, 1000, 10000} — one per-batch word-count combiner + one
+    vocab-sized groupby (stages/bpe.py:word_counts), cumulative sums on
+    the driver over the (cnt DESC, word) rank."""
+    from ..stages.bpe import word_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wdf = word_counts(ds).to_pandas() \
+        .sort_values(["cnt", "word"], ascending=[False, True],
+                     ignore_index=True)
+    cnt = wdf["cnt"].to_numpy(np.int64)
+    total = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    rows = []
+    for n in (100, 1000, 10000):
+        covered = int(cum[min(n, len(cnt)) - 1]) if len(cnt) else 0
+        rows.append((n, len(cnt), covered, total,
+                     covered * 1.0 / total if total else 0.0))
+    return pd.DataFrame(rows, columns=["top_n", "vocab_size", "covered",
+                                       "total", "frac"]) \
+        .astype({c: np.int64 for c in ["top_n", "vocab_size", "covered",
+                                       "total"]})
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Per language, the k longest documents (grouped top-k — per-batch
     prune + tiny merge, no global sort).  SQL-mirrored via row_number
