@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_clusters": rel.embeddings_knn_clusters,
         "docs_phrase_search": rel.docs_phrase_search,
         "docs_blocklist": rel.docs_blocklist,
+        "docs_word_entropy": rel.docs_word_entropy,
+        "docs_chunk_windows": rel.docs_chunk_windows,
+        "part_cooccur_adamic_adar": cq.part_cooccur_adamic_adar,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -2278,6 +2281,81 @@ _TOP_TOKENS_SQL = """
 """
 
 
+
+_WORD_ENTROPY_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    n AS (SELECT doc_id, sum(c) AS nw, count(*) AS nu
+          FROM wc GROUP BY doc_id),
+    ent AS (
+        SELECT wc.doc_id,
+               -sum((wc.c / n.nw::DOUBLE) * ln(wc.c / n.nw::DOUBLE)) AS h
+        FROM wc JOIN n USING (doc_id) GROUP BY wc.doc_id
+    )
+    SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+           CAST(n.nw AS BIGINT) AS n_words,
+           CAST(n.nu AS BIGINT) AS n_unique,
+           round(ent.h, 6) AS entropy,
+           round(CASE WHEN n.nu > 1 THEN ent.h / ln(n.nu) ELSE 0 END, 6)
+               AS norm_entropy
+    FROM n JOIN ent USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+# overlapping 64-token windows, stride 48 — DuckDB list slicing is
+# 1-based with an INCLUSIVE end and clamps past the list, so window k
+# is ws[k*48+1 : least(k*48+64, nw)]
+_CHUNK_WINDOWS_SQL = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    n AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
+    ch AS (
+        SELECT doc_id, ws, nw,
+               unnest(range(0, 1 + (greatest(nw - 64, 0) + 47) // 48)) AS k
+        FROM n
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * 48 AS BIGINT) AS start,
+           CAST(least(k * 48 + 64, nw) - k * 48 AS BIGINT) AS n_tokens,
+           array_to_string(ws[k * 48 + 1 : least(k * 48 + 64, nw)], ' ')
+               AS chunk_text
+    FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
+_ADAMIC_ADAR_SQL = """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                        CAST(l_partkey AS BIGINT) AS p
+        FROM lineitem),
+    und AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON y.o = x.o AND y.p > x.p),
+    adj AS MATERIALIZED (
+        SELECT a AS u, b AS w FROM und UNION ALL SELECT b, a FROM und),
+    deg AS MATERIALIZED (SELECT u, count(*) AS d FROM adj GROUP BY u),
+    cn AS (
+        SELECT e.a, e.b, x.w
+        FROM und e
+        JOIN adj x ON x.u = e.a
+        JOIN adj y ON y.u = e.b AND y.w = x.w
+        WHERE x.w <> e.b AND x.w <> e.a)
+    SELECT CAST(cn.a AS BIGINT) AS a, CAST(cn.b AS BIGINT) AS b,
+           count(*)::BIGINT AS common_neighbors,
+           round(sum(1.0 / ln(deg.d)), 6) AS adamic_adar
+    FROM cn JOIN deg ON deg.u = cn.w
+    GROUP BY cn.a, cn.b
+    ORDER BY a, b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # min-label-propagation components over verified near-dup pairs —
     # shared by docs_dup_clusters and docs_dup_canonical
@@ -2869,6 +2947,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_bins": _pack_bins_sql(),
         "docs_source_mixture": _source_mixture_sql(),
         "docs_top_tokens": _TOP_TOKENS_SQL,
+        "docs_word_entropy": _WORD_ENTROPY_SQL,
+        "docs_chunk_windows": _CHUNK_WINDOWS_SQL,
+        "part_cooccur_adamic_adar": _ADAMIC_ADAR_SQL,
         "docs_stratified_sample": _stratified_sample_sql(),
         "docs_cm_heavy_hitters": _cm_heavy_hitters_sql(),
         "docs_hll_distinct": _hll_distinct_sql(),

@@ -35,6 +35,9 @@ SUBSET = [
     "docs_pack_bins",
     "docs_source_mixture",
     "docs_top_tokens",
+    "docs_word_entropy",
+    "docs_chunk_windows",
+    "part_cooccur_adamic_adar",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

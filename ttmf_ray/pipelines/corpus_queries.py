@@ -1076,3 +1076,22 @@ def kg_inverse_relations(sf_dir: str) -> pd.DataFrame:
         "frac": frac,
         "kind": np.where(r1i == r2i, "symmetric", "inverse"),
     }).sort_values(["rel1", "rel2"], ignore_index=True)
+
+
+def part_cooccur_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Adamic-Adar common-neighbor score for every edge of the part
+    co-occurrence graph (the link-prediction / edge-plausibility signal
+    on the same projection as part_cooccur_triangles; the relational KG
+    itself is near-bipartite — zero triangles — so the co-occurrence
+    graph is where neighborhood support exists).  Broadcast symmetric
+    CSR + streamed edge-iterator probe (stages/graph.py:adamic_adar),
+    zero shuffles past the distinct-pair build.  The SQL twin is the
+    two-way adjacency self-join over the same distinct projection."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.graph import adamic_adar, cooccur_pairs
+
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pairs = cooccur_pairs(ds, group_col="l_orderkey",
+                          item_col="l_partkey")
+    return adamic_adar(distinct_rows(pairs, ["a", "b"]))

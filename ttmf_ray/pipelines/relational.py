@@ -1284,3 +1284,30 @@ def docs_blocklist(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(gate, batch_format="pyarrow").to_pandas()
     return out.astype({c: np.int64 for c in out.columns}) \
         .sort_values("doc_id", ignore_index=True)
+
+
+def docs_word_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc unigram word entropy + normalized entropy (lexical
+    diversity quality gate) — pure per-batch kernel, zero shuffle;
+    SQL-mirrored term-for-term at 6 dp."""
+    from ..stages.text import word_entropy_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(word_entropy_batch, batch_format="pyarrow") \
+        .to_pandas()
+    return out.astype({"doc_id": np.int64, "n_words": np.int64,
+                       "n_unique": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_chunk_windows(sf_dir: str) -> pd.DataFrame:
+    """Overlapping 64-token context windows, stride 48 (training-sample
+    prep flat_map) — vectorized flat-gather chunking, SQL-mirrored
+    chunk-for-chunk including the reassembled window text."""
+    from ..stages.curation import chunk_windows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_windows(ds, win=64, stride=48).to_pandas()
+    return out.astype({c: np.int64 for c in
+                       ("doc_id", "chunk_id", "start", "n_tokens")}) \
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)

@@ -948,3 +948,60 @@ def cdc_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text",
         return t.filter(keep)
 
     return agg.map_batches(flt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Overlapping context windows (LLM training-sample prep)
+# ---------------------------------------------------------------------------
+
+def chunk_windows(docs_ds, *, win: int = 64, stride: int = 48,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Split every document into overlapping fixed-token context windows
+    (the sample-prep step that turns a cleaned corpus into training
+    sequences).  Tokens are the single-space split of ``text`` (empties
+    kept — the SQL twin's ``string_split``); chunk ``k`` of an n-token
+    doc covers tokens ``[k·stride, min(k·stride+win, n))`` for
+    ``k = 0 .. ceil(max(n−win, 0)/stride)`` — the last window always
+    reaches the end of the doc, no degenerate tail windows.
+
+    Fully vectorized flat_map: one Arrow split per batch, window
+    boundaries by integer arithmetic, tokens re-gathered with ONE
+    ``pc.take`` + ``ListArray`` + ``binary_join`` — zero per-row Python.
+    Streams at corpus scale (output ≈ win/stride × input tokens, each
+    batch independent)."""
+    import pyarrow.compute as pc
+
+    from .text import _as_array
+
+    def emit(t: pa.Table) -> pa.Table:
+        col = _as_array(t.column(text_col))
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        split = pc.split_pattern(col, pattern=" ")
+        offs = split.offsets.to_numpy().astype(np.int64)
+        nw = np.diff(offs)
+        extra = np.maximum(nw - win, 0)
+        n_chunks = 1 + (extra + stride - 1) // stride
+        tot = int(n_chunks.sum())
+        cdoc = np.repeat(np.arange(len(nw), dtype=np.int64), n_chunks)
+        first = np.zeros(len(nw), np.int64)
+        first[1:] = np.cumsum(n_chunks)[:-1]
+        k = np.arange(tot, dtype=np.int64) - first[cdoc]
+        start = k * stride
+        end = np.minimum(start + win, nw[cdoc])
+        lens = end - start
+        goffs = np.zeros(tot + 1, np.int64)
+        goffs[1:] = np.cumsum(lens)
+        idx = (np.arange(goffs[-1], dtype=np.int64)
+               - np.repeat(goffs[:-1], lens)
+               + np.repeat(offs[cdoc] + start, lens))
+        toks = pc.take(split.values, pa.array(idx))
+        chunk_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(goffs, pa.int32()), toks),
+            " ")
+        return pa.table({"doc_id": pa.array(ids[cdoc]),
+                         "chunk_id": pa.array(k),
+                         "start": pa.array(start),
+                         "n_tokens": pa.array(lens),
+                         "chunk_text": chunk_text})
+
+    return docs_ds.map_batches(emit, batch_format="pyarrow")

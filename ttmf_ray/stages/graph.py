@@ -562,3 +562,105 @@ def kcore(pairs_ds, *, k: int, driver_max: int = 2_000_000) -> pd.DataFrame:
                              "deg": np.empty(0, np.int64)})
     out = degrees(ds).astype({"node": np.int64, "deg": np.int64})
     return out.sort_values("node", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link scores (KG error-detection / link-prediction signal)
+# ---------------------------------------------------------------------------
+
+class _AAProber:
+    """Edge-iterator Adamic-Adar kernel over a broadcast symmetric CSR.
+
+    For each oriented edge (a, b): candidates w = N(a) (one flat CSR
+    gather), a common neighbor iff the packed oriented key
+    (min(w,b), max(w,b)) is an edge — one vectorized searchsorted per
+    batch.  Contribution 1/ln(deg_sym(w)) summed per edge via bincount
+    (deg_sym(w) ≥ 2 for any common neighbor, so ln is never 0)."""
+
+    def __init__(self, adj_bc: Broadcast):
+        self.indptr, self.nbr, self.keys, self.deg = adj_bc.get()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "common_neighbors": pa.array([], pa.int64()),
+                          "adamic_adar": pa.array([], pa.float64())})
+        if len(self.keys) == 0 or not len(a):
+            return empty
+        cnt = self.indptr[a + 1] - self.indptr[a]
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        w = self.nbr[np.arange(total) - np.repeat(off, cnt)
+                     + np.repeat(self.indptr[a], cnt)]
+        bb = np.repeat(b, cnt)
+        eid = np.repeat(np.arange(len(a), dtype=np.int64), cnt)
+        cand = w != bb                       # b ∈ N(a); not its own witness
+        probe = (np.minimum(w, bb) << 32) | np.maximum(w, bb)
+        pos = np.searchsorted(self.keys, probe)
+        pos = np.clip(pos, 0, len(self.keys) - 1)
+        hit = (self.keys[pos] == probe) & cand
+        we, ee = w[hit], eid[hit]
+        cn = np.bincount(ee, minlength=len(a))
+        aa = np.bincount(ee, weights=1.0 / np.log(self.deg[we]),
+                         minlength=len(a))
+        keep = cn > 0
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(b[keep]),
+                         "common_neighbors": pa.array(
+                             cn[keep].astype(np.int64)),
+                         "adamic_adar": pa.array(np.round(aa[keep], 6))})
+
+
+def adamic_adar(pairs_ds) -> pd.DataFrame:
+    """Adamic-Adar score of every existing edge of an undirected graph:
+    AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — the classic
+    common-neighbor link score, here over the KG's distinct undirected
+    edges (the reference's error-detection framing: existing triples
+    whose endpoints share no context are suspect; cf.
+    `ResourceRankConfidence.py` neighborhood features).
+
+    ``pairs_ds``: DISTINCT oriented (a<b) edge Dataset.  The symmetric
+    CSR + packed key set + degree vector broadcast ONCE (O(|E|) ints);
+    edges stream through the probe pool — zero shuffles.  Edges with no
+    common neighbor are dropped (the SQL twin's join semantics)."""
+    import ray.data as rd
+
+    from ..context import auto_pool, spread
+
+    ed = pairs_ds.to_pandas()
+    a = ed["a"].to_numpy(np.int64)
+    b = ed["b"].to_numpy(np.int64)
+    assert len(a) == 0 or (a < b).all(), "adamic_adar expects a<b pairs"
+    assert len(a) == 0 or int(max(a.max(), b.max())) < (1 << 31), \
+        "packed-key probe needs node ids < 2^31"
+    if not len(a):
+        return pd.DataFrame({"a": np.empty(0, np.int64),
+                             "b": np.empty(0, np.int64),
+                             "common_neighbors": np.empty(0, np.int64),
+                             "adamic_adar": np.empty(0, np.float64)})
+    keys = np.sort((a << 32) | b)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    order = np.lexsort((v, u))
+    u_s, v_s = u[order], v[order]
+    n_max = int(u.max()) + 1
+    indptr = np.zeros(n_max + 1, np.int64)
+    np.add.at(indptr, u_s + 1, 1)
+    indptr = np.cumsum(indptr)
+    deg = np.bincount(u, minlength=n_max).astype(np.float64)
+    adj_bc = Broadcast((indptr, v_s, keys, deg))
+
+    edge_ds = spread(rd.from_pandas(pd.DataFrame({"a": a, "b": b})))
+    out = (edge_ds.map_batches(
+               _AAProber,
+               fn_constructor_kwargs={"adj_bc": adj_bc},
+               batch_format="pyarrow",
+               concurrency=auto_pool())
+           .to_pandas())
+    return out.astype({"a": np.int64, "b": np.int64,
+                       "common_neighbors": np.int64}) \
+        .sort_values(["a", "b"], ignore_index=True)

@@ -279,3 +279,49 @@ def redact_pii_batch(batch: pa.Table, *, id_col: str = "doc_id",
         col = pc.replace_substring_regex(col, pattern=rx, replacement=tok)
     out["text_redacted"] = col
     return pa.table(out)
+
+
+# --- unigram word entropy (lexical-diversity quality signal) ---------------
+
+def word_entropy_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Per-doc unigram word entropy H = −Σ_w p_w·ln p_w over the
+    `[0-9a-z_]+` word occurrences (the shingle word class), plus the
+    ln(n_unique)-normalized form — the lexical-diversity companion to
+    the Gopher repetition rules (low-entropy docs are boilerplate/spam).
+
+    Pure per-batch kernel: per-doc counts never leave the worker, so the
+    stage streams with zero shuffle at corpus scale.  Exactly mirrored
+    in SQL term-for-term; both engines round to 6 dp (per-doc sums are
+    ≤ a few hundred float64 terms, so cross-engine summation-order drift
+    is ~1e-14 ≪ the rounding grain)."""
+    import pandas as pd
+
+    from .classify import _doc_words
+
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    flat, doc_idx, n = _doc_words(batch.column(text_col))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_words": pa.array([], pa.int64()),
+                      "n_unique": pa.array([], pa.int64()),
+                      "entropy": pa.array([], pa.float64()),
+                      "norm_entropy": pa.array([], pa.float64())})
+    if not len(flat):
+        return empty
+    codes, uniq = pd.factorize(flat)
+    key = doc_idx * np.int64(len(uniq)) + codes
+    ukey, cnt = np.unique(key, return_counts=True)
+    udoc = (ukey // len(uniq)).astype(np.int64)
+    n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    n_unique = np.bincount(udoc, minlength=n).astype(np.int64)
+    p = cnt.astype(np.float64) / n_words[udoc].astype(np.float64)
+    ent = np.bincount(udoc, weights=-(p * np.log(p)), minlength=n)
+    keep = n_words > 0          # zero-word docs have no SQL group row
+    with np.errstate(divide="ignore", invalid="ignore"):
+        norm = np.where(n_unique > 1,
+                        ent / np.log(n_unique.astype(np.float64)), 0.0)
+    return pa.table({"doc_id": pa.array(ids[keep]),
+                     "n_words": pa.array(n_words[keep]),
+                     "n_unique": pa.array(n_unique[keep]),
+                     "entropy": pa.array(np.round(ent[keep], 6)),
+                     "norm_entropy": pa.array(np.round(norm[keep], 6))})
