@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_blocklist": rel.docs_blocklist,
         "docs_word_entropy": rel.docs_word_entropy,
         "docs_chunk_windows": rel.docs_chunk_windows,
+        "embeddings_scalar_quant": rel.embeddings_scalar_quant,
+        "docs_bloom_decontaminate": cq.docs_bloom_decontaminate,
+        "kg_random_walks": cq.kg_random_walks,
         "part_cooccur_adamic_adar": cq.part_cooccur_adamic_adar,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
@@ -2356,6 +2359,129 @@ _ADAMIC_ADAR_SQL = """
 """
 
 
+
+def _bloom_decontaminate_sql(m_bits: int = 1 << 12, k: int = 3,
+                             seed: int = 401) -> str:
+    """Exact mirror of docs_bloom_decontaminate: the decontaminate
+    shingle CTEs, then the Bloom positions mix64(seed+i, x) % m_bits
+    (ONE shared bit set over the eval side, i = 0..k-1) and the all-bits
+    probe per train shingle — false positives reproduced bit-for-bit."""
+    t3_lat, t3_ref = _mix_chain("bd", ["t.h0", "t.h1", "t.h2"], [17])
+    pos_lats, pos_cols = [], []
+    for i in range(k):
+        lat, ref = _mix_chain(f"bp{i}", ["s.x"], [seed + i])
+        pos_lats.append(lat)
+        pos_cols.append(f"CAST(({ref}) % {m_bits} AS BIGINT) AS p{i}")
+    bits_union = "\n             UNION ALL ".join(
+        f"SELECT p{i} AS p FROM pos WHERE doc_id % 41 = 0"
+        for i in range(k))
+    probe = " AND ".join(
+        f"p{i} IN (SELECT p FROM bits)" for i in range(k))
+    return f"""
+    WITH wl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+                FROM documents),
+    pw AS (SELECT doc_id, u['i'] AS i, u['w'] AS w FROM (
+               SELECT doc_id,
+                      unnest(list_transform(ws,
+                             (w, i) -> {{'i': i, 'w': w}})) AS u
+               FROM wl)),
+    gw AS (SELECT DISTINCT w FROM pw),
+    wh AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    ph AS (SELECT p.doc_id, p.i, wh.fp FROM pw p JOIN wh USING (w)),
+    tri AS (SELECT a.doc_id, a.fp AS h0, b.fp AS h1, c.fp AS h2
+            FROM ph a
+            JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN ph c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sh AS (SELECT DISTINCT t.doc_id,
+                  CAST({t3_ref} % 2147483647 AS BIGINT) AS x
+           FROM tri t, {t3_lat}),
+    pos AS MATERIALIZED (
+        SELECT s.doc_id, s.x, {", ".join(pos_cols)}
+        FROM sh s, {", ".join(pos_lats)}),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT p FROM ({bits_union})),
+    ev AS (SELECT DISTINCT x FROM sh WHERE doc_id % 41 = 0),
+    tr AS (SELECT doc_id, x, {", ".join(f"p{i}" for i in range(k))}
+           FROM pos WHERE doc_id % 41 <> 0),
+    bh AS (SELECT doc_id, count(*) AS n_bloom FROM tr
+           WHERE {probe} GROUP BY doc_id),
+    th AS (SELECT t.doc_id, count(*) AS n_true
+           FROM tr t JOIN ev USING (x) GROUP BY t.doc_id),
+    cnt AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id)
+    SELECT c.doc_id, CAST(c.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(b.n_bloom, 0) AS BIGINT) AS n_bloom_hits,
+           CAST(COALESCE(h.n_true, 0) AS BIGINT) AS n_true_hits,
+           CAST(COALESCE(b.n_bloom, 0) - COALESCE(h.n_true, 0)
+                AS BIGINT) AS n_false_pos,
+           CAST(CASE WHEN COALESCE(b.n_bloom, 0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS contaminated
+    FROM cnt c LEFT JOIN bh b USING (doc_id) LEFT JOIN th h USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+def _random_walks_sql(n_steps: int = 3, seed: int = 777) -> str:
+    """Exact mirror of kg_random_walks: unrolled steps over the
+    row_number-ranked (t, r) edge list, next rank =
+    mix64(seed, step, cur, start) % outdeg(cur)."""
+    steps, selects = [], []
+    prev = "s0"
+    for st in range(1, n_steps + 1):
+        lat, ref = _mix_chain(f"rw{st}",
+                              [f"{prev}.cur", f"{prev}.start"], [seed, st])
+        steps.append(f"""
+    s{st} AS MATERIALIZED (
+        SELECT {prev}.start, e.t AS cur, e.r
+        FROM {prev}, {lat}, deg d, er e
+        WHERE d.h = {prev}.cur AND e.h = {prev}.cur
+          AND e.rk = CAST(({ref}) % d.d AS BIGINT))""")
+        selects.append(
+            f"SELECT start, {st} AS step, r, cur AS node FROM s{st}")
+        prev = f"s{st}"
+    return f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
+    er AS MATERIALIZED (
+        SELECT h, t, r,
+               row_number() OVER (PARTITION BY h ORDER BY t, r) - 1 AS rk
+        FROM edges0),
+    deg AS MATERIALIZED (SELECT h, count(*) AS d FROM er GROUP BY h),
+    s0 AS MATERIALIZED (
+        SELECT id AS start, id AS cur FROM ({_VOCAB_SQL})),
+    {",".join(steps)}
+    SELECT CAST(start AS BIGINT) AS start, CAST(step AS BIGINT) AS step,
+           CAST(r AS BIGINT) AS r, CAST(node AS BIGINT) AS node
+    FROM ({" UNION ALL ".join(selects)})
+    ORDER BY start, step
+    """
+
+
+# scalar quantization: every arithmetic step is one IEEE double op in
+# the same order as the numpy kernel, so codes AND sq_err are
+# bit-identical — no rounding anywhere
+_SCALAR_QUANT_SQL = """
+    WITH x AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               unnest(embedding)::DOUBLE AS v,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+        FROM embeddings),
+    mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim),
+    enc AS (
+        SELECT x.vec_id, x.dim, x.v, mm.mn, mm.mx,
+               CASE WHEN mm.mx = mm.mn THEN 0
+                    ELSE CAST(least(floor((x.v - mm.mn) * 255.0
+                                          / (mm.mx - mm.mn)), 255.0)
+                              AS BIGINT) END AS code
+        FROM x JOIN mm USING (dim))
+    SELECT vec_id, dim, code,
+           CASE WHEN mx = mn THEN (v - mn) * (v - mn)
+                ELSE (v - (mn + (code + 0.5) * (mx - mn) / 255.0))
+                     * (v - (mn + (code + 0.5) * (mx - mn) / 255.0))
+           END AS sq_err
+    FROM enc ORDER BY vec_id, dim
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # min-label-propagation components over verified near-dup pairs —
     # shared by docs_dup_clusters and docs_dup_canonical
@@ -2950,6 +3076,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_word_entropy": _WORD_ENTROPY_SQL,
         "docs_chunk_windows": _CHUNK_WINDOWS_SQL,
         "part_cooccur_adamic_adar": _ADAMIC_ADAR_SQL,
+        "embeddings_scalar_quant": _SCALAR_QUANT_SQL,
+        "docs_bloom_decontaminate": _bloom_decontaminate_sql(),
+        "kg_random_walks": _random_walks_sql(),
         "docs_stratified_sample": _stratified_sample_sql(),
         "docs_cm_heavy_hitters": _cm_heavy_hitters_sql(),
         "docs_hll_distinct": _hll_distinct_sql(),

@@ -38,6 +38,9 @@ SUBSET = [
     "docs_word_entropy",
     "docs_chunk_windows",
     "part_cooccur_adamic_adar",
+    "embeddings_scalar_quant",
+    "docs_bloom_decontaminate",
+    "kg_random_walks",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -1095,3 +1095,35 @@ def part_cooccur_adamic_adar(sf_dir: str) -> pd.DataFrame:
     pairs = cooccur_pairs(ds, group_col="l_orderkey",
                           item_col="l_partkey")
     return adamic_adar(distinct_rows(pairs, ["a", "b"]))
+
+
+def docs_bloom_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter decontamination audit (m=2^12 bits, k=3 —
+    deliberately undersized so false positives occur and the audit
+    columns are exercised): per train
+    doc the bloom hits vs exact hits vs false positives — the fixed-size
+    broadcast variant of docs_decontaminate, deterministic FPs included,
+    SQL-mirrored bit-for-bit via the mix64 chain."""
+    from ..stages.curation import bloom_decontaminate, eval_shingle_set
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    is_eval = lambda t, eq: t.filter(pa.array(  # noqa: E731
+        (t.column("doc_id").to_numpy() % _EVAL_MOD == 0) == eq))
+    ev = eval_shingle_set(
+        ds.map_batches(lambda t: is_eval(t, True), batch_format="pyarrow"))
+    out = bloom_decontaminate(
+        ds.map_batches(lambda t: is_eval(t, False), batch_format="pyarrow"),
+        ev).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def kg_random_walks(sf_dir: str) -> pd.DataFrame:
+    """One seeded deterministic 3-step walk per KG entity (DeepWalk-style
+    corpus prep) — broadcast CSR, vectorized per-step advance, next edge
+    = mix64(777, step, cur, start) % outdeg under the (t, r) edge order;
+    SQL twin unrolls the steps over a row_number-ranked edge list."""
+    from ..stages.graph import random_walks
+
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    return random_walks(ids, len(ent_df), n_steps=3, seed=777)

@@ -1311,3 +1311,17 @@ def docs_chunk_windows(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: np.int64 for c in
                        ("doc_id", "chunk_id", "start", "n_tokens")}) \
         .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+
+
+def embeddings_scalar_quant(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension min-max scalar quantization (the int8 compression
+    half of an ANN store): long-form (vec_id, dim, code, sq_err) — codes
+    and reconstruction errors bit-identical to the SQL twin (pure IEEE
+    double chains, no rounding)."""
+    from ..stages.ann import scalar_quantize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = scalar_quantize(ds).to_pandas()
+    return out.astype({"vec_id": np.int64, "dim": np.int64,
+                       "code": np.int64}) \
+        .sort_values(["vec_id", "dim"], ignore_index=True)

@@ -537,3 +537,68 @@ def mutual_knn_clusters(emb_ds, *, k: int = 5, id_col: str = "vec_id",
             .rename(columns={"doc_id": "node", "cluster_id": "component"})
     return out.astype({"node": np.int64, "component": np.int64}) \
         .sort_values("node", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8-style) quantization — the storage-compression half of ANN
+# ---------------------------------------------------------------------------
+
+def scalar_quantize(ds, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", levels: int = 256):
+    """Per-dimension min-max scalar quantization of an embedding column:
+    code = floor((x − min_d) · (levels−1) / (max_d − min_d)), clipped to
+    levels−1 (x = max_d lands exactly on levels−1 + the float-boundary
+    guard), plus the per-value squared reconstruction error against the
+    bucket midpoint.
+
+    Two streaming passes: (1) per-batch min/max partials → one tiny
+    driver fold → broadcast (mn, mx); (2) per-batch vectorized encode.
+    Every arithmetic step is a single IEEE double op identical in
+    DuckDB, so codes AND errors are bit-identical cross-engine (no
+    rounding needed).  Output long-form (vec_id, dim, code, sq_err)."""
+    import ray as _ray
+
+    from ..context import Broadcast
+
+    def mnmx(t: pa.Table) -> pa.Table:
+        m = list_col_matrix(t.column(vec_col))
+        if not m.size:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"dim": pa.array(np.arange(m.shape[1],
+                                                   dtype=np.int64)),
+                         "mn": pa.array(m.min(axis=0)),
+                         "mx": pa.array(m.max(axis=0))})
+
+    parts = [t for t in _ray.get(
+        ds.map_batches(mnmx, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    cat = pa.concat_tables(parts).to_pandas()
+    g = cat.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = g["mn"].to_numpy(np.float64)
+    mx = g["mx"].to_numpy(np.float64)
+    bc = Broadcast((mn, mx))
+
+    def encode(t: pa.Table) -> pa.Table:
+        mn_, mx_ = bc.get()
+        m = list_col_matrix(t.column(vec_col))
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        n, k = m.shape if m.size else (0, len(mn_))
+        span = mx_ - mn_
+        safe = np.where(span > 0, span, 1.0)
+        code = np.floor((m - mn_) * float(levels - 1) / safe)
+        code = np.minimum(code, float(levels - 1)).astype(np.int64)
+        code[:, span == 0] = 0
+        recon = mn_ + (code.astype(np.float64) + 0.5) * safe \
+            / float(levels - 1)
+        recon[:, span == 0] = mn_[span == 0]
+        err = (m - recon) ** 2
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k)),
+            "dim": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+            "code": pa.array(code.ravel()),
+            "sq_err": pa.array(err.ravel()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -1005,3 +1005,69 @@ def chunk_windows(docs_ds, *, win: int = 64, stride: int = 48,
                          "chunk_text": chunk_text})
 
     return docs_ds.map_batches(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the at-scale membership variant)
+# ---------------------------------------------------------------------------
+
+def bloom_decontaminate(train_ds, eval_hashes: np.ndarray, *,
+                        m_bits: int = 1 << 12, k: int = 3,
+                        seed: int = 401, id_col: str = "doc_id",
+                        text_col: str = "text", ngram: int = 3):
+    """Decontamination through a Bloom filter instead of the exact
+    broadcast set: the eval shingles set k=3 bits each
+    (mix64(seed+i, x) % m_bits into ONE shared bit array); a train
+    shingle is bloom-positive iff all its k bits are set.  At 100 TB the
+    bit array is the fixed-size broadcast (m/8 bytes regardless of eval
+    size; the default m is sized small against the test corpus ON
+    PURPOSE — ~3% false-positive rate — so the audit columns exercise
+    the FP accounting; a production filter sizes m ≈ 10 bits/element) where the exact sorted-hash array grows with the benchmark
+    suite; here the exact set rides along too so the output AUDITS the
+    filter — per doc: bloom hits, true hits, false positives.
+
+    Deterministic (false positives included — same mix64 chain both
+    engines), so the SQL twin reproduces the filter bit-for-bit."""
+    from ..context import Broadcast
+    from ..sources.pages import mix64_vec
+    from .dedup import batch_shingle_hashes
+
+    ev = np.unique(np.asarray(eval_hashes, dtype=np.int64))
+    bits = np.zeros(m_bits, dtype=bool)
+    for i in range(k):
+        bits[(mix64_vec(seed + i, ev) % np.uint64(m_bits))
+             .astype(np.int64)] = True
+    bc = Broadcast((bits, ev))
+
+    def flag(t: pa.Table) -> pa.Table:
+        bits_, ev_ = bc.get()
+        flat, lens = batch_shingle_hashes(t.column(text_col), ngram)
+        n = len(lens)
+        if len(flat):
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hit = np.ones(len(flat), dtype=bool)
+            for i in range(k):
+                hit &= bits_[(mix64_vec(seed + i, flat)
+                              % np.uint64(m_bits)).astype(np.int64)]
+            n_bloom = np.bincount(doc_idx, weights=hit,
+                                  minlength=n).astype(np.int64)
+            if len(ev_):
+                pos = np.clip(np.searchsorted(ev_, flat), 0, len(ev_) - 1)
+                true_hit = ev_[pos] == flat
+            else:
+                true_hit = np.zeros(len(flat), dtype=bool)
+            n_true = np.bincount(doc_idx, weights=true_hit,
+                                 minlength=n).astype(np.int64)
+        else:
+            n_bloom = np.zeros(n, dtype=np.int64)
+            n_true = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "n_shingles": pa.array(lens),
+            "n_bloom_hits": pa.array(n_bloom),
+            "n_true_hits": pa.array(n_true),
+            "n_false_pos": pa.array(n_bloom - n_true),
+            "contaminated": pa.array((n_bloom > 0).astype(np.int64)),
+        })
+
+    return train_ds.map_batches(flag, batch_format="pyarrow")

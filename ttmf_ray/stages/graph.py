@@ -664,3 +664,72 @@ def adamic_adar(pairs_ds) -> pd.DataFrame:
     return out.astype({"a": np.int64, "b": np.int64,
                        "common_neighbors": np.int64}) \
         .sort_values(["a", "b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Seeded deterministic random walks (node2vec/DeepWalk corpus prep)
+# ---------------------------------------------------------------------------
+
+def random_walks(ids: pd.DataFrame, n_entities: int, *, n_steps: int = 3,
+                 seed: int = 777) -> pd.DataFrame:
+    """One deterministic walk per entity over the directed id-mapped KG:
+    from ``cur``, the next edge is out-edge rank
+    mix64(seed, step, cur, start) % outdeg(cur) under the (t, r)
+    lexicographic edge order; a walk emits one (start, step, r, node)
+    row per step and stops at the first sink.  This is the corpus-prep
+    primitive of DeepWalk/node2vec-style KG embedding pipelines.
+
+    The CSR broadcasts once; every start node advances VECTORIZED one
+    step per round (n_steps gathers total, no per-walk Python).  The SQL
+    twin unrolls the same steps over a row_number()-ranked edge list
+    with the identical mix64 chain."""
+    from ..context import Broadcast, auto_pool, spread
+    from ..sources.pages import mix64_vec
+
+    import ray.data as rd
+
+    csr = build_csr(ids["h"].to_numpy(np.int64),
+                    ids["t"].to_numpy(np.int64),
+                    ids["r"].to_numpy(np.int64), n_entities)
+    bc = Broadcast((csr.eindptr, csr.edst, csr.erel))
+
+    class Walker:
+        def __init__(self, adj_bc: Broadcast):
+            self.eindptr, self.edst, self.erel = adj_bc.get()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            start = t.column("start").to_numpy().astype(np.int64)
+            cur = start.copy()
+            alive = np.ones(len(start), dtype=bool)
+            outs = []
+            for step in range(1, n_steps + 1):
+                deg = self.eindptr[cur + 1] - self.eindptr[cur]
+                alive &= deg > 0
+                if not alive.any():
+                    break
+                a = np.flatnonzero(alive)
+                idx = (mix64_vec(seed, step, cur[a], start[a])
+                       % deg[a].astype(np.uint64)).astype(np.int64)
+                e = self.eindptr[cur[a]] + idx
+                nxt, rel = self.edst[e], self.erel[e]
+                outs.append(pa.table({
+                    "start": pa.array(start[a]),
+                    "step": pa.array(np.full(len(a), step, np.int64)),
+                    "r": pa.array(rel.astype(np.int64)),
+                    "node": pa.array(nxt.astype(np.int64))}))
+                cur[a] = nxt
+            if not outs:
+                return pa.table({"start": pa.array([], pa.int64()),
+                                 "step": pa.array([], pa.int64()),
+                                 "r": pa.array([], pa.int64()),
+                                 "node": pa.array([], pa.int64())})
+            return pa.concat_tables(outs)
+
+    starts = spread(rd.from_pandas(pd.DataFrame(
+        {"start": np.arange(n_entities, dtype=np.int64)})))
+    out = starts.map_batches(Walker,
+                             fn_constructor_kwargs={"adj_bc": bc},
+                             batch_format="pyarrow",
+                             concurrency=auto_pool()).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values(["start", "step"], ignore_index=True)
