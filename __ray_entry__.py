@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_scalar_quant": rel.embeddings_scalar_quant,
         "docs_bloom_decontaminate": cq.docs_bloom_decontaminate,
         "kg_random_walks": cq.kg_random_walks,
+        "kg_relpath_2hop": cq.kg_relpath_2hop,
+        "kg_hits": cq.kg_hits,
+        "kg_entity_types": cq.kg_entity_types,
+        "docs_textrank": rel.docs_textrank,
         "part_cooccur_adamic_adar": cq.part_cooccur_adamic_adar,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
@@ -215,13 +219,15 @@ _IDMAPPED_SQL = f"""
     JOIN rels rl ON e.pred = rl.name
 """
 
-def _pagerank_sql(n_iter: int = 10, d: str = "0.85") -> str:
-    """Unrolled global-PageRank mirror of stages/pagerank.py: per
-    iteration the per-edge pr/outdeg SUM per target, the dangling-mass
-    (outdeg-0) redistribution, and the 9-dp quantization that keeps the
-    two engines' summation-order ulps from compounding.  MATERIALIZED on
+def _pr_iters(n_iter: int = 10, d: str = "0.85") -> tuple[str, str]:
+    """Unrolled PageRank iteration CTEs over pre-defined tables
+    ``e(u, v)``, ``nodes(id)``, ``nn(n)``, ``odeg(u, od)``, ``p0(id, pr)``
+    — shared by kg_pagerank and docs_textrank.  Per iteration: the
+    per-edge pr/outdeg SUM per target, the dangling-mass (outdeg-0)
+    redistribution, and the 9-dp quantization that keeps the two
+    engines' summation-order ulps from compounding.  MATERIALIZED on
     every level (CLAUDE.md: unrolled iteration CTEs referenced twice
-    inline exponentially otherwise)."""
+    inline exponentially otherwise).  Returns (cte_sql, final_name)."""
     its = []
     prev = "p0"
     for i in range(1, n_iter + 1):
@@ -243,6 +249,13 @@ def _pagerank_sql(n_iter: int = 10, d: str = "0.85") -> str:
         FROM nodes n CROSS JOIN nn CROSS JOIN g{i}
         LEFT JOIN c{i} ON c{i}.id = n.id)""")
         prev = f"p{i}"
+    return ",".join(its), prev
+
+
+def _pagerank_sql(n_iter: int = 10, d: str = "0.85") -> str:
+    """Global-PageRank mirror of stages/pagerank.py over the id-mapped
+    relational KG (see _pr_iters for the iteration contract)."""
+    its, prev = _pr_iters(n_iter, d)
     return f"""
     WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
     e AS MATERIALIZED (SELECT DISTINCT h AS u, t AS v FROM edges0),
@@ -253,9 +266,124 @@ def _pagerank_sql(n_iter: int = 10, d: str = "0.85") -> str:
     odeg AS MATERIALIZED (SELECT u, count(*) AS od FROM e GROUP BY u),
     p0 AS MATERIALIZED (
         SELECT id, round(1.0 / nn.n, 9) AS pr FROM nodes CROSS JOIN nn),
-    {",".join(its)}
+    {its}
     SELECT CAST(id AS BIGINT) AS node, pr FROM {prev} ORDER BY node
     """
+
+
+def _textrank_sql(n_iter: int = 10, d: str = "0.85") -> str:
+    """Mirror of docs_textrank: adjacent lowercase word pairs (window 2,
+    self-pairs dropped) via positional token self-joins, sorted-word
+    vocab ids, symmetric distinct edges, then the shared unrolled
+    quantized PageRank (_pr_iters) — joined back to words."""
+    its, prev = _pr_iters(n_iter, d)
+    return f"""
+    WITH wl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+                FROM documents),
+    pw AS (SELECT doc_id, u['i'] AS i, u['w'] AS w FROM (
+               SELECT doc_id,
+                      unnest(list_transform(ws,
+                             (w, i) -> {{'i': i, 'w': w}})) AS u
+               FROM wl)),
+    adj AS MATERIALIZED (
+        SELECT a.w AS wa, b.w AS wb
+        FROM pw a JOIN pw b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.w <> b.w),
+    vocab AS MATERIALIZED (
+        SELECT w AS word, row_number() OVER (ORDER BY w) - 1 AS id
+        FROM (SELECT DISTINCT w FROM (SELECT wa AS w FROM adj
+                                      UNION ALL SELECT wb FROM adj))),
+    e AS MATERIALIZED (
+        SELECT DISTINCT va.id AS u, vb.id AS v
+        FROM (SELECT wa, wb FROM adj
+              UNION ALL SELECT wb, wa FROM adj) p
+        JOIN vocab va ON va.word = p.wa
+        JOIN vocab vb ON vb.word = p.wb),
+    nodes AS MATERIALIZED (SELECT id FROM vocab),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+    odeg AS MATERIALIZED (SELECT u, count(*) AS od FROM e GROUP BY u),
+    p0 AS MATERIALIZED (
+        SELECT id, round(1.0 / nn.n, 9) AS pr FROM nodes CROSS JOIN nn),
+    {its}
+    SELECT v.word, p.pr FROM vocab v JOIN {prev} p ON p.id = v.id
+    ORDER BY v.word
+    """
+
+
+def _hits_sql(n_iter: int = 8) -> str:
+    """Mirror of kg_hits (stages/pagerank.py:hits): 8 unrolled
+    iterations, each auth = round(round(Σ_in hub, 9) / max, 9) then the
+    hub analog — max normalization is summation-order independent, so
+    only the per-target SUM carries ulps and the 9-dp rounds absorb
+    them (the kg_pagerank contract)."""
+    its = []
+    prev = "h0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    a{i} AS MATERIALIZED (
+        SELECT n.id, round(COALESCE(s.s, 0), 9) AS av
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS id, sum(hh.hv) AS s
+            FROM e JOIN {prev} hh ON hh.id = e.u GROUP BY e.v) s
+        ON s.id = n.id),
+    am{i} AS MATERIALIZED (SELECT max(av) AS m FROM a{i}),
+    an{i} AS MATERIALIZED (
+        SELECT id, CASE WHEN am.m > 0 THEN round(av / am.m, 9)
+                        ELSE av END AS av
+        FROM a{i} CROSS JOIN am{i} am),
+    hr{i} AS MATERIALIZED (
+        SELECT n.id, round(COALESCE(s.s, 0), 9) AS hv
+        FROM nodes n LEFT JOIN (
+            SELECT e.u AS id, sum(aa.av) AS s
+            FROM e JOIN an{i} aa ON aa.id = e.v GROUP BY e.u) s
+        ON s.id = n.id),
+    hm{i} AS MATERIALIZED (SELECT max(hv) AS m FROM hr{i}),
+    h{i} AS MATERIALIZED (
+        SELECT id, CASE WHEN hm.m > 0 THEN round(hv / hm.m, 9)
+                        ELSE hv END AS hv
+        FROM hr{i} CROSS JOIN hm{i} hm)""")
+        prev = f"h{i}"
+    return f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
+    e AS MATERIALIZED (SELECT DISTINCT h AS u, t AS v FROM edges0),
+    nodes AS MATERIALIZED (SELECT id FROM ({_VOCAB_SQL})),
+    h0 AS MATERIALIZED (SELECT id, 1.0 AS hv FROM nodes),
+    {",".join(its)}
+    SELECT CAST(n.id AS BIGINT) AS node, h.hv AS hub, a.av AS auth
+    FROM nodes n JOIN h{n_iter} h ON h.id = n.id
+                 JOIN an{n_iter} a ON a.id = n.id
+    ORDER BY node
+    """
+
+
+_RELPATH_2HOP_SQL = f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL})
+    SELECT CAST(e1.r AS BIGINT) AS r1, CAST(e2.r AS BIGINT) AS r2,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM edges0 e1 JOIN edges0 e2 ON e1.t = e2.h
+    GROUP BY e1.r, e2.r ORDER BY r1, r2
+"""
+
+
+_ENTITY_TYPES_SQL = f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
+    vocab AS MATERIALIZED ({_VOCAB_SQL}),
+    so AS (SELECT h AS id,
+                  string_agg(CAST(r AS VARCHAR), ',' ORDER BY r) AS sig
+           FROM (SELECT DISTINCT h, r FROM edges0) GROUP BY h),
+    si AS (SELECT t AS id,
+                  string_agg(CAST(r AS VARCHAR), ',' ORDER BY r) AS sig
+           FROM (SELECT DISTINCT t, r FROM edges0) GROUP BY t),
+    base AS (SELECT v.id, COALESCE(so.sig, '') AS sig_out,
+                    COALESCE(si.sig, '') AS sig_in
+             FROM vocab v LEFT JOIN so ON so.id = v.id
+                          LEFT JOIN si ON si.id = v.id)
+    SELECT CAST(id AS BIGINT) AS id, sig_out, sig_in,
+           CAST(count(*) OVER (PARTITION BY sig_out, sig_in) AS BIGINT)
+               AS n_peers
+    FROM base ORDER BY id
+"""
 
 
 # --- splitmix64 in SQL (mirrors sources/pages.py:mix64 bit-for-bit) --------
@@ -3079,6 +3207,10 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_scalar_quant": _SCALAR_QUANT_SQL,
         "docs_bloom_decontaminate": _bloom_decontaminate_sql(),
         "kg_random_walks": _random_walks_sql(),
+        "kg_relpath_2hop": _RELPATH_2HOP_SQL,
+        "kg_hits": _hits_sql(),
+        "kg_entity_types": _ENTITY_TYPES_SQL,
+        "docs_textrank": _textrank_sql(),
         "docs_stratified_sample": _stratified_sample_sql(),
         "docs_cm_heavy_hitters": _cm_heavy_hitters_sql(),
         "docs_hll_distinct": _hll_distinct_sql(),

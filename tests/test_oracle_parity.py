@@ -41,6 +41,10 @@ SUBSET = [
     "embeddings_scalar_quant",
     "docs_bloom_decontaminate",
     "kg_random_walks",
+    "kg_relpath_2hop",
+    "kg_hits",
+    "kg_entity_types",
+    "docs_textrank",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -33,3 +33,18 @@ def test_pagerank_driver_pool_parity():
     fast = pagerank(ds, n, n_iter=7)
     pool = pagerank(ds, n, n_iter=7, driver_max=0)
     pd.testing.assert_frame_equal(fast, pool)    # bitwise (9-dp quantized)
+
+def test_hits_structure_and_driver_pool_parity():
+    from ttmf_ray.stages.pagerank import hits
+
+    ds, n = _star_ds()
+    out = hits(ds, n, n_iter=6)
+    assert len(out) == n
+    a = out.set_index("node")["auth"]
+    h = out.set_index("node")["hub"]
+    assert a.idxmax() == 0        # everyone points at the hub
+    assert a.loc[0] == 1.0        # max normalization pins the top to 1
+    assert h.max() == 1.0
+    assert h.loc[0] < 1.0         # the hub only points at node 1
+    pool = hits(ds, n, n_iter=6, driver_max=0)
+    pd.testing.assert_frame_equal(out, pool)  # bitwise (9-dp quantized)

@@ -1127,3 +1127,48 @@ def kg_random_walks(sf_dir: str) -> pd.DataFrame:
 
     ent_df, _rel_df, ids = _relational_kg(sf_dir)
     return random_walks(ids, len(ent_df), n_steps=3, seed=777)
+
+
+def kg_relpath_2hop(sf_dir: str) -> pd.DataFrame:
+    """(r1, r2) relation-composition counts over all 2-edge paths of the
+    relational KG — the corpus-level path-pattern census behind
+    PTransE-style relation-path features.  Edges hash-partition by MID
+    node; each partition contributes one R×R in-countᵀ·out-count matmul
+    partial (the quadratic path set never materializes); SQL twin is the
+    plain edge self-join on the shared mid node."""
+    from ..stages.graph import relpath_2hop
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    ds = rd.from_pandas(ids[["h", "t", "r"]])
+    from ..context import spread
+
+    return relpath_2hop(spread(ds), len(rel_df))
+
+
+def kg_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities over the distinct-(h,t) relational KG —
+    8 max-normalized quantized power iterations (node, hub, auth);
+    the SQL twin unrolls the identical iterations (max normalization is
+    summation-order independent, so the normalizer is bit-identical)."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.pagerank import hits
+
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    e = rd.from_pandas(ids[["h", "t"]].rename(
+        columns={"h": "src", "t": "dst"}))
+    out = hits(distinct_rows(e, ["src", "dst"]), len(ent_df))
+    return out.sort_values("node", ignore_index=True)
+
+
+def kg_entity_types(sf_dir: str) -> pd.DataFrame:
+    """Relation-signature grouping of every KG entity (schema induction):
+    sorted distinct outgoing / incoming relation ids as strings plus the
+    size of each (sig_out, sig_in) group — per-batch distinct combiner,
+    |V|·|R|-bounded fold, vocab-scale driver string build (rule 13)."""
+    from ..stages.graph import entity_signatures
+
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    from ..context import spread
+
+    ds = spread(rd.from_pandas(ids[["h", "t", "r"]]))
+    return entity_signatures(ds, len(ent_df))

@@ -1325,3 +1325,63 @@ def embeddings_scalar_quant(sf_dir: str) -> pd.DataFrame:
     return out.astype({"vec_id": np.int64, "dim": np.int64,
                        "code": np.int64}) \
         .sort_values(["vec_id", "dim"], ignore_index=True)
+
+
+def docs_textrank(sf_dir: str) -> pd.DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004) over the corpus:
+    adjacent lowercase word pairs build an undirected co-occurrence
+    graph (window 2, self-pairs dropped), then the quantized global
+    PageRank runs over its symmetric edge list.  Output (word, pr) for
+    every word with at least one neighbor.
+
+    Two streaming passes over the documents (pair-vocab build, then
+    id-mapped edge emit with the vocab broadcast) + the shared
+    ``stages/pagerank.py`` iteration; the SQL twin builds the identical
+    pair list via positional token self-joins and unrolls the same
+    PageRank (9-dp quantization ⇒ no cross-engine drift)."""
+    from ..stages.pagerank import pagerank
+    from ..stages.text import _as_array, _split_flat
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def adj_pairs(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = _as_array(t.column("text"))
+        flat, doc_idx, _ = _split_flat(pc.utf8_lower(col), "[^0-9a-z_]+")
+        ok = flat != ""
+        flat, doc_idx = flat[ok], doc_idx[ok]
+        if len(flat) < 2:
+            e = np.empty(0, dtype=flat.dtype if len(flat) else object)
+            return e, e
+        m = (doc_idx[1:] == doc_idx[:-1]) & (flat[1:] != flat[:-1])
+        return flat[:-1][m], flat[1:][m]
+
+    def pair_words(t: pa.Table) -> pa.Table:
+        a, b = adj_pairs(t)
+        return pa.table({"w": pa.array(
+            np.unique(np.concatenate([a, b])).astype(object),
+            type=pa.string())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(pair_words, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    # tokens are ASCII ⇒ numpy byte sort == SQL codepoint ORDER BY
+    words = np.unique(np.concatenate(
+        [t.column("w").to_numpy(zero_copy_only=False) for t in parts]))
+    bc = Broadcast(pa.array(words, type=pa.string()))
+
+    def edges(t: pa.Table) -> pa.Table:
+        v = bc.get()
+        a, b = adj_pairs(t)
+        ai = pc.index_in(pa.array(a, type=pa.string()), v) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        bi = pc.index_in(pa.array(b, type=pa.string()), v) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([ai, bi])),
+                         "dst": pa.array(np.concatenate([bi, ai]))})
+
+    e = distinct_rows(ds.map_batches(edges, batch_format="pyarrow"),
+                      ["src", "dst"])
+    pr = pagerank(e, len(words))
+    out = pd.DataFrame({"word": words[pr["node"].to_numpy()],
+                        "pr": pr["pr"].to_numpy()})
+    return out.sort_values("word", ignore_index=True)

@@ -733,3 +733,136 @@ def random_walks(ids: pd.DataFrame, n_entities: int, *, n_steps: int = 3,
                              concurrency=auto_pool()).to_pandas()
     return out.astype({c: np.int64 for c in out.columns}) \
         .sort_values(["start", "step"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Relation-path statistics: (r1, r2) composition counts over 2-edge paths
+# ---------------------------------------------------------------------------
+
+def relpath_2hop(edges_ds, n_rel: int) -> pd.DataFrame:
+    """Count 2-edge relation paths r1→r2 over an id-mapped (h, t, r)
+    edge Dataset: n_paths(r1, r2) = #{(e1, e2) : e1.t == e2.h,
+    e1.r == r1, e2.r == r2} — the path-pattern census behind
+    PTransE-style relation-path features (reference
+    PTransE.java's path statistics work per (h,t) pair; this is the
+    corpus-level profile).
+
+    Shape: per-batch combiner counts distinct (mid, r, side) with
+    multiplicity, hash-partitioned by MID NODE so each node's in/out
+    edges meet in exactly one partition; the per-partition kernel is one
+    (nv×R)ᵀ·(nv×R) matmul — n_paths(r1,r2) = Σ_v in_cnt(v,r1)·out_cnt(v,r2).
+    Partition outputs are R×R partials; the driver fold is tiny.  No
+    edge-level join ever materializes the quadratic path set."""
+    from ..context import num_cpus
+
+    n_part = min(512, max(64, num_cpus() * 4))
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy().astype(np.int64)
+        tt = t.column("t").to_numpy().astype(np.int64)
+        r = t.column("r").to_numpy().astype(np.int64)
+        # side 0: edge ENTERS mid (mid = t, rel = r1 candidate)
+        # side 1: edge LEAVES mid (mid = h, rel = r2 candidate)
+        mid = np.concatenate([tt, h])
+        rel = np.concatenate([r, r])
+        side = np.concatenate([np.zeros(len(r), np.int8),
+                               np.ones(len(r), np.int8)])
+        key = (mid * n_rel + rel) * 2 + side
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"mid": pa.array(uk // (2 * n_rel)),
+                         "rel": pa.array((uk // 2) % n_rel),
+                         "side": pa.array((uk % 2).astype(np.int8)),
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "part": pa.array(
+                             (uk // (2 * n_rel)) % n_part)})
+
+    def cross_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"r1": np.empty(0, np.int64),
+                                 "r2": np.empty(0, np.int64),
+                                 "n_paths": np.empty(0, np.int64)})
+        g = df.groupby(["mid", "rel", "side"], as_index=False)["cnt"].sum()
+        mid = g["mid"].to_numpy(np.int64)
+        rel = g["rel"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int8)
+        cnt = g["cnt"].to_numpy(np.int64)
+        _, vi = np.unique(mid, return_inverse=True)
+        nv = vi.max() + 1 if len(vi) else 0
+        m_in = np.zeros((nv, n_rel), dtype=np.int64)
+        m_out = np.zeros((nv, n_rel), dtype=np.int64)
+        i0, i1 = side == 0, side == 1
+        np.add.at(m_in, (vi[i0], rel[i0]), cnt[i0])
+        np.add.at(m_out, (vi[i1], rel[i1]), cnt[i1])
+        part = m_in.T @ m_out
+        r1, r2 = np.nonzero(part)
+        return pd.DataFrame({"r1": r1.astype(np.int64),
+                             "r2": r2.astype(np.int64),
+                             "n_paths": part[r1, r2]})
+
+    parts = (edges_ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(cross_in_part, batch_format="pandas")).to_pandas()
+    out = parts.groupby(["r1", "r2"], as_index=False)["n_paths"].sum()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values(["r1", "r2"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Entity relation-signature profile (schema induction over the KG)
+# ---------------------------------------------------------------------------
+
+def entity_signatures(edges_ds, n_entities: int) -> pd.DataFrame:
+    """Per entity the sorted distinct outgoing / incoming relation-id
+    sets as ','-joined strings, plus the number of entities sharing the
+    exact (sig_out, sig_in) pair — the relation-signature grouping used
+    for KG schema induction / type inference.
+
+    Per-batch combiner emits distinct packed (entity, rel, side) keys —
+    the fold state is bounded by |V|·|R| distinct pairs, never the edge
+    stream — then one vocab-scale driver pass builds the strings (rule
+    13: at this state size a Ray round-trip costs seconds where the
+    segment join costs milliseconds)."""
+    import ray as _ray
+
+    def pairs(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy().astype(np.int64)
+        tt = t.column("t").to_numpy().astype(np.int64)
+        r = t.column("r").to_numpy().astype(np.int64)
+        n_rel = int(r.max()) + 1 if len(r) else 1
+        k_out = np.unique(h * n_rel + r)
+        k_in = np.unique(tt * n_rel + r)
+        return pa.table({
+            "ent": pa.array(np.concatenate([k_out // n_rel,
+                                            k_in // n_rel])),
+            "rel": pa.array(np.concatenate([k_out % n_rel,
+                                            k_in % n_rel])),
+            "side": pa.array(np.concatenate(
+                [np.ones(len(k_out), np.int8),
+                 np.zeros(len(k_in), np.int8)]))})
+
+    tbls = [t for t in _ray.get(
+        edges_ds.map_batches(pairs, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    cat = pa.concat_tables(tbls).to_pandas().drop_duplicates()
+
+    def sig_map(sub: pd.DataFrame) -> np.ndarray:
+        """entity → ','-joined sorted distinct rel ids ('' if absent)."""
+        sub = sub.sort_values(["ent", "rel"])
+        ent = sub["ent"].to_numpy(np.int64)
+        rel = sub["rel"].to_numpy(np.int64)
+        sigs = np.full(n_entities, "", dtype=object)
+        if len(ent):
+            strs = rel.astype(str)
+            starts = np.flatnonzero(np.r_[True, ent[1:] != ent[:-1]])
+            joined = [",".join(strs[s:e]) for s, e in
+                      zip(starts, np.r_[starts[1:], len(ent)])]
+            sigs[ent[starts]] = joined
+        return sigs
+
+    sig_out = sig_map(cat[cat["side"] == 1])
+    sig_in = sig_map(cat[cat["side"] == 0])
+    df = pd.DataFrame({"id": np.arange(n_entities, dtype=np.int64),
+                       "sig_out": sig_out, "sig_in": sig_in})
+    df["n_peers"] = df.groupby(["sig_out", "sig_in"])["id"] \
+        .transform("size").astype(np.int64)
+    return df

@@ -110,3 +110,76 @@ def pagerank(edges_ds, n_nodes: int, *, d: float = DAMPING,
         pr = _pr_step(pr, contrib, dangling, d)
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "pr": pr})
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (Kleinberg 1999) — same quantized-iteration shape
+# ---------------------------------------------------------------------------
+
+def _hits_norm(raw: np.ndarray) -> np.ndarray:
+    """Quantize the per-node sums, then max-normalize and quantize again.
+
+    Max (unlike an L2/L1 norm) is summation-order independent, so the
+    normalizer is bit-identical cross-engine; the two 9-dp rounds keep
+    the per-target SUM ulps from compounding (pagerank's trick)."""
+    q = _pr_round(raw)
+    m = q.max() if len(q) else 0.0
+    return _pr_round(q / m) if m > 0 else q
+
+
+def hits(edges_ds, n_nodes: int, *, n_iter: int = 8,
+         src_col: str = "src", dst_col: str = "dst",
+         driver_max: int = 5_000_000) -> pd.DataFrame:
+    """HITS over a distinct directed edge Dataset → (node, hub, auth).
+
+    Per iteration: auth = normalize(Σ_{u→i} hub_u), then
+    hub = normalize(Σ_{i→v} auth_v) — two bincount passes over the edge
+    stream with the hub/auth vectors broadcast (the graph's node
+    vocabulary is the small object, the edge list streams).  Max
+    normalization + 9-dp quantization per update makes the unrolled
+    DuckDB twin land on the same vectors (stages docstring above).
+
+    ``driver_max=0`` forces the pool path (parity test)."""
+    edges_ds = edges_ds.materialize()
+    hub = np.ones(n_nodes, dtype=np.float64)
+    auth = np.zeros(n_nodes, dtype=np.float64)
+
+    if driver_max and edges_ds.count() <= driver_max:
+        tbls = ray.get(edges_ds.to_arrow_refs())
+        t = pa.concat_tables([x.select([src_col, dst_col])
+                              for x in tbls if x.num_rows])
+        src = t.column(src_col).to_numpy().astype(np.int64)
+        dst = t.column(dst_col).to_numpy().astype(np.int64)
+        for _ in range(n_iter):
+            auth = _hits_norm(
+                np.bincount(dst, weights=hub[src], minlength=n_nodes))
+            hub = _hits_norm(
+                np.bincount(src, weights=auth[dst], minlength=n_nodes))
+        return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                             "hub": hub, "auth": auth})
+
+    edges_ds = spread(edges_ds)
+
+    def _fold(gather_col: str, weight_vec: np.ndarray,
+              weight_idx_col: str) -> np.ndarray:
+        state = Broadcast(weight_vec)
+
+        def part(t: pa.Table, state=state) -> pa.Table:
+            w = state.get()
+            gi = t.column(gather_col).to_numpy().astype(np.int64)
+            wi = t.column(weight_idx_col).to_numpy().astype(np.int64)
+            return pa.table({"c": pa.array(
+                np.bincount(gi, weights=w[wi], minlength=n_nodes))})
+
+        acc = np.zeros(n_nodes, dtype=np.float64)
+        for t in ray.get(edges_ds.map_batches(
+                part, batch_format="pyarrow").to_arrow_refs()):
+            if len(t):
+                acc += t.column("c").to_numpy()
+        return acc
+
+    for _ in range(n_iter):
+        auth = _hits_norm(_fold(dst_col, hub, src_col))
+        hub = _hits_norm(_fold(src_col, auth, dst_col))
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "hub": hub, "auth": auth})
