@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": cq.kg_hits,
         "kg_entity_types": cq.kg_entity_types,
         "docs_textrank": rel.docs_textrank,
+        "docs_quality_auc": rel.docs_quality_auc,
+        "docs_dsir_sample": rel.docs_dsir_sample,
+        "docs_kneser_ney": rel.docs_kneser_ney,
         "part_cooccur_adamic_adar": cq.part_cooccur_adamic_adar,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
@@ -473,6 +476,139 @@ def _dsir_sql() -> str:
                 AS BIGINT) AS selected
     FROM d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id
+    """
+
+
+# NB quality-gate model CTEs (stages/classify.py fit_nb_quality /
+# NBScorer) — shared by docs_nb_quality and docs_quality_auc.  Ends at
+# ``agg`` (per-doc n_tokens + weight sum) and ``pri`` (class prior).
+def _nb_model_ctes() -> str:
+    return f"""toks AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                       list_transform({_TOKENS}, x -> lower(x)) AS ts
+                FROM documents),
+            train AS (SELECT doc_id, (lang = 'en') AS ispos,
+                             unnest(ts) AS token
+                      FROM toks WHERE doc_id % 2 = 0),
+            counts AS (SELECT token,
+                              sum(CASE WHEN ispos THEN 1 ELSE 0 END) AS c1,
+                              sum(CASE WHEN ispos THEN 0 ELSE 1 END) AS c0
+                       FROM train GROUP BY token),
+            tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM counts),
+            nd AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                              AS d1,
+                          sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                              AS d0
+                   FROM toks WHERE doc_id % 2 = 0),
+            top AS (SELECT token, c1, c0 FROM counts
+                    ORDER BY (c1 + c0) DESC, token LIMIT 20000),
+            den AS (SELECT (t.n1 + v.v + 1)::DOUBLE AS d1,
+                           (t.n0 + v.v + 1)::DOUBLE AS d0
+                    FROM tot t, (SELECT count(*) AS v FROM top) v),
+            w AS (SELECT token,
+                         ln((c1 + 1)::DOUBLE / den.d1)
+                         - ln((c0 + 1)::DOUBLE / den.d0) AS w
+                  FROM top, den),
+            flat AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            scored AS (SELECT f.doc_id,
+                              COALESCE(w.w, (SELECT ln(1.0 / d1)
+                                             - ln(1.0 / d0) FROM den)) AS w
+                       FROM flat f LEFT JOIN w ON w.token = f.token),
+            agg AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS s
+                    FROM scored GROUP BY doc_id),
+            pri AS (SELECT ln((d1 + 1.0) / (d0 + 1.0)) AS p FROM nd)"""
+
+
+# exact ROC-AUC of the NB score on the held-out odd half: distinct-score
+# histogram + tie-averaged Mann-Whitney rank sum in PURE INTEGER
+# arithmetic (stages/classify.py nb_auc) — one final IEEE division
+def _quality_auc_sql() -> str:
+    return f"""
+    WITH {_nb_model_ctes()},
+    ev AS (SELECT (t.lang = 'en') AS ispos,
+                  ROUND(pri.p + COALESCE(a.s, 0.0), 6) AS s
+           FROM toks t LEFT JOIN agg a USING (doc_id), pri
+           WHERE t.doc_id % 2 = 1),
+    hist AS (SELECT s, sum(CASE WHEN ispos THEN 1 ELSE 0 END) AS n1,
+                    sum(CASE WHEN ispos THEN 0 ELSE 1 END) AS n0
+             FROM ev GROUP BY s),
+    r AS (SELECT n1, n1 + n0 AS cnt,
+                 COALESCE(sum(n1 + n0) OVER (
+                     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS cum_before
+          FROM hist),
+    tots AS (SELECT (SELECT sum(n1) FROM hist) AS p,
+                    (SELECT sum(n0) FROM hist) AS nn,
+                    sum(n1 * (2 * cum_before + cnt + 1)) AS su FROM r)
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           ROUND(CAST(su - p * (p + 1) AS DOUBLE) / (2 * p * nn), 6)
+               AS auc
+    FROM tots
+    """
+
+
+def _dsir_sample_sql(n: int = 100, seed: int = 991) -> str:
+    """Mirror of docs_dsir_sample (stages/classify.py dsir_sample):
+    log-domain Efraimidis-Spirakis keys over the docs_dsir_weights CTEs —
+    key = round(ln(-ln u) - log_weight, 9), u = (mix64(seed, id) >> 11
+    + 1) / 2^53, n smallest keep."""
+    lat, ref = _mix_chain("dss", ["w.doc_id"], [seed])
+    return f"""
+    WITH w AS MATERIALIZED ({_dsir_sql()}),
+    k AS (SELECT w.doc_id, w.log_weight,
+                 ROUND(ln(-ln((CAST(({ref}) // 2048 AS DOUBLE) + 1.0)
+                              / 9007199254740992.0))
+                       - w.log_weight, 9) AS key
+          FROM w, {lat})
+    SELECT doc_id, log_weight, key FROM k
+    ORDER BY key, doc_id LIMIT {n}
+    """
+
+
+# interpolated Kneser-Ney bigram perplexity (stages/lm_score.py
+# fit_kn_lm/KNScorer): D=0.75, add-one-floored continuation probability
+# pcont=(l2+1)/(T+V); fit on even doc_ids — every per-bigram probability
+# is the identical fixed-order IEEE chain as the numpy kernel
+def _kneser_ney_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         list_transform({_TOKENS}, x -> lower(x)) AS ts
+                  FROM documents),
+    flat AS (SELECT doc_id, unnest(ts) AS w,
+                    (generate_subscripts(ts, 1) - 1)::BIGINT AS p
+             FROM toks),
+    bg AS (SELECT f1.doc_id, f1.w AS prev, f2.w AS cur
+           FROM flat f1 JOIN flat f2
+                ON f2.doc_id = f1.doc_id AND f2.p = f1.p + 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM flat WHERE doc_id % 2 = 0),
+    bc AS (SELECT prev, cur, count(*) AS cnt FROM bg
+           WHERE doc_id % 2 = 0 GROUP BY prev, cur),
+    cc AS (SELECT prev, sum(cnt) AS cnt, count(*) AS r1 FROM bc
+           GROUP BY prev),
+    lc AS (SELECT cur, count(*) AS lcnt FROM bc GROUP BY cur),
+    tt AS (SELECT count(*) AS nt FROM bc),
+    lp AS (SELECT g.doc_id,
+                  ln(CASE WHEN c.cnt IS NULL
+                          THEN (COALESCE(l.lcnt, 0) + 1.0)
+                               / ((tt.nt + v.v)::DOUBLE)
+                          ELSE greatest(COALESCE(b.cnt, 0) - 0.75, 0.0)
+                                   / c.cnt::DOUBLE
+                               + ((0.75 * c.r1::DOUBLE) / c.cnt::DOUBLE)
+                                 * ((COALESCE(l.lcnt, 0) + 1.0)
+                                    / ((tt.nt + v.v)::DOUBLE))
+                     END) AS lp
+           FROM bg g
+           LEFT JOIN bc b ON b.prev = g.prev AND b.cur = g.cur
+           LEFT JOIN cc c ON c.prev = g.prev
+           LEFT JOIN lc l ON l.cur = g.cur, tt, v),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS logp
+            FROM lp GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(COALESCE(a.logp, 0.0), 6) AS logp,
+           ROUND(exp(-COALESCE(a.logp, 0.0)), 6) AS ppl
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
     """
 
 
@@ -2723,40 +2859,7 @@ def oracle_sql() -> dict[str, str]:
         # add-one over V+1 per class), score = prior + sum of weights
         # (stages/classify.py fit_nb_quality/NBScorer)
         "docs_nb_quality": f"""
-            WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-                                 list_transform({_TOKENS}, x -> lower(x))
-                                     AS ts
-                          FROM documents),
-            train AS (SELECT doc_id, (lang = 'en') AS ispos,
-                             unnest(ts) AS token
-                      FROM toks WHERE doc_id % 2 = 0),
-            counts AS (SELECT token,
-                              sum(CASE WHEN ispos THEN 1 ELSE 0 END) AS c1,
-                              sum(CASE WHEN ispos THEN 0 ELSE 1 END) AS c0
-                       FROM train GROUP BY token),
-            tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM counts),
-            nd AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                              AS d1,
-                          sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
-                              AS d0
-                   FROM toks WHERE doc_id % 2 = 0),
-            top AS (SELECT token, c1, c0 FROM counts
-                    ORDER BY (c1 + c0) DESC, token LIMIT 20000),
-            den AS (SELECT (t.n1 + v.v + 1)::DOUBLE AS d1,
-                           (t.n0 + v.v + 1)::DOUBLE AS d0
-                    FROM tot t, (SELECT count(*) AS v FROM top) v),
-            w AS (SELECT token,
-                         ln((c1 + 1)::DOUBLE / den.d1)
-                         - ln((c0 + 1)::DOUBLE / den.d0) AS w
-                  FROM top, den),
-            flat AS (SELECT doc_id, unnest(ts) AS token FROM toks),
-            scored AS (SELECT f.doc_id,
-                              COALESCE(w.w, (SELECT ln(1.0 / d1)
-                                             - ln(1.0 / d0) FROM den)) AS w
-                       FROM flat f LEFT JOIN w ON w.token = f.token),
-            agg AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS s
-                    FROM scored GROUP BY doc_id),
-            pri AS (SELECT ln((d1 + 1.0) / (d0 + 1.0)) AS p FROM nd)
+            WITH {_nb_model_ctes()}
             SELECT t.doc_id,
                    CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
                    ROUND(pri.p + COALESCE(a.s, 0.0), 6) AS nb_score,
@@ -3211,6 +3314,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _hits_sql(),
         "kg_entity_types": _ENTITY_TYPES_SQL,
         "docs_textrank": _textrank_sql(),
+        "docs_quality_auc": _quality_auc_sql(),
+        "docs_dsir_sample": _dsir_sample_sql(),
+        "docs_kneser_ney": _kneser_ney_sql(),
         "docs_stratified_sample": _stratified_sample_sql(),
         "docs_cm_heavy_hitters": _cm_heavy_hitters_sql(),
         "docs_hll_distinct": _hll_distinct_sql(),

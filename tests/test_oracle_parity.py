@@ -45,6 +45,9 @@ SUBSET = [
     "kg_hits",
     "kg_entity_types",
     "docs_textrank",
+    "docs_quality_auc",
+    "docs_dsir_sample",
+    "docs_kneser_ney",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -1385,3 +1385,61 @@ def docs_textrank(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"word": words[pr["node"].to_numpy()],
                         "pr": pr["pr"].to_numpy()})
     return out.sort_values("word", ignore_index=True)
+
+
+def docs_quality_auc(sf_dir: str) -> pd.DataFrame:
+    """Exact ROC-AUC of the NB quality score on the held-out odd-doc_id
+    half (label = lang=='en') — the evaluation half of the model-based
+    selection suite.  Distinct-score histogram partials + integer
+    Mann-Whitney rank sum; SQL twin reuses the docs_nb_quality model
+    CTEs and the same U2/(2·P·N) integer formula."""
+    import pyarrow.compute as pc
+
+    from ..stages.classify import fit_nb_quality, nb_auc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    train = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    model = fit_nb_quality(train, vocab_k=20000)
+    return nb_auc(ds, model)
+
+
+def docs_dsir_sample(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance RESAMPLING: the 100-doc deterministic sample with
+    inclusion probability ∝ exp(log_weight) via log-domain
+    Efraimidis-Spirakis keys (stages/classify.py dsir_sample) — the
+    selection step Xie et al. run after the weights docs_dsir_weights
+    computes.  SQL twin wraps the docs_dsir_weights CTEs and rebuilds
+    the identical mix64 key chain."""
+    from ..stages.classify import dsir_sample, dsir_weights, fit_dsir
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = fit_dsir(ds, n_buckets=1024)
+    w = dsir_weights(ds, model)
+    out = dsir_sample(w, n=100)
+    return out.sort_values("key", ignore_index=True)
+
+
+def docs_kneser_ney(sf_dir: str) -> pd.DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (D=0.75, add-one-
+    floored continuation probability): fit on the even-doc_id half,
+    score every doc — completes the LM-quality family (add-one unigram /
+    add-one bigram / Stupid Backoff).  Every per-bigram probability is
+    one fixed-order IEEE chain, mirrored term-for-term in SQL."""
+    import pyarrow.compute as pc
+
+    from ..stages.lm_score import fit_kn_lm, kn_perplexity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    model = fit_kn_lm(ref)
+    out = kn_perplexity(ds, model).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_bigrams": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)

@@ -253,3 +253,98 @@ def dsir_weights(docs_ds, model: dict, *, id_col: str = "doc_id",
         batch_format="pyarrow",
         concurrency=concurrency or auto_pool(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: exact ROC-AUC of the NB score (Mann-Whitney U)
+# ---------------------------------------------------------------------------
+
+def nb_auc(docs_ds, model: dict, *, id_col: str = "doc_id",
+           text_col: str = "text", label_col: str = "lang",
+           pos_label: str = "en",
+           eval_filter=lambda ids: ids % 2 == 1) -> pd.DataFrame:
+    """Exact ROC-AUC of the NB quality score against the held-out half
+    (label = ``label_col == pos_label``): one streaming pass emits
+    per-batch (rounded score, n_pos, n_neg) partials — the shuffle state
+    is bounded by DISTINCT score values, never the doc stream — then the
+    tie-averaged Mann-Whitney rank sum runs on the folded histogram in
+    PURE INTEGER arithmetic (AUC = U2 / (2·P·N) with
+    U2 = Σ n1·(2·cum_before + cnt + 1) − P·(P+1)), so there is no float
+    drift anywhere before the single final division."""
+    import ray as _ray
+
+    bc = Broadcast(model)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        keep = eval_filter(ids)
+        if not keep.any():
+            return pa.table({"score": pa.array([], pa.float64()),
+                             "n1": pa.array([], pa.int64()),
+                             "n0": pa.array([], pa.int64())})
+        t = t.filter(pa.array(keep))
+        scored = NBScorer(bc, id_col=id_col, text_col=text_col)(t)
+        s = np.round(scored.column("nb_score").to_numpy(), 6)
+        y = (np.asarray(t.column(label_col).to_pylist(), dtype=object)
+             == pos_label)
+        us, inv = np.unique(s, return_inverse=True)
+        n1 = np.bincount(inv[y], minlength=len(us)).astype(np.int64)
+        n0 = np.bincount(inv[~y], minlength=len(us)).astype(np.int64)
+        return pa.table({"score": pa.array(us), "n1": pa.array(n1),
+                         "n0": pa.array(n0)})
+
+    parts = [t for t in _ray.get(
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pd.DataFrame({"n_pos": [0], "n_neg": [0], "auc": [0.0]})
+    df = pa.concat_tables(parts).to_pandas() \
+        .groupby("score", as_index=False).sum().sort_values("score")
+    n1 = df["n1"].to_numpy(np.int64)
+    n0 = df["n0"].to_numpy(np.int64)
+    cnt = n1 + n0
+    cum_before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    P, N = int(n1.sum()), int(n0.sum())
+    u2 = int((n1 * (2 * cum_before + cnt + 1)).sum()) - P * (P + 1)
+    auc = round(u2 / (2 * P * N), 6) if P and N else 0.0
+    return pd.DataFrame({"n_pos": [P], "n_neg": [N], "auc": [auc]})
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance RESAMPLING (the selection half of Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_SAMPLE_SEED = 991
+
+
+def dsir_sample(weights_ds, *, n: int, id_col: str = "doc_id",
+                weight_col: str = "log_weight",
+                seed: int = DSIR_SAMPLE_SEED) -> pd.DataFrame:
+    """Deterministic sample of ``n`` docs with inclusion probability
+    ∝ exp(log_weight) — Efraimidis-Spirakis in the LOG domain (the
+    Gumbel-trick form, so huge weights never overflow exp):
+    key = ln(−ln u) − round(log_weight, 6) with
+    u = (mix64(seed, id) >> 11 + 1) / 2^53; keep the n SMALLEST keys.
+    Same per-batch bottom-n partial → ≤ n rows per block reach the
+    driver merge (stages/curation.py weighted_sample shape); keys
+    9-dp-rounded so the SQL twin selects identical rows."""
+    from ..sources.pages import mix64_vec
+
+    two53 = float(1 << 53)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        lw = np.round(np.asarray(t.column(weight_col), dtype=np.float64),
+                      6)
+        u = ((mix64_vec(seed, ids) >> np.uint64(11)).astype(np.float64)
+             + 1.0) / two53
+        key = np.round(np.log(-np.log(u)) - lw, 9)
+        order = np.lexsort((ids, key))[:n]
+        return pa.table({id_col: pa.array(ids[order]),
+                         weight_col: pa.array(lw[order], pa.float64()),
+                         "key": pa.array(key[order], pa.float64())})
+
+    parts = weights_ds.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.sort_values(["key", id_col]).head(n)
+    return out.astype({id_col: np.int64}).reset_index(drop=True)

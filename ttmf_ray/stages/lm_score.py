@@ -376,3 +376,143 @@ def stupid_backoff_score(docs_ds, model: dict, *, id_col: str = "doc_id",
         concurrency=concurrency or auto_pool(),
         fn_constructor_kwargs={"model_bc": Broadcast(model),
                                "id_col": id_col, "text_col": text_col})
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+# Goodman 1999) — the standard-smoothing member of the LM-quality family
+# (add-one unigram / add-one bigram / Stupid Backoff live above).
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def fit_kn_lm(docs_ds, *, text_col: str = "text") -> dict:
+    """Bigram counts + the KN continuation statistics in ONE pass over
+    the fit split (same combiner→groupby shape as fit_bigram_lm):
+
+        cb(w1,w2)  bigram count
+        cp(w1)     prefix total        = Σ_w2 cb(w1,w2)
+        r1(w1)     distinct right types = |{w2 : cb>0}|
+        l2(w2)     distinct left types  = |{w1 : cb>0}|
+        T          total bigram types, V vocab size
+
+    Score (KNScorer):  pcont = (l2+1)/(T+V)  [add-one floored so OOV
+    stays finite — the house convention];  seen prefix →
+    max(cb−D,0)/cp + ((D·r1)/cp)·pcont;  unseen prefix → pcont."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, didx, _ = _doc_tokens(t.column(text_col))
+        rows_k, rows_c = [], []
+        if len(toks) > 1:
+            adj = didx[:-1] == didx[1:]
+            prev, cur = toks[:-1][adj], toks[1:][adj]
+            bk = np.char.add(np.char.add(prev.astype(str), "\x1f"),
+                             cur.astype(str))
+            kk, cnt = np.unique(bk, return_counts=True)
+            rows_k.append(np.char.add("b\x1e", kk))
+            rows_c.append(cnt)
+        if len(toks):
+            ut = np.unique(toks)
+            rows_k.append(np.char.add("u\x1e", ut.astype(str)))
+            rows_c.append(np.ones(len(ut), np.int64))
+        if not rows_k:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.array(np.concatenate(rows_k), pa.string()),
+            "cnt": pa.array(np.concatenate(rows_c).astype(np.int64))})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    keys = agg["key"].to_numpy().astype(str)
+    cnt = agg["cnt"].to_numpy().astype(np.int64)
+    is_bg = np.char.startswith(keys, "b\x1e")
+    bg_keys = np.asarray([k[2:] for k in keys[is_bg]], dtype=object)
+    bg_cnt = cnt[is_bg]
+    # vocab size: u-rows carry per-batch-distinct counts; presence is
+    # what matters
+    n_vocab = int((~is_bg).sum())
+    split = [k.split("\x1f", 1) for k in bg_keys]
+    prevs = np.asarray([s[0] for s in split], dtype=object)
+    curs = np.asarray([s[1] for s in split], dtype=object)
+    p_uniq, p_inv = np.unique(prevs, return_inverse=True)
+    p_cnt = np.bincount(p_inv, weights=bg_cnt).astype(np.int64)
+    p_types = np.bincount(p_inv).astype(np.int64)
+    c_uniq, c_inv = np.unique(curs, return_inverse=True)
+    c_types = np.bincount(c_inv).astype(np.int64)
+    order = np.argsort(bg_keys)
+    return {"bg_keys": bg_keys[order], "bg_cnt": bg_cnt[order],
+            "prev_tok": p_uniq, "prev_cnt": p_cnt, "prev_types": p_types,
+            "cur_tok": c_uniq, "cur_types": c_types,
+            "T": int(len(bg_keys)), "V": n_vocab}
+
+
+class KNScorer:
+    """Actor stage: docs → (doc_id, n_bigrams, logp, ppl) under the
+    interpolated-KN model above.  Every per-bigram probability is one
+    fixed-order IEEE chain, so the SQL twin lands on identical values
+    before the 6-dp round."""
+
+    def __init__(self, model_bc: Broadcast, *, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        m = model_bc.get()
+        self.m = m
+        self.id_col, self.text_col = id_col, text_col
+
+    def _lookup(self, keys, table, counts):
+        if not len(table):
+            return np.zeros(len(keys), np.int64)
+        pos = np.clip(np.searchsorted(table, keys), 0, len(table) - 1)
+        hit = table[pos] == keys
+        return np.where(hit, counts[pos], 0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        toks, didx, n = _doc_tokens(batch.column(self.text_col))
+        logp_sum = np.zeros(n, np.float64)
+        nbg = np.zeros(n, np.int64)
+        if len(toks) > 1:
+            adj = didx[:-1] == didx[1:]
+            prev, cur = toks[:-1][adj], toks[1:][adj]
+            dbg = didx[:-1][adj]
+            bk = np.char.add(np.char.add(prev.astype(str), "\x1f"),
+                             cur.astype(str)).astype(object)
+            cb = self._lookup(bk, m["bg_keys"], m["bg_cnt"]) \
+                .astype(np.float64)
+            po = prev.astype(object)
+            cp = self._lookup(po, m["prev_tok"], m["prev_cnt"]) \
+                .astype(np.float64)
+            r1 = self._lookup(po, m["prev_tok"], m["prev_types"]) \
+                .astype(np.float64)
+            l2 = self._lookup(cur.astype(object),
+                              m["cur_tok"], m["cur_types"]) \
+                .astype(np.float64)
+            pcont = (l2 + 1.0) / float(m["T"] + m["V"])
+            cpf = np.maximum(cp, 1.0)
+            p_seen = np.maximum(cb - KN_DISCOUNT, 0.0) / cpf \
+                + ((KN_DISCOUNT * r1) / cpf) * pcont
+            p = np.where(cp > 0, p_seen, pcont)
+            lp = np.log(p)
+            logp_sum = np.bincount(dbg, weights=lp, minlength=n)
+            nbg = np.bincount(dbg, minlength=n).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            logp = np.where(nbg > 0, logp_sum / np.maximum(nbg, 1), 0.0)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_bigrams": pa.array(nbg),
+            "logp": pa.array(np.round(logp, 6), pa.float64()),
+            "ppl": pa.array(np.round(np.exp(-logp), 6), pa.float64())})
+
+
+def kn_perplexity(docs_ds, model: dict, *, id_col: str = "doc_id",
+                  text_col: str = "text", concurrency=None):
+    from ..context import auto_pool
+
+    return docs_ds.map_batches(
+        KNScorer, batch_format="pyarrow",
+        concurrency=concurrency or auto_pool(),
+        fn_constructor_kwargs={"model_bc": Broadcast(model),
+                               "id_col": id_col, "text_col": text_col})
