@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_auc": rel.docs_quality_auc,
         "docs_dsir_sample": rel.docs_dsir_sample,
         "docs_kneser_ney": rel.docs_kneser_ney,
+        "docs_source_overlap": rel.docs_source_overlap,
+        "events_hourly_anomaly": rel.events_hourly_anomaly,
+        "docs_csv_roundtrip": rel.docs_csv_roundtrip,
         "part_cooccur_adamic_adar": cq.part_cooccur_adamic_adar,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
@@ -610,6 +613,81 @@ def _kneser_ney_sql() -> str:
     FROM toks t LEFT JOIN agg a USING (doc_id)
     ORDER BY t.doc_id
     """
+
+
+def _source_overlap_sql() -> str:
+    """Mirror of docs_source_overlap (stages/curation.py): the same
+    shingle CTEs as docs_bloom_decontaminate (word fp → seed-17 trigram
+    mix64 % 2^31-1), distinct per (source, shingle), then the
+    self-join intersection counts + Jaccard over every source pair."""
+    t3_lat, t3_ref = _mix_chain("so3", ["t.h0", "t.h1", "t.h2"], [17])
+    return f"""
+    WITH wl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+                FROM documents),
+    pw AS (SELECT doc_id, source, u['i'] AS i, u['w'] AS w FROM (
+               SELECT doc_id, source,
+                      unnest(list_transform(ws,
+                             (w, i) -> {{'i': i, 'w': w}})) AS u
+               FROM wl)),
+    gw AS (SELECT DISTINCT w FROM pw),
+    wh AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    ph AS (SELECT p.doc_id, p.source, p.i, wh.fp
+           FROM pw p JOIN wh USING (w)),
+    tri AS (SELECT a.doc_id, a.source, a.fp AS h0, b.fp AS h1, c.fp AS h2
+            FROM ph a
+            JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN ph c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sx AS MATERIALIZED (
+        SELECT DISTINCT t.source,
+               CAST({t3_ref} % 2147483647 AS BIGINT) AS x
+        FROM tri t, {t3_lat}),
+    na AS (SELECT source, count(*) AS n FROM sx GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     count(*) AS n_common
+              FROM sx a JOIN sx b ON b.x = a.x AND a.source < b.source
+              GROUP BY a.source, b.source),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                     a.n AS n_a, b.n AS n_b
+              FROM na a JOIN na b ON a.source < b.source)
+    SELECT p.src_a, p.src_b, CAST(p.n_a AS BIGINT) AS n_a,
+           CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (p.n_a + p.n_b - COALESCE(i.n_common, 0)), 6)
+               AS jaccard
+    FROM pairs p LEFT JOIN inter i USING (src_a, src_b)
+    ORDER BY src_a, src_b
+    """
+
+
+# per-event-type hourly z-scores: mean/variance from INTEGER sums
+# (Σc, Σc²) then the identical IEEE chain as the numpy kernel
+_HOURLY_ANOMALY_SQL = """
+    WITH h AS (SELECT event_type,
+                      CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                          AS hour_epoch,
+                      count(*) AS n
+               FROM events GROUP BY event_type, hour_epoch),
+    st AS (SELECT event_type, count(*) AS cnt, sum(n) AS s,
+                  sum(n * n) AS ss
+           FROM h GROUP BY event_type),
+    z AS (SELECT h.event_type, h.hour_epoch, h.n,
+                 CASE WHEN (CAST(st.ss AS DOUBLE) / st.cnt
+                            - (CAST(st.s AS DOUBLE) / st.cnt)
+                              * (CAST(st.s AS DOUBLE) / st.cnt)) > 0
+                      THEN (h.n - CAST(st.s AS DOUBLE) / st.cnt)
+                           / sqrt(CAST(st.ss AS DOUBLE) / st.cnt
+                                  - (CAST(st.s AS DOUBLE) / st.cnt)
+                                    * (CAST(st.s AS DOUBLE) / st.cnt))
+                      ELSE 0.0 END AS z
+          FROM h JOIN st USING (event_type))
+    SELECT event_type, hour_epoch, CAST(n AS BIGINT) AS n,
+           ROUND(z, 6) AS z,
+           CAST(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_anomaly
+    FROM z ORDER BY event_type, hour_epoch
+"""
 
 
 def _rp_sql(k: int = 8) -> str:
@@ -3421,4 +3499,10 @@ def oracle_sql() -> dict[str, str]:
                                 " text, lang, source,"
                                 " CAST(n_chars AS BIGINT) AS n_chars"
                                 " FROM documents ORDER BY doc_id",
+        "docs_csv_roundtrip": "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+                              " text, lang, source,"
+                              " CAST(n_chars AS BIGINT) AS n_chars"
+                              " FROM documents ORDER BY doc_id",
+        "docs_source_overlap": _source_overlap_sql(),
+        "events_hourly_anomaly": _HOURLY_ANOMALY_SQL,
     }

@@ -48,6 +48,9 @@ SUBSET = [
     "docs_quality_auc",
     "docs_dsir_sample",
     "docs_kneser_ney",
+    "docs_source_overlap",
+    "events_hourly_anomaly",
+    "docs_csv_roundtrip",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -1443,3 +1443,71 @@ def docs_kneser_ney(sf_dir: str) -> pd.DataFrame:
     out = kn_perplexity(ds, model).to_pandas()
     return out.astype({"doc_id": np.int64, "n_bigrams": np.int64}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise source×source distinct-shingle overlap + Jaccard (the
+    cross-source leakage audit matrix) — shingles hash-partition so each
+    partition emits tiny S×S pair partials; SQL twin is the distinct
+    (source, shingle) self-join over the same mix64 shingle hashes."""
+    from ..stages.curation import source_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return source_overlap(ds)
+
+
+def events_hourly_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type hourly-count z-scores (the pipeline-health anomaly
+    monitor): counts aggregate distributed; mean/variance come from
+    INTEGER sums (Σc, Σc²) so the z chain is bit-identical
+    cross-engine.  is_anomaly = |z| > 2 (pre-rounding)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        hour = (ts // 3_600_000_000) * 3600
+        df = pd.DataFrame({"event_type": b.column("event_type").to_pylist(),
+                           "hour_epoch": hour})
+        g = df.groupby(["event_type", "hour_epoch"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hourly = (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby(["event_type", "hour_epoch"])
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    # the per-(type,hour) table is bounded by types×hours — driver math
+    # on integer sums (rule 13)
+    out = []
+    for et, g in hourly.groupby("event_type"):
+        c = g["n"].to_numpy(np.int64)
+        cnt = len(c)
+        s, ss = int(c.sum()), int((c * c).sum())
+        mu = s / cnt
+        var = ss / cnt - mu * mu
+        sd = np.sqrt(var) if var > 0 else 0.0
+        z = (c - mu) / sd if sd > 0 else np.zeros(len(c))
+        out.append(pd.DataFrame({
+            "event_type": et, "hour_epoch": g["hour_epoch"].to_numpy(),
+            "n": c, "z": np.round(z, 6),
+            "is_anomaly": (np.abs(z) > 2).astype(np.int64)}))
+    res = pd.concat(out, ignore_index=True)
+    return res.astype({"hour_epoch": np.int64, "n": np.int64}) \
+        .sort_values(["event_type", "hour_epoch"], ignore_index=True)
+
+
+def docs_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """documents → sharded CSV (Dataset.write_csv) → read_csv — the CSV
+    source-format coverage (quoting carries embedded newlines/commas).
+    int64/string only, so the round-trip is lossless and the oracle is
+    the identity SELECT."""
+    import shutil
+
+    out_dir = "/tmp/ttmf_csv_roundtrip"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", None)
+    ds.write_csv(out_dir)
+    back = rd.read_csv(out_dir).to_pandas()
+    return back.astype({"doc_id": np.int64, "n_chars": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)

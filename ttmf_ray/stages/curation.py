@@ -1071,3 +1071,77 @@ def bloom_decontaminate(train_ds, eval_hashes: np.ndarray, *,
         })
 
     return train_ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle contamination matrix
+# ---------------------------------------------------------------------------
+
+def source_overlap(docs_ds, *, text_col: str = "text",
+                   source_col: str = "source", ngram: int = 3,
+                   n_parts: int = 64) -> pd.DataFrame:
+    """Pairwise source×source overlap of distinct text shingles — the
+    corpus-health matrix behind cross-source leakage audits: for every
+    source pair (a < b by name) the distinct-shingle counts, the
+    intersection size and its Jaccard.
+
+    Shape: per-batch distinct (source, shingle) rows hash-partition by
+    SHINGLE so every shingle's sources meet in one partition; the
+    per-partition kernel emits S×S pair partials (S = #sources, tiny) —
+    the corpus-sized shingle set never lands anywhere whole."""
+    from .dedup import batch_shingle_hashes
+
+    def tag(t: pa.Table) -> pa.Table:
+        flat, lens = batch_shingle_hashes(t.column(text_col), ngram)
+        src = np.repeat(np.asarray(t.column(source_col).to_pylist(),
+                                   dtype=object), lens)
+        if len(flat):
+            d = pd.DataFrame({"source": src, "x": flat}) \
+                .drop_duplicates()
+        else:
+            d = pd.DataFrame({"source": np.empty(0, object),
+                              "x": np.empty(0, np.int64)})
+        return pa.table({
+            "source": pa.array(d["source"], pa.string()),
+            "x": pa.array(d["x"].to_numpy(np.int64)),
+            "part": pa.array((d["x"].to_numpy(np.int64) % n_parts)
+                             .astype(np.int32))})
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["source", "x"])
+        if not len(df):
+            return pd.DataFrame({"src_a": np.empty(0, object),
+                                 "src_b": np.empty(0, object),
+                                 "n": np.empty(0, np.int64)})
+        # per-source totals ride along as diagonal rows (src, src, n)
+        tot = df.groupby("source").size().reset_index(name="n")
+        diag = pd.DataFrame({"src_a": tot["source"],
+                             "src_b": tot["source"], "n": tot["n"]})
+        m = df.merge(df, on="x", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        inter = m.groupby(["source_a", "source_b"]).size() \
+            .reset_index(name="n") \
+            .rename(columns={"source_a": "src_a", "source_b": "src_b"})
+        return pd.concat([diag, inter], ignore_index=True)
+
+    parts = (docs_ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(pairs_in_part, batch_format="pandas")).to_pandas()
+    acc = parts.groupby(["src_a", "src_b"], as_index=False)["n"].sum()
+    tot = acc[acc["src_a"] == acc["src_b"]] \
+        .set_index("src_a")["n"].to_dict()
+    out = acc[acc["src_a"] < acc["src_b"]].copy()
+    srcs = sorted(tot)
+    # every source pair appears, zero intersections included
+    full = pd.DataFrame([(a, b) for i, a in enumerate(srcs)
+                         for b in srcs[i + 1:]],
+                        columns=["src_a", "src_b"])
+    out = full.merge(out, how="left").fillna({"n": 0})
+    na = out["src_a"].map(tot).to_numpy(np.int64)
+    nb = out["src_b"].map(tot).to_numpy(np.int64)
+    nc = out["n"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "src_a": out["src_a"], "src_b": out["src_b"],
+        "n_a": na, "n_b": nb, "n_common": nc,
+        "jaccard": np.round(nc / (na + nb - nc), 6)})
+    return out.sort_values(["src_a", "src_b"], ignore_index=True)
