@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_overlap": rel.docs_source_overlap,
         "events_hourly_anomaly": rel.events_hourly_anomaly,
         "docs_csv_roundtrip": rel.docs_csv_roundtrip,
+        "docs_minhash_estimate": rel.docs_minhash_estimate,
         "part_cooccur_adamic_adar": cq.part_cooccur_adamic_adar,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
@@ -156,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_link_rank": cq.emb_link_rank,
         "docs_repetition": cq.docs_repetition,
         "media_features_real": cq.media_features_real,
+        "media_frame_sample": cq.media_frame_sample,
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
@@ -688,6 +690,86 @@ _HOURLY_ANOMALY_SQL = """
                AS is_anomaly
     FROM z ORDER BY event_type, hour_epoch
 """
+
+
+def _minhash_estimate_sql(k: int = 16, n_bands: int = 8) -> str:
+    """Mirror of docs_minhash_estimate (stages/dedup.py): the bloom-SQL
+    shingle CTEs, permutation params a=mix64(7,1,j)%(M−1)+1 /
+    b=mix64(7,2,j)%M, signatures min((a·x+b)%M) per (doc, j), band hash
+    mix64(band, s0, s1), bucket candidate pairs (no cap), then
+    estimate = #equal components / k next to the exact shingle Jaccard."""
+    r = k // n_bands
+    assert r == 2, "mirror pivots exactly two rows per band"
+    t3_lat, t3_ref = _mix_chain("me3", ["t.h0", "t.h1", "t.h2"], [17])
+    a_lat, a_ref = _mix_chain("mea", ["js.j"], [7, 1])
+    b_lat, b_ref = _mix_chain("meb", ["js.j"], [7, 2])
+    bh_lat, bh_ref = _mix_chain("meh", ["bd.band", "bd.s0", "bd.s1"], [])
+    return f"""
+    WITH wl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+                FROM documents),
+    pw AS (SELECT doc_id, u['i'] AS i, u['w'] AS w FROM (
+               SELECT doc_id,
+                      unnest(list_transform(ws,
+                             (w, i) -> {{'i': i, 'w': w}})) AS u
+               FROM wl)),
+    gw AS (SELECT DISTINCT w FROM pw),
+    wh AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    ph AS (SELECT p.doc_id, p.i, wh.fp FROM pw p JOIN wh USING (w)),
+    tri AS (SELECT a.doc_id, a.fp AS h0, b.fp AS h1, c.fp AS h2
+            FROM ph a
+            JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN ph c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT t.doc_id,
+               CAST({t3_ref} % 2147483647 AS BIGINT) AS x
+        FROM tri t, {t3_lat}),
+    js AS (SELECT range AS j FROM range({k})),
+    perm AS MATERIALIZED (
+        SELECT js.j,
+               CAST(({a_ref}) % 2147483646 AS BIGINT) + 1 AS a,
+               CAST(({b_ref}) % 2147483647 AS BIGINT) AS b
+        FROM js, {a_lat}, {b_lat}),
+    sig AS MATERIALIZED (
+        SELECT s.doc_id, p.j, min((p.a * s.x + p.b) % 2147483647) AS sig
+        FROM sh s CROSS JOIN perm p GROUP BY s.doc_id, p.j),
+    bd AS (SELECT doc_id, j // {r} AS band,
+                  max(CASE WHEN j % {r} = 0 THEN sig END) AS s0,
+                  max(CASE WHEN j % {r} = 1 THEN sig END) AS s1
+           FROM sig GROUP BY doc_id, j // {r}),
+    bh AS MATERIALIZED (
+        SELECT bd.doc_id, bd.band, {bh_ref} AS h FROM bd, {bh_lat}),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bh x JOIN bh y ON y.band = x.band AND y.h = x.h
+                           AND x.doc_id < y.doc_id),
+    eq AS (SELECT c.a, c.b, count(*) AS n_eq
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.a
+           JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
+                      AND sb.sig = sa.sig
+           GROUP BY c.a, c.b),
+    inter AS (SELECT c.a, c.b, count(*) AS ni
+              FROM cand c
+              JOIN sh xa ON xa.doc_id = c.a
+              JOIN sh xb ON xb.doc_id = c.b AND xb.x = xa.x
+              GROUP BY c.a, c.b),
+    cn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT c.a, c.b,
+           ROUND(COALESCE(e.n_eq, 0) / {float(k)}, 6) AS est_j,
+           ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                 / (ca.n + cb.n - COALESCE(i.ni, 0)), 6) AS true_j,
+           ROUND(abs(COALESCE(e.n_eq, 0) / {float(k)}
+                     - CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                       / (ca.n + cb.n - COALESCE(i.ni, 0))), 6)
+               AS abs_err
+    FROM cand c
+    LEFT JOIN eq e ON e.a = c.a AND e.b = c.b
+    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN cn ca ON ca.doc_id = c.a
+    JOIN cn cb ON cb.doc_id = c.b
+    ORDER BY c.a, c.b
+    """
 
 
 def _rp_sql(k: int = 8) -> str:
@@ -3505,4 +3587,5 @@ def oracle_sql() -> dict[str, str]:
                               " FROM documents ORDER BY doc_id",
         "docs_source_overlap": _source_overlap_sql(),
         "events_hourly_anomaly": _HOURLY_ANOMALY_SQL,
+        "docs_minhash_estimate": _minhash_estimate_sql(),
     }

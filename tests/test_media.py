@@ -72,3 +72,34 @@ def test_media_features_real_decode_pipeline():
     assert (imgs["feat_max"] <= 255).all() and (imgs["feat_min"] >= 0).all()
     assert (auds["feat_min"] >= -1.0).all() and (auds["feat_max"] <= 1.0).all()
     assert (auds["feat_std"] > 0.05).all()      # a sine, not silence
+
+
+def test_frame_sample_pipeline_matches_scalar_decode():
+    import pyarrow as pa
+
+    from ttmf_ray.stages.media import (decode_ppm, frame_sample, mpv_frames,
+                                       resize_mean_pool, synth_mpv)
+
+    ids = np.arange(12)
+    t = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_mpv(42, int(i)) for i in ids],
+                            pa.binary())})
+    out = frame_sample(rd.from_arrow(t), concurrency=1).to_pandas() \
+        .sort_values(["media_id", "frame_idx"], ignore_index=True)
+    # scalar oracle: re-decode every sampled frame independently
+    rows = []
+    for i in ids:
+        for f, ppm in mpv_frames(synth_mpv(42, int(i))):
+            if f % 4:
+                continue
+            img = decode_ppm(ppm).astype(np.float64)
+            rows.append((int(i), f, img[:, :, 0].mean(),
+                         resize_mean_pool(img.mean(axis=2), 8).std()))
+    assert len(out) == len(rows) > 0
+    for (mid, f, mr, ls), (_, r) in zip(rows, out.iterrows()):
+        assert (r["media_id"], r["frame_idx"]) == (mid, f)
+        assert abs(r["mean_r"] - mr) < 1e-12
+        assert abs(r["lum_std"] - ls) < 1e-12
+    # stride actually samples: frame 1, 2, 3 never appear
+    assert not np.isin(out["frame_idx"].to_numpy(), [1, 2, 3]).any()

@@ -51,6 +51,7 @@ SUBSET = [
     "docs_source_overlap",
     "events_hourly_anomaly",
     "docs_csv_roundtrip",
+    "docs_minhash_estimate",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

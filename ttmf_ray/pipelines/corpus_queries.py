@@ -1172,3 +1172,24 @@ def kg_entity_types(sf_dir: str) -> pd.DataFrame:
 
     ds = spread(rd.from_pandas(ids[["h", "t", "r"]]))
     return entity_signatures(ds, len(ent_df))
+
+
+def media_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling actor-pool pipeline: 40 deterministic MPV1
+    'videos' (concatenated genuine PPM frames) → every-4th-frame decode →
+    per-frame mean R/G/B + pooled-luminance std.  Rows-only: binary
+    payloads are synthesized, not a DuckDB-visible table; the pytest
+    pins per-frame values against a scalar re-decode."""
+    from ..stages.media import frame_sample, synth_mpv
+
+    ids = np.arange(40)
+    t = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_mpv(42, int(i)) for i in ids],
+                            pa.binary())})
+    out = frame_sample(rd.from_arrow(t)).to_pandas()
+    for c in ("mean_r", "mean_g", "mean_b", "lum_std"):
+        out[c] = out[c].round(6)
+    return out.astype({c: np.int64 for c in
+                       ("media_id", "frame_idx", "width", "height")}) \
+        .sort_values(["media_id", "frame_idx"], ignore_index=True)

@@ -1511,3 +1511,16 @@ def docs_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
     back = rd.read_csv(out_dir).to_pandas()
     return back.astype({"doc_id": np.int64, "n_chars": np.int64}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_minhash_estimate(sf_dir: str) -> pd.DataFrame:
+    """MinHash accuracy audit: signature Jaccard estimate vs exact
+    shingle Jaccard per LSH candidate pair (k=16, r=2 — loose bands on
+    purpose so weak candidates and visible estimate error appear).  The
+    SQL twin rebuilds the permutations (mix64(7,{1,2},j)), signatures
+    (min over (a·x+b) mod 2^31−1), band hashes and bucket pairs
+    bit-for-bit."""
+    from ..stages.dedup import minhash_estimate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_estimate(ds)

@@ -921,3 +921,102 @@ def cluster_pairs_min_label(pairs_ds, *, n_buckets: int = 64,
                                              "lab": "cluster_id"})
     return out.astype({"doc_id": np.int64, "cluster_id": np.int64}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_estimate(docs_ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 16,
+                     n_bands: int = 8, ngram: int = 3) -> pd.DataFrame:
+    """MinHash ACCURACY AUDIT: for every LSH candidate pair, the
+    signature-based Jaccard estimate (fraction of equal minhash
+    components) next to the exact shingle Jaccard and their absolute
+    error.  k=16 / r=2 bands ON PURPOSE — the loose bands surface
+    weak-similarity candidates whose estimate error is visible (the
+    production k=64/r=4 setting would only pair near-identical docs).
+    The hot-bucket cap is DISABLED here (the SQL twin enumerates every
+    bucket pair); the production pipeline keeps it.
+
+    Pair generation runs the normal bucket shuffle; the audit tail
+    (signatures + shingle sets for the INVOLVED docs only) collects
+    driver-side — candidate pairs are audit-sized.  At corpus scale the
+    same est/true columns attach per joined row of verify_pairs_join."""
+    import ray as _ray
+
+    from ..context import Broadcast, auto_pool
+
+    buckets = docs_ds.map_batches(
+        MinHashLSH,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "k": k, "n_bands": n_bands, "ngram": ngram},
+        batch_format="pyarrow", batch_size=2048, concurrency=auto_pool())
+    pdf = candidate_pairs(buckets, cap=1 << 30).to_pandas() \
+        .astype({"a": np.int64, "b": np.int64})
+    if not len(pdf):
+        return pd.DataFrame({"a": np.empty(0, np.int64),
+                             "b": np.empty(0, np.int64),
+                             "est_j": np.empty(0, np.float64),
+                             "true_j": np.empty(0, np.float64),
+                             "abs_err": np.empty(0, np.float64)})
+    involved = np.unique(np.concatenate([pdf["a"].to_numpy(),
+                                         pdf["b"].to_numpy()]))
+    inv_bc = Broadcast(involved)
+    a_p, b_p = _perm_params(k, PERM_SEED)
+
+    def audit_rows(t: pa.Table) -> pa.Table:
+        inv = inv_bc.get()
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(inv, ids), 0, len(inv) - 1)
+        keep = inv[pos] == ids
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        t = t.filter(pa.array(keep))
+        ids = ids[keep]
+        flat, lens = batch_shingle_hashes(t.column(text_col), ngram)
+        sigs = np.full((len(ids), k), _MERSENNE, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            starts = (np.cumsum(lens) - lens)[nz]
+            for j in range(k):
+                v = (a_p[j] * flat + b_p[j]) % _MERSENNE
+                sigs[nz, j] = np.minimum.reduceat(v, starts)
+        # sig rows (doc, j, sig) + shingle rows (doc, -1, x) in one table
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.concatenate(
+                [np.repeat(ids, k), np.repeat(ids, lens)])),
+            "j": pa.array(np.concatenate(
+                [np.tile(np.arange(k, dtype=np.int64), n),
+                 np.full(int(lens.sum()), -1, np.int64)])),
+            "sig": pa.array(np.concatenate(
+                [sigs.ravel(), np.zeros(int(lens.sum()), np.int64)])),
+            "x": pa.array(np.concatenate(
+                [np.zeros(n * k, np.int64), flat]))})
+
+    rows = pa.concat_tables([t for t in _ray.get(
+        docs_ds.map_batches(audit_rows, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]).to_pandas()
+    sig_rows = rows[rows["j"] >= 0]
+    sh_rows = rows[rows["j"] < 0]
+    idx = {d: i for i, d in enumerate(involved)}
+    S = np.full((len(involved), k), _MERSENNE, dtype=np.int64)
+    S[sig_rows[id_col].map(idx).to_numpy(),
+      sig_rows["j"].to_numpy()] = sig_rows["sig"].to_numpy()
+    sets = {d: np.sort(g["x"].to_numpy(np.int64))
+            for d, g in sh_rows.groupby(id_col)}
+    empty = np.empty(0, np.int64)
+    ai = pdf["a"].map(idx).to_numpy()
+    bi = pdf["b"].map(idx).to_numpy()
+    est = (S[ai] == S[bi]).sum(axis=1) / float(k)
+    tj = np.empty(len(pdf))
+    for i, (da, db) in enumerate(zip(pdf["a"], pdf["b"])):
+        sa, sb = sets.get(da, empty), sets.get(db, empty)
+        ni = len(np.intersect1d(sa, sb, assume_unique=True))
+        un = len(sa) + len(sb) - ni
+        tj[i] = ni / un if un else 0.0
+    out = pd.DataFrame({
+        "a": pdf["a"].to_numpy(), "b": pdf["b"].to_numpy(),
+        "est_j": np.round(est, 6), "true_j": np.round(tj, 6),
+        "abs_err": np.round(np.abs(est - tj), 6)})
+    return out.sort_values(["a", "b"], ignore_index=True)

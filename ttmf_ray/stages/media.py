@@ -255,3 +255,98 @@ def media_features(ds, *, cfg: MediaFeatureConfig | None = None,
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+# --- video frame sampling (the fourth multimodal primitive) ----------------
+
+def synth_mpv(seed: int, i: int, *, n_frames: int | None = None,
+              w: int = 24, h: int = 16) -> bytes:
+    """Genuine container-less 'video': b'MPV1' + uint16 frame count +
+    concatenated binary-PPM frames (per-frame seeded content) — the
+    codec-free stand-in that lets the frame-sampling plumbing run real
+    parse/decode end to end.  (MP4/H.264 needs pyav — that mime still
+    raises at the real_decode boundary.)"""
+    from ..sources.pages import mix64
+
+    if n_frames is None:
+        n_frames = 4 + mix64(seed, 930, i) % 29
+    frames = b"".join(synth_ppm(seed, i * 100_000 + f, w=w, h=h)
+                      for f in range(n_frames))
+    return b"MPV1" + int(n_frames).to_bytes(2, "big") + frames
+
+
+def mpv_frames(payload: bytes):
+    """MPV1 bytes → iterator of (frame_idx, ppm_bytes) — single pass over
+    the concatenated frames (each PPM's raster length comes from its own
+    header, so frames of differing sizes parse fine)."""
+    if payload[:4] != b"MPV1":
+        raise ValueError("not an MPV1 payload")
+    n = int.from_bytes(payload[4:6], "big")
+    pos = 6
+    for f in range(n):
+        if payload[pos:pos + 2] != b"P6":
+            raise ValueError(f"frame {f}: not a P6 frame at {pos}")
+        hdr_end, fields = pos + 2, []
+        while len(fields) < 3:
+            while payload[hdr_end:hdr_end + 1].isspace():
+                hdr_end += 1
+            e = hdr_end
+            while not payload[e:e + 1].isspace():
+                e += 1
+            fields.append(payload[hdr_end:e])
+            hdr_end = e
+        hdr_end += 1
+        w, h, _mx = (int(x) for x in fields)
+        end = hdr_end + w * h * 3
+        yield f, payload[pos:end]
+        pos = end
+
+
+class FrameSampler:
+    """Actor-pool stage: video rows → every-``stride``-th frame's
+    features (mean R/G/B + luminance std after block-mean resize).
+    One row per SAMPLED frame — the flat_map-shaped stage a video
+    pipeline feeds to per-frame models; ``__init__`` is where a real
+    build opens the codec once per actor."""
+
+    def __init__(self, *, stride: int = 4, target_size: int = 8):
+        self.stride, self.s = stride, target_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy().astype(np.int64)
+        payloads = batch.column("payload").to_pylist()
+        out = {"media_id": [], "frame_idx": [], "width": [], "height": [],
+               "mean_r": [], "mean_g": [], "mean_b": [], "lum_std": []}
+        for mid, p in zip(ids.tolist(), payloads):
+            for f, ppm in mpv_frames(p):
+                if f % self.stride:
+                    continue
+                img = decode_ppm(ppm).astype(np.float64)
+                lum = resize_mean_pool(img.mean(axis=2), self.s)
+                out["media_id"].append(mid)
+                out["frame_idx"].append(f)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["mean_r"].append(img[:, :, 0].mean())
+                out["mean_g"].append(img[:, :, 1].mean())
+                out["mean_b"].append(img[:, :, 2].mean())
+                out["lum_std"].append(lum.std())
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "width": pa.array(out["width"], pa.int64()),
+            "height": pa.array(out["height"], pa.int64()),
+            "mean_r": pa.array(out["mean_r"], pa.float64()),
+            "mean_g": pa.array(out["mean_g"], pa.float64()),
+            "mean_b": pa.array(out["mean_b"], pa.float64()),
+            "lum_std": pa.array(out["lum_std"], pa.float64())})
+
+
+def frame_sample(ds, *, stride: int = 4, target_size: int = 8,
+                 concurrency: tuple[int, int] | int = (1, 4)):
+    """Video Dataset → sampled-frame feature Dataset (small batches:
+    multi-frame payload rows are the biggest objects in the pipeline)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride, "target_size": target_size},
+        batch_format="pyarrow", batch_size=16, concurrency=concurrency)
