@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_roundtrip": rel.docs_csv_roundtrip,
         "docs_minhash_estimate": rel.docs_minhash_estimate,
         "part_cooccur_adamic_adar": cq.part_cooccur_adamic_adar,
+        "docs_moore_lewis": rel.docs_moore_lewis,
+        "docs_heaps_law": rel.docs_heaps_law,
+        "embeddings_kcenter": rel.embeddings_kcenter,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -2280,6 +2283,124 @@ def _kmeans_ctes(k: int = 8, n_iter: int = 4, tag: str = "",
     return ",\n".join(ctes), f"{tag}c{n_iter}"
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """Exact mirror of embeddings_kcenter
+    (stages/cluster.py:kcenter_greedy): seed = min-id vector, k−1
+    unrolled greedy rounds, each picking the row maximizing its round-6
+    min-distance to the selected set (ties → smallest id), selected
+    vectors rounded to 6 dp before any distance (the kmeans c0
+    convention); final assignment = the shared row_number rule."""
+    ctes = ["""emb AS MATERIALIZED (
+        SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+        FROM embeddings)""",
+            """s0 AS MATERIALIZED (
+        SELECT 0 AS c, id, list_transform(v, x -> round(x, 6)) AS v
+        FROM emb ORDER BY id LIMIT 1)""",
+            """d0 AS MATERIALIZED (
+        SELECT e.id, round(list_distance(e.v, s.v), 6) AS dmin
+        FROM emb e, s0 s)"""]
+    for r in range(1, k):
+        ctes.append(f"""p{r} AS (SELECT id FROM d{r - 1}
+        ORDER BY dmin DESC, id LIMIT 1)""")
+        ctes.append(f"""s{r} AS MATERIALIZED (
+        SELECT {r} AS c, e.id, list_transform(e.v, x -> round(x, 6)) AS v
+        FROM emb e JOIN p{r} USING (id))""")
+        if r < k - 1:
+            ctes.append(f"""d{r} AS MATERIALIZED (
+        SELECT d.id, least(d.dmin,
+                           round(list_distance(e.v, s.v), 6)) AS dmin
+        FROM d{r - 1} d JOIN emb e USING (id), s{r} s)""")
+    cents = " UNION ALL ".join(f"SELECT c, id, v FROM s{r}"
+                               for r in range(k))
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body},
+    cents AS MATERIALIZED ({cents})
+    SELECT id AS vec_id, CAST(c AS BIGINT) AS center, d AS dist,
+           CAST(CASE WHEN id IN (SELECT id FROM cents)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_center
+    FROM (
+        SELECT e.id, c.c, round(list_distance(e.v, c.v), 6) AS d,
+               row_number() OVER (PARTITION BY e.id
+                   ORDER BY round(list_distance(e.v, c.v), 6), c.c) AS rn
+        FROM emb e CROSS JOIN cents c)
+    WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+def _moore_lewis_sql(vocab_k: int = 20000) -> str:
+    """Exact mirror of docs_moore_lewis (stages/lm_score.py
+    CEDiffScorer): two add-one unigram LMs — in-domain fitted on
+    ML_IN_SOURCES (pipelines/relational.py; keep the literal in sync),
+    out-domain on the full corpus — identical top-V (cnt DESC, token)
+    tie-break and smoothing as docs_lm_perplexity; ced = per-doc mean
+    difference rounded 6 dp BEFORE the keep comparison."""
+    srcs = "'src0', 'src1', 'src2', 'src3'"
+
+    def lm(tag: str, where: str) -> str:
+        return f"""
+    {tag}counts AS (SELECT token, count(*) AS cnt FROM flat {where}
+                    GROUP BY token),
+    {tag}tot AS (SELECT sum(cnt) AS total FROM {tag}counts),
+    {tag}top AS (SELECT token, cnt FROM {tag}counts
+                 ORDER BY cnt DESC, token LIMIT {vocab_k}),
+    {tag}den AS (SELECT (t.total + v.v + 1)::DOUBLE AS d
+                 FROM {tag}tot t,
+                      (SELECT count(*) AS v FROM {tag}top) v),
+    {tag}lp AS (SELECT token, ln((cnt + 1)::DOUBLE / {tag}den.d) AS lp
+                FROM {tag}top, {tag}den)"""
+
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                         list_transform({_TOKENS}, x -> lower(x)) AS ts
+                  FROM documents),
+    flat AS MATERIALIZED (SELECT doc_id, source, unnest(ts) AS token
+                          FROM toks),
+    {lm("i", f"WHERE source IN ({srcs})")},
+    {lm("o", "")},
+    scored AS (SELECT f.doc_id,
+                      COALESCE(il.lp, (SELECT ln(1.0 / d) FROM iden))
+                          AS lpi,
+                      COALESCE(ol.lp, (SELECT ln(1.0 / d) FROM oden))
+                          AS lpo
+               FROM flat f LEFT JOIN ilp il ON il.token = f.token
+                           LEFT JOIN olp ol ON ol.token = f.token),
+    agg AS (SELECT doc_id, count(*) AS n,
+                   sum(lpi) / count(*) - sum(lpo) / count(*) AS ced
+            FROM scored GROUP BY doc_id)
+    SELECT t.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(a.ced, 0.0), 6) AS ced,
+           CAST(CASE WHEN ROUND(COALESCE(a.ced, 0.0), 6) >= 0
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+_HEAPS_SQL = """
+    WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      unnest(regexp_extract_all(lower(text),
+                                                '[0-9a-z_]+')) AS token
+               FROM documents),
+    fo AS (SELECT token, min(doc_id) AS fd FROM w GROUP BY token),
+    nt AS (SELECT fd AS doc_id, count(*) AS new_types FROM fo
+           GROUP BY fd),
+    nw AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id),
+    base AS (SELECT d.doc_id, COALESCE(nw.n_words, 0) AS n_words,
+                    COALESCE(nt.new_types, 0) AS new_types
+             FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id
+                   FROM documents) d
+             LEFT JOIN nw USING (doc_id) LEFT JOIN nt USING (doc_id))
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(sum(n_words) OVER (ORDER BY doc_id) AS BIGINT)
+               AS cum_words,
+           CAST(sum(new_types) OVER (ORDER BY doc_id) AS BIGINT)
+               AS cum_types
+    FROM base ORDER BY doc_id
+"""
+
+
 def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
     body, cfin = _kmeans_ctes(k, n_iter)
     return f"""
@@ -3588,4 +3709,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_overlap": _source_overlap_sql(),
         "events_hourly_anomaly": _HOURLY_ANOMALY_SQL,
         "docs_minhash_estimate": _minhash_estimate_sql(),
+        # Moore-Lewis selection: two rebuilt add-one unigram LMs
+        # (in-domain sources vs full corpus), per-doc mean log-prob
+        # difference rounded 6 dp, keep on the rounded value
+        "docs_moore_lewis": _moore_lewis_sql(),
+        # Heaps'-law curve: token first-occurrence doc via min groupby,
+        # all-integer running totals over doc order
+        "docs_heaps_law": _HEAPS_SQL,
+        # greedy k-center: unrolled farthest-point rounds on round-6
+        # quantized distances, same assignment rule as embeddings_kmeans
+        "embeddings_kcenter": _kcenter_sql(),
     }

@@ -61,6 +61,29 @@ def test_kmeans_driver_fast_path_parity():
         pool.astype({"cluster": np.int64}))
 
 
+def test_kcenter_greedy_spreads_and_matches_pool_path():
+    """Greedy k-center: (a) with k = #blobs the selected centers land
+    one per planted blob (farthest-point must spread); (b) the rule-13
+    driver fast path is identical to the actor-pool path; (c) selected
+    rows assign to themselves at distance 0."""
+    from ttmf_ray.stages.cluster import kcenter_greedy
+
+    ds, df = _blob_ds()
+    fast = kcenter_greedy(ds, k=3).reset_index(drop=True)
+    pool = kcenter_greedy(ds, k=3, driver_max=0).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, pool)
+    assert fast["is_center"].sum() == 3
+    joined = fast.merge(df[["vec_id", "blob"]], on="vec_id")
+    centers = joined[joined.is_center == 1]
+    assert centers["blob"].nunique() == 3          # one per blob
+    # centers are stored rounded to 6 dp, so a selected row's distance
+    # to itself is at most one rounding quantum
+    assert (centers["dist"] <= 1e-6).all()
+    # perfect recovery at sep=20: every vector labels to its blob's center
+    purity = joined.groupby("blob")["center"].nunique()
+    assert (purity == 1).all()
+
+
 def test_semantic_dedup_flags_planted_near_identical():
     ds, df = _blob_ds()
     # plant near-identical copies of vec 0 and vec 40 (different blobs)

@@ -52,6 +52,9 @@ SUBSET = [
     "events_hourly_anomaly",
     "docs_csv_roundtrip",
     "docs_minhash_estimate",
+    "docs_moore_lewis",
+    "docs_heaps_law",
+    "embeddings_kcenter",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

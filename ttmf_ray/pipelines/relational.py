@@ -241,6 +241,55 @@ def docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+ML_IN_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def docs_moore_lewis(sf_dir: str) -> pd.DataFrame:
+    """Moore-Lewis cross-entropy-difference selection (ACL 2010): fit
+    one add-one unigram LM on the in-domain sources and one on the full
+    corpus, score every doc by mean ln p_in − mean ln p_out, keep the
+    non-negative ones.  Both fits are the top-tokens combiner shape;
+    the two models ride one broadcast; scoring is a single stateless
+    vectorized pass (one factorize, two searchsorted probes)."""
+    import pyarrow.compute as pc
+
+    from ..stages.lm_score import fit_unigram_lm, moore_lewis_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    in_ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("source"),
+                                    value_set=pa.array(ML_IN_SOURCES))),
+        batch_format="pyarrow")
+    m_in = fit_unigram_lm(in_ds, vocab_k=20000)
+    m_out = fit_unigram_lm(ds, vocab_k=20000)
+    out = moore_lewis_score(ds, m_in, m_out).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_tokens": np.int64,
+                       "keep": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_heaps_law(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve (per-doc new-type counts +
+    running totals) — all-integer, one tagged groupby resolves global
+    first occurrences (stages/curation.py:heaps_curve)."""
+    from ..stages.curation import heaps_curve
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return heaps_curve(ds)
+
+
+def embeddings_kcenter(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 / Core-Set,
+    ICLR 2018): 8 farthest-point representatives picked by quantized
+    round-6 comparisons, every vector labeled with its nearest center
+    (stages/cluster.py:kcenter_greedy — k stateless argmax passes, the
+    same unrolled-iteration mirror family as embeddings_kmeans)."""
+    from ..stages.cluster import kcenter_greedy
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_greedy(ds, k=8)
+
+
 def docs_nb_quality(sf_dir: str) -> pd.DataFrame:
     """fastText-style Naive-Bayes quality gate (stages/classify.py): fit
     the two-class token model on the even-doc_id half (label = lang ==

@@ -240,6 +240,138 @@ def semantic_dedup(ds, centroids: np.ndarray, *, tau: float,
 
 
 # ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez 1985; Sener & Savarese,
+# ICLR 2018 "Core-Set") — the farthest-point data-selection primitive:
+# pick k maximally-spread representatives, assign every vector to its
+# nearest one.
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_rule(dmin: np.ndarray, ids: np.ndarray) -> int:
+    """Next center = argmax by (round-6 min-distance DESC, id ASC) —
+    the quantized comparison both engines share."""
+    return int(np.lexsort((ids, -dmin))[0])
+
+
+def _kcenter_driver(ids: np.ndarray, V: np.ndarray, *, k: int):
+    """The full greedy loop on collected arrays (rule 13 fast path).
+    ``ids`` must be ascending.  Selected centers are rounded to 6 dp
+    before any distance against them (the kmeans ``c0`` convention)."""
+    sel = [int(ids[0])]
+    C = [_round6(np.asarray(V[0], np.float64))]       # seed: min id
+    dmin = _round6(np.sqrt(((V - C[0]) ** 2).sum(axis=1)))
+    for _ in range(1, k):
+        j = _kcenter_rule(dmin, ids)
+        sel.append(int(ids[j]))
+        C.append(_round6(np.asarray(V[j], np.float64)))
+        d = _round6(np.sqrt(((V - C[-1]) ** 2).sum(axis=1)))
+        dmin = np.minimum(dmin, d)
+    Cm = np.stack(C)
+    a, dist = assign_clusters(V, Cm)
+    return Cm, sel, a, dist
+
+
+def kcenter_greedy(ds, *, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   driver_max: int = 200_000) -> pd.DataFrame:
+    """Greedy k-center over an embedding Dataset → per-vector
+    (id, center ordinal, round-6 distance, is_center flag).
+
+    Seed center = the minimum-id vector; each round adds the vector
+    maximizing its round-6 distance to the nearest selected center
+    (ties → smallest id).  Every comparison is quantized at 6 dp, so
+    the DuckDB mirror's unrolled rounds select the identical centers.
+
+    Scale shape: the greedy loop is k STATELESS passes — each round is
+    one ``map_batches`` against the broadcast (r, d) center matrix
+    returning a 1-row per-batch partial argmax (no per-vector state
+    lives anywhere), then a tiny driver merge; the final labeling pass
+    streams.  Under ``driver_max`` rows the identical kernels run on
+    the collected matrix (rule 13 — k actor-pool rounds cost seconds
+    on FB15K-scale tables, the numpy loop costs milliseconds)."""
+    import ray.data as rd
+
+    ds = ds.materialize()
+    if driver_max and ds.count() <= driver_max:
+        tbls = ray.get(ds.to_arrow_refs())
+        tbls = [t.select([id_col, vec_col]) for t in tbls if t.num_rows]
+        t = pa.concat_tables(tbls)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = list_col_matrix(t.column(vec_col))[order].astype(np.float64)
+        Cm, sel, a, dist = _kcenter_driver(ids, V, k=k)
+    else:
+        ds = spread(ds)
+
+        def seed_part(t: pa.Table) -> pa.Table:
+            idv = t.column(id_col).to_numpy().astype(np.int64)
+            j = int(np.argmin(idv))
+            return pa.table({id_col: pa.array(idv[j:j + 1]),
+                             vec_col: t.column(vec_col).take([j])})
+
+        tb = pa.concat_tables(
+            [x for x in ray.get(ds.map_batches(
+                seed_part, batch_format="pyarrow").to_arrow_refs())
+             if x.num_rows])
+        sids = tb.column(id_col).to_numpy().astype(np.int64)
+        j0 = int(np.argmin(sids))
+        sel = [int(sids[j0])]
+        C = [_round6(list_col_matrix(tb.column(vec_col))[j0]
+                     .astype(np.float64))]
+        for _ in range(1, k):
+            cb = Broadcast(np.stack(C))
+
+            def far_part(t: pa.Table, cb=cb) -> pa.Table:
+                idv = t.column(id_col).to_numpy().astype(np.int64)
+                Vb = list_col_matrix(t.column(vec_col)) \
+                    .astype(np.float64)
+                Cc = cb.get()
+                dif = Vb[:, None, :] - Cc[None, :, :]
+                dm = _round6(np.sqrt(
+                    np.einsum("nkd,nkd->nk", dif, dif))).min(axis=1)
+                j = _kcenter_rule(dm, idv)
+                return pa.table({
+                    id_col: pa.array(idv[j:j + 1]),
+                    "__dmin": pa.array(dm[j:j + 1]),
+                    vec_col: t.column(vec_col).take([j])})
+
+            tb = pa.concat_tables(
+                [x for x in ray.get(ds.map_batches(
+                    far_part, batch_format="pyarrow").to_arrow_refs())
+                 if x.num_rows])
+            pid = tb.column(id_col).to_numpy().astype(np.int64)
+            pdm = tb.column("__dmin").to_numpy()
+            j = _kcenter_rule(pdm, pid)
+            sel.append(int(pid[j]))
+            C.append(_round6(list_col_matrix(tb.column(vec_col))[j]
+                             .astype(np.float64)))
+        Cm = np.stack(C)
+        cent_bc = Broadcast(Cm)
+
+        def label(t: pa.Table) -> pa.Table:
+            Vb = list_col_matrix(t.column(vec_col)).astype(np.float64)
+            a, dist = assign_clusters(Vb, cent_bc.get())
+            return pa.table({
+                id_col: t.column(id_col).cast(pa.int64()),
+                "center": pa.array(a.astype(np.int64)),
+                "dist": pa.array(dist)})
+
+        lab = ds.map_batches(label, batch_format="pyarrow").to_pandas() \
+            .sort_values(id_col).reset_index(drop=True)
+        ids = lab[id_col].to_numpy()
+        a = lab["center"].to_numpy()
+        dist = lab["dist"].to_numpy()
+    is_center = np.isin(ids, np.asarray(sel, np.int64)).astype(np.int64)
+    return pd.DataFrame({
+        id_col: ids.astype(np.int64),
+        "center": a.astype(np.int64),
+        "dist": dist.astype(np.float64),
+        "is_center": is_center,
+    })
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (the IVF-PQ scale path's encoding half)
 # ---------------------------------------------------------------------------
 

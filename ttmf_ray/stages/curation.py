@@ -263,6 +263,93 @@ def top_tokens(docs_ds, *, k: int = 50, text_col: str = "text"):
     return df.astype({"df": np.int64}).reset_index(drop=True)
 
 
+def heaps_curve(docs_ds, *, id_col: str = "doc_id",
+                text_col: str = "text") -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve: per doc (in ``id_col`` order)
+    the number of word occurrences, the number of NEW types (words whose
+    first-occurrence doc this is), and the running totals — the
+    dedup-health / tokenizer-sizing diagnostic of a corpus build.
+
+    Distributed shape (all-integer, zero float risk):
+
+      * ONE tagged combiner pass over the corpus emits per batch the
+        distinct tokens with their min in-batch doc (``t␞token`` rows)
+        plus one ``d␞doc`` row per document carrying its word count —
+        then ONE ``groupby(key).min(val)`` resolves global first
+        occurrences (doc rows are unique keys, so min is the identity).
+      * A second vocab-sized pass folds token rows into per-doc
+        ``new_types`` partials and re-keys doc rows; one tiny groupby
+        sums them.
+      * The prefix sums over doc order are computed on the collected
+        (n_docs-row) curve here; at corpus scale swap in the two-pass
+        range-prefix cumsum of :func:`pack_bins` (partition by doc-id
+        range, cumsum of per-partition totals broadcast back).
+
+    Tokens are lowercase ``[0-9a-z_]+`` runs (the near-dup word class).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .classify import _doc_words
+
+    def tagged(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        flat, doc_idx, n = _doc_words(t.column(text_col))
+        keys, vals = [], []
+        if len(flat):
+            codes, uniq = pd.factorize(flat)
+            key = doc_idx * np.int64(len(uniq)) + codes
+            ukey = np.unique(key)
+            tok_loc = (ukey % len(uniq)).astype(np.int64)
+            doc_loc = (ukey // len(uniq)).astype(np.int64)
+            # min in-batch doc per distinct token
+            order = np.lexsort((ids[doc_loc], tok_loc))
+            tl, dl = tok_loc[order], ids[doc_loc][order]
+            first = np.ones(len(tl), dtype=bool)
+            first[1:] = tl[1:] != tl[:-1]
+            keys.append(np.char.add("t\x1e",
+                                    uniq[tl[first]].astype(str)))
+            vals.append(dl[first])
+        nw = np.bincount(doc_idx, minlength=n).astype(np.int64) \
+            if len(flat) else np.zeros(n, np.int64)
+        keys.append(np.char.add("d\x1e", ids.astype(str)))
+        vals.append(nw)
+        return pa.table({
+            "key": pa.array(np.concatenate(keys), pa.string()),
+            "val": pa.array(np.concatenate(vals).astype(np.int64))})
+
+    resolved = (docs_ds.map_batches(tagged, batch_format="pyarrow")
+                .groupby("key").aggregate(Min("val", alias_name="val")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_numpy(zero_copy_only=False).astype(str)
+        vals = t.column("val").to_numpy().astype(np.int64)
+        is_tok = np.char.startswith(keys, "t\x1e")
+        doc_of_tok = vals[is_tok]                       # first-occurrence doc
+        d_ids = np.asarray([k[2:] for k in keys[~is_tok]], dtype=np.int64)
+        out_id = np.concatenate([doc_of_tok, d_ids])
+        out_nt = np.concatenate([np.ones(is_tok.sum(), np.int64),
+                                 np.zeros(len(d_ids), np.int64)])
+        out_nw = np.concatenate([np.zeros(is_tok.sum(), np.int64),
+                                 vals[~is_tok]])
+        return pa.table({"doc_id": pa.array(out_id),
+                         "new_types": pa.array(out_nt),
+                         "n_words": pa.array(out_nw)})
+
+    agg = (resolved.map_batches(fold, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("n_words", alias_name="n_words"),
+                      Sum("new_types", alias_name="new_types"))
+           .to_pandas())
+    agg = agg.sort_values("doc_id").reset_index(drop=True)
+    out = pd.DataFrame({
+        "doc_id": agg["doc_id"].to_numpy().astype(np.int64),
+        "n_words": agg["n_words"].to_numpy().astype(np.int64),
+        "new_types": agg["new_types"].to_numpy().astype(np.int64)})
+    out["cum_words"] = out["n_words"].cumsum().astype(np.int64)
+    out["cum_types"] = out["new_types"].cumsum().astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Resumable shuffled export (shuffle_export → hash_join payload →
 # per-shard atomic parquet + manifest)
