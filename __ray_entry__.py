@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_moore_lewis": rel.docs_moore_lewis,
         "docs_heaps_law": rel.docs_heaps_law,
         "embeddings_kcenter": rel.embeddings_kcenter,
+        "docs_zipf_fit": rel.docs_zipf_fit,
+        "events_rfm": rel.events_rfm,
+        "events_seq_pairs": rel.events_seq_pairs,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -2377,6 +2380,86 @@ def _moore_lewis_sql(vocab_k: int = 20000) -> str:
     """
 
 
+_ZIPF_SQL = """
+    WITH w AS (SELECT source,
+                      unnest(regexp_extract_all(lower(text),
+                                                '[0-9a-z_]+')) AS token
+               FROM documents),
+    st AS (SELECT source, token, count(*) AS cnt FROM w GROUP BY 1, 2),
+    rk AS (SELECT source, cnt,
+                  row_number() OVER (PARTITION BY source
+                      ORDER BY cnt DESC, token) AS rn
+           FROM st),
+    top AS (SELECT source, ln(rn::DOUBLE) AS x, ln(cnt::DOUBLE) AS y
+            FROM rk WHERE rn <= 100),
+    s AS (SELECT source, count(*)::DOUBLE AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM top GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept
+    FROM s ORDER BY source
+"""
+
+
+_RFM_SQL = """
+    WITH ue AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                       max(epoch_us(ts)) AS umax,
+                       count(*)::BIGINT AS freq,
+                       ROUND(sum(value), 6) AS monetary
+                FROM events GROUP BY user_id),
+    g AS (SELECT max(umax) AS gmax, count(*) AS n FROM ue),
+    m AS (SELECT u.user_id,
+                 ((g.gmax - u.umax) // 86400000000)::BIGINT AS r_days,
+                 u.freq, u.monetary
+          FROM ue u, g),
+    r_o AS (SELECT r_days AS v,
+                   row_number() OVER (ORDER BY r_days) - 1 AS rk FROM m),
+    f_o AS (SELECT freq AS v,
+                   row_number() OVER (ORDER BY freq) - 1 AS rk FROM m),
+    m_o AS (SELECT monetary AS v,
+                   row_number() OVER (ORDER BY monetary) - 1 AS rk
+            FROM m),
+    r_e AS (SELECT max(CASE WHEN rk = (n - 1) // 4 THEN v END) AS e25,
+                   max(CASE WHEN rk = (n - 1) // 2 THEN v END) AS e50,
+                   max(CASE WHEN rk = (3 * (n - 1)) // 4 THEN v END)
+                       AS e75
+            FROM r_o, g),
+    f_e AS (SELECT max(CASE WHEN rk = (n - 1) // 4 THEN v END) AS e25,
+                   max(CASE WHEN rk = (n - 1) // 2 THEN v END) AS e50,
+                   max(CASE WHEN rk = (3 * (n - 1)) // 4 THEN v END)
+                       AS e75
+            FROM f_o, g),
+    m_e AS (SELECT max(CASE WHEN rk = (n - 1) // 4 THEN v END) AS e25,
+                   max(CASE WHEN rk = (n - 1) // 2 THEN v END) AS e50,
+                   max(CASE WHEN rk = (3 * (n - 1)) // 4 THEN v END)
+                       AS e75
+            FROM m_o, g)
+    SELECT m.user_id, m.r_days, m.freq, m.monetary,
+           CAST(1 + (m.r_days > r_e.e25)::INT + (m.r_days > r_e.e50)::INT
+                + (m.r_days > r_e.e75)::INT AS BIGINT) AS r_band,
+           CAST(1 + (m.freq > f_e.e25)::INT + (m.freq > f_e.e50)::INT
+                + (m.freq > f_e.e75)::INT AS BIGINT) AS f_band,
+           CAST(1 + (m.monetary > m_e.e25)::INT
+                + (m.monetary > m_e.e50)::INT
+                + (m.monetary > m_e.e75)::INT AS BIGINT) AS m_band
+    FROM m, r_e, f_e, m_e ORDER BY m.user_id
+"""
+
+
+_SEQ_PAIRS_SQL = """
+    WITH ut AS (SELECT user_id, event_type,
+                       min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                FROM events GROUP BY user_id, event_type)
+    SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+         AND a.event_type != b.event_type AND a.mn < b.mx
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _HEAPS_SQL = """
     WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                       unnest(regexp_extract_all(lower(text),
@@ -3719,4 +3802,10 @@ def oracle_sql() -> dict[str, str]:
         # greedy k-center: unrolled farthest-point rounds on round-6
         # quantized distances, same assignment rule as embeddings_kmeans
         "embeddings_kcenter": _kcenter_sql(),
+        # per-source Zipf OLS over the top-100 ranked tokens
+        "docs_zipf_fit": _ZIPF_SQL,
+        # RFM quartiles: integer epoch-us recency, lower-disc band edges
+        "events_rfm": _RFM_SQL,
+        # A-before-B precedence: per (user,type) min/max + self-join
+        "events_seq_pairs": _SEQ_PAIRS_SQL,
     }

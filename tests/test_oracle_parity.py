@@ -55,6 +55,9 @@ SUBSET = [
     "docs_moore_lewis",
     "docs_heaps_law",
     "embeddings_kcenter",
+    "docs_zipf_fit",
+    "events_rfm",
+    "events_seq_pairs",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -290,6 +290,38 @@ def embeddings_kcenter(sf_dir: str) -> pd.DataFrame:
     return kcenter_greedy(ds, k=8)
 
 
+def docs_zipf_fit(sf_dir: str) -> pd.DataFrame:
+    """Per-source Zipf slope/intercept (OLS of ln count on ln rank over
+    the top-100 tokens) — corpus-mixture distribution health
+    (stages/retrieval.py:zipf_fit; grouped_topk prunes per batch, only
+    ~100·#sources rows reach the driver)."""
+    from ..stages.retrieval import zipf_fit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return zipf_fit(ds, k=100)
+
+
+def events_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM quartile segmentation per user (recency days / frequency /
+    6-dp monetary, banded by the lower-discrete quantile rule) —
+    stages/temporal.py:rfm_segments, one per-user groupby of 3-number
+    partials."""
+    from ..stages.temporal import rfm_segments
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    return rfm_segments(ds)
+
+
+def events_seq_pairs(sf_dir: str) -> pd.DataFrame:
+    """A-before-B precedence matrix over event types (n users with some
+    a strictly before some b) — stages/temporal.py:seq_pairs, per-user
+    min/max combiner + self hash_join, no per-user driver state."""
+    from ..stages.temporal import seq_pairs
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return seq_pairs(ds)
+
+
 def docs_nb_quality(sf_dir: str) -> pd.DataFrame:
     """fastText-style Naive-Bayes quality gate (stages/classify.py): fit
     the two-class token model on the even-doc_id half (label = lang ==

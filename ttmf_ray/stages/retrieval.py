@@ -521,3 +521,63 @@ def hybrid_rrf(docs_ds, emb_ds, terms, qvec: np.ndarray, *,
     f = f.sort_values(["rrf", "doc_id"], ascending=[False, True],
                       ignore_index=True).head(k)
     return f[["doc_id", "bm25_rank", "cos_rank", "rrf"]]
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope fit (per-source token-frequency power law)
+# ---------------------------------------------------------------------------
+
+def zipf_fit(docs_ds, *, k: int = 100, text_col: str = "text",
+             source_col: str = "source") -> pd.DataFrame:
+    """Per-source Zipf fit: OLS of ln(count) on ln(rank) over the
+    source's top-``k`` tokens (rank by count DESC, token ASC) — the
+    distribution-health check of a corpus mixture (a natural-language
+    source fits slope ≈ −1; boilerplate/spam flattens or steepens it).
+
+    Shape: the (source, token, cnt) combiner → ONE vocab-sized groupby,
+    then :func:`~ttmf_ray.functions.topk.grouped_topk` prunes per batch
+    so only ~k·#sources rows reach the driver, where the closed-form
+    OLS runs on ≤ k points per source.  Rounded at 6 dp — summation-
+    order drift over ≤ k doubles is ~1e-13, invisible at the round
+    (the docs_source_kl precedent)."""
+    from ..functions.topk import grouped_topk
+
+    def counts(t: pa.Table) -> pa.Table:
+        src = t.column(source_col).to_numpy(zero_copy_only=False)
+        flat, doc_idx, _ = _words(t.column(text_col))
+        if not len(flat):
+            return pa.table({source_col: pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        key = np.char.add(np.char.add(src[doc_idx].astype(str), "\x1f"),
+                          flat.astype(str))
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({source_col: pa.array(sp[:, 0], pa.string()),
+                         "token": pa.array(sp[:, 2], pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = (docs_ds.map_batches(counts, batch_format="pyarrow")
+           .groupby([source_col, "token"]).sum("cnt"))
+    agg = agg.map_batches(
+        lambda t: pa.table({source_col: t.column(source_col),
+                            "token": t.column("token"),
+                            "cnt": t.column("sum(cnt)")}),
+        batch_format="pyarrow")
+    top = grouped_topk(agg, key_cols=[source_col], value_col="cnt",
+                       k=k, descending=True, tiebreak_cols=["token"]) \
+        .to_pandas()
+    rows = []
+    for src, g in top.groupby(source_col, sort=True):
+        g = g.sort_values(["cnt", "token"], ascending=[False, True],
+                          ignore_index=True)
+        n = float(len(g))
+        x = np.log(np.arange(1, len(g) + 1, dtype=np.float64))
+        y = np.log(g["cnt"].to_numpy(np.float64))
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx = (x * y).sum(), (x * x).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        rows.append({source_col: src, "n_terms": np.int64(len(g)),
+                     "slope": round(slope, 6),
+                     "intercept": round((sy - slope * sx) / n, 6)})
+    return pd.DataFrame(rows)

@@ -318,3 +318,147 @@ def funnel_counts(events_ds, steps: list[str], *, ts_col: str = "ts",
         "step": np.arange(k, dtype=np.int64),
         "event_type": steps,
         "n_users": np.asarray(counts, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# RFM user segmentation (recency / frequency / monetary quartile bands)
+# ---------------------------------------------------------------------------
+
+US_PER_DAY = 86_400_000_000
+
+
+def rfm_segments(events_ds, *, ts_col: str = "ts",
+                 user_col: str = "user_id",
+                 value_col: str = "value") -> pd.DataFrame:
+    """Classic RFM segmentation: per user, days since last activity
+    (vs the corpus max timestamp), event count, and rounded value sum,
+    each banded into quartiles 1–4 by the lower-discrete quantile rule
+    (band = 1 + #{edges strictly below the value}, edges at ranks
+    floor((n−1)·q), q ∈ {¼, ½, ¾} — the docs_length_band_filter rule).
+
+    Shape: ONE per-user groupby of per-batch (max ts, count, sum)
+    partials — the only shuffle, and it moves 3 numbers per (user,
+    batch); the quartile edges are computed on the collected per-user
+    table (users ≪ events; at larger scale reuse
+    stages/quantiles.exact_quantiles over the same per-user Dataset).
+    Monetary comparisons use the 6-dp-rounded sum on both engines."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy().astype(np.int64)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        v = t.column(value_col).to_numpy().astype(np.float64)
+        uu, inv = np.unique(u, return_inverse=True)
+        mx = np.full(len(uu), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({
+            user_col: pa.array(uu),
+            "umax": pa.array(mx),
+            "freq": pa.array(np.bincount(inv, minlength=len(uu))
+                             .astype(np.int64)),
+            "mon": pa.array(np.bincount(inv, weights=v,
+                                        minlength=len(uu))),
+        })
+
+    per_user = (events_ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(user_col)
+                .aggregate(Max("umax", alias_name="umax"),
+                           Sum("freq", alias_name="freq"),
+                           Sum("mon", alias_name="mon"))
+                .to_pandas())
+    umax = per_user["umax"].to_numpy().astype(np.int64)
+    gmax = int(umax.max())
+    r_days = (gmax - umax) // US_PER_DAY
+    freq = per_user["freq"].to_numpy().astype(np.int64)
+    mon = np.round(per_user["mon"].to_numpy(np.float64), 6)
+
+    def band(v: np.ndarray) -> np.ndarray:
+        s = np.sort(v)
+        n = len(s)
+        edges = [s[(n - 1) // 4], s[(n - 1) // 2], s[(3 * (n - 1)) // 4]]
+        b = np.ones(len(v), np.int64)
+        for e in edges:
+            b += (v > e)
+        return b
+
+    out = pd.DataFrame({
+        user_col: per_user[user_col].to_numpy().astype(np.int64),
+        "r_days": r_days.astype(np.int64),
+        "freq": freq,
+        "monetary": mon,
+        "r_band": band(r_days),
+        "f_band": band(freq),
+        "m_band": band(mon),
+    })
+    return out.sort_values(user_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequential event-pair reachability (A happens before B per user)
+# ---------------------------------------------------------------------------
+
+def seq_pairs(events_ds, *, ts_col: str = "ts",
+              user_col: str = "user_id",
+              type_col: str = "event_type") -> pd.DataFrame:
+    """For every ordered pair of distinct event types (a, b): the
+    number of users with SOME a-event strictly before SOME b-event —
+    the precedence matrix behind funnel discovery (which funnels are
+    worth defining), complementing the adjacent-step Markov
+    transitions.
+
+    Reachability test per user: min_ts(a) < max_ts(b) ⟺ an a precedes
+    a b.  Shape: per-batch (user, type, min ts, max ts) partials →
+    ONE groupby; the pair test is a self hash_join on the user key
+    (each side ≤ #types rows per user), then a tiny (a, b) count —
+    no per-user driver state, no map_groups over tiny groups."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.joins import hash_join
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy().astype(np.int64)
+        et = t.column(type_col).to_numpy(zero_copy_only=False).astype(str)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        key = np.char.add(np.char.add(u.astype(str), "\x1f"), et)
+        uk, inv = np.unique(key, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, inv, ts)
+        np.maximum.at(mx, inv, ts)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            user_col: pa.array(sp[:, 0].astype(np.int64)),
+            type_col: pa.array(sp[:, 2], pa.string()),
+            "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    ut = (events_ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([user_col, type_col])
+          .aggregate(Min("mn", alias_name="mn"),
+                     Max("mx", alias_name="mx")))
+
+    def side(name_t: str, keep: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({user_col: t.column(user_col),
+                             name_t: t.column(type_col),
+                             out: t.column(keep)})
+        return fn
+
+    left = ut.map_batches(side("etype_a", "mn", "mn_a"),
+                          batch_format="pyarrow")
+    right = ut.map_batches(side("etype_b", "mx", "mx_b"),
+                           batch_format="pyarrow")
+    j = hash_join(left, right, on=user_col)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ea = t.column("etype_a").to_numpy(zero_copy_only=False)
+        eb = t.column("etype_b").to_numpy(zero_copy_only=False)
+        keep = (ea != eb) & (t.column("mn_a").to_numpy()
+                             < t.column("mx_b").to_numpy())
+        return pa.table({"etype_a": pa.array(ea[keep], pa.string()),
+                         "etype_b": pa.array(eb[keep], pa.string())})
+
+    out = (j.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["etype_a", "etype_b"]).count().to_pandas()
+           .rename(columns={"count()": "n_users"}))
+    return out.astype({"n_users": np.int64}) \
+        .sort_values(["etype_a", "etype_b"]).reset_index(drop=True)
