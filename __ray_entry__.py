@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_fit": rel.docs_zipf_fit,
         "events_rfm": rel.events_rfm,
         "events_seq_pairs": rel.events_seq_pairs,
+        "docs_chi2_terms": rel.docs_chi2_terms,
+        "kg_biased_walks": cq.kg_biased_walks,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -3049,6 +3051,95 @@ def _bloom_decontaminate_sql(m_bits: int = 1 << 12, k: int = 3,
     """
 
 
+_CHI2_SQL = """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      (source IN ('src0', 'src1', 'src2', 'src3'))::INT
+                          AS pos,
+                      lower(text) AS lt
+               FROM documents),
+    w AS (SELECT DISTINCT doc_id, pos, token FROM (
+              SELECT doc_id, pos,
+                     unnest(regexp_extract_all(lt, '[0-9a-z_]+'))
+                         AS token
+              FROM d)),
+    st AS (SELECT token, sum(pos)::BIGINT AS c_pos,
+                  sum(1 - pos)::BIGINT AS c_neg
+           FROM w GROUP BY token),
+    tot AS (SELECT count(*)::BIGINT AS n,
+                   sum((source IN ('src0', 'src1', 'src2', 'src3'))
+                       ::INT)::BIGINT AS np
+            FROM documents),
+    s AS (SELECT st.token, st.c_pos, st.c_pos + st.c_neg AS df,
+                 (st.c_pos * (tot.n - tot.np - st.c_neg)
+                  - st.c_neg * (tot.np - st.c_pos)) AS det,
+                 tot.n, tot.np
+          FROM st, tot)
+    SELECT token, CAST(df AS BIGINT) AS df, c_pos,
+           ROUND(CASE WHEN ((df::DOUBLE * (n - df)::DOUBLE)
+                            * np::DOUBLE) * (n - np)::DOUBLE > 0
+                 THEN (n::DOUBLE * (det::DOUBLE * det::DOUBLE))
+                      / (((df::DOUBLE * (n - df)::DOUBLE)
+                          * np::DOUBLE) * (n - np)::DOUBLE)
+                 ELSE 0.0 END, 6) AS chi2
+    FROM s ORDER BY chi2 DESC, token LIMIT 50
+"""
+
+
+def _biased_walks_sql(n_steps: int = 3, seed: int = 911) -> str:
+    """Exact mirror of kg_biased_walks (stages/graph.py:biased_walks):
+    step 1 is the uniform rank draw; steps ≥ 2 weigh each candidate
+    edge 1/2/1 (return / prev→nxt edge exists / outward), take the
+    first edge in (t, r) order whose running weight cumsum exceeds
+    mix64(seed, step, cur, start) % total_weight."""
+    lat1, ref1 = _mix_chain("bw1", ["s0.cur", "s0.start"], [seed, 1])
+    steps = [f"""
+    s1 AS MATERIALIZED (
+        SELECT s0.start, e.t AS cur, s0.cur AS prev, e.r
+        FROM s0, {lat1}, deg d, er e
+        WHERE d.h = s0.cur AND e.h = s0.cur
+          AND e.rk = CAST(({ref1}) % d.d AS BIGINT))"""]
+    selects = ["SELECT start, 1 AS step, r, cur AS node FROM s1"]
+    for st in range(2, n_steps + 1):
+        lat, ref = _mix_chain(f"bw{st}", ["c.cur", "c.start"], [seed, st])
+        steps.append(f"""
+    w{st} AS MATERIALIZED (
+        SELECT p.start, p.cur, p.prev, e.t, e.r,
+               CASE WHEN e.t = p.prev THEN 1
+                    WHEN dd.h IS NOT NULL THEN 2 ELSE 1 END AS w
+        FROM s{st - 1} p JOIN er e ON e.h = p.cur
+        LEFT JOIN dd ON dd.h = p.prev AND dd.t = e.t),
+    c{st} AS MATERIALIZED (
+        SELECT *, sum(w) OVER (PARTITION BY start ORDER BY t, r
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(w) OVER (PARTITION BY start) AS tot
+        FROM w{st}),
+    s{st} AS MATERIALIZED (
+        SELECT start, t AS cur, cur AS prev, r FROM (
+            SELECT c.*, row_number() OVER (PARTITION BY c.start
+                        ORDER BY c.t, c.r) AS rsel
+            FROM c{st} c, {lat}
+            WHERE c.cum > CAST(({ref}) % c.tot AS BIGINT))
+        WHERE rsel = 1)""")
+        selects.append(
+            f"SELECT start, {st} AS step, r, cur AS node FROM s{st}")
+    return f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
+    er AS MATERIALIZED (
+        SELECT h, t, r,
+               row_number() OVER (PARTITION BY h ORDER BY t, r) - 1 AS rk
+        FROM edges0),
+    deg AS MATERIALIZED (SELECT h, count(*) AS d FROM er GROUP BY h),
+    dd AS MATERIALIZED (SELECT DISTINCT h, t FROM edges0),
+    s0 AS MATERIALIZED (
+        SELECT id AS start, id AS cur FROM ({_VOCAB_SQL})),
+    {",".join(steps)}
+    SELECT CAST(start AS BIGINT) AS start, CAST(step AS BIGINT) AS step,
+           CAST(r AS BIGINT) AS r, CAST(node AS BIGINT) AS node
+    FROM ({" UNION ALL ".join(selects)})
+    ORDER BY start, step
+    """
+
+
 def _random_walks_sql(n_steps: int = 3, seed: int = 777) -> str:
     """Exact mirror of kg_random_walks: unrolled steps over the
     row_number-ranked (t, r) edge list, next rank =
@@ -3808,4 +3899,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rfm": _RFM_SQL,
         # A-before-B precedence: per (user,type) min/max + self-join
         "events_seq_pairs": _SEQ_PAIRS_SQL,
+        # chi-square term selection: exact integer contingency counts,
+        # fixed-order float chain, rank on the 6-dp-rounded score
+        "docs_chi2_terms": _CHI2_SQL,
+        # node2vec-style weighted walks: unrolled steps, window-cumsum
+        # weighted pick mirroring the searchsorted selection
+        "kg_biased_walks": _biased_walks_sql(),
     }

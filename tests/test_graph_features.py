@@ -140,3 +140,28 @@ def test_kcore_pool_path_matches_driver_path(ray_session):
     dist = kcore(rd.from_pandas(ed), k=8, driver_max=0)
     pd.testing.assert_frame_equal(drv.reset_index(drop=True),
                                   dist.reset_index(drop=True))
+
+
+def test_biased_walks_diverge_from_uniform(ray_session):
+    """Same seed, same graph: the node2vec weighting must change at
+    least one step-2+ choice vs the uniform walker (weights 1/2/1 are
+    non-uniform wherever a triangle or return edge exists), while
+    step-1 rows are identical by construction (no prev yet)."""
+    from ttmf_ray.stages.graph import biased_walks, random_walks
+
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 40, size=400).astype(np.int64)
+    t = rng.integers(0, 40, size=400).astype(np.int64)
+    r = rng.integers(0, 5, size=400).astype(np.int64)
+    keep = h != t
+    ids = pd.DataFrame({"h": h[keep], "t": t[keep], "r": r[keep]}) \
+        .drop_duplicates(ignore_index=True)
+    uni = random_walks(ids, 40, n_steps=3, seed=777)
+    bia = biased_walks(ids, 40, n_steps=3, seed=777)
+    u1 = uni[uni.step == 1].reset_index(drop=True)
+    b1 = bia[bia.step == 1].reset_index(drop=True)
+    pd.testing.assert_frame_equal(u1, b1)
+    u2 = uni[uni.step > 1].reset_index(drop=True)
+    b2 = bia[bia.step > 1].reset_index(drop=True)
+    assert len(u2) == len(b2)          # same walks stay alive per step?
+    assert not u2.equals(b2)           # the weighting changed choices

@@ -58,6 +58,8 @@ SUBSET = [
     "docs_zipf_fit",
     "events_rfm",
     "events_seq_pairs",
+    "docs_chi2_terms",
+    "kg_biased_walks",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -1129,6 +1129,18 @@ def kg_random_walks(sf_dir: str) -> pd.DataFrame:
     return random_walks(ids, len(ent_df), n_steps=3, seed=777)
 
 
+def kg_biased_walks(sf_dir: str) -> pd.DataFrame:
+    """node2vec-style second-order walks (p = q = 2 as integer weights
+    1/2/1 for return/triangle/outward) — one seeded 3-step walk per
+    entity, weighted next-edge selection by running-weight threshold
+    under the (t, r) edge order (stages/graph.py:biased_walks); SQL
+    twin unrolls the same weighted pick via window cumsums."""
+    from ..stages.graph import biased_walks
+
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    return biased_walks(ids, len(ent_df), n_steps=3, seed=911)
+
+
 def kg_relpath_2hop(sf_dir: str) -> pd.DataFrame:
     """(r1, r2) relation-composition counts over all 2-edge paths of the
     relational KG — the corpus-level path-pattern census behind

@@ -301,6 +301,17 @@ def docs_zipf_fit(sf_dir: str) -> pd.DataFrame:
     return zipf_fit(ds, k=100)
 
 
+def docs_chi2_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-50 tokens by chi-square association with the in-domain
+    sources (doc-frequency contingency, exact integer counts, fixed
+    float chain) — stages/classify.py:chi2_terms; the transparent
+    cousin of the NB gate."""
+    from ..stages.classify import chi2_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return chi2_terms(ds, ML_IN_SOURCES, k=50)
+
+
 def events_rfm(sf_dir: str) -> pd.DataFrame:
     """RFM quartile segmentation per user (recency days / frequency /
     6-dp monetary, banded by the lower-discrete quantile rule) —

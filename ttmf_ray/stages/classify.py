@@ -348,3 +348,98 @@ def dsir_sample(weights_ds, *, n: int, id_col: str = "doc_id",
         .to_pandas()
     out = parts.sort_values(["key", id_col]).head(n)
     return out.astype({id_col: np.int64}).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square term selection (Manning et al., IIR ch. 13 feature
+# selection) — which tokens are most associated with the in-domain
+# sources; the transparent cousin of the NB gate's learned weights.
+# ---------------------------------------------------------------------------
+
+def chi2_terms(docs_ds, in_sources, *, k: int = 50,
+               text_col: str = "text", source_col: str = "source") -> pd.DataFrame:
+    """Top-``k`` tokens by chi-square association with the in-domain
+    class (doc-frequency contingency table):
+
+        n11 = in-domain docs containing t, n10 = out docs containing t,
+        n01/n00 the complements; chi2 = N·det² / (df·(N−df)·n_pos·n_neg)
+        with det = n11·n00 − n10·n01.
+
+    All counts are exact integers through ONE vocab-sized groupby of
+    per-batch distinct-(doc, token) partials; det stays int64 and the
+    final expression is a fixed-order float64 chain (cast, square,
+    multiply, one division), so both engines land on identical doubles
+    before the 6-dp round.  Per-batch partial top-k after the groupby —
+    only ~k rows per block reach the driver merge.  Ranked by
+    (round(chi2, 6) DESC, token ASC); tokens in every doc score 0."""
+    from ray.data.aggregate import Sum
+
+    in_set = frozenset(in_sources)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column(source_col).to_numpy(zero_copy_only=False)
+        flat, doc_idx, _ = _doc_words(t.column(text_col))
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c_pos": pa.array([], pa.int64()),
+                             "c_neg": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(flat)
+        key = doc_idx * np.int64(len(uniq)) + codes
+        ukey = np.unique(key)
+        tok = (ukey % len(uniq)).astype(np.int64)
+        doc = (ukey // len(uniq)).astype(np.int64)
+        pos = np.asarray([s in in_set for s in src], dtype=np.int64)[doc]
+        c_pos = np.zeros(len(uniq), np.int64)
+        c_neg = np.zeros(len(uniq), np.int64)
+        np.add.at(c_pos, tok, pos)
+        np.add.at(c_neg, tok, 1 - pos)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "c_pos": pa.array(c_pos),
+                         "c_neg": pa.array(c_neg)})
+
+    counts = (docs_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("c_pos", alias_name="c_pos"),
+                         Sum("c_neg", alias_name="c_neg")))
+
+    # class sizes: one tiny aggregate over the docs table
+    def doc_counts(t: pa.Table) -> pa.Table:
+        src = t.column(source_col).to_numpy(zero_copy_only=False)
+        p = np.int64(sum(1 for s in src if s in in_set))
+        return pa.table({"n_pos": pa.array([p]),
+                         "n_all": pa.array([np.int64(len(src))])})
+
+    dc = docs_ds.map_batches(doc_counts, batch_format="pyarrow") \
+        .to_pandas()
+    n_pos = int(dc["n_pos"].sum())
+    n_all = int(dc["n_all"].sum())
+    n_neg = n_all - n_pos
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        cp = t.column("c_pos").to_numpy().astype(np.int64)
+        cn = t.column("c_neg").to_numpy().astype(np.int64)
+        df = cp + cn
+        det = cp * (np.int64(n_neg) - cn) - cn * (np.int64(n_pos) - cp)
+        denom = ((df.astype(np.float64)
+                  * (np.int64(n_all) - df).astype(np.float64))
+                 * np.float64(n_pos)) * np.float64(n_neg)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            chi2 = np.where(denom > 0,
+                            (np.float64(n_all)
+                             * (det.astype(np.float64)
+                                * det.astype(np.float64)))
+                            / np.where(denom > 0, denom, 1.0), 0.0)
+        chi2 = np.round(chi2, 6)
+        order = np.lexsort((tok, -chi2))[:k]
+        return pa.table({"token": pa.array(tok[order], pa.string()),
+                         "df": pa.array(df[order]),
+                         "c_pos": pa.array(cp[order]),
+                         "chi2": pa.array(chi2[order], pa.float64())})
+
+    parts = counts.map_batches(score_topk, batch_format="pyarrow") \
+        .to_pandas()
+    parts = parts.sort_values(["chi2", "token"],
+                              ascending=[False, True]).head(k)
+    return parts.astype({"df": np.int64, "c_pos": np.int64}) \
+        .reset_index(drop=True)

@@ -735,6 +735,119 @@ def random_walks(ids: pd.DataFrame, n_entities: int, *, n_steps: int = 3,
         .sort_values(["start", "step"], ignore_index=True)
 
 
+def biased_walks(ids: pd.DataFrame, n_entities: int, *, n_steps: int = 3,
+                 seed: int = 911) -> pd.DataFrame:
+    """node2vec-style SECOND-ORDER walks (Grover & Leskovec, KDD 2016)
+    with p = q = 2 as scaled integer weights: from ``cur`` with previous
+    node ``prev``, each out-edge to ``nxt`` weighs
+
+        1   if nxt == prev            (return, 1/p)
+        2   if edge prev→nxt exists   (triangle/BFS-ish, 1)
+        1   otherwise                 (outward, 1/q)
+
+    and the step takes the first edge (in (t, r) order) whose running
+    weight exceeds mix64(seed, step, cur, start) % total_weight.  Step 1
+    has no prev and degenerates to the uniform rank draw of
+    :func:`random_walks` (all weights 1 ⇒ rank = draw).
+
+    Vectorized per round: one flat gather of every alive walk's
+    out-edges (np.repeat + global-cumsum segment trick), one packed-key
+    searchsorted for the prev→nxt neighbor test, ONE searchsorted into
+    the strictly-increasing global weight cumsum for the selection —
+    no per-walk Python.  CSR + sorted (h,t) keys broadcast once.  The
+    SQL twin unrolls the identical weighted selection over the ranked
+    edge list (window cumsum + first-row-past-the-draw)."""
+    from ..context import Broadcast, auto_pool, spread
+    from ..sources.pages import mix64_vec
+
+    import ray.data as rd
+
+    h = ids["h"].to_numpy(np.int64)
+    t = ids["t"].to_numpy(np.int64)
+    assert n_entities < (1 << 31), "packed (h,t) keys need ids < 2^31"
+    csr = build_csr(h, t, ids["r"].to_numpy(np.int64), n_entities)
+    keys = np.unique((h << 32) | t)
+    bc = Broadcast((csr.eindptr, csr.edst, csr.erel, keys))
+
+    class Walker:
+        def __init__(self, adj_bc: Broadcast):
+            (self.eindptr, self.edst, self.erel,
+             self.keys) = adj_bc.get()
+
+        def _tri(self, prev_rep, nxt_all):
+            key = (prev_rep << 32) | nxt_all
+            if not len(self.keys):
+                return np.zeros(len(key), bool)
+            pos = np.clip(np.searchsorted(self.keys, key), 0,
+                          len(self.keys) - 1)
+            return self.keys[pos] == key
+
+        def __call__(self, tb: pa.Table) -> pa.Table:
+            start = tb.column("start").to_numpy().astype(np.int64)
+            cur = start.copy()
+            prev = start.copy()
+            alive = np.ones(len(start), dtype=bool)
+            outs = []
+            for step in range(1, n_steps + 1):
+                deg = self.eindptr[cur + 1] - self.eindptr[cur]
+                alive &= deg > 0
+                if not alive.any():
+                    break
+                a = np.flatnonzero(alive)
+                if step == 1:
+                    idx = (mix64_vec(seed, step, cur[a], start[a])
+                           % deg[a].astype(np.uint64)).astype(np.int64)
+                    e = self.eindptr[cur[a]] + idx
+                else:
+                    da = deg[a]
+                    off = self.eindptr[cur[a]]
+                    seg_end = np.cumsum(da)
+                    seg_start = seg_end - da
+                    total = int(seg_end[-1])
+                    flat_e = (np.repeat(off, da)
+                              + np.arange(total, dtype=np.int64)
+                              - np.repeat(seg_start, da))
+                    nxt_all = self.edst[flat_e].astype(np.int64)
+                    wrep = np.repeat(np.arange(len(a)), da)
+                    prev_rep = prev[a][wrep]
+                    back = nxt_all == prev_rep
+                    tri = self._tri(prev_rep, nxt_all) & ~back
+                    w = np.where(back, 1, np.where(tri, 2, 1)) \
+                        .astype(np.int64)
+                    cumw = np.cumsum(w)
+                    base = np.where(seg_start > 0,
+                                    cumw[seg_start - 1], 0)
+                    tot = cumw[seg_end - 1] - base
+                    draw = (mix64_vec(seed, step, cur[a], start[a])
+                            % tot.astype(np.uint64)).astype(np.int64)
+                    sel = np.searchsorted(cumw, base + draw,
+                                          side="right")
+                    e = flat_e[sel]
+                nxt, rel = self.edst[e], self.erel[e]
+                outs.append(pa.table({
+                    "start": pa.array(start[a]),
+                    "step": pa.array(np.full(len(a), step, np.int64)),
+                    "r": pa.array(rel.astype(np.int64)),
+                    "node": pa.array(nxt.astype(np.int64))}))
+                prev[a] = cur[a]
+                cur[a] = nxt
+            if not outs:
+                return pa.table({"start": pa.array([], pa.int64()),
+                                 "step": pa.array([], pa.int64()),
+                                 "r": pa.array([], pa.int64()),
+                                 "node": pa.array([], pa.int64())})
+            return pa.concat_tables(outs)
+
+    starts = spread(rd.from_pandas(pd.DataFrame(
+        {"start": np.arange(n_entities, dtype=np.int64)})))
+    out = starts.map_batches(Walker,
+                             fn_constructor_kwargs={"adj_bc": bc},
+                             batch_format="pyarrow",
+                             concurrency=auto_pool()).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values(["start", "step"], ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # Relation-path statistics: (r1, r2) composition counts over 2-edge paths
 # ---------------------------------------------------------------------------
