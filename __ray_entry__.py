@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seq_pairs": rel.events_seq_pairs,
         "docs_chi2_terms": rel.docs_chi2_terms,
         "kg_biased_walks": cq.kg_biased_walks,
+        "docs_gopher_quality": rel.docs_gopher_quality,
+        "docs_mattr": rel.docs_mattr,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -3140,6 +3142,120 @@ def _biased_walks_sql(n_steps: int = 3, seed: int = 911) -> str:
     """
 
 
+def _gopher_sql() -> str:
+    """Exact mirror of docs_gopher_quality (stages/text.py
+    gopher_quality_batch + the every-5th-doc augmentation the wrapper
+    applies).  Every ratio is one int/int division rounded at 6 dp;
+    keep compares the rounded values."""
+    stops = "['and', 'be', 'have', 'of', 'that', 'the', 'to', 'with']"
+    return f"""
+    WITH aug AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        CASE WHEN doc_id % 5 = 0
+                             THEN text || chr(10) || '- bullet item ###'
+                                  || chr(10) || 'trailing thought...'
+                             ELSE text END AS text
+                 FROM documents),
+    toks AS (SELECT doc_id, unnest({_TOKENS}) AS w FROM aug),
+    ws AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+                  sum(length(w))::BIGINT AS sum_len,
+                  sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                      THEN 1 ELSE 0 END)::BIGINT AS alpha_cnt,
+                  sum(CASE WHEN list_contains({stops},
+                           trim(lower(w), '.,!?;:'))
+                      THEN 1 ELSE 0 END)::BIGINT AS stop_hits
+           FROM toks GROUP BY doc_id),
+    lns AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+            FROM aug),
+    ls AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+                  sum(CASE WHEN ln LIKE '- %' OR ln LIKE '* %'
+                           OR ln LIKE '• %'
+                      THEN 1 ELSE 0 END)::BIGINT AS bullet_cnt,
+                  sum(CASE WHEN ln LIKE '%...'
+                      THEN 1 ELSE 0 END)::BIGINT AS ell_cnt
+           FROM lns GROUP BY doc_id),
+    ch AS (SELECT doc_id,
+                  (length(text) - length(replace(text, '#', '')))::BIGINT
+                      AS hash_cnt,
+                  ((length(text) - length(replace(text, '...', '')))
+                   // 3)::BIGINT AS ell3_cnt
+           FROM aug),
+    feat AS (SELECT a.doc_id,
+                    COALESCE(ws.n_words, 0) AS n_words,
+                    ROUND(CASE WHEN COALESCE(ws.n_words, 0) > 0
+                          THEN ws.sum_len::DOUBLE / ws.n_words
+                          ELSE 0.0 END, 6) AS mean_word_len,
+                    ROUND(CASE WHEN COALESCE(ws.n_words, 0) > 0
+                          THEN (ch.hash_cnt + ch.ell3_cnt)::DOUBLE
+                               / ws.n_words
+                          ELSE 0.0 END, 6) AS symbol_ratio,
+                    ROUND(ls.bullet_cnt::DOUBLE / ls.n_lines, 6)
+                        AS bullet_frac,
+                    ROUND(ls.ell_cnt::DOUBLE / ls.n_lines, 6)
+                        AS ellipsis_frac,
+                    ROUND(CASE WHEN COALESCE(ws.n_words, 0) > 0
+                          THEN ws.alpha_cnt::DOUBLE / ws.n_words
+                          ELSE 0.0 END, 6) AS alpha_frac,
+                    COALESCE(ws.stop_hits, 0) AS stop_hits
+             FROM aug a LEFT JOIN ws USING (doc_id)
+                  LEFT JOIN ls USING (doc_id) JOIN ch USING (doc_id))
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           ellipsis_frac, alpha_frac, stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+                     AND mean_word_len BETWEEN 3.0 AND 10.0
+                     AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                     AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM feat ORDER BY doc_id
+    """
+
+
+def _mattr_sql(w: int = 25) -> str:
+    """Exact mirror of docs_mattr (stages/text.py:mattr_batch): the
+    per-token window-contribution identity — token at position p with
+    previous same-token position q (lag) adds
+    max(0, min(p, n−w) − max(q+1, p−w+1) + 1) window-distinct counts —
+    then one division per doc."""
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         list_transform({_TOKENS}, x -> lower(x)) AS ts
+                  FROM documents),
+    flat AS MATERIALIZED (
+        SELECT doc_id, unnest(ts) AS w,
+               (generate_subscripts(ts, 1) - 1)::BIGINT AS p
+        FROM toks),
+    nn AS (SELECT doc_id, count(*)::BIGINT AS n,
+                  count(DISTINCT w)::BIGINT AS d
+           FROM flat GROUP BY doc_id),
+    pr AS (SELECT doc_id, p,
+                  COALESCE(lag(p) OVER (PARTITION BY doc_id, w
+                                        ORDER BY p), -1) AS q
+           FROM flat),
+    ct AS (SELECT pr.doc_id,
+                  sum(greatest(0, least(pr.p, nn.n - {w})
+                               - greatest(pr.q + 1, pr.p - {w - 1})
+                               + 1))::BIGINT AS sd
+           FROM pr JOIN nn USING (doc_id) WHERE nn.n >= {w}
+           GROUP BY pr.doc_id),
+    base AS (SELECT t.doc_id, COALESCE(nn.n, 0) AS n_tokens,
+                    COALESCE(nn.d, 0) AS n_types,
+                    greatest(COALESCE(nn.n, 0) - {w - 1}, 0)::BIGINT
+                        AS n_windows,
+                    COALESCE(ct.sd, 0) AS sd
+             FROM toks t LEFT JOIN nn USING (doc_id)
+                  LEFT JOIN ct USING (doc_id))
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(CASE WHEN n_tokens > 0
+                 THEN n_types::DOUBLE / n_tokens ELSE 0.0 END, 6) AS ttr,
+           n_windows,
+           ROUND(CASE WHEN n_windows > 0
+                 THEN sd::DOUBLE / (n_windows * {w})
+                 WHEN n_tokens > 0 THEN n_types::DOUBLE / n_tokens
+                 ELSE 0.0 END, 6) AS mattr
+    FROM base ORDER BY doc_id
+    """
+
+
 def _random_walks_sql(n_steps: int = 3, seed: int = 777) -> str:
     """Exact mirror of kg_random_walks: unrolled steps over the
     row_number-ranked (t, r) edge list, next rank =
@@ -3905,4 +4021,9 @@ def oracle_sql() -> dict[str, str]:
         # node2vec-style weighted walks: unrolled steps, window-cumsum
         # weighted pick mirroring the searchsorted selection
         "kg_biased_walks": _biased_walks_sql(),
+        # Gopher quality rules: integer counts, int/int ratios, keep on
+        # the rounded values (augmentation applied in both engines)
+        "docs_gopher_quality": _gopher_sql(),
+        # MATTR: lag()-based window-contribution identity, one division
+        "docs_mattr": _mattr_sql(),
     }

@@ -60,6 +60,8 @@ SUBSET = [
     "events_seq_pairs",
     "docs_chi2_terms",
     "kg_biased_walks",
+    "docs_gopher_quality",
+    "docs_mattr",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

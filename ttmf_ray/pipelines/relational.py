@@ -301,6 +301,52 @@ def docs_zipf_fit(sf_dir: str) -> pd.DataFrame:
     return zipf_fit(ds, k=100)
 
 
+GOPHER_AUG = "\n- bullet item ###\ntrailing thought..."
+
+
+def docs_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 App. A): word count /
+    mean word length / symbol ratio / bullet + ellipsis line fractions /
+    alphabetic-word fraction / stopword hits, composed into a keep flag
+    (stages/text.py:gopher_quality_batch — one stateless vectorized
+    pass).  Every 5th doc gets a deterministic bullet/'###'/ellipsis
+    suffix (the docs_redact_pii convention) so the line- and
+    symbol-rule kernels are exercised on the synthetic corpus; the SQL
+    twin applies the identical augmentation."""
+    from ..stages.text import gopher_quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug_and_score(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        tx = t.column("text").to_numpy(zero_copy_only=False).astype(str)
+        tx = np.where(ids % 5 == 0, np.char.add(tx, GOPHER_AUG), tx)
+        a = pa.table({"doc_id": t.column("doc_id"),
+                      "text": pa.array(tx.astype(object), pa.string())})
+        return gopher_quality_batch(a)
+
+    out = ds.map_batches(aug_and_score, batch_format="pyarrow") \
+        .to_pandas()
+    ints = {c: np.int64 for c in ["doc_id", "n_words", "stop_hits",
+                                  "keep"]}
+    return out.astype(ints).sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_mattr(sf_dir: str) -> pd.DataFrame:
+    """MATTR lexical diversity (Covington & McFall 2010): moving-average
+    type-token ratio over 25-token windows, O(tokens) via per-token
+    window-contribution counting (stages/text.py:mattr_batch)."""
+    from ..stages.text import mattr_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: mattr_batch(t, w=25), batch_format="pyarrow") \
+        .to_pandas()
+    ints = {c: np.int64 for c in ["doc_id", "n_tokens", "n_types",
+                                  "n_windows"]}
+    return out.astype(ints).sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_chi2_terms(sf_dir: str) -> pd.DataFrame:
     """Top-50 tokens by chi-square association with the in-domain
     sources (doc-frequency contingency, exact integer counts, fixed

@@ -325,3 +325,147 @@ def word_entropy_batch(batch: pa.Table, *, id_col: str = "doc_id",
                      "n_unique": pa.array(n_unique[keep]),
                      "entropy": pa.array(np.round(ent[keep], 6)),
                      "norm_entropy": pa.array(np.round(norm[keep], 6))})
+
+
+# --- Gopher-style quality rules (Rae et al. 2021, App. A) ------------------
+
+GOPHER_STOPS = sorted(["the", "be", "to", "of", "and", "that", "have",
+                       "with"])
+_BULLET_PREFIXES = ("- ", "* ", "• ")
+
+
+def gopher_quality_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                         text_col: str = "text") -> pa.Table:
+    """Per-doc Gopher quality signals + the composed keep flag.
+
+    Definitions (exactly mirrored in oracle SQL; every ratio is an
+    integer/integer division rounded at 6 dp, and ``keep`` compares the
+    ROUNDED values):
+
+      n_words       #whitespace tokens
+      mean_word_len Σ len(word) / n_words
+      symbol_ratio  (#'#' chars + #non-overlapping '...') / n_words
+      bullet_frac   #lines starting with '- ', '* ' or '• ' / n_lines
+      ellipsis_frac #lines ending with '...' / n_lines
+      alpha_frac    #words containing [a-zA-Z] / n_words
+      stop_hits     #words whose lowercase '.,!?;:'-strip is a Gopher
+                    stopword (the/be/to/of/and/that/have/with)
+      keep          20 ≤ n_words ≤ 100000 ∧ 3 ≤ mwl ≤ 10 ∧ sr ≤ 0.1
+                    ∧ bf ≤ 0.9 ∧ ef ≤ 0.3 ∧ af ≥ 0.8 ∧ stop_hits ≥ 2
+    """
+    import pandas as pd
+
+    col = _as_array(batch.column(text_col))
+    flat, doc_idx, n = _split_flat(col, r"[ \t\n\r\f\v]+")
+    keep_t = flat != ""
+    words, widx = flat[keep_t], doc_idx[keep_t]
+    n_words = np.bincount(widx, minlength=n).astype(np.int64)
+    wl = np.char.str_len(words.astype(str)).astype(np.int64)
+    sum_len = np.bincount(widx, weights=wl, minlength=n).astype(np.int64)
+    alpha = pc.match_substring_regex(
+        pa.array(words, pa.string()), "[a-zA-Z]").to_numpy(
+        zero_copy_only=False)
+    alpha_cnt = np.bincount(widx[alpha], minlength=n).astype(np.int64)
+    stripped = pd.Series(words).str.lower() \
+        .str.strip(".,!?;:").to_numpy(dtype=object)
+    stop = np.isin(stripped, np.asarray(GOPHER_STOPS, dtype=object))
+    stop_hits = np.bincount(widx[stop], minlength=n).astype(np.int64)
+
+    lines, lidx, _ = _split_flat(col, "\n")
+    n_lines = np.bincount(lidx, minlength=n).astype(np.int64)
+    ls = lines.astype(str)
+    bullet = np.zeros(len(ls), bool)
+    for pre in _BULLET_PREFIXES:
+        bullet |= np.char.startswith(ls, pre)
+    bullet_cnt = np.bincount(lidx[bullet], minlength=n).astype(np.int64)
+    ell = np.char.endswith(ls, "...")
+    ell_cnt = np.bincount(lidx[ell], minlength=n).astype(np.int64)
+
+    hash_cnt = pc.count_substring(col, "#").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ell3_cnt = pc.count_substring(col, "...").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+    nw = np.maximum(n_words, 1).astype(np.float64)
+    nl = np.maximum(n_lines, 1).astype(np.float64)
+    mwl = np.round(np.where(n_words > 0, sum_len / nw, 0.0), 6)
+    sr = np.round(np.where(n_words > 0, (hash_cnt + ell3_cnt) / nw, 0.0),
+                  6)
+    bf = np.round(bullet_cnt / nl, 6)
+    ef = np.round(ell_cnt / nl, 6)
+    af = np.round(np.where(n_words > 0, alpha_cnt / nw, 0.0), 6)
+    keep = ((n_words >= 20) & (n_words <= 100000)
+            & (mwl >= 3.0) & (mwl <= 10.0) & (sr <= 0.1)
+            & (bf <= 0.9) & (ef <= 0.3) & (af >= 0.8)
+            & (stop_hits >= 2)).astype(np.int64)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(n_words),
+        "mean_word_len": pa.array(mwl, pa.float64()),
+        "symbol_ratio": pa.array(sr, pa.float64()),
+        "bullet_frac": pa.array(bf, pa.float64()),
+        "ellipsis_frac": pa.array(ef, pa.float64()),
+        "alpha_frac": pa.array(af, pa.float64()),
+        "stop_hits": pa.array(stop_hits),
+        "keep": pa.array(keep),
+    })
+
+
+# --- MATTR lexical diversity (Covington & McFall 2010) ---------------------
+
+def mattr_batch(batch: pa.Table, *, w: int = 25, id_col: str = "doc_id",
+                text_col: str = "text") -> pa.Table:
+    """Per-doc moving-average type-token ratio over ``w``-token windows
+    (lowercase whitespace tokens), plus the plain TTR.  Docs shorter
+    than ``w`` fall back to TTR (n_windows = 0).
+
+    The window-distinct total never materializes per window: token i at
+    in-doc position p with previous same-token position q contributes
+    to exactly max(0, min(p, n−w) − max(q+1, p−w+1) + 1) windows, so
+    ΣD is one vectorized integer sum — O(tokens), not O(tokens·w).
+    mattr = ΣD / (n_windows·w), one division, rounded 6 dp (identical
+    in the SQL twin's lag()-based contribution)."""
+    import pandas as pd
+
+    from ..stages.lm_score import _doc_tokens
+
+    toks, didx, n = _doc_tokens(batch.column(text_col))
+    n_tok = np.bincount(didx, minlength=n).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    p = np.arange(len(toks), dtype=np.int64) - np.repeat(starts, n_tok)
+    # distinct types per doc + previous-occurrence positions
+    codes, _uniq = pd.factorize(toks)
+    key = didx * np.int64(len(_uniq) + 1) + codes
+    n_types = np.zeros(n, np.int64)
+    if len(toks):
+        first = np.zeros(len(toks), bool)
+        order = np.lexsort((p, key))
+        ks = key[order]
+        first_sorted = np.ones(len(ks), bool)
+        first_sorted[1:] = ks[1:] != ks[:-1]
+        first[order] = first_sorted
+        n_types = np.bincount(didx[first], minlength=n).astype(np.int64)
+        q = np.full(len(toks), -1, np.int64)
+        prev_sorted = np.full(len(ks), -1, np.int64)
+        prev_sorted[1:] = np.where(ks[1:] == ks[:-1], p[order][:-1], -1)
+        q[order] = prev_sorted
+    nn = n_tok[didx] if len(toks) else np.empty(0, np.int64)
+    hi = np.minimum(p, nn - w)
+    lo = np.maximum(q + 1, p - w + 1)
+    contrib = np.maximum(0, hi - lo + 1)
+    sd = np.bincount(didx, weights=contrib, minlength=n).astype(np.int64)
+    n_windows = np.maximum(n_tok - w + 1, 0).astype(np.int64)
+    safe_n = np.maximum(n_tok, 1).astype(np.float64)
+    ttr = np.round(np.where(n_tok > 0, n_types / safe_n, 0.0), 6)
+    denom = np.maximum(n_windows * np.int64(w), 1).astype(np.float64)
+    mattr = np.round(np.where(n_windows > 0, sd / denom,
+                              np.where(n_tok > 0, n_types / safe_n, 0.0)),
+                     6)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_tokens": pa.array(n_tok),
+        "n_types": pa.array(n_types),
+        "ttr": pa.array(ttr, pa.float64()),
+        "n_windows": pa.array(n_windows),
+        "mattr": pa.array(mattr, pa.float64()),
+    })
