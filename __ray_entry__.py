@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_biased_walks": cq.kg_biased_walks,
         "docs_gopher_quality": rel.docs_gopher_quality,
         "docs_mattr": rel.docs_mattr,
+        "docs_rake_keywords": rel.docs_rake_keywords,
+        "embeddings_rq": rel.embeddings_rq,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -2248,7 +2250,8 @@ def _stratified_sample_sql(q: int = 40) -> str:
 
 
 def _kmeans_ctes(k: int = 8, n_iter: int = 4, tag: str = "",
-                 vexpr: str = "e0.embedding::DOUBLE[]") -> tuple[str, str]:
+                 vexpr: str = "e0.embedding::DOUBLE[]",
+                 src: str = "embeddings") -> tuple[str, str]:
     """Shared CTE chain mirroring stages/cluster.py:kmeans — seeded
     hash-rank init, ``n_iter`` UNROLLED Lloyd iterations (assignment =
     row_number over round(list_distance,6) with cluster tie-break;
@@ -2262,7 +2265,7 @@ def _kmeans_ctes(k: int = 8, n_iter: int = 4, tag: str = "",
     lat, ref = _mix_chain(f"km{tag}", ["e0.vec_id"], [628, 6])
     ctes = [f"""{tag}emb AS MATERIALIZED (
         SELECT e0.vec_id AS id, {vexpr} AS v, {ref} AS h
-        FROM embeddings e0,
+        FROM {src} e0,
         {lat})""",
             f"""{tag}c0 AS MATERIALIZED (
         SELECT row_number() OVER (ORDER BY h, id) - 1 AS c,
@@ -3139,6 +3142,87 @@ def _biased_walks_sql(n_steps: int = 3, seed: int = 911) -> str:
            CAST(r AS BIGINT) AS r, CAST(node AS BIGINT) AS node
     FROM ({" UNION ALL ".join(selects)})
     ORDER BY start, step
+    """
+
+
+def _assign_cte(emb: str, cent: str) -> str:
+    """The shared round-6 nearest-centroid assignment select."""
+    return f"""
+        SELECT id, c, d FROM (
+            SELECT e.id, c.c, round(list_distance(e.v, c.v), 6) AS d,
+                   row_number() OVER (PARTITION BY e.id
+                       ORDER BY round(list_distance(e.v, c.v), 6), c.c)
+                       AS rn
+            FROM {emb} e CROSS JOIN {cent} c)
+        WHERE rn = 1"""
+
+
+def _rq_sql(k: int = 4, n_iter: int = 2) -> str:
+    """Exact mirror of embeddings_rq (stages/cluster.py:residual_quant):
+    the level-1 kmeans chain, residuals = raw vector − ROUNDED level-1
+    centroid (exact IEEE subtraction, lockstep unnest), then the
+    identical chain re-targeted at the residual CTE via the kmeans CTE
+    generator's ``src`` parameter."""
+    b1, cf1 = _kmeans_ctes(k, n_iter, tag="l1")
+    b2, cf2 = _kmeans_ctes(k, n_iter, tag="l2", vexpr="e0.embedding",
+                           src="resid")
+    return f"""
+    WITH {b1},
+    a1 AS MATERIALIZED ({_assign_cte("l1emb", cf1)}),
+    resid AS MATERIALIZED (
+        SELECT id AS vec_id, list(ex - cx ORDER BY pos) AS embedding
+        FROM (SELECT a1.id, unnest(e.v) AS ex, unnest(c.v) AS cx,
+                     generate_subscripts(e.v, 1) AS pos
+              FROM a1 JOIN l1emb e ON e.id = a1.id
+                   JOIN {cf1} c ON c.c = a1.c)
+        GROUP BY id),
+    {b2},
+    a2 AS MATERIALIZED ({_assign_cte("l2emb", cf2)})
+    SELECT a1.id AS vec_id, CAST(a1.c AS BIGINT) AS c1, a1.d AS d1,
+           CAST(a2.c AS BIGINT) AS c2, a2.d AS rq_err
+    FROM a1 JOIN a2 ON a2.id = a1.id ORDER BY vec_id
+    """
+
+
+def _rake_sql(k: int = 20) -> str:
+    """Exact mirror of docs_rake_keywords
+    (stages/retrieval.py:rake_keywords): gaps-and-islands phrase
+    grouping (p − row_number over non-stop tokens ≡ the break-at-stop/
+    doc-change rule), global word deg/freq scores, phrase score = the
+    6-dp-rounded word-score sum."""
+    from ttmf_ray.stages.text import _EN_STOP
+
+    stops = "[" + ", ".join(f"'{w}'" for w in _EN_STOP) + "]"
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         regexp_extract_all(lower(text),
+                                            '[0-9a-z_]+') AS ws
+                  FROM documents),
+    flat AS (SELECT doc_id, unnest(ws) AS w,
+                    (generate_subscripts(ws, 1) - 1)::BIGINT AS p
+             FROM toks),
+    ns AS MATERIALIZED (
+        SELECT doc_id, w, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS grp
+        FROM flat WHERE NOT list_contains({stops}, w)),
+    wstat AS (SELECT w, count(*)::BIGINT AS freq FROM ns GROUP BY w),
+    plen AS (SELECT doc_id, grp, count(*)::BIGINT AS len
+             FROM ns GROUP BY doc_id, grp),
+    wdeg AS (SELECT ns.w, sum(plen.len)::BIGINT AS deg
+             FROM ns JOIN plen USING (doc_id, grp) GROUP BY ns.w),
+    wscore AS (SELECT wstat.w, (wdeg.deg::DOUBLE / wstat.freq) AS s
+               FROM wstat JOIN wdeg USING (w)),
+    ph AS (SELECT ns.doc_id, ns.grp,
+                  string_agg(ns.w, ' ' ORDER BY ns.p) AS phrase,
+                  count(*)::BIGINT AS n_words,
+                  ROUND(sum(wscore.s), 6) AS score
+           FROM ns JOIN wscore ON wscore.w = ns.w
+           GROUP BY ns.doc_id, ns.grp),
+    agg AS (SELECT phrase, n_words, score, count(*)::BIGINT AS n_occ
+            FROM ph GROUP BY phrase, n_words, score)
+    SELECT phrase, n_words, score, n_occ
+    FROM agg ORDER BY score DESC, phrase LIMIT {k}
     """
 
 
@@ -4026,4 +4110,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_quality": _gopher_sql(),
         # MATTR: lag()-based window-contribution identity, one division
         "docs_mattr": _mattr_sql(),
+        # RAKE: gaps-and-islands phrases, global deg/freq word scores
+        "docs_rake_keywords": _rake_sql(),
+        # residual quantization: two chained kmeans CTE chains, exact
+        # IEEE residuals against the rounded level-1 centroids
+        "embeddings_rq": _rq_sql(),
     }

@@ -62,6 +62,8 @@ SUBSET = [
     "kg_biased_walks",
     "docs_gopher_quality",
     "docs_mattr",
+    "docs_rake_keywords",
+    "embeddings_rq",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

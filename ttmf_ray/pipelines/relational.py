@@ -301,6 +301,32 @@ def docs_zipf_fit(sf_dir: str) -> pd.DataFrame:
     return zipf_fit(ds, k=100)
 
 
+def docs_rake_keywords(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level RAKE keyword extraction (Rose et al. 2010): top-20
+    stopword-delimited phrases by Σ deg/freq word scores
+    (stages/retrieval.py:rake_keywords — global word-score model via
+    one vocab-sized groupby, broadcast once, per-batch partial top-k;
+    a global-top-k phrase outranks ≤ k−1 phrases in any batch, so the
+    partials are lossless for both ranking and occurrence counts)."""
+    from ..stages.retrieval import rake_keywords
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return rake_keywords(ds, k=20)
+
+
+def embeddings_rq(sf_dir: str) -> pd.DataFrame:
+    """Two-level residual quantization (Chen et al. 2010 RVQ): level-1
+    k-means codes, then k-means over the level-1 residuals — codes +
+    per-level rounded distances; rq_err = the level-2 distance = the
+    reconstruction error of (C1[c1] + C2[c2])
+    (stages/cluster.py:residual_quant, the same quantized-iteration
+    chain as embeddings_kmeans at both levels)."""
+    from ..stages.cluster import residual_quant
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return residual_quant(ds, k=4, n_iter=2)
+
+
 GOPHER_AUG = "\n- bullet item ###\ntrailing thought..."
 
 

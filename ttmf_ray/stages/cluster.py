@@ -485,3 +485,64 @@ def adc_rank(codes_ds, cents: list, q: np.ndarray, d: int, *, m: int,
     if keep_codes:
         cast.update({f"c{j}": np.int64 for j in range(m)})
     return out.astype(cast).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Two-level residual quantization (Chen, Guan & Wang 2010; the RVQ
+# family IVF-PQ's additive cousin) — quantize, then quantize what the
+# first codebook missed.
+# ---------------------------------------------------------------------------
+
+def residual_quant(ds, *, k: int = 4, n_iter: int = 2, seed: int = 628,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> pd.DataFrame:
+    """Level-1 k-means over the vectors, level-2 k-means over the
+    residuals v − C1[c1]; returns (id, c1, d1, c2, rq_err) where
+    rq_err is the level-2 rounded distance = ‖v − C1[c1] − C2[c2]‖.
+
+    Both levels run the quantized-iteration Lloyd loop of
+    :func:`kmeans` (round-6 centroids, round-6 assignment), and the
+    residual itself is an exact IEEE subtraction against the ROUNDED
+    level-1 centroid — so the SQL twin (the same unrolled CTE chain,
+    re-targeted at a residual CTE) reproduces every code.  The
+    residual pass is one stateless map_batches against the broadcast
+    level-1 centroids; nothing but (id, code, dist) rows shuffle."""
+    import ray.data as rd
+
+    from ..functions.joins import hash_join
+
+    ds = ds.materialize()
+    asg1, C1 = kmeans(ds, k=k, n_iter=n_iter, seed=seed,
+                      id_col=id_col, vec_col=vec_col)
+    c1_bc = Broadcast(C1)
+
+    def resid(t: pa.Table) -> pa.Table:
+        V = list_col_matrix(t.column(vec_col)).astype(np.float64)
+        a, _ = assign_clusters(V, c1_bc.get())
+        R = V - c1_bc.get()[a]
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(R.reshape(-1), type=pa.float64()),
+                R.shape[1])})
+
+    resid_ds = ds.map_batches(resid, batch_format="pyarrow")
+    asg2, _C2 = kmeans(resid_ds, k=k, n_iter=n_iter, seed=seed,
+                       id_col=id_col, vec_col=vec_col)
+
+    def tag1(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "c1": t.column("cluster").cast(pa.int64()),
+                         "d1": t.column("dist")})
+
+    def tag2(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "c2": t.column("cluster").cast(pa.int64()),
+                         "rq_err": t.column("dist")})
+
+    j = hash_join(asg1.map_batches(tag1, batch_format="pyarrow"),
+                  asg2.map_batches(tag2, batch_format="pyarrow"),
+                  on=id_col)
+    out = j.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return out.astype({id_col: np.int64, "c1": np.int64,
+                       "c2": np.int64})

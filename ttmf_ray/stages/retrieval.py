@@ -581,3 +581,122 @@ def zipf_fit(docs_ds, *, k: int = 100, text_col: str = "text",
                      "slope": round(slope, 6),
                      "intercept": round((sy - slope * sx) / n, 6)})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+def rake_keywords(docs_ds, *, k: int = 20, text_col: str = "text") -> pd.DataFrame:
+    """Corpus-level RAKE: candidate phrases are maximal runs of
+    consecutive non-stopword tokens (lowercase ``[0-9a-z_]+`` words,
+    stop list = the EN language profile); word score = deg/freq where
+    freq counts occurrences inside candidates and deg adds the length
+    of the containing phrase; phrase score = Σ word scores.  Returns
+    the top-``k`` distinct phrase texts by (round(score, 6) DESC,
+    phrase ASC) with their occurrence counts.
+
+    Two streaming passes: (1) a (word, freq, deg) combiner → ONE
+    vocab-sized groupby (the word-score model, broadcast once; at web
+    scale swap the broadcast for a hash join on the word key);
+    (2) stateless phrase re-derivation + per-batch partial top-k on the
+    broadcast scores — only ~k rows per batch reach the driver merge.
+    Phrase identity is the joined text, so equal texts score equally
+    and the corpus-level dedup is a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast, auto_pool
+    from .text import _EN_STOP
+
+    stops = np.asarray(_EN_STOP, dtype=object)
+
+    def _phrases(col):
+        """flat words, phrase id per word (−1 for stopwords), #docs."""
+        flat, doc_idx, n = _words(col)
+        if not len(flat):
+            return flat, np.empty(0, np.int64), doc_idx
+        is_stop = np.isin(flat, stops)
+        # phrase boundary at every stopword or doc change
+        brk = np.ones(len(flat), bool)
+        brk[1:] = is_stop[1:] | is_stop[:-1] \
+            | (doc_idx[1:] != doc_idx[:-1])
+        pid = np.cumsum(brk) - 1
+        pid = np.where(is_stop, -1, pid)
+        return flat, pid.astype(np.int64), doc_idx
+
+    def word_stats(t: pa.Table) -> pa.Table:
+        flat, pid, _ = _phrases(t.column(text_col))
+        keep = pid >= 0
+        if not keep.any():
+            return pa.table({"word": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        w, p = flat[keep], pid[keep]
+        _, inv, plen = np.unique(p, return_inverse=True,
+                                 return_counts=True)
+        codes, uniq = pd.factorize(w)
+        freq = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        deg = np.bincount(codes, weights=plen[inv],
+                          minlength=len(uniq)).astype(np.int64)
+        return pa.table({"word": pa.array(uniq, pa.string()),
+                         "freq": pa.array(freq),
+                         "deg": pa.array(deg)})
+
+    ws = (docs_ds.map_batches(word_stats, batch_format="pyarrow")
+          .groupby("word")
+          .aggregate(Sum("freq", alias_name="freq"),
+                     Sum("deg", alias_name="deg"))
+          .to_pandas())
+    order = np.argsort(ws["word"].to_numpy())
+    model = {"words": ws["word"].to_numpy()[order],
+             "score": (ws["deg"].to_numpy(np.float64)[order]
+                       / ws["freq"].to_numpy(np.float64)[order])}
+    bc = Broadcast(model)
+
+    class PhraseScorer:
+        def __init__(self, model_bc: Broadcast):
+            m = model_bc.get()
+            self.words, self.wscore = m["words"], m["score"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, pid, _ = _phrases(t.column(text_col))
+            keep = pid >= 0
+            empty = pa.table({"phrase": pa.array([], pa.string()),
+                              "n_words": pa.array([], pa.int64()),
+                              "score": pa.array([], pa.float64())})
+            if not keep.any():
+                return empty
+            w, p = flat[keep], pid[keep]
+            pos = np.clip(np.searchsorted(self.words, w), 0,
+                          max(len(self.words) - 1, 0))
+            sc = np.where(self.words[pos] == w, self.wscore[pos], 0.0)
+            up, inv, plen = np.unique(p, return_inverse=True,
+                                      return_counts=True)
+            psum = np.bincount(inv, weights=sc, minlength=len(up))
+            # phrase text: words are already in position order
+            starts = np.concatenate([[0], np.cumsum(plen)[:-1]])
+            texts = np.asarray(
+                [" ".join(w[s:s + c]) for s, c in zip(starts, plen)],
+                dtype=object)
+            df = pd.DataFrame({"phrase": texts,
+                               "n_words": plen.astype(np.int64),
+                               "score": np.round(psum, 6)})
+            agg = df.groupby(["phrase", "n_words", "score"],
+                             as_index=False).size() \
+                .rename(columns={"size": "n_occ"})
+            agg = agg.sort_values(["score", "phrase"],
+                                  ascending=[False, True]).head(k)
+            return pa.Table.from_pandas(
+                agg[["phrase", "n_words", "score", "n_occ"]],
+                preserve_index=False)
+
+    parts = docs_ds.map_batches(
+        PhraseScorer, batch_format="pyarrow",
+        concurrency=auto_pool(),
+        fn_constructor_kwargs={"model_bc": bc}).to_pandas()
+    out = (parts.groupby(["phrase", "n_words", "score"], as_index=False)
+           .agg(n_occ=("n_occ", "sum"))
+           .sort_values(["score", "phrase"], ascending=[False, True])
+           .head(k))
+    return out.astype({"n_words": np.int64, "n_occ": np.int64}) \
+        .reset_index(drop=True)
