@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mattr": rel.docs_mattr,
         "docs_rake_keywords": rel.docs_rake_keywords,
         "embeddings_rq": rel.embeddings_rq,
+        "docs_readability": rel.docs_readability,
+        "embeddings_pca1": rel.embeddings_pca1,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -3226,6 +3228,79 @@ def _rake_sql(k: int = 20) -> str:
     """
 
 
+_READABILITY_SQL = """
+    WITH low AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        lower(text) AS lt FROM documents),
+    wt AS (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lt,
+                      '[^0-9a-z_]+'), x -> x <> '')) AS w
+           FROM low),
+    ws AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+                  sum(greatest(len(regexp_extract_all(w, '[aeiou]+')),
+                               1))::BIGINT AS n_syllables
+           FROM wt GROUP BY doc_id),
+    st AS (SELECT doc_id, unnest(string_split_regex(lt, '[.!?]+')) AS sg
+           FROM low),
+    ss AS (SELECT doc_id,
+                  sum(CASE WHEN regexp_matches(sg, '[0-9a-z_]')
+                      THEN 1 ELSE 0 END)::BIGINT AS n_sents
+           FROM st GROUP BY doc_id)
+    SELECT l.doc_id,
+           COALESCE(ss.n_sents, 0) AS n_sents,
+           COALESCE(ws.n_words, 0) AS n_words,
+           COALESCE(ws.n_syllables, 0) AS n_syllables,
+           ROUND((206.835 - 1.015 * (COALESCE(ws.n_words, 0)
+                                     / greatest(COALESCE(ss.n_sents, 0),
+                                                1)::DOUBLE))
+                 - 84.6 * (COALESCE(ws.n_syllables, 0)
+                           / greatest(COALESCE(ws.n_words, 0),
+                                      1)::DOUBLE), 6) AS flesch
+    FROM low l LEFT JOIN ws USING (doc_id) LEFT JOIN ss USING (doc_id)
+    ORDER BY l.doc_id
+"""
+
+
+def _pca1_sql(n_iter: int = 8) -> str:
+    """Exact mirror of embeddings_pca1
+    (stages/cluster.py:power_iteration_pc1): round-6 mean, round-6
+    centered covariance, unrolled max-normalized iterations from the
+    all-ones start, round-6 projection of the centered vectors."""
+    its = []
+    prev = "v0"
+    for t in range(1, n_iter + 1):
+        its.append(f"""
+    y{t} AS (SELECT cov.i AS dim, sum(cov.cv * v.xv) AS s
+             FROM cov JOIN {prev} v ON v.dim = cov.j GROUP BY cov.i),
+    m{t} AS (SELECT max(abs(s)) AS mx FROM y{t}),
+    v{t} AS (SELECT dim, round(s / mx, 6) AS xv FROM y{t}, m{t})""")
+        prev = f"v{t}"
+    return f"""
+    WITH x AS MATERIALIZED (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               unnest(embedding)::DOUBLE AS v,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim
+        FROM embeddings),
+    nn AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM x),
+    mn AS MATERIALIZED (
+        SELECT dim, round(sum(v) / nn.n, 6) AS m
+        FROM x, nn GROUP BY dim, nn.n),
+    xc AS MATERIALIZED (
+        SELECT x.vec_id, x.dim, x.v - mn.m AS c
+        FROM x JOIN mn USING (dim)),
+    cov AS MATERIALIZED (
+        SELECT a.dim AS i, b.dim AS j,
+               round(sum(a.c * b.c) / nn.n, 6) AS cv
+        FROM xc a JOIN xc b USING (vec_id), nn
+        GROUP BY a.dim, b.dim, nn.n),
+    v0 AS (SELECT DISTINCT dim, 1.0::DOUBLE AS xv FROM x),
+    {",".join(its)}
+    SELECT xc.vec_id, round(sum(xc.c * v.xv), 6) AS proj
+    FROM xc JOIN {prev} v USING (dim)
+    GROUP BY xc.vec_id ORDER BY xc.vec_id
+    """
+
+
 def _gopher_sql() -> str:
     """Exact mirror of docs_gopher_quality (stages/text.py
     gopher_quality_batch + the every-5th-doc augmentation the wrapper
@@ -4115,4 +4190,8 @@ def oracle_sql() -> dict[str, str]:
         # residual quantization: two chained kmeans CTE chains, exact
         # IEEE residuals against the rounded level-1 centroids
         "embeddings_rq": _rq_sql(),
+        # Flesch reading ease: vowel-group syllables, int/int ratios
+        "docs_readability": _READABILITY_SQL,
+        # PC1 power iteration: round-6 mean/cov/iterates, max-norm
+        "embeddings_pca1": _pca1_sql(),
     }

@@ -64,6 +64,8 @@ SUBSET = [
     "docs_mattr",
     "docs_rake_keywords",
     "embeddings_rq",
+    "docs_readability",
+    "embeddings_pca1",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -327,6 +327,33 @@ def embeddings_rq(sf_dir: str) -> pd.DataFrame:
     return residual_quant(ds, k=4, n_iter=2)
 
 
+def docs_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading ease per doc (vowel-group syllable proxy,
+    word-char sentence segments) — stages/text.py:readability_batch,
+    one stateless vectorized pass."""
+    from ..stages.text import readability_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: readability_batch(t), batch_format="pyarrow") \
+        .to_pandas()
+    ints = {c: np.int64 for c in ["doc_id", "n_sents", "n_words",
+                                  "n_syllables"]}
+    return out.astype(ints).sort_values("doc_id").reset_index(drop=True)
+
+
+def embeddings_pca1(sf_dir: str) -> pd.DataFrame:
+    """First principal component by quantized power iteration (round-6
+    mean/covariance/iterates, max|y| normalization) + per-vector
+    projections — stages/cluster.py:power_iteration_pc1; two combiner
+    passes (d and d×d numbers per block), d×d iteration driver-side,
+    projection streams."""
+    from ..stages.cluster import power_iteration_pc1
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return power_iteration_pc1(ds, n_iter=8)
+
+
 GOPHER_AUG = "\n- bullet item ###\ntrailing thought..."
 
 

@@ -546,3 +546,81 @@ def residual_quant(ds, *, k: int = 4, n_iter: int = 2, seed: int = 628,
     out = j.to_pandas().sort_values(id_col).reset_index(drop=True)
     return out.astype({id_col: np.int64, "c1": np.int64,
                        "c2": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by quantized power iteration — the spectral
+# diagnostic of an embedding column (anisotropy / dominant-direction
+# checks before ANN or clustering).
+# ---------------------------------------------------------------------------
+
+def power_iteration_pc1(ds, *, n_iter: int = 8, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> pd.DataFrame:
+    """First principal component via max-normalized power iteration on
+    the centered covariance, projections per vector.
+
+    Quantization contract (the kg_hits/kmeans recipe): the per-dim mean
+    and every covariance entry are ROUNDED to 6 dp, each iterate is
+    normalized by max|y| (a selection, summation-order independent)
+    and rounded to 6 dp — so the SQL twin's unrolled iterations land on
+    the identical vector, and the final projection round(Σ c_d·x_d, 6)
+    matches despite dot-product order drift (~1e-15 ≪ the quantum).
+
+    Distributed shape: two combiner passes (per-batch dim sums, then
+    per-batch CᵀC partials — d and d×d numbers per block, independent
+    of n); the d×d iteration is driver-side (d = 64); the projection
+    pass streams against the broadcast component."""
+    ds = ds.materialize()
+
+    def sum_part(t: pa.Table) -> pa.Table:
+        V = list_col_matrix(t.column(vec_col)).astype(np.float64)
+        return pa.table({
+            "n": pa.array([np.int64(len(V))]),
+            "s": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.sum(axis=0).ravel()), V.shape[1])})
+
+    parts = pa.concat_tables(
+        [x for x in ray.get(ds.map_batches(
+            sum_part, batch_format="pyarrow").to_arrow_refs())
+         if x.num_rows])
+    n = int(parts.column("n").to_numpy().sum())
+    d = len(parts.column("s")[0])
+    sums = (parts.column("s").combine_chunks().flatten().to_numpy()
+            .reshape(-1, d)).sum(axis=0)
+    mean = _round6(sums / n)
+    mean_bc = Broadcast(mean)
+
+    def cov_part(t: pa.Table) -> pa.Table:
+        V = list_col_matrix(t.column(vec_col)).astype(np.float64)
+        C = V - mean_bc.get()
+        acc = C.T @ C
+        return pa.table({"g": pa.FixedSizeListArray.from_arrays(
+            pa.array(acc.ravel()), d * d)})
+
+    gparts = pa.concat_tables(
+        [x for x in ray.get(ds.map_batches(
+            cov_part, batch_format="pyarrow").to_arrow_refs())
+         if x.num_rows])
+    acc = (gparts.column("g").combine_chunks().flatten().to_numpy()
+           .reshape(-1, d * d)).sum(axis=0).reshape(d, d)
+    cov = _round6(acc / n)
+
+    x = np.ones(d, np.float64)
+    for _ in range(n_iter):
+        y = cov @ x
+        mx = np.abs(y).max()
+        if mx == 0.0:
+            break
+        x = _round6(y / mx)
+    x_bc = Broadcast((mean, x))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, xv = x_bc.get()
+        V = list_col_matrix(t.column(vec_col)).astype(np.float64)
+        p = _round6((V - m) @ xv)
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "proj": pa.array(p, pa.float64())})
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.astype({id_col: np.int64}) \
+        .sort_values(id_col).reset_index(drop=True)

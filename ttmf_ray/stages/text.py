@@ -469,3 +469,46 @@ def mattr_batch(batch: pa.Table, *, w: int = 25, id_col: str = "doc_id",
         "n_windows": pa.array(n_windows),
         "mattr": pa.array(mattr, pa.float64()),
     })
+
+
+# --- Flesch reading ease (Flesch 1948; the classic readability gate) -------
+
+def readability_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Per-doc Flesch reading ease over lowered text.
+
+    Definitions (mirrored term-for-term in SQL):
+      n_sents     #segments of a '[.!?]+' split containing a word char
+      n_words     #lowercase [0-9a-z_]+ runs
+      n_syllables Σ per word max(1, #non-overlapping [aeiou]+ groups)
+      flesch      (206.835 − 1.015·(w/s)) − 84.6·(sy/w), s and w
+                  floored at 1, evaluated in exactly that order,
+                  rounded 6 dp.
+    """
+    col = _as_array(batch.column(text_col))
+    low = pc.utf8_lower(col)
+    words, widx, n = _split_flat(low, "[^0-9a-z_]+")
+    keep = words != ""
+    words, widx = words[keep], widx[keep]
+    n_words = np.bincount(widx, minlength=n).astype(np.int64)
+    groups = pc.count_substring_regex(
+        pa.array(words, pa.string()), "[aeiou]+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    syl = np.maximum(groups, 1)
+    n_syl = np.bincount(widx, weights=syl, minlength=n).astype(np.int64)
+    segs, sidx, _ = _split_flat(low, "[.!?]+")
+    has_word = pc.match_substring_regex(
+        pa.array(segs, pa.string()), "[0-9a-z_]").to_numpy(
+        zero_copy_only=False)
+    n_sents = np.bincount(sidx[has_word], minlength=n).astype(np.int64)
+    s = np.maximum(n_sents, 1).astype(np.float64)
+    w = np.maximum(n_words, 1).astype(np.float64)
+    flesch = np.round((206.835 - 1.015 * (n_words / s))
+                      - 84.6 * (n_syl / w), 6)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_sents": pa.array(n_sents),
+        "n_words": pa.array(n_words),
+        "n_syllables": pa.array(n_syl),
+        "flesch": pa.array(flesch, pa.float64()),
+    })
