@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_rq": rel.embeddings_rq,
         "docs_readability": rel.docs_readability,
         "embeddings_pca1": rel.embeddings_pca1,
+        "docs_span_corruption": rel.docs_span_corruption,
+        "docs_prefix_lm": rel.docs_prefix_lm,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -3228,6 +3230,81 @@ def _rake_sql(k: int = 20) -> str:
     """
 
 
+def _span_corruption_sql(seed: int = 417, rate: int = 15) -> str:
+    """Exact mirror of docs_span_corruption
+    (stages/curation.py:span_corruption): mask iff
+    mix64(seed, doc, pos) % 100 < rate, islands → sentinel spans,
+    string_agg rebuilds both texts — pure integer/string."""
+    lat, ref = _mix_chain("sc", ["f.doc_id", "f.p"], [seed])
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         {_TOKENS} AS ts
+                  FROM documents),
+    flat AS (SELECT doc_id, unnest(ts) AS w,
+                    (generate_subscripts(ts, 1) - 1)::BIGINT AS p
+             FROM toks),
+    mk AS MATERIALIZED (
+        SELECT f.doc_id, f.w, f.p, (({ref}) % 100 < {rate}) AS m
+        FROM flat f, {lat}),
+    sp AS (SELECT *, m AND NOT COALESCE(lag(m) OVER (
+                   PARTITION BY doc_id ORDER BY p), FALSE) AS st
+           FROM mk),
+    sid AS (SELECT *, sum(CASE WHEN st THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) - 1 AS k
+            FROM sp),
+    inp AS (SELECT doc_id,
+                   string_agg(CASE WHEN st
+                              THEN '<extra_id_' || k || '>'
+                              ELSE w END, ' ' ORDER BY p)
+                       AS input_text
+            FROM sid WHERE NOT m OR st GROUP BY doc_id),
+    tgt AS (SELECT doc_id,
+                   string_agg(CASE WHEN st
+                              THEN '<extra_id_' || k || '> ' || w
+                              ELSE w END, ' ' ORDER BY p) AS t,
+                   count(*)::BIGINT AS n_masked,
+                   (max(k) + 1)::BIGINT AS n_spans
+            FROM sid WHERE m GROUP BY doc_id),
+    nt AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM flat
+           GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(nt.n_tokens, 0) AS n_tokens,
+           COALESCE(tg.n_masked, 0) AS n_masked,
+           COALESCE(tg.n_spans, 0) AS n_spans,
+           COALESCE(inp.input_text, '') AS input_text,
+           CASE WHEN tg.n_masked > 0
+                THEN tg.t || ' <extra_id_' || tg.n_spans || '>'
+                ELSE '<extra_id_0>' END AS target_text
+    FROM toks t LEFT JOIN nt USING (doc_id)
+         LEFT JOIN inp USING (doc_id) LEFT JOIN tgt tg USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+def _prefix_lm_sql(seed: int = 419) -> str:
+    """Exact mirror of docs_prefix_lm
+    (stages/curation.py:prefix_lm_split)."""
+    lat, ref = _mix_chain("pl", ["t.doc_id"], [seed])
+    return f"""
+    WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         {_TOKENS} AS ts
+                  FROM documents),
+    sa AS (SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+                  CASE WHEN len(t.ts) >= 2
+                       THEN 1 + CAST(({ref}) % (len(t.ts) - 1)
+                                     AS BIGINT)
+                       ELSE len(t.ts)::BIGINT END AS split_at,
+                  t.ts
+           FROM toks t, {lat})
+    SELECT doc_id, n_tokens, split_at,
+           COALESCE(array_to_string(ts[1:split_at], ' '), '') AS prefix,
+           COALESCE(array_to_string(ts[split_at + 1:n_tokens], ' '),
+                    '') AS continuation
+    FROM sa ORDER BY doc_id
+    """
+
+
 _READABILITY_SQL = """
     WITH low AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                         lower(text) AS lt FROM documents),
@@ -4194,4 +4271,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_readability": _READABILITY_SQL,
         # PC1 power iteration: round-6 mean/cov/iterates, max-norm
         "embeddings_pca1": _pca1_sql(),
+        # T5 span corruption: seeded masks, island sentinels, pure
+        # integer/string
+        "docs_span_corruption": _span_corruption_sql(),
+        # prefix-LM split at a seeded token boundary
+        "docs_prefix_lm": _prefix_lm_sql(),
     }

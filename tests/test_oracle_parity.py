@@ -66,6 +66,8 @@ SUBSET = [
     "embeddings_rq",
     "docs_readability",
     "embeddings_pca1",
+    "docs_span_corruption",
+    "docs_prefix_lm",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

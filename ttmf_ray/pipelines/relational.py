@@ -327,6 +327,30 @@ def embeddings_rq(sf_dir: str) -> pd.DataFrame:
     return residual_quant(ds, k=4, n_iter=2)
 
 
+def docs_span_corruption(sf_dir: str) -> pd.DataFrame:
+    """Deterministic T5 denoising pairs (mask-rate 15%, sentinel spans,
+    final-sentinel-terminated targets) — pure integer/string objective
+    prep (stages/curation.py:span_corruption)."""
+    from ..stages.curation import span_corruption
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = span_corruption(ds).to_pandas()
+    ints = {c: np.int64 for c in ["doc_id", "n_tokens", "n_masked",
+                                  "n_spans"]}
+    return out.astype(ints).sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_prefix_lm(sf_dir: str) -> pd.DataFrame:
+    """Deterministic prefix-LM (input, continuation) splits at a seeded
+    token boundary (stages/curation.py:prefix_lm_split)."""
+    from ..stages.curation import prefix_lm_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = prefix_lm_split(ds).to_pandas()
+    ints = {c: np.int64 for c in ["doc_id", "n_tokens", "split_at"]}
+    return out.astype(ints).sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_readability(sf_dir: str) -> pd.DataFrame:
     """Flesch reading ease per doc (vowel-group syllable proxy,
     word-char sentence segments) — stages/text.py:readability_batch,

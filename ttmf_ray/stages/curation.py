@@ -1232,3 +1232,141 @@ def source_overlap(docs_ds, *, text_col: str = "text",
         "n_a": na, "n_b": nb, "n_common": nc,
         "jaccard": np.round(nc / (na + nb - nc), 6)})
     return out.sort_values(["src_a", "src_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption + prefix-LM splits — the objective-prep
+# operators that turn a cleaned corpus into (input, target) pairs.
+# ---------------------------------------------------------------------------
+
+SPAN_SEED = 417
+SPAN_RATE = 15          # percent of tokens masked
+PREFIX_SEED = 419
+
+
+def span_corruption(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", concurrency=None):
+    """Deterministic T5 denoising pairs (Raffel et al. 2020): token i of
+    doc d is masked iff mix64(417, d, i) % 100 < 15; consecutive masked
+    tokens form a span; span k becomes ``<extra_id_k>`` in the input,
+    and the target lists each sentinel with its original tokens,
+    terminated by the final sentinel ``<extra_id_n>``.
+
+    Pure integer/string (zero float risk), stateless per batch: one
+    whitespace split, one vectorized mix64 over (doc, pos), span ids by
+    a per-doc cumsum, both texts rebuilt with ONE ``pc.binary_join``
+    each.  Output: (id, n_tokens, n_masked, n_spans, input_text,
+    target_text)."""
+    from ..context import auto_pool
+    from ..sources.pages import mix64_vec
+    from .text import _as_array, _split_flat
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        flat, didx0, n = _split_flat(_as_array(t.column(text_col)),
+                                     r"[ \t\n\r\f\v]+")
+        keep = flat != ""
+        flat, didx = flat[keep].astype(object), didx0[keep]
+        n_tok = np.bincount(didx, minlength=n).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        p = np.arange(len(flat), dtype=np.int64) - np.repeat(starts,
+                                                             n_tok)
+        m = (mix64_vec(SPAN_SEED, ids[didx], p) % np.uint64(100)
+             < SPAN_RATE) if len(flat) else np.zeros(0, bool)
+        prev_m = np.concatenate([[False], m[:-1]]) & (p > 0)
+        st = m & ~prev_m
+        cs = np.cumsum(st.astype(np.int64))
+        base = np.concatenate([[0], cs])[starts]   # spans before the doc
+        k = cs - np.repeat(base, n_tok) - 1        # 0-based span id
+        n_spans = np.bincount(didx[st], minlength=n).astype(np.int64)
+        n_masked = np.bincount(didx[m], minlength=n).astype(np.int64)
+
+        sent = np.char.add(np.char.add("<extra_id_", k.astype(str)), ">") \
+            if len(flat) else np.empty(0, object)
+        # input: unmasked tokens + one sentinel per span start
+        ikeep = ~m | st
+        itok = np.where(st, sent, flat)[ikeep]
+        icnt = np.bincount(didx[ikeep], minlength=n).astype(np.int64)
+        ioffs = np.zeros(n + 1, np.int32)
+        np.cumsum(icnt, out=ioffs[1:])
+        inp = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(ioffs),
+                                     pa.array(itok.astype(object),
+                                              pa.string())), " ")
+        # target: per masked token, sentinel-prefixed at span starts
+        ttok = np.where(st, np.char.add(np.char.add(
+            sent.astype(str), " "), flat.astype(str)).astype(object),
+            flat)[m]
+        tcnt = n_masked
+        toffs = np.zeros(n + 1, np.int32)
+        np.cumsum(tcnt, out=toffs[1:])
+        tgt0 = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(toffs),
+                                     pa.array(ttok.astype(object),
+                                              pa.string())), " ") \
+            .to_numpy(zero_copy_only=False).astype(str)
+        final = np.char.add(np.char.add("<extra_id_",
+                                        n_spans.astype(str)), ">")
+        tgt = np.where(n_masked > 0,
+                       np.char.add(np.char.add(tgt0, " "), final),
+                       final)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(n_tok),
+            "n_masked": pa.array(n_masked),
+            "n_spans": pa.array(n_spans),
+            "input_text": inp,
+            "target_text": pa.array(tgt.astype(object), pa.string()),
+        })
+
+    return docs_ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+def prefix_lm_split(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Deterministic prefix-LM pairs: doc with n ≥ 2 tokens splits at
+    1 + mix64(419, doc) % (n−1) (prefix never empty, continuation never
+    empty); shorter docs keep everything in the prefix.  Pure
+    integer/string, stateless per batch.  Output: (id, n_tokens,
+    split_at, prefix, continuation)."""
+    from ..sources.pages import mix64_vec
+    from .text import _as_array, _split_flat
+
+    def split(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        flat, didx0, n = _split_flat(_as_array(t.column(text_col)),
+                                     r"[ \t\n\r\f\v]+")
+        keep = flat != ""
+        flat, didx = flat[keep].astype(object), didx0[keep]
+        n_tok = np.bincount(didx, minlength=n).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        p = np.arange(len(flat), dtype=np.int64) - np.repeat(starts,
+                                                             n_tok)
+        draw = mix64_vec(PREFIX_SEED, ids) if n else np.empty(0,
+                                                              np.uint64)
+        split_at = np.where(
+            n_tok >= 2,
+            1 + (draw % np.maximum(n_tok - 1, 1).astype(np.uint64))
+            .astype(np.int64),
+            n_tok)
+        in_prefix = p < np.repeat(split_at, n_tok)
+
+        def join(mask):
+            cnt = np.bincount(didx[mask], minlength=n).astype(np.int64)
+            offs = np.zeros(n + 1, np.int32)
+            np.cumsum(cnt, out=offs[1:])
+            return pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(offs),
+                    pa.array(flat[mask].astype(object), pa.string())),
+                " ")
+
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(n_tok),
+            "split_at": pa.array(split_at.astype(np.int64)),
+            "prefix": join(in_prefix),
+            "continuation": join(~in_prefix),
+        })
+
+    return docs_ds.map_batches(split, batch_format="pyarrow")
