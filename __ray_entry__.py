@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pca1": rel.embeddings_pca1,
         "docs_span_corruption": rel.docs_span_corruption,
         "docs_prefix_lm": rel.docs_prefix_lm,
+        "events_window_funnel": rel.events_window_funnel,
+        "docs_bpe_fertility": rel.docs_bpe_fertility,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -3230,6 +3232,51 @@ def _rake_sql(k: int = 20) -> str:
     """
 
 
+_WINDOW_FUNNEL_SQL = """
+    WITH e0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    e1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN e0 ON e0.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > e0.t
+             AND epoch_us(e.ts) <= e0.t + 172800000000
+           GROUP BY e.user_id),
+    e2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN e1 ON e1.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > e1.t
+             AND epoch_us(e.ts) <= e1.t + 172800000000
+           GROUP BY e.user_id)
+    SELECT * FROM (
+        SELECT 0::BIGINT AS step, 'view' AS event_type,
+               (SELECT count(*) FROM e0)::BIGINT AS n_users
+        UNION ALL
+        SELECT 1, 'click', (SELECT count(*) FROM e1)
+        UNION ALL
+        SELECT 2, 'purchase', (SELECT count(*) FROM e2))
+    ORDER BY step
+"""
+
+
+_FERTILITY_TAIL = """,
+    wn AS (SELECT word, count(*)::BIGINT AS n_syms FROM s8
+           GROUP BY word),
+    dw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  unnest(regexp_extract_all(lower(text),
+                                            '[0-9a-z_]+')) AS word
+           FROM documents),
+    agg AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+                   sum(wn.n_syms)::BIGINT AS n_pieces
+            FROM dw JOIN wn USING (word) GROUP BY dw.doc_id)
+    SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+           COALESCE(agg.n_pieces, 0) AS n_pieces,
+           ROUND(CASE WHEN COALESCE(agg.n_words, 0) > 0
+                 THEN agg.n_pieces
+                      / greatest(agg.n_words, 1)::DOUBLE
+                 ELSE 0.0 END, 6) AS fertility
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+    LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def _span_corruption_sql(seed: int = 417, rate: int = 15) -> str:
     """Exact mirror of docs_span_corruption
     (stages/curation.py:span_corruption): mask iff
@@ -4276,4 +4323,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_span_corruption": _span_corruption_sql(),
         # prefix-LM split at a seeded token boundary
         "docs_prefix_lm": _prefix_lm_sql(),
+        # windowed funnel: per-hop 48h box, first-after-previous chain
+        "events_window_funnel": _WINDOW_FUNNEL_SQL,
+        # tokenizer fertility: the unrolled BPE chain's n_syms joined
+        # back onto per-doc words
+        "docs_bpe_fertility": _bpe_sql(8, tail=_FERTILITY_TAIL),
     }

@@ -68,6 +68,8 @@ SUBSET = [
     "embeddings_pca1",
     "docs_span_corruption",
     "docs_prefix_lm",
+    "events_window_funnel",
+    "docs_bpe_fertility",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

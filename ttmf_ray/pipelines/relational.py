@@ -327,6 +327,30 @@ def embeddings_rq(sf_dir: str) -> pd.DataFrame:
     return residual_quant(ds, k=4, n_iter=2)
 
 
+WINDOW_FUNNEL_US = 48 * 3600 * 1_000_000       # 48 h per hop
+
+
+def events_window_funnel(sf_dir: str) -> pd.DataFrame:
+    """Time-boxed funnel (ClickHouse windowFunnel semantics): each hop
+    must occur strictly after and within 48 h of the previous hop's
+    qualifying event (stages/temporal.py:window_funnel — one
+    hash_join + per-user min groupby per hop)."""
+    from ..stages.temporal import window_funnel
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return window_funnel(ds, FUNNEL_STEPS, window_us=WINDOW_FUNNEL_US)
+
+
+def docs_bpe_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility per doc under the corpus's own top-8 learned
+    BPE merges — pieces-per-word via the broadcast (word → n_syms)
+    table (stages/bpe.py:doc_fertility)."""
+    from ..stages.bpe import doc_fertility
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_fertility(ds, k=8)
+
+
 def docs_span_corruption(sf_dir: str) -> pd.DataFrame:
     """Deterministic T5 denoising pairs (mask-rate 15%, sentinel spans,
     final-sentinel-terminated targets) — pure integer/string objective

@@ -299,3 +299,60 @@ def _learn_bpe_dataset(wdf: pd.DataFrame, k: int) -> pd.DataFrame:
             batch_format="pyarrow").materialize()
     return pd.DataFrame(rows, columns=["step", "lhs", "rhs", "cnt"]) \
         .astype({"step": np.int64, "cnt": np.int64})
+
+
+def doc_fertility(docs_ds, *, k: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> pd.DataFrame:
+    """Tokenizer fertility per document: encode the corpus word table
+    with its own top-``k`` learned merges (:func:`encode_words`), then
+    score every doc by pieces-per-word = Σ n_syms(word) / n_words —
+    the standard tokenizer-quality diagnostic (fertility ≈ 1 means the
+    vocabulary covers the corpus; high fertility flags domain
+    mismatch).
+
+    The (word → n_syms) table is vocab-sized and broadcasts once; the
+    scoring pass is stateless (one searchsorted + one bincount per
+    batch).  Output: (id, n_words, n_pieces, fertility round-6)."""
+    from ..context import Broadcast, auto_pool
+
+    enc = encode_words(docs_ds, text_col=text_col, k=k)
+    words = enc["word"].to_numpy(dtype=object)
+    nsym = enc["n_syms"].to_numpy(np.int64)
+    order = np.argsort(words)
+    bc = Broadcast((words[order], nsym[order]))
+
+    class Fertility:
+        def __init__(self, model_bc: Broadcast):
+            self.words, self.nsym = model_bc.get()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from .classify import _doc_words
+
+            flat, didx, n = _doc_words(t.column(text_col))
+            n_words = np.bincount(didx, minlength=n).astype(np.int64)
+            if len(flat):
+                pos = np.clip(np.searchsorted(self.words, flat), 0,
+                              max(len(self.words) - 1, 0))
+                hit = self.words[pos] == flat
+                pieces = np.where(hit, self.nsym[pos], 0)
+                n_pieces = np.bincount(didx, weights=pieces,
+                                       minlength=n).astype(np.int64)
+            else:
+                n_pieces = np.zeros(n, np.int64)
+            fert = np.round(np.where(
+                n_words > 0,
+                n_pieces / np.maximum(n_words, 1).astype(np.float64),
+                0.0), 6)
+            return pa.table({
+                id_col: t.column(id_col),
+                "n_words": pa.array(n_words),
+                "n_pieces": pa.array(n_pieces),
+                "fertility": pa.array(fert, pa.float64())})
+
+    out = docs_ds.map_batches(
+        Fertility, batch_format="pyarrow",
+        concurrency=auto_pool(),
+        fn_constructor_kwargs={"model_bc": bc}).to_pandas()
+    return out.astype({id_col: np.int64, "n_words": np.int64,
+                       "n_pieces": np.int64}) \
+        .sort_values(id_col).reset_index(drop=True)

@@ -462,3 +462,62 @@ def seq_pairs(events_ds, *, ts_col: str = "ts",
            .rename(columns={"count()": "n_users"}))
     return out.astype({"n_users": np.int64}) \
         .sort_values(["etype_a", "etype_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Time-boxed (windowed) funnel — each hop must happen within `window_us`
+# of the previous hop's qualifying event.
+# ---------------------------------------------------------------------------
+
+def window_funnel(events_ds, steps: list[str], *, window_us: int,
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  type_col: str = "event_type") -> pd.DataFrame:
+    """Windowed funnel: a user converts step i at time
+    t_i = min{ts of step-i events with t_{i-1} < ts ≤ t_{i-1} +
+    window_us} (filter-then-min ≡ min-then-filter since the window is
+    anchored at t_{i-1}).  Returns (step, event_type, n_users).
+
+    Unlike :func:`funnel_counts` (first-EVER per step), each hop's
+    qualifying time is the first step-i event AFTER the previous hop —
+    the ClickHouse ``windowFunnel`` semantics.  Shape: per hop one
+    bucketed hash_join of the step's (user, ts) event rows against the
+    surviving chain + a per-user min groupby; no per-user driver
+    state."""
+    from ray.data.aggregate import Min
+
+    from ..functions.joins import hash_join
+
+    def step_rows(j):
+        def fn(t: pa.Table) -> pa.Table:
+            et = t.column(type_col).to_numpy(zero_copy_only=False)
+            sel = et == steps[j]
+            return pa.table({
+                user_col: pa.array(
+                    t.column(user_col).to_numpy().astype(np.int64)[sel]),
+                "ets": pa.array(
+                    t.column(ts_col).cast(pa.int64()).to_numpy()[sel])})
+        return events_ds.map_batches(fn, batch_format="pyarrow")
+
+    chain = (step_rows(0).groupby(user_col)
+             .aggregate(Min("ets", alias_name="t"))).materialize()
+    counts = [chain.count()]
+    for j in range(1, len(steps)):
+        joined = hash_join(step_rows(j), chain, on=user_col)
+
+        def eligible(t: pa.Table) -> pa.Table:
+            ts = t.column("ets").to_numpy()
+            tp = t.column("t").to_numpy()
+            keep = (ts > tp) & (ts <= tp + np.int64(window_us))
+            return pa.table({
+                user_col: pa.array(t.column(user_col)
+                                   .to_numpy().astype(np.int64)[keep]),
+                "ets": pa.array(ts[keep])})
+
+        chain = (joined.map_batches(eligible, batch_format="pyarrow")
+                 .groupby(user_col)
+                 .aggregate(Min("ets", alias_name="t"))).materialize()
+        counts.append(chain.count())
+    return pd.DataFrame({
+        "step": np.arange(len(steps), dtype=np.int64),
+        "event_type": list(steps),
+        "n_users": np.asarray(counts, dtype=np.int64)})
