@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_prefix_lm": rel.docs_prefix_lm,
         "events_window_funnel": rel.events_window_funnel,
         "docs_bpe_fertility": rel.docs_bpe_fertility,
+        "embeddings_ann_recall": rel.embeddings_ann_recall,
+        "events_rolling_active": rel.events_rolling_active,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -3232,6 +3234,84 @@ def _rake_sql(k: int = 20) -> str:
     """
 
 
+def _ann_recall_sql(qids=(0, 100, 200, 300, 400), k: int = 10,
+                    n_centroids: int = 16, n_probe: int = 2,
+                    salt: int = 17) -> str:
+    """Exact mirror of embeddings_ann_recall (stages/ann.py:ann_recall):
+    the hash-centroid IVF chain of _ivf_topk_sql generalized to several
+    queries; candidates = the UNION of every query's probed buckets
+    (ivf_topk searches that superset for all queries), recall = |ivf ∩
+    brute| / k per query."""
+    lat, ref = _mix_chain("ar", ["e.vec_id"], [salt])
+    qlist = ", ".join(str(int(q)) for q in qids)
+    return f"""
+    WITH hk AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {ref} AS hkey
+        FROM embeddings e, {lat}),
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cent_id, v AS cv,
+               ROW_NUMBER() OVER (ORDER BY hkey, vec_id) AS cent_rank
+        FROM hk ORDER BY hkey, vec_id LIMIT {n_centroids}),
+    qs AS MATERIALIZED (
+        SELECT vec_id AS qid, v AS qv FROM hk
+        WHERE vec_id IN ({qlist})),
+    probe AS (SELECT qid, cent_rank FROM (
+        SELECT qs.qid, c.cent_rank,
+               ROW_NUMBER() OVER (PARTITION BY qs.qid
+                   ORDER BY list_cosine_similarity(c.cv, qs.qv) DESC,
+                            c.cent_rank) AS pr
+        FROM cents c, qs) WHERE pr <= {n_probe}),
+    allowed AS (SELECT DISTINCT cent_rank FROM probe),
+    assign AS MATERIALIZED (
+        SELECT vec_id, v, cent_rank FROM (
+            SELECT e.vec_id, e.v, c.cent_rank,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                c.cent_rank) AS rn
+            FROM hk e CROSS JOIN cents c) WHERE rn = 1),
+    brute AS MATERIALIZED (SELECT qid, vec_id FROM (
+        SELECT qs.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.qid
+                   ORDER BY list_cosine_similarity(e.v, qs.qv) DESC,
+                            e.vec_id) AS rn
+        FROM hk e, qs) WHERE rn <= {k}),
+    ivf AS MATERIALIZED (SELECT qid, vec_id FROM (
+        SELECT qs.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.qid
+                   ORDER BY list_cosine_similarity(a.v, qs.qv) DESC,
+                            a.vec_id) AS rn
+        FROM assign a JOIN allowed al USING (cent_rank), qs)
+        WHERE rn <= {k}),
+    bc AS (SELECT qid, count(*) AS n_brute FROM brute GROUP BY qid),
+    vc AS (SELECT qid, count(*) AS n_ivf FROM ivf GROUP BY qid),
+    cm AS (SELECT b.qid, count(*) AS n_common
+           FROM brute b JOIN ivf i USING (qid, vec_id) GROUP BY b.qid)
+    SELECT qs.qid::BIGINT AS qid,
+           COALESCE(bc.n_brute, 0)::BIGINT AS n_brute,
+           COALESCE(vc.n_ivf, 0)::BIGINT AS n_ivf,
+           COALESCE(cm.n_common, 0)::BIGINT AS n_common,
+           ROUND(COALESCE(cm.n_common, 0) / {k}.0, 6) AS recall
+    FROM qs LEFT JOIN bc USING (qid) LEFT JOIN vc USING (qid)
+         LEFT JOIN cm USING (qid)
+    ORDER BY qid
+    """
+
+
+_ROLLING_ACTIVE_SQL = """
+    WITH ud AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+                       (epoch_us(ts) // 86400000000)::BIGINT AS day
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+    ru AS (SELECT DISTINCT d.day AS day, u.user_id
+           FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day),
+    roll AS (SELECT day, count(*)::BIGINT AS rolling FROM ru
+             GROUP BY day)
+    SELECT dau.day, dau.dau, roll.rolling FROM dau JOIN roll USING (day)
+    ORDER BY day
+"""
+
+
 _WINDOW_FUNNEL_SQL = """
     WITH e0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
                 WHERE event_type = 'view' GROUP BY user_id),
@@ -4328,4 +4408,9 @@ def oracle_sql() -> dict[str, str]:
         # tokenizer fertility: the unrolled BPE chain's n_syms joined
         # back onto per-doc words
         "docs_bpe_fertility": _bpe_sql(8, tail=_FERTILITY_TAIL),
+        # IVF recall audit: union-of-probes candidate superset, per-
+        # query intersection with exact brute top-k
+        "embeddings_ann_recall": _ann_recall_sql(),
+        # DAU + trailing-7-day distinct actives
+        "events_rolling_active": _ROLLING_ACTIVE_SQL,
     }

@@ -70,6 +70,8 @@ SUBSET = [
     "docs_prefix_lm",
     "events_window_funnel",
     "docs_bpe_fertility",
+    "embeddings_ann_recall",
+    "events_rolling_active",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

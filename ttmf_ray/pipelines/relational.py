@@ -327,6 +327,31 @@ def embeddings_rq(sf_dir: str) -> pd.DataFrame:
     return residual_quant(ds, k=4, n_iter=2)
 
 
+ANN_RECALL_QIDS = [0, 100, 200, 300, 400]
+
+
+def embeddings_ann_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 audit of the hash-centroid IVF (16 centroids, probe 2)
+    vs exact brute force over 5 fixed query vectors — the
+    accuracy-vs-speed evidence for the ANN scale path
+    (stages/ann.py:ann_recall; the embeddings twin of
+    docs_minhash_estimate)."""
+    from ..stages.ann import ann_recall
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_recall(ds, ANN_RECALL_QIDS, k=10, n_centroids=16,
+                      n_probe=2)
+
+
+def events_rolling_active(sf_dir: str) -> pd.DataFrame:
+    """DAU + trailing-7-day distinct actives per observed day
+    (stages/temporal.py:rolling_active — signature-row shuffles only)."""
+    from ..stages.temporal import rolling_active
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    return rolling_active(ds, window_days=7)
+
+
 WINDOW_FUNNEL_US = 48 * 3600 * 1_000_000       # 48 h per hop
 
 

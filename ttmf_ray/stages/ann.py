@@ -602,3 +602,51 @@ def scalar_quantize(ds, *, id_col: str = "vec_id",
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def ann_recall(ds, query_ids: list[int], *, k: int = 10,
+               n_centroids: int = 16, n_probe: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> pd.DataFrame:
+    """Recall@k audit of the hash-centroid IVF path against exact brute
+    force, per query — the accuracy-vs-speed evidence every ANN
+    deployment needs (the embeddings twin of docs_minhash_estimate).
+
+    Both searches run the production operators (:func:`brute_topk`,
+    :func:`ivf_topk` with ``centroid_mode="hash"``); n_probe ≪
+    n_centroids keeps recall < 1 so the audit is non-trivial.  Output:
+    (qid, n_brute, n_ivf, n_common, recall round-6)."""
+    import ray as _ray
+
+    ds = ds.materialize()
+    qset = sorted(int(x) for x in query_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column(id_col),
+                                 value_set=pa.array(qset, pa.int64())))
+
+    tb = pa.concat_tables(
+        [x for x in _ray.get(ds.map_batches(
+            grab, batch_format="pyarrow").to_arrow_refs())
+         if x.num_rows])
+    got = tb.column(id_col).to_numpy().astype(np.int64)
+    order = np.argsort(got)
+    Q = list_col_matrix(tb.column(vec_col))[order]
+    qids = got[order]
+
+    brute = brute_topk(ds, Q, k, id_col=id_col, vec_col=vec_col)
+    ivf = ivf_topk(ds, Q, k, n_centroids=n_centroids, n_probe=n_probe,
+                   centroid_mode="hash", id_col=id_col, vec_col=vec_col)
+    rows = []
+    for j, qid in enumerate(qids):
+        bs = set(brute.loc[brute.query_id == j, "vec_id"].astype(int))
+        vs = set(ivf.loc[ivf.query_id == j, "vec_id"].astype(int))
+        common = len(bs & vs)
+        rows.append({"qid": np.int64(qid),
+                     "n_brute": np.int64(len(bs)),
+                     "n_ivf": np.int64(len(vs)),
+                     "n_common": np.int64(common),
+                     "recall": round(common / float(k), 6)})
+    return pd.DataFrame(rows)

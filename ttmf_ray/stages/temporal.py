@@ -521,3 +521,61 @@ def window_funnel(events_ds, steps: list[str], *, window_us: int,
         "step": np.arange(len(steps), dtype=np.int64),
         "event_type": list(steps),
         "n_users": np.asarray(counts, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU + trailing-7-day actives)
+# ---------------------------------------------------------------------------
+
+def rolling_active(events_ds, *, window_days: int = 7,
+                   ts_col: str = "ts",
+                   user_col: str = "user_id") -> pd.DataFrame:
+    """Per epoch-day: distinct active users that day (DAU) and distinct
+    users active in the trailing ``window_days`` window ending that day
+    — the engagement rollup of an event pipeline.  Rolling DISTINCT is
+    not a windowed sum, so each distinct (user, day) signature row is
+    re-keyed to the ≤ ``window_days`` anchor days it supports, deduped
+    once more, and counted — two signature-row shuffles, never event
+    payloads.  Only days present in the data become anchors."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import distinct_rows
+
+    def days(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy()
+        return pa.table({
+            user_col: t.column(user_col).cast(pa.int64()),
+            "day": pa.array((ts // US_PER_DAY).astype(np.int64))})
+
+    ud = distinct_rows(
+        events_ds.map_batches(days, batch_format="pyarrow"),
+        [user_col, "day"]).materialize()
+    dau = (ud.groupby("day").count().to_pandas()
+           .rename(columns={"count()": "dau"}))
+    present = np.sort(dau["day"].to_numpy().astype(np.int64))
+    present_set = present      # anchors = observed days only
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy().astype(np.int64)
+        d = t.column("day").to_numpy().astype(np.int64)
+        anchors, users = [], []
+        for off in range(window_days):
+            a = d + off
+            pos = np.clip(np.searchsorted(present_set, a), 0,
+                          max(len(present_set) - 1, 0))
+            ok = present_set[pos] == a
+            anchors.append(a[ok])
+            users.append(u[ok])
+        return pa.table({
+            "anchor": pa.array(np.concatenate(anchors)),
+            user_col: pa.array(np.concatenate(users))})
+
+    ru = distinct_rows(
+        ud.map_batches(expand, batch_format="pyarrow"),
+        ["anchor", user_col])
+    roll = (ru.groupby("anchor").count().to_pandas()
+            .rename(columns={"count()": "rolling", "anchor": "day"}))
+    out = dau.merge(roll, on="day", how="left").fillna(0)
+    return out.astype({"day": np.int64, "dau": np.int64,
+                       "rolling": np.int64}) \
+        .sort_values("day").reset_index(drop=True)
