@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_fertility": rel.docs_bpe_fertility,
         "embeddings_ann_recall": rel.embeddings_ann_recall,
         "events_rolling_active": rel.events_rolling_active,
+        "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
+        "docs_lang_confusion": cq.docs_lang_confusion,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -2512,6 +2514,28 @@ def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
     """
 
 
+_SPH_VEXPR = ("list_transform(e0.embedding::DOUBLE[], "
+              "x -> x / greatest(sqrt(list_inner_product("
+              "e0.embedding::DOUBLE[], e0.embedding::DOUBLE[])), "
+              "1e-12))")
+
+
+def _spherical_kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
+    """Exact mirror of embeddings_spherical_kmeans: the kmeans CTE
+    chain with an L2-normalizing ``vexpr`` (norm drift ~1e-16 is far
+    below every round-6 quantum in the iteration)."""
+    body, cfin = _kmeans_ctes(k, n_iter, tag="sp", vexpr=_SPH_VEXPR)
+    return f"""
+    WITH {body}
+    SELECT id AS vec_id, CAST(c AS BIGINT) AS cluster, d AS dist FROM (
+        SELECT e.id, c.c, round(list_distance(e.v, c.v), 6) AS d,
+               row_number() OVER (PARTITION BY e.id
+                   ORDER BY round(list_distance(e.v, c.v), 6), c.c) AS rn
+        FROM spemb e CROSS JOIN {cfin} c)
+    WHERE rn = 1 ORDER BY vec_id
+    """
+
+
 def _pq_sql(m: int = 2, k: int = 4, n_iter: int = 2) -> str:
     """Exact mirror of embeddings_pq_codes (stages/cluster.py:pq_codes):
     one quantized-iteration k-means chain per contiguous subspace
@@ -4413,4 +4437,12 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_ann_recall": _ann_recall_sql(),
         # DAU + trailing-7-day distinct actives
         "events_rolling_active": _ROLLING_ACTIVE_SQL,
+        # spherical kmeans: the kmeans chain over normalized vectors
+        "embeddings_spherical_kmeans": _spherical_kmeans_sql(),
+        # lang-ID confusion matrix over the mirrored detector
+        "docs_lang_confusion": f"""
+            SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM ({_LANG_DETECT_SQL})
+            GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
     }

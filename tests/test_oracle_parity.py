@@ -72,6 +72,8 @@ SUBSET = [
     "docs_bpe_fertility",
     "embeddings_ann_recall",
     "events_rolling_active",
+    "embeddings_spherical_kmeans",
+    "docs_lang_confusion",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

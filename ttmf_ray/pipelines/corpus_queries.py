@@ -250,6 +250,23 @@ def docs_lang_detect(sf_dir: str):
         .select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def docs_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID audit: confusion matrix of the declared ``lang``
+    column vs the n-gram-profile prediction (the distributed
+    lang_id_batch pass + one tiny (lang, lang_pred) groupby) — the
+    label-quality check run before any per-language routing."""
+    ds = rd.read_parquet(f"{sf_dir.rstrip('/')}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    from ..stages.text import lang_id_batch
+
+    out = (ds.map_batches(lang_id_batch, batch_format="pyarrow")
+           .select_columns(["lang", "lang_pred"])
+           .groupby(["lang", "lang_pred"]).count().to_pandas()
+           .rename(columns={"count()": "n"}))
+    return out.astype({"n": np.int64}) \
+        .sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
 def media_features_real(sf_dir: str) -> pd.DataFrame:
     """Multimodal actor-pool pipeline with REAL decode kernels: 120
     deterministic media rows (genuine WAV + binary-PPM payloads; video

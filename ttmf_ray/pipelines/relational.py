@@ -327,6 +327,18 @@ def embeddings_rq(sf_dir: str) -> pd.DataFrame:
     return residual_quant(ds, k=4, n_iter=2)
 
 
+def embeddings_spherical_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Cosine (spherical) k-means: unit-normalize, then the quantized
+    Lloyd loop of embeddings_kmeans — on the sphere Euclidean argmin ≡
+    cosine argmax (stages/cluster.py:spherical_kmeans)."""
+    from ..stages.cluster import spherical_kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    asg, _C = spherical_kmeans(ds, k=8, n_iter=4)
+    out = asg.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return out.astype({"vec_id": np.int64, "cluster": np.int64})
+
+
 ANN_RECALL_QIDS = [0, 100, 200, 300, 400]
 
 

@@ -624,3 +624,29 @@ def power_iteration_pc1(ds, *, n_iter: int = 8, id_col: str = "vec_id",
     out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
     return out.astype({id_col: np.int64}) \
         .sort_values(id_col).reset_index(drop=True)
+
+
+def spherical_kmeans(ds, *, k: int = 8, n_iter: int = 4,
+                     seed: int = 628, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     driver_max: int = 200_000):
+    """Cosine (spherical) k-means: L2-normalize every vector in one
+    stateless pass, then run the standard quantized-iteration
+    :func:`kmeans` — on the unit sphere, Euclidean argmin ≡ cosine
+    argmax, so the whole round-6 mirror machinery carries over
+    unchanged (the SQL twin normalizes inside the kmeans CTE chain's
+    ``vexpr``).  Returns the assignment Dataset and centroids."""
+
+    def norm_b(t: pa.Table) -> pa.Table:
+        V = list_col_matrix(t.column(vec_col)).astype(np.float64)
+        n = np.maximum(np.sqrt((V ** 2).sum(axis=1)), 1e-12)
+        U = V / n[:, None]
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(U.reshape(-1), type=pa.float64()),
+                U.shape[1])})
+
+    nds = ds.map_batches(norm_b, batch_format="pyarrow")
+    return kmeans(nds, k=k, n_iter=n_iter, seed=seed, id_col=id_col,
+                  vec_col=vec_col, driver_max=driver_max)
