@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_active": rel.events_rolling_active,
         "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
         "docs_lang_confusion": cq.docs_lang_confusion,
+        "events_attribution": rel.events_attribution,
+        "events_hourly_mad": rel.events_hourly_mad,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -3321,6 +3323,58 @@ def _ann_recall_sql(qids=(0, 100, 200, 300, 400), k: int = 10,
     """
 
 
+_ATTRIBUTION_SQL = """
+    WITH p AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+                      CAST(user_id AS BIGINT) AS user_id,
+                      epoch_us(ts) AS t
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                 epoch_us(ts) AS t
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.t,
+           COALESCE(c.t, -1)::BIGINT AS touch_t,
+           CASE WHEN c.t IS NULL THEN -1
+                ELSE p.t - c.t END::BIGINT AS gap_us,
+           CAST(CASE WHEN c.t IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS attributed
+    FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND c.t <= p.t
+    ORDER BY p.event_id
+"""
+
+
+_HOURLY_MAD_SQL = """
+    WITH hc AS (SELECT event_type,
+                       (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY event_type, hour),
+    n AS (SELECT event_type, count(*) AS n FROM hc GROUP BY event_type),
+    rc AS (SELECT event_type, c AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY c) - 1 AS rk
+           FROM hc),
+    med AS (SELECT rc.event_type, max(CASE WHEN rc.rk = (n.n - 1) // 2
+                                      THEN rc.v END) AS med
+            FROM rc JOIN n USING (event_type) GROUP BY rc.event_type),
+    dv AS (SELECT hc.event_type, abs(hc.c - med.med) AS d
+           FROM hc JOIN med USING (event_type)),
+    rd AS (SELECT event_type, d AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY d) - 1 AS rk
+           FROM dv),
+    mad AS (SELECT rd.event_type,
+                   greatest(max(CASE WHEN rd.rk = (n.n - 1) // 2
+                                THEN rd.v END), 1) AS mad
+            FROM rd JOIN n USING (event_type) GROUP BY rd.event_type)
+    SELECT hc.event_type, hc.hour, hc.c,
+           med.med::BIGINT AS med, mad.mad::BIGINT AS mad,
+           CAST(CASE WHEN abs(hc.c - med.med) > 3 * mad.mad
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM hc JOIN med USING (event_type) JOIN mad USING (event_type)
+    ORDER BY hc.event_type, hc.hour
+"""
+
+
 _ROLLING_ACTIVE_SQL = """
     WITH ud AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
                        (epoch_us(ts) // 86400000000)::BIGINT AS day
@@ -4445,4 +4499,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_LANG_DETECT_SQL})
             GROUP BY lang, lang_pred ORDER BY lang, lang_pred
         """,
+        # last-touch attribution: native ASOF LEFT JOIN twin
+        "events_attribution": _ATTRIBUTION_SQL,
+        # median/MAD robust anomalies, all-integer lower-disc medians
+        "events_hourly_mad": _HOURLY_MAD_SQL,
     }

@@ -74,6 +74,8 @@ SUBSET = [
     "events_rolling_active",
     "embeddings_spherical_kmeans",
     "docs_lang_confusion",
+    "events_attribution",
+    "events_hourly_mad",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

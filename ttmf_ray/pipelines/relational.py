@@ -327,6 +327,29 @@ def embeddings_rq(sf_dir: str) -> pd.DataFrame:
     return residual_quant(ds, k=4, n_iter=2)
 
 
+def events_attribution(sf_dir: str) -> pd.DataFrame:
+    """Last-touch attribution: each purchase attributed to the user's
+    most recent click at or before it (stages/temporal.py:
+    last_touch_attribution — one bucketed asof_join); DuckDB twin is a
+    native ASOF LEFT JOIN."""
+    from ..stages.temporal import last_touch_attribution
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    return last_touch_attribution(ds, convert_type="purchase",
+                                  touch_type="click")
+
+
+def events_hourly_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust hourly anomalies per event type: |count − median| >
+    3·MAD, all integer medians by the lower-discrete rule
+    (stages/temporal.py:hourly_mad_anomaly)."""
+    from ..stages.temporal import hourly_mad_anomaly
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return hourly_mad_anomaly(ds, k_mad=3)
+
+
 def embeddings_spherical_kmeans(sf_dir: str) -> pd.DataFrame:
     """Cosine (spherical) k-means: unit-normalize, then the quantized
     Lloyd loop of embeddings_kmeans — on the sphere Euclidean argmin ≡

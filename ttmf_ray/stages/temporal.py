@@ -579,3 +579,97 @@ def rolling_active(events_ds, *, window_days: int = 7,
     return out.astype({"day": np.int64, "dau": np.int64,
                        "rolling": np.int64}) \
         .sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (marketing attribution via the as-of join)
+# ---------------------------------------------------------------------------
+
+def last_touch_attribution(events_ds, *, convert_type: str,
+                           touch_type: str, ts_col: str = "ts",
+                           user_col: str = "user_id",
+                           id_col: str = "event_id") -> pd.DataFrame:
+    """For every conversion event, the user's most recent touch event
+    at or before it (ties: equal timestamps attribute — the DuckDB
+    ASOF convention) — one bucketed :func:`asof_join`, no per-user
+    state.  Output: (event_id, user_id, t, touch_t, gap_us, attributed)
+    with touch_t/gap_us = −1 for unattributed conversions."""
+
+    def side(tp: str, keep_id: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            et = t.column("event_type").to_numpy(zero_copy_only=False)
+            sel = et == tp
+            cols = {
+                user_col: pa.array(t.column(user_col)
+                                   .to_numpy().astype(np.int64)[sel]),
+                "t": pa.array(t.column(ts_col).cast(pa.int64())
+                              .to_numpy()[sel])}
+            if keep_id:
+                cols[id_col] = pa.array(
+                    t.column(id_col).to_numpy().astype(np.int64)[sel])
+            return pa.table(cols)
+        return events_ds.map_batches(fn, batch_format="pyarrow")
+
+    j = asof_join(side(convert_type, True), side(touch_type, False),
+                  by=user_col, on="t", direction="backward")
+    df = j.to_pandas()
+    touch = df["t_r"]
+    out = pd.DataFrame({
+        id_col: df[id_col].astype(np.int64),
+        user_col: df[user_col].astype(np.int64),
+        "t": df["t"].astype(np.int64),
+        "touch_t": touch.fillna(-1).astype(np.int64),
+        "gap_us": np.where(touch.notna(),
+                           df["t"] - touch.fillna(0), -1).astype(np.int64),
+        "attributed": touch.notna().astype(np.int64),
+    })
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Robust hourly anomaly (median / MAD — the outlier-insensitive twin of
+# the z-score monitor)
+# ---------------------------------------------------------------------------
+
+def hourly_mad_anomaly(events_ds, *, ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       k_mad: int = 3) -> pd.DataFrame:
+    """Per (event_type, hour): the event count, the type's lower-
+    discrete median hourly count, the MAD (lower-discrete median of
+    absolute deviations, floored at 1), and the anomaly flag
+    |c − med| > k·MAD — all integers, zero float risk.
+
+    Shape: one (type, hour) count groupby of per-batch partials; the
+    medians run on the collected (types × hours)-row table (tiny; the
+    exact-quantile stage is the scale path)."""
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column(type_col).to_numpy(zero_copy_only=False).astype(str)
+        hr = (t.column(ts_col).cast(pa.int64()).to_numpy()
+              // US_PER_HOUR).astype(np.int64)
+        key = np.char.add(np.char.add(et, "\x1f"), hr.astype(str))
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            type_col: pa.array(sp[:, 0], pa.string()),
+            "hour": pa.array(sp[:, 2].astype(np.int64)),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([type_col, "hour"]).sum("c").to_pandas()
+           .rename(columns={"sum(c)": "c"}))
+    rows = []
+    for tp, g in agg.groupby(type_col, sort=True):
+        c = g["c"].to_numpy(np.int64)
+        hours = g["hour"].to_numpy(np.int64)
+        med = int(np.sort(c)[(len(c) - 1) // 2])
+        dev = np.abs(c - med)
+        mad = max(int(np.sort(dev)[(len(dev) - 1) // 2]), 1)
+        flag = (dev > k_mad * mad).astype(np.int64)
+        for h, cc, fl in zip(hours, c, flag):
+            rows.append({type_col: tp, "hour": np.int64(h),
+                         "c": np.int64(cc), "med": np.int64(med),
+                         "mad": np.int64(mad), "is_anomaly": fl})
+    return pd.DataFrame(rows).sort_values([type_col, "hour"]) \
+        .reset_index(drop=True)
