@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_confusion": cq.docs_lang_confusion,
         "events_attribution": rel.events_attribution,
         "events_hourly_mad": rel.events_hourly_mad,
+        "tpch_q3": rel.tpch_q3,
+        "tpch_q4": rel.tpch_q4,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -4503,4 +4505,35 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": _ATTRIBUTION_SQL,
         # median/MAD robust anomalies, all-integer lower-disc medians
         "events_hourly_mad": _HOURLY_MAD_SQL,
+        # TPC-H Q3 analogue: BUILDING segment, unshipped revenue top-10
+        "tpch_q3": """
+            WITH j AS (
+                SELECT l.l_orderkey,
+                       epoch_us(o.o_orderdate)::BIGINT AS o_orderdate,
+                       sum(l.l_extendedprice * (1 - l.l_discount))
+                           AS revenue
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+                  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+                GROUP BY l.l_orderkey, o.o_orderdate)
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, o_orderdate,
+                   ROUND(revenue, 6) AS revenue
+            FROM j ORDER BY ROUND(revenue, 6) DESC, l_orderkey LIMIT 10
+        """,
+        # TPC-H Q4 analogue: late-shipping orders per priority in 1997
+        "tpch_q4": """
+            WITH ms AS (SELECT l_orderkey, max(epoch_us(l_shipdate))
+                            AS max_ship
+                        FROM lineitem GROUP BY l_orderkey)
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o JOIN ms ON ms.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND ms.max_ship > epoch_us(o.o_orderdate)
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
     }

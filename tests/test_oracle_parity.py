@@ -76,6 +76,8 @@ SUBSET = [
     "docs_lang_confusion",
     "events_attribution",
     "events_hourly_mad",
+    "tpch_q3",
+    "tpch_q4",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -1823,3 +1823,123 @@ def docs_minhash_estimate(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_estimate(ds)
+
+
+_Q3_CUT_US = 883_612_800_000_000          # 1998-01-01 UTC in epoch-us
+_Q4_LO_US = 852_076_800_000_000           # 1997-01-01
+_Q4_HI_US = 883_612_800_000_000           # 1998-01-01
+
+
+def tpch_q3(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 analogue (shipping priority): top-10 unshipped-revenue
+    orders for the BUILDING segment — orders placed before 1998-01-01
+    with lineitems shipping after it.
+
+    Shape: the BUILDING custkey set broadcasts (customer is the small
+    side), orders filter streams, ONE bucketed hash_join attaches
+    o_orderdate to the filtered lineitems, a per-batch revenue combiner
+    feeds one per-order groupby, top-10 on the 6-dp-rounded revenue."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .to_pandas()
+    keys = np.sort(cust.loc[cust.c_mktsegment == "BUILDING",
+                            "c_custkey"].to_numpy(np.int64))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+        pos = np.clip(np.searchsorted(keys, ck), 0,
+                      max(len(keys) - 1, 0))
+        keep = (keys[pos] == ck) & (od < _Q3_CUT_US) if len(keys) else \
+            np.zeros(len(ck), bool)
+        return pa.table({
+            "l_orderkey": pa.array(
+                t.column("o_orderkey").to_numpy().astype(np.int64)[keep]),
+            "o_orderdate": pa.array(od[keep])})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = sd > _Q3_CUT_US
+        rev = (t.column("l_extendedprice").to_numpy()
+               * (1.0 - t.column("l_discount").to_numpy()))[keep]
+        return pa.table({
+            "l_orderkey": pa.array(
+                t.column("l_orderkey").to_numpy().astype(np.int64)[keep]),
+            "rev": pa.array(rev)})
+
+    j = hash_join(li.map_batches(lfilt, batch_format="pyarrow"),
+                  orders.map_batches(ofilt, batch_format="pyarrow"),
+                  on="l_orderkey")
+    out = (j.groupby(["l_orderkey", "o_orderdate"])
+           .aggregate(Sum("rev", alias_name="revenue")).to_pandas())
+    out["revenue"] = out["revenue"].round(6)
+    out = out.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+    return out.astype({"l_orderkey": np.int64,
+                       "o_orderdate": np.int64}).reset_index(drop=True)
+
+
+def tpch_q4(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 analogue (order-priority checking): orders placed in
+    1997 with at least one lineitem shipping after the order date
+    (max(l_shipdate) > o_orderdate stands in for the commit/receipt
+    columns the synthetic schema lacks), counted per priority.
+
+    Shape: per-order max-shipdate combiner → one groupby → bucketed
+    hash_join against the filtered orders; integer counts, zero float
+    risk."""
+    from ray.data.aggregate import Max
+
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def lmax(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        uo, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uo), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, sd)
+        return pa.table({"l_orderkey": pa.array(uo),
+                         "max_ship": pa.array(mx)})
+
+    ms = (li.map_batches(lmax, batch_format="pyarrow")
+          .groupby("l_orderkey").aggregate(Max("max_ship",
+                                               alias_name="max_ship")))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (od >= _Q4_LO_US) & (od < _Q4_HI_US)
+        return pa.table({
+            "l_orderkey": pa.array(
+                t.column("o_orderkey").to_numpy().astype(np.int64)[keep]),
+            "o_orderdate": pa.array(od[keep]),
+            "o_orderpriority": t.column("o_orderpriority").filter(
+                pa.array(keep))})
+
+    j = hash_join(orders.map_batches(ofilt, batch_format="pyarrow"),
+                  ms, on="l_orderkey")
+
+    def late(t: pa.Table) -> pa.Table:
+        keep = (t.column("max_ship").to_numpy()
+                > t.column("o_orderdate").to_numpy())
+        return pa.table({"o_orderpriority":
+                         t.column("o_orderpriority").filter(
+                             pa.array(keep))})
+
+    out = (j.map_batches(late, batch_format="pyarrow")
+           .groupby("o_orderpriority").count().to_pandas()
+           .rename(columns={"count()": "order_count"}))
+    return out.astype({"order_count": np.int64}) \
+        .sort_values("o_orderpriority").reset_index(drop=True)
