@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_mad": rel.events_hourly_mad,
         "tpch_q3": rel.tpch_q3,
         "tpch_q4": rel.tpch_q4,
+        "events_session_quantiles": rel.events_session_quantiles,
+        "docs_text_norm": rel.docs_text_norm,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -4522,6 +4524,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, o_orderdate,
                    ROUND(revenue, 6) AS revenue
             FROM j ORDER BY ROUND(revenue, 6) DESC, l_orderkey LIMIT 10
+        """,
+        # whitespace/case canonicalization (augmentation both engines)
+        "docs_text_norm": r"""
+            WITH aug AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '  Weird' || chr(9) || 'SPACING'
+                             || chr(13) || chr(10) || 'Prefix '
+                             || text || '  '
+                        ELSE text END AS raw
+                 FROM documents),
+            n AS (SELECT doc_id, raw,
+                         trim(regexp_replace(lower(raw),
+                              '[ \t\n\r\f\v]+', ' ', 'g'), ' ')
+                             AS text_norm
+                  FROM aug)
+            SELECT doc_id, length(raw)::BIGINT AS n_chars_raw,
+                   length(text_norm)::BIGINT AS n_chars_norm,
+                   CAST(CASE WHEN raw <> text_norm THEN 1 ELSE 0 END
+                        AS BIGINT) AS changed,
+                   text_norm
+            FROM n ORDER BY doc_id
+        """,
+        # sessionization × exact-quantile composition
+        "events_session_quantiles": """
+            WITH ordered AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS es,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            flagged AS (
+                SELECT user_id, es, rn,
+                       CASE WHEN lag(es) OVER (PARTITION BY user_id
+                                               ORDER BY rn) IS NULL
+                                 OR es - lag(es) OVER (PARTITION BY
+                                     user_id ORDER BY rn) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ordered),
+            tagged AS (
+                SELECT user_id, es,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY rn) - 1 AS session_id
+                FROM flagged),
+            s AS (SELECT user_id, session_id,
+                         count(*)::BIGINT AS n_events,
+                         (max(es) - min(es))::BIGINT AS duration_s
+                  FROM tagged GROUP BY user_id, session_id),
+            n AS (SELECT count(*) AS n FROM s),
+            qs(q) AS (SELECT unnest(
+                [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]::DOUBLE[])),
+            od AS (SELECT duration_s AS v,
+                          row_number() OVER (ORDER BY duration_s) - 1
+                              AS rk
+                   FROM s),
+            oe AS (SELECT n_events AS v,
+                          row_number() OVER (ORDER BY n_events) - 1
+                              AS rk
+                   FROM s)
+            SELECT qs.q, CAST(d.v AS BIGINT) AS duration_s_q,
+                   CAST(e.v AS BIGINT) AS n_events_q
+            FROM n CROSS JOIN qs
+            JOIN od d ON d.rk = CAST(floor((n.n - 1) * qs.q) AS BIGINT)
+            JOIN oe e ON e.rk = CAST(floor((n.n - 1) * qs.q) AS BIGINT)
+            ORDER BY qs.q
         """,
         # TPC-H Q4 analogue: late-shipping orders per priority in 1997
         "tpch_q4": """

@@ -78,6 +78,8 @@ SUBSET = [
     "events_hourly_mad",
     "tpch_q3",
     "tpch_q4",
+    "events_session_quantiles",
+    "docs_text_norm",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -1943,3 +1943,65 @@ def tpch_q4(sf_dir: str) -> pd.DataFrame:
            .rename(columns={"count()": "order_count"}))
     return out.astype({"order_count": np.int64}) \
         .sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SESSION_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def events_session_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantiles of session duration (seconds) and session event
+    counts — the sessionization × exact-quantile composition (same
+    cross-domain pattern as kg_degree_quantiles).  Sessions come from
+    the mirrored gap-based sessionizer; the quantiles run the
+    distributed histogram-combiner stage over the session table."""
+    import ray.data as rd
+
+    from ..context import spread
+    from ..stages.quantiles import exact_quantiles
+
+    sess = events_sessions(sf_dir)
+    sess = sess.assign(duration_s=(sess["end_epoch"]
+                                   - sess["start_epoch"]).astype(np.int64))
+    ds = spread(rd.from_pandas(sess[["duration_s", "n_events"]]))
+    out = exact_quantiles(ds, ["duration_s", "n_events"], SESSION_QS)
+    return out.astype({"duration_s_q": np.int64,
+                       "n_events_q": np.int64})
+
+
+NORM_AUG = "  Weird\tSPACING\r\nPrefix "
+
+
+def docs_text_norm(sf_dir: str) -> pd.DataFrame:
+    """Text canonicalization before hashing/dedup: lowercase, collapse
+    every whitespace run to one space, strip the ends — one stateless
+    Arrow-kernel pass (utf8_lower + replace_substring_regex +
+    utf8_trim).  Every 3rd doc gets a deterministic messy prefix and
+    trailing spaces (the redact_pii convention) so the kernels are
+    exercised on the clean synthetic corpus; the SQL twin applies the
+    identical augmentation.  Output: (doc_id, n_chars_raw,
+    n_chars_norm, changed, text_norm)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        tx = t.column("text").to_numpy(zero_copy_only=False).astype(str)
+        tx = np.where(ids % 3 == 0,
+                      np.char.add(np.char.add(NORM_AUG, tx), "  "), tx)
+        raw = pa.array(tx.astype(object), pa.string())
+        low = pc.utf8_lower(raw)
+        coll = pc.replace_substring_regex(low, r"[ \t\n\r\f\v]+", " ")
+        norm_t = pc.utf8_trim(coll, " ")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars_raw": pc.utf8_length(raw).cast(pa.int64()),
+            "n_chars_norm": pc.utf8_length(norm_t).cast(pa.int64()),
+            "changed": pc.not_equal(raw, norm_t).cast(pa.int64()),
+            "text_norm": norm_t})
+
+    out = ds.map_batches(norm, batch_format="pyarrow").to_pandas()
+    return out.astype({c: np.int64 for c in
+                       ["doc_id", "n_chars_raw", "n_chars_norm",
+                        "changed"]}) \
+        .sort_values("doc_id").reset_index(drop=True)
