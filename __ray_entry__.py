@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": rel.tpch_q4,
         "events_session_quantiles": rel.events_session_quantiles,
         "docs_text_norm": rel.docs_text_norm,
+        "docs_containment": rel.docs_containment,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -720,7 +721,8 @@ _HOURLY_ANOMALY_SQL = """
 """
 
 
-def _minhash_estimate_sql(k: int = 16, n_bands: int = 8) -> str:
+def _minhash_estimate_sql(k: int = 16, n_bands: int = 8,
+                          final: str | None = None) -> str:
     """Mirror of docs_minhash_estimate (stages/dedup.py): the bloom-SQL
     shingle CTEs, permutation params a=mix64(7,1,j)%(M−1)+1 /
     b=mix64(7,2,j)%M, signatures min((a·x+b)%M) per (doc, j), band hash
@@ -783,6 +785,7 @@ def _minhash_estimate_sql(k: int = 16, n_bands: int = 8) -> str:
               JOIN sh xb ON xb.doc_id = c.b AND xb.x = xa.x
               GROUP BY c.a, c.b),
     cn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    {final if final is not None else f'''
     SELECT c.a, c.b,
            ROUND(COALESCE(e.n_eq, 0) / {float(k)}, 6) AS est_j,
            ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
@@ -796,8 +799,24 @@ def _minhash_estimate_sql(k: int = 16, n_bands: int = 8) -> str:
     LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
     JOIN cn ca ON ca.doc_id = c.a
     JOIN cn cb ON cb.doc_id = c.b
-    ORDER BY c.a, c.b
+    ORDER BY c.a, c.b'''}
     """
+
+
+_CONTAINMENT_FINAL = """
+    SELECT c.a, c.b,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+           ROUND(COALESCE(i.ni, 0) / greatest(ca.n, 1)::DOUBLE, 6)
+               AS cont_a,
+           ROUND(COALESCE(i.ni, 0) / greatest(cb.n, 1)::DOUBLE, 6)
+               AS cont_b
+    FROM cand c
+    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN cn ca ON ca.doc_id = c.a
+    JOIN cn cb ON cb.doc_id = c.b
+    ORDER BY c.a, c.b
+"""
 
 
 def _rp_sql(k: int = 8) -> str:
@@ -4525,6 +4544,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(revenue, 6) AS revenue
             FROM j ORDER BY ROUND(revenue, 6) DESC, l_orderkey LIMIT 10
         """,
+        # asymmetric containment over the minhash-estimate CTE chain
+        "docs_containment": _minhash_estimate_sql(
+            final=_CONTAINMENT_FINAL),
         # whitespace/case canonicalization (augmentation both engines)
         "docs_text_norm": r"""
             WITH aug AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -80,6 +80,7 @@ SUBSET = [
     "tpch_q4",
     "events_session_quantiles",
     "docs_text_norm",
+    "docs_containment",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

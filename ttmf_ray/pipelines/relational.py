@@ -2005,3 +2005,14 @@ def docs_text_norm(sf_dir: str) -> pd.DataFrame:
                        ["doc_id", "n_chars_raw", "n_chars_norm",
                         "changed"]}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_containment(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric containment audit for LSH candidate pairs (|A∩B|/|A|
+    and /|B| — the quote/subset detector Jaccard misses);
+    stages/dedup.py:containment_audit over the same loose k=16/r=2
+    buckets as docs_minhash_estimate."""
+    from ..stages.dedup import containment_audit
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_audit(ds, k=16, n_bands=8, ngram=3)

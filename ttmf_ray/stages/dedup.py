@@ -1020,3 +1020,68 @@ def minhash_estimate(docs_ds, *, id_col: str = "doc_id",
         "est_j": np.round(est, 6), "true_j": np.round(tj, 6),
         "abs_err": np.round(np.abs(est - tj), 6)})
     return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def containment_audit(docs_ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 16,
+                      n_bands: int = 8, ngram: int = 3) -> pd.DataFrame:
+    """ASYMMETRIC near-dup audit: for every LSH candidate pair the
+    shingle-set sizes, the exact intersection, and BOTH containment
+    scores |A∩B|/|A| and |A∩B|/|B| — the quote/subset detector Jaccard
+    misses (a short doc fully contained in a long one has low Jaccard
+    but containment ≈ 1).  Same loose k=16/r=2 bucket generation as
+    :func:`minhash_estimate` (cap disabled; the SQL twin enumerates
+    every bucket pair); the audit tail collects shingle sets for the
+    INVOLVED docs only."""
+    import ray as _ray
+
+    from ..context import Broadcast, auto_pool
+
+    buckets = docs_ds.map_batches(
+        MinHashLSH,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "k": k, "n_bands": n_bands,
+                               "ngram": ngram},
+        batch_format="pyarrow", batch_size=2048, concurrency=auto_pool())
+    pdf = candidate_pairs(buckets, cap=1 << 30).to_pandas() \
+        .astype({"a": np.int64, "b": np.int64})
+    cols = ["a", "b", "n_a", "n_b", "n_inter", "cont_a", "cont_b"]
+    if not len(pdf):
+        return pd.DataFrame({c: np.empty(0) for c in cols})
+    involved = np.unique(np.concatenate([pdf["a"].to_numpy(),
+                                         pdf["b"].to_numpy()]))
+    inv_bc = Broadcast(involved)
+
+    def sh_rows(t: pa.Table) -> pa.Table:
+        inv = inv_bc.get()
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(inv, ids), 0, len(inv) - 1)
+        keep = inv[pos] == ids
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        t = t.filter(pa.array(keep))
+        ids = ids[keep]
+        flat, lens = batch_shingle_hashes(t.column(text_col), ngram)
+        return pa.table({id_col: pa.array(np.repeat(ids, lens)),
+                         "x": pa.array(flat)})
+
+    rows = pa.concat_tables([t for t in _ray.get(
+        docs_ds.map_batches(sh_rows, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]).to_pandas()
+    sets = {d: np.unique(g["x"].to_numpy(np.int64))
+            for d, g in rows.groupby(id_col)}
+    empty = np.empty(0, np.int64)
+    na = np.empty(len(pdf), np.int64)
+    nb = np.empty(len(pdf), np.int64)
+    ni = np.empty(len(pdf), np.int64)
+    for i, (da, db) in enumerate(zip(pdf["a"], pdf["b"])):
+        sa, sb = sets.get(da, empty), sets.get(db, empty)
+        na[i], nb[i] = len(sa), len(sb)
+        ni[i] = len(np.intersect1d(sa, sb, assume_unique=True))
+    out = pd.DataFrame({
+        "a": pdf["a"].to_numpy(), "b": pdf["b"].to_numpy(),
+        "n_a": na, "n_b": nb, "n_inter": ni,
+        "cont_a": np.round(ni / np.maximum(na, 1).astype(np.float64), 6),
+        "cont_b": np.round(ni / np.maximum(nb, 1).astype(np.float64), 6)})
+    return out.sort_values(["a", "b"], ignore_index=True)
