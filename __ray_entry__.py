@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_quantiles": rel.events_session_quantiles,
         "docs_text_norm": rel.docs_text_norm,
         "docs_containment": rel.docs_containment,
+        "docs_ngram_novelty": rel.docs_ngram_novelty,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -800,6 +801,48 @@ def _minhash_estimate_sql(k: int = 16, n_bands: int = 8,
     JOIN cn ca ON ca.doc_id = c.a
     JOIN cn cb ON cb.doc_id = c.b
     ORDER BY c.a, c.b'''}
+    """
+
+
+def _novelty_sql() -> str:
+    """Exact mirror of docs_ngram_novelty
+    (stages/curation.py:ngram_novelty): the minhash shingle chain
+    (word fingerprints → mix64(17, h0, h1, h2) % 2^31−1, distinct per
+    doc), first occurrence via min(doc_id), all-integer counts."""
+    t3_lat, t3_ref = _mix_chain("nv3", ["t.h0", "t.h1", "t.h2"], [17])
+    return f"""
+    WITH wl AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws
+                FROM documents),
+    pw AS (SELECT doc_id, u['i'] AS i, u['w'] AS w FROM (
+               SELECT doc_id,
+                      unnest(list_transform(ws,
+                             (w, i) -> {{'i': i, 'w': w}})) AS u
+               FROM wl)),
+    gw AS (SELECT DISTINCT w FROM pw),
+    wh AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    ph AS (SELECT p.doc_id, p.i, wh.fp FROM pw p JOIN wh USING (w)),
+    tri AS (SELECT a.doc_id, a.fp AS h0, b.fp AS h1, c.fp AS h2
+            FROM ph a
+            JOIN ph b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN ph c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT t.doc_id,
+               CAST({t3_ref} % 2147483647 AS BIGINT) AS x
+        FROM tri t, {t3_lat}),
+    fo AS (SELECT x, min(doc_id) AS fd FROM sh GROUP BY x),
+    nv AS (SELECT fd AS doc_id, count(*)::BIGINT AS n_novel FROM fo
+           GROUP BY fd),
+    ns AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh
+           GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(ns.n_shingles, 0) AS n_shingles,
+           COALESCE(nv.n_novel, 0) AS n_novel,
+           ROUND(COALESCE(nv.n_novel, 0)
+                 / greatest(COALESCE(ns.n_shingles, 0), 1)::DOUBLE, 6)
+               AS novelty
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+    LEFT JOIN ns USING (doc_id) LEFT JOIN nv USING (doc_id)
+    ORDER BY d.doc_id
     """
 
 
@@ -4547,6 +4590,8 @@ def oracle_sql() -> dict[str, str]:
         # asymmetric containment over the minhash-estimate CTE chain
         "docs_containment": _minhash_estimate_sql(
             final=_CONTAINMENT_FINAL),
+        # corpus-order shingle novelty, all-integer first occurrences
+        "docs_ngram_novelty": _novelty_sql(),
         # whitespace/case canonicalization (augmentation both engines)
         "docs_text_norm": r"""
             WITH aug AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

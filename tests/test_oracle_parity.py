@@ -81,6 +81,7 @@ SUBSET = [
     "events_session_quantiles",
     "docs_text_norm",
     "docs_containment",
+    "docs_ngram_novelty",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

@@ -2016,3 +2016,13 @@ def docs_containment(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return containment_audit(ds, k=16, n_bands=8, ngram=3)
+
+
+def docs_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-doc corpus-order novelty: fraction of its distinct 3-gram
+    shingles first seen in this doc (stages/curation.py:ngram_novelty —
+    the heaps_curve shape over the dedup shingle hashes)."""
+    from ..stages.curation import ngram_novelty
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_novelty(ds, ngram=3)

@@ -1370,3 +1370,79 @@ def prefix_lm_split(docs_ds, *, id_col: str = "doc_id",
         })
 
     return docs_ds.map_batches(split, batch_format="pyarrow")
+
+
+def ngram_novelty(docs_ds, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  ngram: int = 3) -> pd.DataFrame:
+    """Corpus-order novelty per doc: the fraction of its DISTINCT
+    word-``ngram`` shingles whose global first occurrence (minimum
+    doc id) is this doc — the aging/repetition curve of a crawl (new
+    crawls of an unchanged site score ≈ 0).
+
+    Same all-integer tagged-groupby shape as :func:`heaps_curve`, over
+    the dedup shingle hashes instead of unigrams: one combiner pass
+    emits per batch the distinct shingles with their min in-batch doc
+    plus one per-doc distinct-shingle count; ONE groupby-min resolves
+    global first occurrences; a vocab-sized fold + tiny per-doc sum
+    finishes.  Output: (id, n_shingles, n_novel, novelty round-6)."""
+    from ray.data.aggregate import Min, Sum
+
+    from .dedup import batch_shingle_hashes
+
+    def tagged(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t, id_col)
+        flat, lens = batch_shingle_hashes(t.column(text_col), ngram)
+        didx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        keys, vals = [], []
+        n_sh = np.zeros(len(ids), np.int64)
+        if len(flat):
+            key = didx * np.int64(1 << 31) + (flat % np.int64(1 << 31))
+            # distinct (doc, hash): hashes are < 2^31-1 (Mersenne field)
+            uk = np.unique(key)
+            d_loc = (uk >> 31).astype(np.int64)
+            h_loc = (uk & ((1 << 31) - 1)).astype(np.int64)
+            n_sh = np.bincount(d_loc, minlength=len(ids)) \
+                .astype(np.int64)
+            order = np.lexsort((ids[d_loc], h_loc))
+            hs, ds_ = h_loc[order], ids[d_loc][order]
+            first = np.ones(len(hs), dtype=bool)
+            first[1:] = hs[1:] != hs[:-1]
+            keys.append(np.char.add("t\x1e", hs[first].astype(str)))
+            vals.append(ds_[first])
+        keys.append(np.char.add("d\x1e", ids.astype(str)))
+        vals.append(n_sh)
+        return pa.table({
+            "key": pa.array(np.concatenate(keys), pa.string()),
+            "val": pa.array(np.concatenate(vals).astype(np.int64))})
+
+    resolved = (docs_ds.map_batches(tagged, batch_format="pyarrow")
+                .groupby("key").aggregate(Min("val", alias_name="val")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_numpy(zero_copy_only=False).astype(str)
+        vals = t.column("val").to_numpy().astype(np.int64)
+        is_tok = np.char.startswith(keys, "t\x1e")
+        d_ids = np.asarray([k[2:] for k in keys[~is_tok]],
+                           dtype=np.int64)
+        out_id = np.concatenate([vals[is_tok], d_ids])
+        out_nv = np.concatenate([np.ones(is_tok.sum(), np.int64),
+                                 np.zeros(len(d_ids), np.int64)])
+        out_ns = np.concatenate([np.zeros(is_tok.sum(), np.int64),
+                                 vals[~is_tok]])
+        return pa.table({"doc_id": pa.array(out_id),
+                         "n_novel": pa.array(out_nv),
+                         "n_shingles": pa.array(out_ns)})
+
+    agg = (resolved.map_batches(fold, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("n_shingles", alias_name="n_shingles"),
+                      Sum("n_novel", alias_name="n_novel"))
+           .to_pandas()).sort_values("doc_id").reset_index(drop=True)
+    ns = agg["n_shingles"].to_numpy(np.int64)
+    nv = agg["n_novel"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "doc_id": agg["doc_id"].to_numpy(np.int64),
+        "n_shingles": ns, "n_novel": nv,
+        "novelty": np.round(nv / np.maximum(ns, 1).astype(np.float64),
+                            6)})
