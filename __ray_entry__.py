@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_text_norm": rel.docs_text_norm,
         "docs_containment": rel.docs_containment,
         "docs_ngram_novelty": rel.docs_ngram_novelty,
+        "embeddings_cluster_stability": rel.embeddings_cluster_stability,
+        "docs_length_corr": rel.docs_length_corr,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -2329,7 +2331,8 @@ def _stratified_sample_sql(q: int = 40) -> str:
 
 def _kmeans_ctes(k: int = 8, n_iter: int = 4, tag: str = "",
                  vexpr: str = "e0.embedding::DOUBLE[]",
-                 src: str = "embeddings") -> tuple[str, str]:
+                 src: str = "embeddings",
+                 seed: int = 628) -> tuple[str, str]:
     """Shared CTE chain mirroring stages/cluster.py:kmeans — seeded
     hash-rank init, ``n_iter`` UNROLLED Lloyd iterations (assignment =
     row_number over round(list_distance,6) with cluster tie-break;
@@ -2340,7 +2343,7 @@ def _kmeans_ctes(k: int = 8, n_iter: int = 4, tag: str = "",
     subspaces) can coexist in one query; ``vexpr`` is the vector
     expression over ``embeddings e0`` (a list_slice for PQ subspaces).
     Returns (cte_body, final_centroid_cte_name)."""
-    lat, ref = _mix_chain(f"km{tag}", ["e0.vec_id"], [628, 6])
+    lat, ref = _mix_chain(f"km{tag}", ["e0.vec_id"], [seed, 6])
     ctes = [f"""{tag}emb AS MATERIALIZED (
         SELECT e0.vec_id AS id, {vexpr} AS v, {ref} AS h
         FROM {src} e0,
@@ -2586,6 +2589,56 @@ _SPH_VEXPR = ("list_transform(e0.embedding::DOUBLE[], "
               "x -> x / greatest(sqrt(list_inner_product("
               "e0.embedding::DOUBLE[], e0.embedding::DOUBLE[])), "
               "1e-12))")
+
+
+def _ari_sql(k: int = 8, n_iter: int = 4, seed_a: int = 628,
+             seed_b: int = 629) -> str:
+    """Exact mirror of embeddings_cluster_stability
+    (stages/cluster.py:cluster_stability_ari): two tagged kmeans CTE
+    chains differing only in seed, integer contingency/pair sums, one
+    fixed-order float ARI expression."""
+    ba, ca = _kmeans_ctes(k, n_iter, tag="ka", seed=seed_a)
+    bb, cb = _kmeans_ctes(k, n_iter, tag="kb", seed=seed_b)
+    return f"""
+    WITH {ba},
+    aa AS MATERIALIZED ({_assign_cte("kaemb", ca)}),
+    {bb},
+    ab AS MATERIALIZED ({_assign_cte("kbemb", cb)}),
+    ct AS (SELECT aa.c AS ca, ab.c AS cb, count(*)::BIGINT AS nij
+           FROM aa JOIN ab USING (id) GROUP BY aa.c, ab.c),
+    n AS (SELECT sum(nij)::BIGINT AS n FROM ct),
+    sc AS (SELECT sum(nij * (nij - 1) // 2)::BIGINT AS sum_comb
+           FROM ct),
+    sa AS (SELECT sum(s * (s - 1) // 2)::BIGINT AS sum_a FROM (
+               SELECT sum(nij) AS s FROM ct GROUP BY ca)),
+    sb AS (SELECT sum(s * (s - 1) // 2)::BIGINT AS sum_b FROM (
+               SELECT sum(nij) AS s FROM ct GROUP BY cb))
+    SELECT CAST({k} AS BIGINT) AS k, n.n, sc.sum_comb, sa.sum_a,
+           sb.sum_b,
+           ROUND((sc.sum_comb - (sa.sum_a::DOUBLE * sb.sum_b)
+                                / (n.n * (n.n - 1) // 2))
+                 / (0.5 * (sa.sum_a + sb.sum_b)
+                    - (sa.sum_a::DOUBLE * sb.sum_b)
+                      / (n.n * (n.n - 1) // 2)), 6) AS ari
+    FROM n, sc, sa, sb
+    """
+
+
+_LENGTH_CORR_SQL = f"""
+    WITH t AS (SELECT source, length(text)::BIGINT AS x,
+                      length({_TOKENS})::BIGINT AS y
+               FROM documents),
+    s AS (SELECT source, count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+                 sum(y * y)::BIGINT AS syy
+          FROM t GROUP BY source)
+    SELECT source, n,
+           ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                 / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                        * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6) AS r
+    FROM s ORDER BY source
+"""
 
 
 def _spherical_kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
@@ -4592,6 +4645,10 @@ def oracle_sql() -> dict[str, str]:
             final=_CONTAINMENT_FINAL),
         # corpus-order shingle novelty, all-integer first occurrences
         "docs_ngram_novelty": _novelty_sql(),
+        # ARI between seed-628/629 kmeans runs (integer pair sums)
+        "embeddings_cluster_stability": _ari_sql(),
+        # per-source Pearson r from exact integer regression sums
+        "docs_length_corr": _LENGTH_CORR_SQL,
         # whitespace/case canonicalization (augmentation both engines)
         "docs_text_norm": r"""
             WITH aug AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

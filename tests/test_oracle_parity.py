@@ -82,6 +82,8 @@ SUBSET = [
     "docs_text_norm",
     "docs_containment",
     "docs_ngram_novelty",
+    "embeddings_cluster_stability",
+    "docs_length_corr",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

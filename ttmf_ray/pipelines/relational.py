@@ -2026,3 +2026,65 @@ def docs_ngram_novelty(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ngram_novelty(ds, ngram=3)
+
+
+def embeddings_cluster_stability(sf_dir: str) -> pd.DataFrame:
+    """Adjusted Rand Index between two seed-628/629 k-means runs — the
+    are-the-clusters-real audit (stages/cluster.py:
+    cluster_stability_ari; exact integer pair sums, one float chain)."""
+    from ..stages.cluster import cluster_stability_ari
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cluster_stability_ari(ds, k=8, n_iter=4)
+
+
+def docs_length_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-source Pearson correlation between character and token
+    counts — the sanity check behind length-based quality bands; all
+    five regression sums are exact integers through one tiny groupby,
+    r is one fixed-order float chain rounded at 6 dp."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.text import _as_array, _split_flat
+
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        tx = _as_array(t.column("text"))
+        flat, didx, n = _split_flat(tx, r"[ \t\n\r\f\v]+")
+        keep = flat != ""
+        import pyarrow.compute as pc
+
+        x = pc.utf8_length(tx).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = np.bincount(didx[keep], minlength=n).astype(np.int64)
+        usrc, inv = np.unique(src, return_inverse=True)
+
+        def seg(v):
+            return np.bincount(inv, weights=v,
+                               minlength=len(usrc)).astype(np.int64)
+
+        return pa.table({
+            "source": pa.array(usrc, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=len(usrc))
+                          .astype(np.int64)),
+            "sx": pa.array(seg(x)), "sy": pa.array(seg(y)),
+            "sxy": pa.array(seg(x * y)), "sxx": pa.array(seg(x * x)),
+            "syy": pa.array(seg(y * y))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]])
+           .to_pandas()).sort_values("source").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
+    sxy = agg["sxy"].to_numpy(np.float64)
+    sxx, syy = agg["sxx"].to_numpy(np.float64), agg["syy"].to_numpy(np.float64)
+    r = np.round((n * sxy - sx * sy)
+                 / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    out = pd.DataFrame({
+        "source": agg["source"], "n": agg["n"].astype(np.int64),
+        "r": r})
+    return out

@@ -650,3 +650,57 @@ def spherical_kmeans(ds, *, k: int = 8, n_iter: int = 4,
     nds = ds.map_batches(norm_b, batch_format="pyarrow")
     return kmeans(nds, k=k, n_iter=n_iter, seed=seed, id_col=id_col,
                   vec_col=vec_col, driver_max=driver_max)
+
+
+def cluster_stability_ari(ds, *, k: int = 8, n_iter: int = 4,
+                          seed_a: int = 628, seed_b: int = 629,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> pd.DataFrame:
+    """Clustering-stability audit: the Adjusted Rand Index between two
+    k-means runs that differ ONLY in their init seed — near-1 means the
+    structure is real, near-0 means the clusters are init artifacts
+    (the standard pre-SemDeDup sanity check).
+
+    Both runs are the quantized-iteration :func:`kmeans`; the
+    contingency counts and all three pair sums are exact integers, and
+    the final ARI is one fixed-order float expression rounded at 6 dp
+    (identical in the SQL twin's two tagged CTE chains).  Output: one
+    row (k, n, sum_comb, sum_a, sum_b, ari)."""
+    from ..functions.joins import hash_join
+
+    ds = ds.materialize()
+    asg_a, _ = kmeans(ds, k=k, n_iter=n_iter, seed=seed_a,
+                      id_col=id_col, vec_col=vec_col)
+    asg_b, _ = kmeans(ds, k=k, n_iter=n_iter, seed=seed_b,
+                      id_col=id_col, vec_col=vec_col)
+
+    def tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                             name: t.column("cluster").cast(pa.int64())})
+        return fn
+
+    j = hash_join(asg_a.map_batches(tag("ca"), batch_format="pyarrow"),
+                  asg_b.map_batches(tag("cb"), batch_format="pyarrow"),
+                  on=id_col).to_pandas()
+    ca = j["ca"].to_numpy(np.int64)
+    cb = j["cb"].to_numpy(np.int64)
+    n = len(j)
+    nij = np.zeros((k, k), np.int64)
+    np.add.at(nij, (ca, cb), 1)
+    ai = nij.sum(axis=1)
+    bj = nij.sum(axis=0)
+
+    def comb2(x):
+        return int((x.astype(np.int64) * (x - 1) // 2).sum())
+
+    sum_comb = comb2(nij.ravel())
+    sum_a, sum_b = comb2(ai), comb2(bj)
+    cn = n * (n - 1) // 2
+    exp = (float(sum_a) * float(sum_b)) / float(cn) if cn else 0.0
+    denom = 0.5 * (sum_a + sum_b) - exp
+    ari = round((sum_comb - exp) / denom, 6) if denom != 0 else 1.0
+    return pd.DataFrame([{
+        "k": np.int64(k), "n": np.int64(n),
+        "sum_comb": np.int64(sum_comb), "sum_a": np.int64(sum_a),
+        "sum_b": np.int64(sum_b), "ari": ari}])
