@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_novelty": rel.docs_ngram_novelty,
         "embeddings_cluster_stability": rel.embeddings_cluster_stability,
         "docs_length_corr": rel.docs_length_corr,
+        "kg_degree_powerlaw": cq.kg_degree_powerlaw,
+        "kg_reciprocity": cq.kg_reciprocity,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -4649,6 +4651,40 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cluster_stability": _ari_sql(),
         # per-source Pearson r from exact integer regression sums
         "docs_length_corr": _LENGTH_CORR_SQL,
+        # KG out-degree power-law OLS over the top-100 hubs
+        "kg_degree_powerlaw": f"""
+            WITH edges AS ({_IDMAPPED_SQL}),
+            dg AS (SELECT h, count(*)::BIGINT AS deg FROM edges
+                   GROUP BY h),
+            rk AS (SELECT deg, row_number() OVER (ORDER BY deg DESC, h)
+                       AS rn
+                   FROM dg),
+            top AS (SELECT ln(rn::DOUBLE) AS x, ln(deg::DOUBLE) AS y
+                    FROM rk WHERE rn <= 100),
+            s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx
+                  FROM top)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   ROUND((sy - (n * sxy - sx * sy)
+                               / (n * sxx - sx * sx) * sx) / n, 6)
+                       AS intercept
+            FROM s
+        """,
+        # per-relation reciprocity vs the distinct reversed-pair set
+        "kg_reciprocity": f"""
+            WITH edges AS ({_IDMAPPED_SQL}),
+            dd AS (SELECT DISTINCT h, t FROM edges)
+            SELECT e.r, count(*)::BIGINT AS n_edges,
+                   sum(CASE WHEN dd.h IS NOT NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_reciprocal,
+                   ROUND(sum(CASE WHEN dd.h IS NOT NULL THEN 1 ELSE 0
+                             END) / count(*)::DOUBLE, 6) AS reciprocity
+            FROM edges e LEFT JOIN dd ON dd.h = e.t AND dd.t = e.h
+            GROUP BY e.r ORDER BY e.r
+        """,
         # whitespace/case canonicalization (augmentation both engines)
         "docs_text_norm": r"""
             WITH aug AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

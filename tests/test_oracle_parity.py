@@ -84,6 +84,8 @@ SUBSET = [
     "docs_ngram_novelty",
     "embeddings_cluster_stability",
     "docs_length_corr",
+    "kg_degree_powerlaw",
+    "kg_reciprocity",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

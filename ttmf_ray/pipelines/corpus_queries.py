@@ -1222,3 +1222,52 @@ def media_frame_sample(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: np.int64 for c in
                        ("media_id", "frame_idx", "width", "height")}) \
         .sort_values(["media_id", "frame_idx"], ignore_index=True)
+
+
+def kg_degree_powerlaw(sf_dir: str) -> pd.DataFrame:
+    """Power-law fit of the KG out-degree distribution: OLS of
+    ln(out-degree) on ln(rank) over the 100 highest-degree entities
+    (rank by degree DESC, id ASC) — the hub-skew diagnostic behind the
+    frontier caps and hot-key salting.  Same quantize-and-fixed-order
+    OLS as docs_zipf_fit; counts are exact integers through one
+    degree groupby."""
+    _ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    deg = ids.groupby("h", as_index=False).size() \
+        .rename(columns={"size": "deg"})
+    deg = deg.sort_values(["deg", "h"], ascending=[False, True],
+                          ignore_index=True).head(100)
+    n = float(len(deg))
+    x = np.log(np.arange(1, len(deg) + 1, dtype=np.float64))
+    y = np.log(deg["deg"].to_numpy(np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame([{
+        "n_terms": np.int64(len(deg)),
+        "slope": round(slope, 6),
+        "intercept": round((sy - slope * sx) / n, 6)}])
+
+
+def kg_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Per-relation reciprocity: the fraction of (h, t) edges whose
+    reversed pair (t, h) exists under ANY relation — the
+    symmetric-leakage profile complementing kg_inverse_relations.
+    Membership = one packed-key searchsorted against the broadcast
+    distinct-pair set; integer counts, one rounded division."""
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    assert len(ent_df) < (1 << 31)
+    h = ids["h"].to_numpy(np.int64)
+    t = ids["t"].to_numpy(np.int64)
+    r = ids["r"].to_numpy(np.int64)
+    keys = np.unique((h << 31) | t)
+    rev = (t << 31) | h
+    pos = np.clip(np.searchsorted(keys, rev), 0, len(keys) - 1)
+    hit = (keys[pos] == rev).astype(np.int64)
+    ur, inv = np.unique(r, return_inverse=True)
+    n_edges = np.bincount(inv, minlength=len(ur)).astype(np.int64)
+    n_rec = np.bincount(inv, weights=hit,
+                        minlength=len(ur)).astype(np.int64)
+    return pd.DataFrame({
+        "r": ur, "n_edges": n_edges, "n_reciprocal": n_rec,
+        "reciprocity": np.round(n_rec / n_edges.astype(np.float64), 6),
+    }).sort_values("r").reset_index(drop=True)
