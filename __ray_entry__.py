@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_corr": rel.docs_length_corr,
         "kg_degree_powerlaw": cq.kg_degree_powerlaw,
         "kg_reciprocity": cq.kg_reciprocity,
+        "docs_oov_rate": rel.docs_oov_rate,
+        "embeddings_norm_stats": rel.embeddings_norm_stats,
         # (events_sessions registered below with the corpus queries)
         # --- rows-only: corpus phase A/B + near-dup + ANN scale path ----
         "pages_extract": cq.pages_extract,
@@ -4651,6 +4653,54 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cluster_stability": _ari_sql(),
         # per-source Pearson r from exact integer regression sums
         "docs_length_corr": _LENGTH_CORR_SQL,
+        # per-doc OOV rate against the broadcast top-1000 vocabulary
+        "docs_oov_rate": """
+            WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                              unnest(regexp_extract_all(lower(text),
+                                                        '[0-9a-z_]+'))
+                                  AS token
+                       FROM documents),
+            wc AS (SELECT token, count(*) AS cnt FROM w GROUP BY token),
+            top AS (SELECT token FROM wc
+                    ORDER BY cnt DESC, token LIMIT 1000),
+            sc AS (SELECT w.doc_id, count(*)::BIGINT AS n_words,
+                          sum(CASE WHEN t.token IS NULL THEN 1 ELSE 0
+                              END)::BIGINT AS n_oov
+                   FROM w LEFT JOIN top t USING (token)
+                   GROUP BY w.doc_id)
+            SELECT d.doc_id, COALESCE(sc.n_words, 0) AS n_words,
+                   COALESCE(sc.n_oov, 0) AS n_oov,
+                   ROUND(COALESCE(sc.n_oov, 0)
+                         / greatest(COALESCE(sc.n_words, 0), 1)::DOUBLE,
+                         6) AS oov_rate
+            FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id
+                  FROM documents) d
+            LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id
+        """,
+        # per-vector L2 norm (round-6) + lower-disc quartile band
+        "embeddings_norm_stats": """
+            WITH nm AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                               ROUND(sqrt(list_inner_product(
+                                   embedding::DOUBLE[],
+                                   embedding::DOUBLE[])), 6) AS norm
+                        FROM embeddings),
+            n AS (SELECT count(*) AS n FROM nm),
+            o AS (SELECT norm AS v,
+                         row_number() OVER (ORDER BY norm) - 1 AS rk
+                  FROM nm),
+            e AS (SELECT max(CASE WHEN rk = (n - 1) // 4 THEN v END)
+                             AS e25,
+                         max(CASE WHEN rk = (n - 1) // 2 THEN v END)
+                             AS e50,
+                         max(CASE WHEN rk = (3 * (n - 1)) // 4 THEN v
+                             END) AS e75
+                  FROM o, n)
+            SELECT nm.vec_id, nm.norm,
+                   CAST(1 + (nm.norm > e.e25)::INT
+                        + (nm.norm > e.e50)::INT
+                        + (nm.norm > e.e75)::INT AS BIGINT) AS band
+            FROM nm, e ORDER BY vec_id
+        """,
         # KG out-degree power-law OLS over the top-100 hubs
         "kg_degree_powerlaw": f"""
             WITH edges AS ({_IDMAPPED_SQL}),

@@ -86,6 +86,8 @@ SUBSET = [
     "docs_length_corr",
     "kg_degree_powerlaw",
     "kg_reciprocity",
+    "docs_oov_rate",
+    "embeddings_norm_stats",
     "docs_clean_corpus",
     "kg_graph_features",
     "kg_graph_features_sym",

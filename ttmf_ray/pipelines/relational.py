@@ -2088,3 +2088,84 @@ def docs_length_corr(sf_dir: str) -> pd.DataFrame:
         "source": agg["source"], "n": agg["n"].astype(np.int64),
         "r": r})
     return out
+
+
+def docs_oov_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus top-1000 words
+    (cnt DESC, token tie-break) — the per-document face of the corpus-
+    level docs_ngram_coverage curve.  Vocab = one count groupby,
+    broadcast once; scoring is a stateless factorize + searchsorted
+    pass."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast
+    from ..stages.classify import _doc_words
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        flat, _, _ = _doc_words(t.column("text"))
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    wc = (ds.map_batches(counts, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+          .to_pandas())
+    top = wc.sort_values(["cnt", "token"], ascending=[False, True],
+                         ignore_index=True).head(1000)
+    vocab = np.sort(top["token"].to_numpy(dtype=object))
+    bc = Broadcast(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        v = bc.get()
+        flat, didx, n = _doc_words(t.column("text"))
+        n_tok = np.bincount(didx, minlength=n).astype(np.int64)
+        if len(flat) and len(v):
+            pos = np.clip(np.searchsorted(v, flat), 0, len(v) - 1)
+            oov = (v[pos] != flat).astype(np.int64)
+            n_oov = np.bincount(didx, weights=oov,
+                                minlength=n).astype(np.int64)
+        else:
+            n_oov = n_tok.copy()
+        rate = np.round(n_oov / np.maximum(n_tok, 1).astype(np.float64),
+                        6)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(n_tok),
+            "n_oov": pa.array(n_oov),
+            "oov_rate": pa.array(rate, pa.float64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.astype({c: np.int64 for c in
+                       ["doc_id", "n_words", "n_oov"]}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def embeddings_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-vector L2 norm (round-6) + quartile band by the lower-
+    discrete rule — the embedding-hygiene audit run before cosine
+    search (unnormalized outliers dominate dot products).  One
+    stateless pass + a norms-sized collect for the band edges (the
+    exact-quantile stage is the scale path)."""
+    from ..stages.ann import list_col_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        V = list_col_matrix(t.column("embedding")).astype(np.float64)
+        nm = np.round(np.sqrt((V ** 2).sum(axis=1)), 6)
+        return pa.table({"vec_id": t.column("vec_id").cast(pa.int64()),
+                         "norm": pa.array(nm, pa.float64())})
+
+    df = ds.map_batches(norms, batch_format="pyarrow").to_pandas()
+    v = df["norm"].to_numpy(np.float64)
+    s = np.sort(v)
+    n = len(s)
+    edges = [s[(n - 1) // 4], s[(n - 1) // 2], s[(3 * (n - 1)) // 4]]
+    band = np.ones(n, np.int64)
+    for e in edges:
+        band += (v > e)
+    out = pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
+                        "norm": v, "band": band})
+    return out.sort_values("vec_id").reset_index(drop=True)
