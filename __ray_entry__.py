@@ -2619,11 +2619,17 @@ def _ari_sql(k: int = 8, n_iter: int = 4, seed_a: int = 628,
                SELECT sum(nij) AS s FROM ct GROUP BY cb))
     SELECT CAST({k} AS BIGINT) AS k, n.n, sc.sum_comb, sa.sum_a,
            sb.sum_b,
-           ROUND((sc.sum_comb - (sa.sum_a::DOUBLE * sb.sum_b)
-                                / (n.n * (n.n - 1) // 2))
-                 / (0.5 * (sa.sum_a + sb.sum_b)
-                    - (sa.sum_a::DOUBLE * sb.sum_b)
-                      / (n.n * (n.n - 1) // 2)), 6) AS ari
+           -- degenerate single-cluster case: denom = 0 → ARI defined as
+           -- 1.0 (identical partitions), matching the driver fallback in
+           -- stages/cluster.py:cluster_stability_ari
+           ROUND(CASE WHEN (0.5 * (sa.sum_a + sb.sum_b)
+                            - (sa.sum_a::DOUBLE * sb.sum_b)
+                              / (n.n * (n.n - 1) // 2)) = 0 THEN 1.0
+                 ELSE (sc.sum_comb - (sa.sum_a::DOUBLE * sb.sum_b)
+                                     / (n.n * (n.n - 1) // 2))
+                      / (0.5 * (sa.sum_a + sb.sum_b)
+                         - (sa.sum_a::DOUBLE * sb.sum_b)
+                           / (n.n * (n.n - 1) // 2)) END, 6) AS ari
     FROM n, sc, sa, sb
     """
 
@@ -3545,8 +3551,8 @@ _FERTILITY_TAIL = """,
                                             '[0-9a-z_]+')) AS word
            FROM documents),
     agg AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
-                   sum(wn.n_syms)::BIGINT AS n_pieces
-            FROM dw JOIN wn USING (word) GROUP BY dw.doc_id)
+                   sum(COALESCE(wn.n_syms, 0))::BIGINT AS n_pieces
+            FROM dw LEFT JOIN wn USING (word) GROUP BY dw.doc_id)
     SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
            COALESCE(agg.n_pieces, 0) AS n_pieces,
            ROUND(CASE WHEN COALESCE(agg.n_words, 0) > 0

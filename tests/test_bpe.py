@@ -37,6 +37,14 @@ def test_pair_counts_do_not_cross_words():
     assert got == {("a", "b"): 1, ("b", "a"): 1}
 
 
+def _as_wc_ds(wdf: pd.DataFrame):
+    import ray.data as rd
+
+    from ttmf_ray.context import spread
+
+    return spread(rd.from_pandas(wdf))
+
+
 def test_dataset_path_matches_driver_path(ray_session):
     rng = np.random.default_rng(7)
     vocab = ["".join(rng.choice(list("abcdef_"), size=rng.integers(2, 9)))
@@ -45,7 +53,29 @@ def test_dataset_path_matches_driver_path(ray_session):
     wdf["cnt"] = (np.arange(len(wdf), dtype=np.int64) % 17) + 1
     drv = learn_bpe_arrays(wdf["word"].to_numpy(dtype=object),
                            wdf["cnt"].to_numpy(np.int64), 6)
-    dist = _learn_bpe_dataset(wdf, 6)
+    dist = _learn_bpe_dataset(_as_wc_ds(wdf), 6)
+    pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_learn_bpe_dataset_native_end_to_end(ray_session):
+    """The public entry above ``driver_max`` must never collect the word
+    table: parity of learn_bpe(driver_max=0) (Dataset path, word table
+    'too big' for the driver) vs the driver path on the same docs."""
+    import ray.data as rd
+
+    from ttmf_ray.context import spread
+    from ttmf_ray.stages.bpe import learn_bpe
+
+    rng = np.random.default_rng(19)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [" ".join(rng.choice(
+            ["hug", "pug", "hugs", "bug", "pun", "hun"],
+            size=rng.integers(3, 12))) for _ in range(60)],
+    })
+    ds = spread(rd.from_pandas(docs))
+    drv = learn_bpe(ds, k=6, driver_max=10**9)
+    dist = learn_bpe(ds, k=6, driver_max=0)
     pd.testing.assert_frame_equal(drv, dist)
 
 
@@ -67,7 +97,8 @@ def test_encode_words_paths_match(ray_session):
         "encoded": pd.Series(syms).groupby(wid).agg(" ".join)
         .reindex(np.arange(len(wdf))).to_numpy(),
     })
-    dist = _encode_dataset(wdf, 5).sort_values("word", ignore_index=True)
+    dist = _encode_dataset(_as_wc_ds(wdf), 5) \
+        .sort_values("word", ignore_index=True)
     pd.testing.assert_frame_equal(drv, dist.astype(drv.dtypes.to_dict()))
     # every encoded sequence rebuilds its word
     assert (dist["encoded"].str.replace(" ", "") == dist["word"]).all()

@@ -169,12 +169,12 @@ def learn_bpe(docs_ds, *, text_col: str = "text", k: int = 8,
     symbol table stays a Dataset and each round is one pair-count pass
     (per-batch combiner, tiny collected pair table) + one broadcast
     merge apply, materialized so round r+1 never re-runs round r."""
-    wc = word_counts(docs_ds, text_col=text_col)
-    wdf = wc.to_pandas().sort_values("word", ignore_index=True)
-    if len(wdf) <= driver_max:
+    wc = word_counts(docs_ds, text_col=text_col).materialize()
+    if wc.count() <= driver_max:
+        wdf = wc.to_pandas().sort_values("word", ignore_index=True)
         return learn_bpe_arrays(wdf["word"].to_numpy(dtype=object),
                                 wdf["cnt"].to_numpy(np.int64), k)
-    return _learn_bpe_dataset(wdf, k)
+    return _learn_bpe_dataset(wc, k)
 
 
 def _encode_state(words, counts: np.ndarray, k: int):
@@ -204,9 +204,9 @@ def encode_words(docs_ds, *, text_col: str = "text", k: int = 8,
     Same driver/Dataset split as learn_bpe; the Dataset path applies
     each round's winner as a broadcast map_batches pass and joins the
     per-word symbol lists at the end (parity pinned in test_bpe.py)."""
-    wc = word_counts(docs_ds, text_col=text_col)
-    wdf = wc.to_pandas().sort_values("word", ignore_index=True)
-    if len(wdf) <= driver_max:
+    wc = word_counts(docs_ds, text_col=text_col).materialize()
+    if wc.count() <= driver_max:
+        wdf = wc.to_pandas().sort_values("word", ignore_index=True)
         words = wdf["word"].to_numpy(dtype=object)
         syms, wid = _encode_state(words, wdf["cnt"].to_numpy(np.int64), k)
         enc = pd.Series(syms).groupby(wid).agg(" ".join)
@@ -217,23 +217,36 @@ def encode_words(docs_ds, *, text_col: str = "text", k: int = 8,
             "n_syms": n_syms,
             "encoded": enc.reindex(np.arange(len(wdf))).to_numpy(),
         })
-    ds = _encode_dataset(wdf, k)
-    return ds.sort_values("word", ignore_index=True)
+    out = _encode_dataset(wc, k)
+    return out.sort_values("word", ignore_index=True)
 
 
-def _encode_dataset(wdf: pd.DataFrame, k: int) -> pd.DataFrame:
+def _syms_init(t: pa.Table, *, keep_word: bool) -> pa.Table:
+    """(word, cnt) batch → (syms list<string>, cnt [, word]) — the
+    initial one-character symbol lists, built flat (one join + offsets),
+    never a Python per-row list-of-lists."""
+    words = t.column("word").to_pylist()
+    joined = "".join(words)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                       count=len(words))
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(list(joined), pa.string()))
+    cols = {"syms": arr, "cnt": t.column("cnt").cast(pa.int64())}
+    if keep_word:
+        cols["word"] = t.column("word")
+    return pa.table(cols)
+
+
+def _encode_dataset(wc_ds, k: int) -> pd.DataFrame:
     """Scale path of encode_words: the _learn_bpe_dataset round loop,
-    returning the final per-word symbol lists instead of the merges."""
-    import ray.data as rd
-
-    from ..context import spread
-
-    start = pd.DataFrame({
-        "word": wdf["word"].to_numpy(dtype=object),
-        "syms": [list(w) for w in wdf["word"]],
-        "cnt": wdf["cnt"].to_numpy(np.int64),
-    })
-    ds = spread(rd.from_pandas(start)).materialize()
+    returning the final per-word symbol lists instead of the merges.
+    ``wc_ds`` is the (word, cnt) Dataset — it is never collected; the
+    symbol table stays distributed through every round."""
+    ds = wc_ds.map_batches(
+        lambda t: _syms_init(t, keep_word=True),
+        batch_format="pyarrow").materialize()
     for _step in range(1, k + 1):
         partial = ds.map_batches(_count_batch,
                                  batch_format="pyarrow").to_pandas()
@@ -270,19 +283,14 @@ class _ApplyMergeKeep(_ApplyMerge):
         return out.append_column("word", t.column("word"))
 
 
-def _learn_bpe_dataset(wdf: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Scale path over the symbol Dataset (wdf may itself arrive as a
-    Dataset at true scale — the pandas hop here mirrors the collected
-    driver table so both paths share one entry point for parity tests)."""
-    import ray.data as rd
-
-    from ..context import spread
-
-    start = pd.DataFrame({
-        "syms": [list(w) for w in wdf["word"]],
-        "cnt": wdf["cnt"].to_numpy(np.int64),
-    })
-    ds = spread(rd.from_pandas(start)).materialize()
+def _learn_bpe_dataset(wc_ds, k: int) -> pd.DataFrame:
+    """Scale path over the symbol Dataset.  ``wc_ds`` is the (word, cnt)
+    Dataset straight from the groupby — it never touches the driver; the
+    per-round pair-count collect is combiner-reduced and pair-alphabet
+    sized, and the merge table returned is K rows."""
+    ds = wc_ds.map_batches(
+        lambda t: _syms_init(t, keep_word=False),
+        batch_format="pyarrow").materialize()
     rows = []
     for step in range(1, k + 1):
         partial = ds.map_batches(_count_batch,

@@ -82,17 +82,42 @@ def fit_nb_quality(docs_ds, *, text_col: str = "text",
                          "c0": pa.array([len(is_pos) - n1], pa.int64())})
         return pa.concat_tables([out, sent])
 
+    # distributed prune BEFORE the collect (same pattern as
+    # fit_unigram_lm / chi2_terms): groupby blocks partition the token
+    # domain, so per-block top-k by the global key (c1+c0 DESC, token
+    # ASC) is lossless, and the class token totals ride along as one
+    # "\x1etot" sentinel per block.  The doc-count sentinel (token "")
+    # passes through untouched.  Only ≤ (vocab_k+2)·n_blocks rows reach
+    # the driver.
+    def block_topk(t: pa.Table) -> pa.Table:
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        c1 = t.column("c1").to_numpy().astype(np.int64)
+        c0 = t.column("c0").to_numpy().astype(np.int64)
+        real = tok != ""
+        docs = ~real
+        cnt = c1 + c0
+        order = np.flatnonzero(real)[
+            np.lexsort((tok[real], -cnt[real]))[:vocab_k]]
+        keep = np.concatenate([order, np.flatnonzero(docs)])
+        return pa.table({
+            "token": pa.array(np.append(tok[keep], ["\x1etot"]),
+                              pa.string()),
+            "c1": pa.array(np.append(c1[keep], [c1[real].sum()])),
+            "c0": pa.array(np.append(c0[keep], [c0[real].sum()]))})
+
     counts = (docs_ds.map_batches(partial, batch_format="pyarrow")
               .groupby("token")
               .aggregate(Sum("c1", alias_name="c1"),
                          Sum("c0", alias_name="c0"))
+              .map_batches(block_topk, batch_format="pyarrow")
               .to_pandas())
     sent = counts["token"] == ""
+    tot = counts["token"] == "\x1etot"
     n_docs1 = int(counts.loc[sent, "c1"].sum())
     n_docs0 = int(counts.loc[sent, "c0"].sum())
-    counts = counts[~sent]
-    n1 = int(counts["c1"].sum())
-    n0 = int(counts["c0"].sum())
+    n1 = int(counts.loc[tot, "c1"].sum())
+    n0 = int(counts.loc[tot, "c0"].sum())
+    counts = counts[~sent & ~tot]
     counts = counts.assign(cnt=counts["c1"] + counts["c0"])
     top = counts.sort_values(["cnt", "token"],
                              ascending=[False, True]).head(vocab_k)

@@ -330,13 +330,24 @@ class MinHashLSH:
         # doc (same (a·x+b) mod M fold, empty doc → all-MERSENNE)
         flat, lens = batch_shingle_hashes(batch.column(self.text_col),
                                           self.ngram)
-        sigs = np.full((n, self.k), _MERSENNE, dtype=np.int64)
+        # zero-shingle docs (fewer than `ngram` words) are SKIPPED, not
+        # bucketed: their all-MERSENNE signatures would pair every such
+        # doc with est_j=1.0, while the SQL mirror's sig/bh CTEs derive
+        # from the shingle table and never see them — dropping them here
+        # makes both engines agree by construction (ADVICE r2).
         nz = lens > 0
-        if nz.any():
-            starts = (np.cumsum(lens) - lens)[nz]
-            for j in range(self.k):
-                v = (self.a[j] * flat + self.b[j]) % _MERSENNE
-                sigs[nz, j] = np.minimum.reduceat(v, starts)
+        if not nz.all():
+            ids = ids[nz]
+            n = len(ids)
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        sigs = np.empty((n, self.k), dtype=np.int64)
+        starts = (np.cumsum(lens) - lens)[nz]
+        for j in range(self.k):
+            v = (self.a[j] * flat + self.b[j]) % _MERSENNE
+            sigs[:, j] = np.minimum.reduceat(v, starts)
         # band hash = mix64(band, sig values of the band) — one vectorized
         # chain over all (doc, band) rows
         S = sigs.reshape(n, self.n_bands, r)
@@ -352,7 +363,8 @@ class MinHashLSH:
 
 
 def candidate_pairs(bucket_rows, *, cap: int = 50,
-                    new_from: int | None = None):
+                    new_from: int | None = None,
+                    with_stats: bool = False):
     """(band, band_hash, doc_id) rows → distinct candidate (a, b) pairs.
 
     Shape: hash-partition on the bucket key (the one shuffle — signature
@@ -375,6 +387,15 @@ def candidate_pairs(bucket_rows, *, cap: int = 50,
     filter: store the existing corpus's (band, band_hash) rows as
     band_hash-partitioned parquet and read only partitions the new
     shard's bucket keys hit (the IVF-on-parquet pattern in stages/ann.py).
+
+    ``with_stats=True`` returns ``(pairs, stats)`` where ``stats`` is a
+    one-row DataFrame (n_buckets, n_capped, max_bucket) — the "no silent
+    caps" contract (the chain fallback past ``cap`` is otherwise
+    invisible): n_capped > 0 means some buckets emitted consecutive-chain
+    pairs instead of all pairs, so near-dup RECALL within those buckets
+    is connectivity-only.  Counters ride the same map_groups pass as
+    sentinel rows (a = -1; doc ids are never negative), so no second
+    pass over the bucket rows.
     """
     from ..context import num_cpus
 
@@ -403,6 +424,7 @@ def candidate_pairs(bucket_rows, *, cap: int = 50,
         ends = np.append(starts[1:], n)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
+        n_buckets = n_capped = max_bucket = 0
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
@@ -412,29 +434,56 @@ def candidate_pairs(bucket_rows, *, cap: int = 50,
                 continue
             if new_from is not None and seg[-1] < new_from:
                 continue  # bucket untouched by the new shard
+            n_buckets += 1
+            max_bucket = max(max_bucket, m)
             if m <= cap:
                 ii, jj = np.triu_indices(m, 1)
                 pa_, pb_ = seg[ii], seg[jj]
             else:
                 # degenerate hot bucket: consecutive pairs only — keeps the
                 # connectivity union-find needs, linear output not quadratic
+                n_capped += 1
                 pa_, pb_ = seg[:-1], seg[1:]
             if new_from is not None:
                 keep_new = pb_ >= new_from
                 pa_, pb_ = pa_[keep_new], pb_[keep_new]
             out_a.append(pa_)
             out_b.append(pb_)
+        if with_stats:
+            # per-partition counter sentinels: a = -1/-2/-3 carry
+            # (n_buckets, n_capped, max_bucket) in b
+            out_a.append(np.array([-1, -2, -3], dtype=np.int64))
+            out_b.append(np.array([n_buckets, n_capped, max_bucket],
+                                  dtype=np.int64))
         if not out_a:
             return empty
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
-    pairs = (
+    raw = (
         bucket_rows.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pandas")
     )
-    return distinct_rows(pairs, ["a", "b"])
+    if not with_stats:
+        return distinct_rows(raw, ["a", "b"])
+
+    import pyarrow.compute as pc
+
+    raw = raw.materialize()
+    stats = raw.map_batches(
+        lambda t: t.filter(pc.less(t.column("a"), 0)),
+        batch_format="pyarrow").to_pandas()
+    pairs = raw.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("a"), 0)),
+        batch_format="pyarrow")
+    stats_row = pd.DataFrame({
+        "n_buckets": [int(stats.loc[stats["a"] == -1, "b"].sum())],
+        "n_capped": [int(stats.loc[stats["a"] == -2, "b"].sum())],
+        "max_bucket": [int(stats.loc[stats["a"] == -3, "b"].max())
+                       if (stats["a"] == -3).any() else 0],
+    })
+    return distinct_rows(pairs, ["a", "b"]), stats_row
 
 
 def jaccard_of_texts(ta: str, tb: str, ngram: int = 3) -> float:

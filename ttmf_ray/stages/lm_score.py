@@ -56,10 +56,29 @@ def fit_unigram_lm(docs_ds, *, text_col: str = "text",
         return pa.table({"token": pa.array(uniq, pa.string()),
                          "cnt": pa.array(cnt)})
 
-    counts = (docs_ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
-              .to_pandas())
-    total = int(counts["cnt"].sum())
+    # distributed prune BEFORE the collect: the groupby output blocks
+    # partition the token domain, so a per-block top-k by the global
+    # ranking key (cnt DESC, token ASC) is lossless for the global
+    # top-k, and the grand total rides along as one sentinel row per
+    # block (token "" never occurs — _doc_tokens drops empties).  Only
+    # ≤ (vocab_k+1)·n_blocks rows ever reach the driver; the full
+    # token-count table (token-domain sized at web scale) stays
+    # distributed.
+    def block_topk(t: pa.Table) -> pa.Table:
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy().astype(np.int64)
+        order = np.lexsort((tok, -cnt))[:vocab_k]
+        return pa.table({
+            "token": pa.array(np.append(tok[order], [""]), pa.string()),
+            "cnt": pa.array(np.append(cnt[order], [cnt.sum()]))})
+
+    parts = (docs_ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+             .map_batches(block_topk, batch_format="pyarrow")
+             .to_pandas())
+    sent = parts["token"] == ""
+    total = int(parts.loc[sent, "cnt"].sum())
+    counts = parts[~sent]
     top = counts.sort_values(["cnt", "token"],
                              ascending=[False, True]).head(vocab_k)
     v = len(top)
