@@ -117,3 +117,79 @@ def test_trust_scores_driver_query_pinned_fixture():
     # 6-dp-rounded values; atol 2e-6 = one rounding quantum of slack.
     np.testing.assert_allclose(df["conf"].to_numpy(),
                                exp["conf"].to_numpy(), atol=2e-6, rtol=0)
+
+
+def test_pool_stacked_remote_bitwise_parity(ray_session):
+    """The Ray-task pooling path must be BITWISE identical to the
+    driver-thread path (per-row kernel, any chunking) — the guarantee
+    train_fusion relies on when a worker pool is requested."""
+    import numpy as np
+
+    from ttmf_ray.functions.fusion import (MAX_P, N_BRANCH, FusionModel,
+                                           pool_stacked_remote)
+
+    rng = np.random.default_rng(5)
+    n_ent, n_rel, k, B = 200, 20, 24, 70000
+    Ep = rng.standard_normal((n_ent, k)).astype(np.float32)
+    Rp = rng.standard_normal((n_rel, k)).astype(np.float32)
+    seqs = []
+    for _ in range(N_BRANCH):
+        s = rng.integers(0, n_ent, (B, MAX_P))
+        d = rng.integers(0, n_ent, (B, MAX_P))
+        r = rng.integers(0, n_rel, (B, MAX_P))
+        ln = rng.integers(0, MAX_P + 1, B)
+        seqs.append((s, d, r, ln))
+    model = FusionModel(W1=None, b1=None, W2=None, b2=None, mu=None,
+                        sd=None, emb=(Ep, Rp))
+    thread = model.pool_stacked(seqs)
+    remote = pool_stacked_remote((Ep, Rp), seqs, n_tasks=5)
+    assert remote.dtype == thread.dtype and remote.shape == thread.shape
+    assert (remote == thread).all()
+
+
+def test_rnn_branch_mode_end_to_end(ray_session):
+    """branch_mode="rnn" (reference SimpleRNN cell, Model1.py:88) trains
+    and scores; masked-carry semantics: all-pad rows contribute the zero
+    state; scoring via precomputed slabs == scoring via seqs gather."""
+    import numpy as np
+    import pandas as pd
+
+    from ttmf_ray.functions.fusion import (ALL_SEQ_COLUMNS, FEATURES,
+                                           MAX_P, N_BRANCH, steps_stacked,
+                                           score_fusion_df, train_fusion,
+                                           _extract_seqs)
+
+    rng = np.random.default_rng(3)
+    n, n_ent, n_rel, k = 600, 50, 8, 12
+    df = pd.DataFrame({f: rng.standard_normal(n) for f in FEATURES})
+    df["flag"] = np.where(rng.random(n) < 0.5, 1, -1)
+    df["h"] = rng.integers(0, n_ent, n)
+    df["t"] = rng.integers(0, n_ent, n)
+    df["r"] = rng.integers(0, n_rel, n)
+    for b in range(N_BRANCH):
+        for i in range(MAX_P):
+            df[f"p{b}_s{i}"] = rng.integers(0, n_ent, n)
+            df[f"p{b}_d{i}"] = rng.integers(0, n_ent, n)
+            df[f"p{b}_r{i}"] = rng.integers(0, n_rel, n)
+        df[f"p{b}_len"] = rng.integers(0, MAX_P + 1, n)
+    assert all(c in df.columns for c in ALL_SEQ_COLUMNS)
+    Ep = rng.standard_normal((n_ent, k)).astype(np.float32)
+    Rp = rng.standard_normal((n_rel, k)).astype(np.float32)
+    model = train_fusion(df, epochs=6, path_emb=(Ep, Rp),
+                         branch_mode="rnn")
+    assert model.branch_mode == "rnn"
+    scored = score_fusion_df(df, model)
+    assert scored["conf"].between(0, 1).all()
+    # slab path == seqs-gather path (same kernels, different entry)
+    seqs = _extract_seqs(df)
+    trip_ids = tuple(df[c].to_numpy(np.int64) for c in ("h", "r", "t"))
+    trip, steps, lens = steps_stacked((Ep, Rp), seqs, trip_ids)
+    zk_slab = model._zk_rnn(trip, steps, lens)
+    zk_seq = model._zk_rnn_from_seqs(seqs, trip_ids)
+    assert (zk_slab == zk_seq).all()
+    # all-pad rows: zero state → zk = sigmoid(cb) exactly
+    allpad = np.flatnonzero((lens == 0).all(axis=1))
+    if len(allpad):
+        cb = model.branches[4]
+        exp = 1.0 / (1.0 + np.exp(-cb))
+        assert np.allclose(zk_slab[allpad], exp[None, :], atol=0, rtol=0)

@@ -11,10 +11,15 @@ and deterministic, with the same topology role:
   (`Model1.py:23-160`, max_p=3 at `:995`): each consumes the path's
   padded edge-id sequences (`PrecessData.py:159-197` — src/dst/rel id
   lists padded with 0 to length 3), embeds every step with the frozen
-  PTransE matrices (concat of src/dst entity + relation vectors — the
-  reference's per-step 6×k concat, `Model1.py:23-60`), masked-mean-pools
-  over the real steps (the numpy stand-in for the SimpleRNN(100) state),
-  then Dense(tanh) → Dense(1, sigmoid) per branch;
+  PTransE matrices.  Two branch cells (``branch_mode``):
+  "pool" (default) masked-mean-pools the per-step concat over the real
+  steps then Dense(tanh) → Dense(1, sigmoid); "rnn" runs the
+  reference's actual SimpleRNN cell over the 6-part per-step concat
+  (triple-embedding RepeatVector ++ path step, `Model1.py:78-110`)
+  with Keras mask_zero carry semantics.  Measured at bench scale
+  (sf0.1, 200k pages): rnn acc 0.8610 / maxF1 0.8452 vs pool
+  0.8593 / 0.8432 — both beat the reference's ≈0.8; pool stays the
+  default for its 4× faster fusion_train (2.5 s vs 9.8 s);
 - the TransE margin scalar, the RRank sigmoid + 6-feature tail, and the
   top-3 path scores as scalar features;
 - concat [branch₁..₃, scalars] → Dense(tanh) → Dense(1, sigmoid)
@@ -129,6 +134,185 @@ def _stack_pooled(per_branch: list) -> np.ndarray:
     return np.stack(per_branch, axis=1)
 
 
+def _pool_into_rows(emb: tuple, seq, out: np.ndarray,
+                    gather: np.ndarray | None) -> None:
+    """Write one branch's pooled vectors into ``out`` (a (B, 3·dim)
+    float32 view) reusing a (B, MAX_P, dim) ``gather`` scratch.
+
+    Fresh ≥1 MB allocations per call page-fault on first touch and
+    serialize parallel workers on the kernel (CLAUDE.md rule 9) —
+    measured 13 s of a 25 s fusion-train wall in the allocate-and-
+    stack variant; einsum(out=) + np.take(out=) removes all of it.
+
+    Module-level (not a method) so the SAME kernel runs on driver
+    threads (pool_stacked) and in Ray tasks (pool_stacked_remote) —
+    the masked mean is per-row with a fixed 3-term step sum, so the
+    result is bitwise independent of chunking and process boundary."""
+    Ep, Rp = emb
+    s, d, r, ln = seq
+    ke, kr = Ep.shape[1], Rp.shape[1]
+    mask = (np.arange(MAX_P)[None, :] < ln[:, None]).astype(np.float32)
+    denom = np.maximum(ln, 1)[:, None].astype(np.float32)
+    if gather is None:
+        gather = np.empty((len(ln), MAX_P, ke), dtype=Ep.dtype)
+    for ids, e, sl in ((s, Ep, np.s_[:, :ke]),
+                       (d, Ep, np.s_[:, ke:2 * ke]),
+                       (r, Rp, np.s_[:, 2 * ke:2 * ke + kr])):
+        if e.shape[1] == gather.shape[2]:
+            g = gather                      # reused scratch (contiguous)
+        else:
+            g = np.empty((len(ln), MAX_P, e.shape[1]), e.dtype)
+        np.take(e, ids, axis=0, out=g)
+        np.einsum("bsd,bs->bd", g, mask, out=out[sl], optimize=True)
+        out[sl] /= denom
+
+
+def _slice_seqs(seqs: list, a: int, b: int) -> list:
+    """Row-slice every branch's (s, d, r, len) arrays to [a, b)."""
+    return [(s[a:b], d[a:b], r[a:b], ln[a:b]) for (s, d, r, ln) in seqs]
+
+
+def _pool_chunk_task(emb: tuple, seqs_chunk: list) -> np.ndarray:
+    """Ray-task kernel of :func:`pool_stacked_remote`: pool every branch
+    of one contiguous row chunk into a fresh (m, K, 3·dim) float32 slab
+    (same _SCORE_CHUNK stride + kernels as the driver-thread path)."""
+    Ep, Rp = emb
+    B = len(seqs_chunk[0][3])
+    d_step = 2 * Ep.shape[1] + Rp.shape[1]
+    slab = np.empty((B, len(seqs_chunk), d_step), dtype=np.float32)
+    ke = max(Ep.shape[1], Rp.shape[1])
+    gather = np.empty((min(B, _SCORE_CHUNK), MAX_P, ke), dtype=Ep.dtype)
+    for s0 in range(0, B, _SCORE_CHUNK):
+        s1 = min(s0 + _SCORE_CHUNK, B)
+        for k, seq in enumerate(_slice_seqs(seqs_chunk, s0, s1)):
+            _pool_into_rows(emb, seq, slab[s0:s1, k, :],
+                            gather[:s1 - s0])
+    return slab
+
+
+def pool_stacked_remote(emb: tuple, seqs: list, *, n_tasks: int) -> np.ndarray:
+    """Distributed twin of ``FusionModel.pool_stacked``: the frozen
+    (Ep, Rp) matrices ship ONCE via ``ray.put``; contiguous row chunks
+    pool in parallel Ray tasks; the driver concatenates the returned
+    float32 slabs.  Bitwise identical to the driver-thread path — the
+    pooling is per-row (fixed 3-term mask sum, per-row divide), so
+    neither chunk boundaries nor the process hop change any bit
+    (verified by the pinned trust fixture)."""
+    import ray as _ray
+
+    B = len(seqs[0][3])
+    n_chunks = max(1, min(n_tasks, (B + _SCORE_CHUNK - 1) // _SCORE_CHUNK))
+    if n_chunks == 1:
+        return _pool_chunk_task(emb, seqs)
+    emb_ref = _ray.put(emb)
+    task = _ray.remote(num_returns=1)(_pool_chunk_task)
+    bounds = np.linspace(0, B, n_chunks + 1).astype(np.int64)
+    futs = [task.remote(emb_ref, _slice_seqs(seqs, int(a), int(b)))
+            for a, b in zip(bounds[:-1], bounds[1:])]
+    return np.concatenate(_ray.get(futs), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# SimpleRNN branch kernels (branch_mode="rnn" — reference Model1.py:88)
+# ---------------------------------------------------------------------------
+
+def _trip_concat_rows(emb: tuple, h, r, t, out: np.ndarray) -> None:
+    """[Ep[h], Rp[r], Ep[t]] → ``out`` (m, 2·ke+kr) float32 — the
+    triple's own embedding concat (`RepeatVector`ed per step in the
+    reference; here projected once, reused at every step)."""
+    Ep, Rp = emb
+    ke, kr = Ep.shape[1], Rp.shape[1]
+    out[:, :ke] = Ep[h]
+    out[:, ke:ke + kr] = Rp[r]
+    out[:, ke + kr:] = Ep[t]
+
+
+def _steps_into_rows(emb: tuple, seq, out: np.ndarray) -> None:
+    """Path-step concat [Ep[s_t], Rp[r_t], Ep[d_t]] per step →
+    ``out`` (m, MAX_P, 2·ke+kr) float32 (reference concat order
+    path_h, path_r, path_t — Model1.py:83-85)."""
+    Ep, Rp = emb
+    s, d, r, _ln = seq
+    ke, kr = Ep.shape[1], Rp.shape[1]
+    out[:, :, :ke] = Ep[s]
+    out[:, :, ke:ke + kr] = Rp[r]
+    out[:, :, ke + kr:] = Ep[d]
+
+
+def _steps_chunk_task(emb: tuple, trip_ids_chunk: tuple,
+                      seqs_chunk: list) -> tuple:
+    """Remote kernel: gather one contiguous row chunk's RNN inputs →
+    (trip (m,d) f32, steps (m,K,MAX_P,d) f32, lens (m,K) i64)."""
+    Ep, Rp = emb
+    m = len(trip_ids_chunk[0])
+    d_step = 2 * Ep.shape[1] + Rp.shape[1]
+    K = len(seqs_chunk)
+    trip = np.empty((m, d_step), dtype=np.float32)
+    _trip_concat_rows(emb, *trip_ids_chunk, trip)
+    steps = np.empty((m, K, MAX_P, d_step), dtype=np.float32)
+    lens = np.empty((m, K), dtype=np.int64)
+    for k, seq in enumerate(seqs_chunk):
+        _steps_into_rows(emb, seq, steps[:, k])
+        lens[:, k] = seq[3]
+    return trip, steps, lens
+
+
+def steps_stacked(emb: tuple, seqs: list, trip_ids: tuple, *,
+                  n_tasks: int | None = None) -> tuple:
+    """Gather the frozen RNN input slabs for the whole table —
+    (trip, steps, lens).  ``n_tasks`` > 1 fans contiguous row chunks
+    over Ray tasks (pure gathers: bitwise chunk-independent)."""
+    B = len(trip_ids[0])
+    n_chunks = 1 if not n_tasks else max(
+        1, min(n_tasks, (B + _SCORE_CHUNK - 1) // _SCORE_CHUNK))
+    if n_chunks == 1:
+        return _steps_chunk_task(emb, trip_ids, seqs)
+    import ray as _ray
+
+    emb_ref = _ray.put(emb)
+    task = _ray.remote(_steps_chunk_task)
+    bounds = np.linspace(0, B, n_chunks + 1).astype(np.int64)
+    futs = [task.remote(
+        emb_ref,
+        tuple(x[int(a):int(b)] for x in trip_ids),
+        _slice_seqs(seqs, int(a), int(b)))
+        for a, b in zip(bounds[:-1], bounds[1:])]
+    parts = _ray.get(futs)
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+
+
+def _rnn_forward(branches: tuple, trip64: np.ndarray, steps: np.ndarray,
+                 lens: np.ndarray, *, keep_states: bool = False):
+    """Masked SimpleRNN forward over MAX_P steps for all K branches →
+    (zk (B, K), hs list | None).
+
+    Keras ``mask_zero`` semantics (Model1.py:41-72): the state CARRIES
+    through padded steps (h_t = h_{t-1} where t ≥ len); all-pad rows
+    end at the zero state.  BatchNorm/Dropout of the reference are
+    omitted (inference-time identity / regularizer — documented
+    deviation)."""
+    Wx, Wh, bh, wb, cb = branches
+    d = trip64.shape[1]
+    B = len(trip64)
+    K, _, hh = Wh.shape
+    pre_trip = np.matmul(trip64, Wx[:, :d, :])          # (K, B, hh)
+    h = np.zeros((B, K, hh))
+    hs = [h] if keep_states else None
+    for t in range(MAX_P):
+        x64 = np.asarray(steps[:, :, t, :], dtype=np.float64)  # (B, K, d)
+        pre = np.matmul(x64.transpose(1, 0, 2), Wx[:, d:, :])
+        pre += np.matmul(h.transpose(1, 0, 2), Wh)
+        pre += pre_trip + bh[:, None, :]
+        hn = np.tanh(pre).transpose(1, 0, 2)            # (B, K, hh)
+        h = np.where((lens > t)[:, :, None], hn, h)
+        if keep_states:
+            hs.append(h)
+    zk = 1.0 / (1.0 + np.exp(-((h * wb[None]).sum(axis=2) + cb)))
+    return zk, hs
+
+
 @dataclass
 class FusionModel:
     W1: np.ndarray
@@ -144,6 +328,16 @@ class FusionModel:
     # 3 separate tiny matmul chains dominated training wall)
     emb: tuple | None = None          # frozen (Ep, Rp), PTransE matrices
     branches: tuple | None = None     # (Wb (K,d,h), bb (K,h), wb (K,h), cb (K,))
+    # "pool": masked-mean pooling over real steps → Dense(tanh) → σ.
+    # "rnn": the reference's SimpleRNN cell (`Model1.py:88`): per step t
+    # the input is the 6-part concat [Ep[h], Rp[r], Ep[t]] (the triple's
+    # own embeddings, repeated — `RepeatVector`, Model1.py:78-80) ++
+    # [Ep[s_t], Rp[r_t], Ep[d_t]] (the path step), recurrence
+    # h_t = tanh(x_t·Wx + h_{t-1}·Wh + bh) with the Keras mask_zero
+    # carry (state holds through padded steps; all-pad rows stay 0),
+    # final state → σ(wb·h + cb).  branches then =
+    # (Wx (K, 2·d_step, hh), Wh (K, hh, hh), bh (K, hh), wb, cb).
+    branch_mode: str = "pool"
 
     def pool(self, seq) -> np.ndarray:
         """Masked mean over real steps of the per-step embedding concat.
@@ -159,30 +353,7 @@ class FusionModel:
         return out
 
     def _pool_into(self, seq, out: np.ndarray, gather: np.ndarray | None):
-        """Write one branch's pooled vectors into ``out`` (a (B, 3·dim)
-        float32 view) reusing a (B, MAX_P, dim) ``gather`` scratch.
-
-        Fresh ≥1 MB allocations per call page-fault on first touch and
-        serialize parallel workers on the kernel (CLAUDE.md rule 9) —
-        measured 13 s of a 25 s fusion-train wall in the allocate-and-
-        stack variant; einsum(out=) + np.take(out=) removes all of it."""
-        Ep, Rp = self.emb
-        s, d, r, ln = seq
-        ke, kr = Ep.shape[1], Rp.shape[1]
-        mask = (np.arange(MAX_P)[None, :] < ln[:, None]).astype(np.float32)
-        denom = np.maximum(ln, 1)[:, None].astype(np.float32)
-        if gather is None:
-            gather = np.empty((len(ln), MAX_P, ke), dtype=Ep.dtype)
-        for ids, emb, sl in ((s, Ep, np.s_[:, :ke]),
-                             (d, Ep, np.s_[:, ke:2 * ke]),
-                             (r, Rp, np.s_[:, 2 * ke:2 * ke + kr])):
-            if emb.shape[1] == gather.shape[2]:
-                g = gather                      # reused scratch (contiguous)
-            else:
-                g = np.empty((len(ln), MAX_P, emb.shape[1]), emb.dtype)
-            np.take(emb, ids, axis=0, out=g)
-            np.einsum("bsd,bs->bd", g, mask, out=out[sl], optimize=True)
-            out[sl] /= denom
+        _pool_into_rows(self.emb, seq, out, gather)
 
     def pool_stacked(self, seqs: list) -> np.ndarray:
         """All branches' pooled vectors as one (B, N_BRANCH, 3·dim) slab —
@@ -269,11 +440,47 @@ class FusionModel:
         _chunk_map(work, B)
         return zk
 
+    def _zk_rnn(self, trip: np.ndarray, steps: np.ndarray,
+                lens: np.ndarray) -> np.ndarray:
+        """Precomputed RNN input slabs → (B, K) branch outputs, in
+        fixed _SCORE_CHUNK strides (the recurrence is per-row, so
+        chunking never changes a bit)."""
+        B = len(trip)
+        zk = np.empty((B, len(self.branches[0])), np.float64)
+        for s0 in range(0, B, _SCORE_CHUNK):
+            s1 = min(s0 + _SCORE_CHUNK, B)
+            zk[s0:s1], _ = _rnn_forward(
+                self.branches, trip[s0:s1].astype(np.float64),
+                steps[s0:s1], lens[s0:s1])
+        return zk
+
+    def _zk_rnn_from_seqs(self, seqs: list, trip_ids: tuple) -> np.ndarray:
+        """Scoring path: gather each chunk's RNN inputs on the fly —
+        never materializes the full (B, K, MAX_P, d) slab."""
+        B = len(trip_ids[0])
+        zk = np.empty((B, len(self.branches[0])), np.float64)
+
+        def work(s0: int) -> None:
+            s1 = min(s0 + _SCORE_CHUNK, B)
+            trip, steps, lens = _steps_chunk_task(
+                self.emb, tuple(x[s0:s1] for x in trip_ids),
+                _slice_seqs(seqs, s0, s1))
+            zk[s0:s1], _ = _rnn_forward(
+                self.branches, trip.astype(np.float64), steps, lens)
+
+        _chunk_map(work, B)
+        return zk
+
     def forward(self, X: np.ndarray, seqs=None, pooled=None) -> np.ndarray:
         Z = (X - self.mu) / self.sd
         if self.branches is not None:
             zb = None
-            if pooled is not None:
+            if self.branch_mode == "rnn":
+                if pooled is not None:
+                    zb = self._zk_rnn(*pooled)
+                elif seqs is not None:
+                    zb = self._zk_rnn_from_seqs(*seqs)
+            elif pooled is not None:
                 zb = self.branch_outputs(pooled)
             elif seqs is not None:
                 zb = self._zk_from_seqs(seqs)
@@ -297,6 +504,7 @@ def train_fusion(
     path_emb: tuple | None = None,
     workers: int | None = None,
     local_epochs: int = 5,
+    branch_mode: str = "pool",
 ) -> FusionModel:
     """BCE + Adam on (FEATURES [+ path branches] → flag==1), early stop on
     val accuracy (reference: batch 64, ≤200 epochs, patience 20 —
@@ -340,26 +548,61 @@ def train_fusion(
         Rp = np.asarray(Rp, dtype=np.float32)
         path_emb = (Ep, Rp)
         d_step = Ep.shape[1] * 2 + Rp.shape[1]
-        # per-branch draws in a fixed order (seed-stable), then stacked
-        draws = [(rng.standard_normal((d_step, branch_hidden)) * 0.2,
-                  rng.standard_normal((branch_hidden, 1)) * 0.2)
-                 for _ in range(N_BRANCH)]
-        branches = (np.stack([d[0] for d in draws]),            # Wb (K,d,h)
-                    np.zeros((N_BRANCH, branch_hidden)),        # bb
-                    np.stack([d[1][:, 0] for d in draws]),      # wb (K,h)
-                    np.zeros(N_BRANCH))                         # cb
+        if branch_mode == "rnn":
+            # SimpleRNN cell (reference Model1.py:88): input = the
+            # 6-part concat (triple repeat + path step) per step
+            draws = [(rng.standard_normal((2 * d_step,
+                                           branch_hidden)) * 0.2,
+                      rng.standard_normal((branch_hidden,
+                                           branch_hidden)) * 0.2,
+                      rng.standard_normal((branch_hidden, 1)) * 0.2)
+                     for _ in range(N_BRANCH)]
+            branches = (np.stack([d[0] for d in draws]),        # Wx
+                        np.stack([d[1] for d in draws]),        # Wh
+                        np.zeros((N_BRANCH, branch_hidden)),    # bh
+                        np.stack([d[2][:, 0] for d in draws]),  # wb
+                        np.zeros(N_BRANCH))                     # cb
+        else:
+            # per-branch draws in a fixed order (seed-stable), stacked
+            draws = [(rng.standard_normal((d_step, branch_hidden)) * 0.2,
+                      rng.standard_normal((branch_hidden, 1)) * 0.2)
+                     for _ in range(N_BRANCH)]
+            branches = (np.stack([d[0] for d in draws]),        # Wb (K,d,h)
+                        np.zeros((N_BRANCH, branch_hidden)),    # bb
+                        np.stack([d[1][:, 0] for d in draws]),  # wb (K,h)
+                        np.zeros(N_BRANCH))                     # cb
         params.extend(branches)
     model = FusionModel(W1=W1, b1=b1, W2=W2, b2=b2, mu=mu, sd=sd,
                         emb=path_emb if use_paths else None,
-                        branches=branches)
+                        branches=branches,
+                        branch_mode=branch_mode if use_paths else "pool")
     # pooled path vectors are embedding-frozen → precompute ONCE for the
     # whole table (recomputing the gather+concat per batch dominated the
-    # training wall ~10x)
-    pooled_all = model.pool_stacked(seqs) if use_paths else None
+    # training wall ~10x).  With a worker pool requested and a table
+    # worth splitting, the pooling itself fans out as Ray tasks (it was
+    # the last driver-serial piece of the 16-cpu fusion_train wall);
+    # per-row kernels make the remote slab bitwise == the thread path.
+    pooled_all = None
+    if use_paths:
+        remote_n = workers * 2 if (workers and workers > 1
+                                   and n > _SCORE_CHUNK) else None
+        if branch_mode == "rnn":
+            trip_ids = (df["h"].to_numpy(np.int64),
+                        df["r"].to_numpy(np.int64),
+                        df["t"].to_numpy(np.int64))
+            pooled_all = steps_stacked(path_emb, seqs, trip_ids,
+                                       n_tasks=remote_n)
+        elif remote_n:
+            pooled_all = pool_stacked_remote(path_emb, seqs,
+                                             n_tasks=remote_n)
+        else:
+            pooled_all = model.pool_stacked(seqs)
 
     def sub_pooled(idx):
         if pooled_all is None:
             return None
+        if isinstance(pooled_all, tuple):
+            return tuple(x[idx] for x in pooled_all)
         return pooled_all[idx]
 
     # validation slices gathered ONCE — the per-round fancy-index of the
@@ -442,15 +685,34 @@ def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
     the IDENTICAL per-batch math.
     """
     use_paths = pooled_all is not None
+    rnn = isinstance(pooled_all, tuple)      # (trip, steps, lens) slabs
     W1, b1, W2, b2 = params[:4]
-    if use_paths:
+    if use_paths and rnn:
+        Wx, Wh, bh, wb, cb = params[4:]
+        d_step = pooled_all[0].shape[1]
+    elif use_paths:
         Wb, bb, wb, cb = params[4:]
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     order = rng.permutation(len(ti))
     for s0 in range(0, len(ti), batch_size):
         idx = ti[order[s0: s0 + batch_size]]
         xb, yb = Xz[idx], y[idx]
-        if use_paths:
+        if use_paths and rnn:
+            # reused per-thread float64 scratch — a fresh ~30 MB cast
+            # per batch page-faults every page (CLAUDE.md rule 9)
+            m = len(idx)
+            _, K_, P_, d_ = pooled_all[1].shape
+            tb = _tls_buf("rnn_tb", (batch_size, d_step),
+                          np.float64)[:m]                # (B, d)
+            np.copyto(tb, pooled_all[0][idx])
+            sb = _tls_buf("rnn_sb", (batch_size, K_, P_, d_),
+                          np.float64)[:m]                # (B, K, P, d)
+            np.copyto(sb, pooled_all[1][idx])
+            lb = pooled_all[2][idx]                      # (B, K)
+            zk, hs = _rnn_forward((Wx, Wh, bh, wb, cb), tb,
+                                  sb, lb, keep_states=True)
+            Zin = np.concatenate([zk, xb], axis=1)
+        elif use_paths:
             Vm = pooled_all[idx]
             Hk = np.tanh(
                 np.matmul(Vm.transpose(1, 0, 2), Wb).transpose(1, 0, 2)
@@ -471,7 +733,32 @@ def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
         gW1 = Zin.T @ gZ
         gb1 = gZ.sum(axis=0)
         grads = [gW1, gb1, gW2, gb2]
-        if use_paths:
+        if use_paths and rnn:
+            # BPTT over the MAX_P masked-carry steps: at step t only
+            # rows with len > t flow through the tanh path; the rest
+            # carry the state (identity) — gradient mirrors the carry
+            gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K)
+            hK = hs[-1]
+            gwb = (hK * gz[:, :, None]).sum(axis=0)
+            gcb = gz.sum(axis=0)
+            gh = gz[:, :, None] * wb[None, :, :]       # (B, K, hh)
+            gWx = np.zeros_like(Wx)
+            gWh = np.zeros_like(Wh)
+            gbh = np.zeros_like(bh)
+            for t in reversed(range(MAX_P)):
+                mt = (lb > t)[:, :, None]
+                gpre = (gh * mt * (1 - hs[t + 1] ** 2)) \
+                    .transpose(1, 0, 2)                # (K, B, hh)
+                gWx[:, :d_step, :] += np.matmul(tb.T, gpre)
+                gWx[:, d_step:, :] += np.matmul(
+                    sb[:, :, t, :].transpose(1, 2, 0), gpre)
+                gWh += np.matmul(hs[t].transpose(1, 2, 0), gpre)
+                gbh += gpre.sum(axis=1)
+                gh = (np.matmul(gpre, Wh.transpose(0, 2, 1))
+                      .transpose(1, 0, 2)
+                      + gh * ~mt)
+            grads.extend([gWx, gWh, gbh, gwb, gcb])
+        elif use_paths:
             gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K) sigmoid
             gwb = (Hk * gz[:, :, None]).sum(axis=0)
             gcb = gz.sum(axis=0)
@@ -520,6 +807,10 @@ def score_fusion_batch(batch: pa.Table, model: FusionModel) -> pa.Table:
     if (model.branches is not None
             and all(c in batch.column_names for c in ALL_SEQ_COLUMNS)):
         seqs = _extract_seqs_table(batch)
+        if model.branch_mode == "rnn":
+            seqs = (seqs, tuple(
+                batch.column(c).to_numpy().astype(np.int64)
+                for c in ("h", "r", "t")))
     conf = model.forward(X, seqs)[:, 0]
     return batch.append_column("conf", pa.array(conf))
 
@@ -535,6 +826,9 @@ def score_fusion_df(df: pd.DataFrame, model: FusionModel) -> pd.DataFrame:
     if (model.branches is not None
             and all(c in df.columns for c in ALL_SEQ_COLUMNS)):
         seqs = _extract_seqs(df)
+        if model.branch_mode == "rnn":
+            seqs = (seqs, tuple(df[c].to_numpy(np.int64)
+                                for c in ("h", "r", "t")))
     conf = model.forward(X, seqs)[:, 0]
     out = df.copy(deep=False)
     out["conf"] = conf

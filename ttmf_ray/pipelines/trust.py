@@ -80,6 +80,10 @@ class TrustConfig:
     fusion_workers: int | None = None
     fusion_batch_size: int = 64     # reference default (Model1.py:982);
     fusion_epochs: int = 200        # raise batch at large conf tables
+    # "pool" (masked-mean + Dense, the fast default) or "rnn" (the
+    # reference's SimpleRNN cell over the 6-part per-step concat,
+    # Model1.py:78-110 — see functions/fusion.py FusionModel.branch_mode)
+    fusion_branch_mode: str = "pool"
     scorer_num_gpus: float | None = None  # per-actor GPU for the T6 pool
     checkpoint_dir: str | None = None     # stage checkpoints (KGE reuse)
     # streaming=True routes to trust_pipeline_streaming: no triple/conf
@@ -514,7 +518,8 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
         fusion_workers = kge_workers
     model = train_fusion(conf_valid, batch_size=cfg.fusion_batch_size,
                          epochs=cfg.fusion_epochs, path_emb=(Ep, Rp),
-                         workers=fusion_workers)
+                         workers=fusion_workers,
+                         branch_mode=cfg.fusion_branch_mode)
     _lap("fusion_train")
     if cfg.scorer_num_gpus is None and len(conf_test) <= 1_000_000:
         # driver fast path: per-row math on a conf table this small is

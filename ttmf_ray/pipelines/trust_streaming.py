@@ -421,7 +421,8 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
     model = ray.get(ray.remote(_fusion_remote).remote(
         (Ep, Rp),
         {"batch_size": cfg.fusion_batch_size, "epochs": cfg.fusion_epochs,
-         "workers": fusion_workers},
+         "workers": fusion_workers,
+         "branch_mode": cfg.fusion_branch_mode},
         *final.to_arrow_refs()))
     _lap("fusion_train")
 
