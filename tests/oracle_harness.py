@@ -65,3 +65,60 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
             bad = np.nonzero(~(av == bv))[0][:3] if av.dtype == bv.dtype else []
             problems.append(f"{name}: column {c} differs (sample idx {bad})")
     return problems
+
+
+def run_sim(sf_dir: str, names: list[str] | None = None,
+            *, num_cpus: int = 8) -> int:
+    """Full driver-sim: every queries() entry vs its oracle_sql() twin
+    (rows-only entries get a runs-and-returns check).  Returns the
+    number of failures.  One Ray session for the whole sweep."""
+    import sys
+    import time
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    qs, osql = em.queries(), em.oracle_sql()
+    con = duckdb_con(sf_dir)
+    fails = []
+    names = names or list(qs)
+    for name in names:
+        t0 = time.time()
+        try:
+            rdf = to_pandas(qs[name](sf_dir))
+            if name in osql:
+                probs = compare(name, rdf,
+                                con.execute(osql[name]).fetchdf())
+            else:
+                probs = [] if rdf is not None else [f"{name}: no result"]
+            status = "OK" if not probs else "FAIL " + "; ".join(probs)
+        except Exception as e:  # noqa: BLE001 - sweep must not stop
+            probs = [f"{name}: {type(e).__name__}: {e}"]
+            status = "ERR " + probs[0]
+        if probs:
+            fails.append(name)
+        kind = "mirror" if name in osql else "rows-only"
+        print(f"{name:42s} {time.time() - t0:6.1f}s {kind:9s} "
+              f"{status[:160]}", flush=True)
+    print(f"\n{len(names) - len(fails)}/{len(names)} green; "
+          f"failures: {fails}")
+    return len(fails)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description="full driver-sim")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", default=None,
+                    help="comma-separated subset (default: all)")
+    ap.add_argument("--num-cpus", type=int, default=8)
+    a = ap.parse_args()
+    raise SystemExit(1 if run_sim(
+        a.sf, a.names.split(",") if a.names else None,
+        num_cpus=a.num_cpus) else 0)

@@ -103,3 +103,29 @@ def test_frame_sample_pipeline_matches_scalar_decode():
         assert abs(r["lum_std"] - ls) < 1e-12
     # stride actually samples: frame 1, 2, 3 never appear
     assert not np.isin(out["frame_idx"].to_numpy(), [1, 2, 3]).any()
+
+
+def test_codec_probe_boundary():
+    """JPEG/MP3 decode through the probe when the codec lib exists;
+    identical documented NotImplementedError when it does not (this
+    container ships neither lib, so here the stub branch is what runs —
+    but the test exercises whichever branch the environment provides)."""
+    import numpy as np
+    import pytest
+
+    from ttmf_ray.stages.media import _PIL_Image, _soundfile, real_decode
+
+    if _PIL_Image is None:
+        with pytest.raises(NotImplementedError, match="image/jpeg"):
+            real_decode(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+    else:                                    # pragma: no cover - env
+        import io
+
+        img = _PIL_Image.new("RGB", (8, 6), (10, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        px = real_decode(buf.getvalue(), "image/jpeg")
+        assert px.shape == (6, 8) and 0 <= px.mean() <= 255
+    if _soundfile is None:
+        with pytest.raises(NotImplementedError, match="audio/mpeg"):
+            real_decode(b"ID3fakemp3", "audio/mpeg")

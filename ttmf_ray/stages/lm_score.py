@@ -214,7 +214,29 @@ def moore_lewis_score(docs_ds, model_in: dict, model_out: dict, *,
 # Bigram LM (KenLM-flavored conditional model, add-one smoothed)
 # ---------------------------------------------------------------------------
 
-def fit_bigram_lm(docs_ds, *, text_col: str = "text") -> dict:
+def _prune_ngram_counts(agg_ds, min_count: int):
+    """Distributed count prune BEFORE the model collect (KenLM-style):
+    drop n-gram rows (keys tagged "b\\x1e"/"t\\x1e") below ``min_count``
+    inside the groupby output blocks — the driver then sees a table
+    bounded by the pruned model, not the raw n-gram domain.  Unigram
+    ("u\\x1e") rows always survive (they define V/N).  ``min_count=1``
+    is the identity (exact model, mirror-pinned)."""
+    if min_count <= 1:
+        return agg_ds
+
+    import pyarrow.compute as pc
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.starts_with(t.column("key"), "u\x1e"),
+                      pc.greater_equal(t.column("cnt"),
+                                       pa.scalar(min_count)))
+        return t.filter(keep)
+
+    return agg_ds.map_batches(prune, batch_format="pyarrow")
+
+
+def fit_bigram_lm(docs_ds, *, text_col: str = "text",
+                  min_count: int = 1) -> dict:
     """Adjacent-bigram counts over the reference corpus → add-one
     conditional model: p(cur|prev) = (c(prev,cur)+1) / (c(prev)+V) with
     c(prev) = Σ_cur c(prev,cur) (prefix occurrences) and V = distinct
@@ -247,9 +269,10 @@ def fit_bigram_lm(docs_ds, *, text_col: str = "text") -> dict:
             "key": pa.array(np.concatenate(rows_k), pa.string()),
             "cnt": pa.array(np.concatenate(rows_c).astype(np.int64))})
 
-    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
-           .to_pandas())
+    agg = _prune_ngram_counts(
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")),
+        min_count).to_pandas()
     keys = agg["key"].to_numpy().astype(str)
     cnt = agg["cnt"].to_numpy().astype(np.int64)
     is_bg = np.char.startswith(keys, "b\x1e")
@@ -326,7 +349,8 @@ def bigram_perplexity(docs_ds, model: dict, *, id_col: str = "doc_id",
 # Stupid Backoff trigram scoring (Brants et al., EMNLP 2007)
 # ---------------------------------------------------------------------------
 
-def fit_sb_lm(docs_ds, *, text_col: str = "text") -> dict:
+def fit_sb_lm(docs_ds, *, text_col: str = "text",
+              min_count: int = 1) -> dict:
     """Trigram/bigram/unigram counts in ONE tagged-key groupby →
     Stupid Backoff model.  Score of w3 given (w1, w2):
 
@@ -370,9 +394,10 @@ def fit_sb_lm(docs_ds, *, text_col: str = "text") -> dict:
             "key": pa.array(np.concatenate(rows_k), pa.string()),
             "cnt": pa.array(np.concatenate(rows_c).astype(np.int64))})
 
-    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
-           .to_pandas())
+    agg = _prune_ngram_counts(
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")),
+        min_count).to_pandas()
     keys = agg["key"].to_numpy().astype(str)
     cnt = agg["cnt"].to_numpy().astype(np.int64)
 
@@ -475,7 +500,8 @@ def stupid_backoff_score(docs_ds, model: dict, *, id_col: str = "doc_id",
 KN_DISCOUNT = 0.75
 
 
-def fit_kn_lm(docs_ds, *, text_col: str = "text") -> dict:
+def fit_kn_lm(docs_ds, *, text_col: str = "text",
+              min_count: int = 1) -> dict:
     """Bigram counts + the KN continuation statistics in ONE pass over
     the fit split (same combiner→groupby shape as fit_bigram_lm):
 
@@ -512,9 +538,10 @@ def fit_kn_lm(docs_ds, *, text_col: str = "text") -> dict:
             "key": pa.array(np.concatenate(rows_k), pa.string()),
             "cnt": pa.array(np.concatenate(rows_c).astype(np.int64))})
 
-    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
-           .to_pandas())
+    agg = _prune_ngram_counts(
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")),
+        min_count).to_pandas()
     keys = agg["key"].to_numpy().astype(str)
     cnt = agg["cnt"].to_numpy().astype(np.int64)
     is_bg = np.char.startswith(keys, "b\x1e")

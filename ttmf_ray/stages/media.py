@@ -33,6 +33,19 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
+# codec probes: optional libraries picked up when the environment has
+# them (this container does not) — real_decode() then handles the codec
+# mimes instead of raising, with zero behavior change otherwise
+try:                                    # pragma: no cover - env-dependent
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+try:                                    # pragma: no cover - env-dependent
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),           # "image" | "audio" | "video"
@@ -181,12 +194,25 @@ def resize_mean_pool(img: np.ndarray, s: int) -> np.ndarray:
 
 def real_decode(payload: bytes, mime: str) -> np.ndarray:
     """The codec boundary.  Container-less formats decode HERE with real
-    kernels; codec formats need libraries absent from this container."""
+    kernels; codec formats use Pillow / libsndfile when the import probe
+    found them, and raise the documented NotImplementedError otherwise
+    (this container ships neither)."""
     if mime in ("audio/wav", "audio/x-wav"):
         x, _rate = decode_wav(payload)
         return x[None, :]                      # (1, n) — 2-D contract
     if mime in ("image/x-portable-pixmap", "image/ppm"):
         return decode_ppm(payload).mean(axis=2)  # luminance (h, w)
+    if mime in ("image/jpeg", "image/png", "image/webp", "image/bmp"):
+        if _PIL_Image is not None:
+            img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.float64).mean(axis=2)
+    elif mime in ("audio/mpeg", "audio/mp3", "audio/flac", "audio/ogg"):
+        if _soundfile is not None:
+            x, _rate = _soundfile.read(io.BytesIO(payload),
+                                       dtype="float64")
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+            return x[None, :]
     raise NotImplementedError(
         f"decode for {mime!r} requires codec libraries not present in "
         "this environment; wire Pillow/libsndfile/pyav here in production"
