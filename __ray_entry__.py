@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_funnel": rel.events_window_funnel,
         "docs_bpe_fertility": rel.docs_bpe_fertility,
         "embeddings_ann_recall": rel.embeddings_ann_recall,
+        "embeddings_matryoshka": rel.embeddings_matryoshka,
+        "events_ab_test": rel.events_ab_test,
         "events_rolling_active": rel.events_rolling_active,
         "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
         "docs_lang_confusion": cq.docs_lang_confusion,
@@ -3389,6 +3391,71 @@ def _rake_sql(k: int = 20) -> str:
     """
 
 
+_MATRYOSHKA_SQL = """
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS MATERIALIZED (
+        SELECT vec_id AS qid, v AS qv FROM e
+        WHERE vec_id IN (0, 100, 200, 300, 400)),
+    fullk AS MATERIALIZED (SELECT qid, vec_id FROM (
+        SELECT qs.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.qid
+                   ORDER BY list_cosine_similarity(e.v, qs.qv) DESC,
+                            e.vec_id) AS rn
+        FROM e, qs) WHERE rn <= 10),
+    trunc AS MATERIALIZED (SELECT qid, vec_id FROM (
+        SELECT qs.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qs.qid
+                   ORDER BY list_cosine_similarity(e.v[1:8],
+                                                   qs.qv[1:8]) DESC,
+                            e.vec_id) AS rn
+        FROM e, qs) WHERE rn <= 10),
+    fc AS (SELECT qid, count(*) AS n_full FROM fullk GROUP BY qid),
+    tc AS (SELECT qid, count(*) AS n_trunc FROM trunc GROUP BY qid),
+    cm AS (SELECT f.qid, count(*) AS n_common
+           FROM fullk f JOIN trunc t USING (qid, vec_id) GROUP BY f.qid)
+    SELECT qs.qid::BIGINT AS qid,
+           COALESCE(fc.n_full, 0)::BIGINT AS n_full,
+           COALESCE(tc.n_trunc, 0)::BIGINT AS n_trunc,
+           COALESCE(cm.n_common, 0)::BIGINT AS n_common,
+           ROUND(COALESCE(cm.n_common, 0) / 10.0, 6) AS recall
+    FROM qs LEFT JOIN fc USING (qid) LEFT JOIN tc USING (qid)
+         LEFT JOIN cm USING (qid)
+    ORDER BY qid
+"""
+
+
+_AB_TEST_SQL = """
+    WITH u AS (SELECT user_id,
+                      max(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END)::BIGINT AS conv
+               FROM events GROUP BY user_id),
+    a AS (SELECT (user_id % 2)::BIGINT AS arm,
+                 count(*)::BIGINT AS n_users,
+                 sum(conv)::BIGINT AS n_conv
+          FROM u GROUP BY 1),
+    s AS (SELECT
+            (SELECT n_users FROM a WHERE arm = 0) AS n0,
+            (SELECT n_users FROM a WHERE arm = 1) AS n1,
+            (SELECT n_conv FROM a WHERE arm = 0) AS x0,
+            (SELECT n_conv FROM a WHERE arm = 1) AS x1),
+    -- identical fixed-order float64 chain as the numpy kernel:
+    -- pp = (x0+x1)/(n0+n1); se = sqrt((pp*(1-pp))*(1/n0+1/n1))
+    zc AS (SELECT CASE WHEN se > 0 THEN (p0 - p1) / se ELSE 0.0 END AS z
+           FROM (SELECT x0 / CAST(n0 AS DOUBLE) AS p0,
+                        x1 / CAST(n1 AS DOUBLE) AS p1,
+                        sqrt(((x0 + x1) / CAST(n0 + n1 AS DOUBLE)
+                              * (1.0 - (x0 + x1)
+                                       / CAST(n0 + n1 AS DOUBLE)))
+                             * (1.0 / n0 + 1.0 / n1)) AS se
+                 FROM s))
+    SELECT a.arm, a.n_users, a.n_conv,
+           ROUND(a.n_conv / CAST(a.n_users AS DOUBLE), 6) AS rate,
+           ROUND(zc.z, 6) AS z
+    FROM a, zc ORDER BY a.arm
+"""
+
+
 def _ann_recall_sql(qids=(0, 100, 200, 300, 400), k: int = 10,
                     n_centroids: int = 16, n_probe: int = 2,
                     salt: int = 17) -> str:
@@ -4618,6 +4685,10 @@ def oracle_sql() -> dict[str, str]:
         # IVF recall audit: union-of-probes candidate superset, per-
         # query intersection with exact brute top-k
         "embeddings_ann_recall": _ann_recall_sql(),
+        # Matryoshka prefix-search recall: truncated-dim top-k ∩ full
+        "embeddings_matryoshka": _MATRYOSHKA_SQL,
+        # two-proportion z-test between user_id-parity arms
+        "events_ab_test": _AB_TEST_SQL,
         # DAU + trailing-7-day distinct actives
         "events_rolling_active": _ROLLING_ACTIVE_SQL,
         # spherical kmeans: the kmeans chain over normalized vectors

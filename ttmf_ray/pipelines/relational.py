@@ -2169,3 +2169,67 @@ def embeddings_norm_stats(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"vec_id": df["vec_id"].astype(np.int64),
                         "norm": v, "band": band})
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def embeddings_matryoshka(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 of prefix-truncated (first 8 dims) cosine search vs
+    full-dimension brute force over the 5 fixed audit queries — the
+    Matryoshka-embedding trade audit (stages/ann.py:matryoshka_recall):
+    how much of the exact top-k a cheap short-prefix pass keeps before a
+    full-dim re-rank."""
+    from ..stages.ann import matryoshka_recall
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return matryoshka_recall(ds, ANN_RECALL_QIDS, k=10, dims=8)
+
+
+def events_ab_test(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test between deterministic experiment arms
+    (arm = user_id % 2; conversion = the user has ≥1 'purchase' event):
+    the standard A/B readout over an event stream.  Per-batch distinct
+    (user, converted) partials → ONE user-domain groupby (max) → arm
+    counts; the z statistic is one fixed-order float64 chain over four
+    integers, so both engines land on identical doubles before the 6-dp
+    round.  Output: (arm rows with n_users/n_conv/rate) + z on each."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        conv = (et == "purchase").astype(np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        c = np.zeros(len(u), np.int64)
+        np.maximum.at(c, inv, conv)
+        return pa.table({"user_id": pa.array(u), "conv": pa.array(c)})
+
+    users = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("conv", alias_name="conv")))
+
+    def arm_counts(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        conv = t.column("conv").to_numpy().astype(np.int64)
+        arm = uid % 2
+        return pa.table({
+            "arm": pa.array([0, 1], pa.int64()),
+            "n_users": pa.array([int((arm == 0).sum()),
+                                 int((arm == 1).sum())]),
+            "n_conv": pa.array([int(conv[arm == 0].sum()),
+                                int(conv[arm == 1].sum())])})
+
+    g = users.map_batches(arm_counts, batch_format="pyarrow") \
+        .to_pandas().groupby("arm", as_index=False).sum()
+    n0, n1 = (int(g.loc[g.arm == a, "n_users"].sum()) for a in (0, 1))
+    x0, x1 = (int(g.loc[g.arm == a, "n_conv"].sum()) for a in (0, 1))
+    p0, p1 = x0 / n0, x1 / n1
+    pp = (x0 + x1) / (n0 + n1)
+    se = np.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    z = (p0 - p1) / se if se > 0 else 0.0
+    return pd.DataFrame({
+        "arm": np.array([0, 1], np.int64),
+        "n_users": np.array([n0, n1], np.int64),
+        "n_conv": np.array([x0, x1], np.int64),
+        "rate": np.round([p0, p1], 6),
+        "z": np.round([z, z], 6)})

@@ -50,17 +50,28 @@ def list_col_matrix(col, dtype=np.float64) -> np.ndarray:
 
 
 class BruteTopK:
-    """map_batches stage: per-batch cosine partial top-k per query."""
+    """map_batches stage: per-batch cosine partial top-k per query.
+
+    ``dims`` truncates both sides to the first ``dims`` coordinates
+    before normalizing — the Matryoshka-representation search mode
+    (Kusupati et al., NeurIPS 2022): shorter prefixes trade recall for
+    memory/FLOPs; :func:`matryoshka_recall` audits that trade."""
 
     def __init__(self, queries_bc: Broadcast, *, k: int,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dims: int | None = None):
         q = np.asarray(queries_bc.get(), dtype=np.float64)
+        if dims:
+            q = q[:, :dims]
         self.q = _l2norm(q)  # (nq, d)
         self.k = k
+        self.dims = dims
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = list_col_matrix(batch.column(self.vec_col))
+        if self.dims:
+            vecs = vecs[:, :self.dims]
         ids = batch.column(self.id_col).to_numpy()
         if len(ids) == 0:
             return pa.table({"query_id": pa.array([], pa.int32()),
@@ -647,6 +658,52 @@ def ann_recall(ds, query_ids: list[int], *, k: int = 10,
         rows.append({"qid": np.int64(qid),
                      "n_brute": np.int64(len(bs)),
                      "n_ivf": np.int64(len(vs)),
+                     "n_common": np.int64(common),
+                     "recall": round(common / float(k), 6)})
+    return pd.DataFrame(rows)
+
+
+def matryoshka_recall(ds, query_ids: list[int], *, k: int = 10,
+                      dims: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> pd.DataFrame:
+    """Recall@k of PREFIX-truncated cosine search (first ``dims``
+    coordinates) against full-dimension brute force, per query — the
+    Matryoshka-embedding audit (how much recall the cheap short-prefix
+    pass keeps before a full-dim re-rank).  Same two-operator shape as
+    :func:`ann_recall`: both sides run the production
+    :func:`brute_topk`; output (qid, n_full, n_trunc, n_common,
+    recall round-6)."""
+    import ray as _ray
+
+    import pyarrow.compute as pc
+
+    ds = ds.materialize()
+    qset = sorted(int(x) for x in query_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(id_col),
+                                 value_set=pa.array(qset, pa.int64())))
+
+    tb = pa.concat_tables(
+        [x for x in _ray.get(ds.map_batches(
+            grab, batch_format="pyarrow").to_arrow_refs())
+         if x.num_rows])
+    got = tb.column(id_col).to_numpy().astype(np.int64)
+    order = np.argsort(got)
+    Q = list_col_matrix(tb.column(vec_col))[order]
+    qids = got[order]
+
+    full = brute_topk(ds, Q, k, id_col=id_col, vec_col=vec_col)
+    trunc = brute_topk(ds, Q, k, id_col=id_col, vec_col=vec_col,
+                       dims=dims)
+    rows = []
+    for j, qid in enumerate(qids):
+        fs = set(full.loc[full.query_id == j, "vec_id"].astype(int))
+        ts = set(trunc.loc[trunc.query_id == j, "vec_id"].astype(int))
+        common = len(fs & ts)
+        rows.append({"qid": np.int64(qid),
+                     "n_full": np.int64(len(fs)),
+                     "n_trunc": np.int64(len(ts)),
                      "n_common": np.int64(common),
                      "recall": round(common / float(k), 6)})
     return pd.DataFrame(rows)
