@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_relpath_2hop": cq.kg_relpath_2hop,
         "kg_hits": cq.kg_hits,
         "kg_entity_types": cq.kg_entity_types,
+        "kg_type_violations": cq.kg_type_violations,
         "docs_textrank": rel.docs_textrank,
         "docs_quality_auc": rel.docs_quality_auc,
         "docs_dsir_sample": rel.docs_dsir_sample,
@@ -161,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_recall": rel.embeddings_ann_recall,
         "embeddings_matryoshka": rel.embeddings_matryoshka,
         "events_ab_test": rel.events_ab_test,
+        "tpch_q7": rel.tpch_q7,
+        "events_sliding_topk": rel.events_sliding_topk,
+        "docs_emb_cohesion": rel.docs_emb_cohesion,
         "events_rolling_active": rel.events_rolling_active,
         "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
         "docs_lang_confusion": cq.docs_lang_confusion,
@@ -3391,6 +3395,99 @@ def _rake_sql(k: int = 20) -> str:
     """
 
 
+_TYPE_VIOLATIONS_SQL = f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
+    hr AS (SELECT h, r, count(*)::BIGINT AS c FROM edges0 GROUP BY h, r),
+    ht AS (SELECT h, r AS htype FROM (
+        SELECT h, r, ROW_NUMBER() OVER (PARTITION BY h
+            ORDER BY c DESC, r) AS rn FROM hr) WHERE rn = 1),
+    et AS (SELECT e.r, ht.htype, count(*)::BIGINT AS c
+           FROM edges0 e JOIN ht ON e.h = ht.h GROUP BY e.r, ht.htype),
+    dom AS (SELECT r, htype AS dom_subj_type, c AS dom_cnt FROM (
+        SELECT r, htype, c, ROW_NUMBER() OVER (PARTITION BY r
+            ORDER BY c DESC, htype) AS rn FROM et) WHERE rn = 1),
+    tot AS (SELECT r, sum(c)::BIGINT AS n_edges FROM et GROUP BY r)
+    SELECT t.r::BIGINT AS rel, t.n_edges,
+           d.dom_subj_type::BIGINT AS dom_subj_type,
+           (t.n_edges - d.dom_cnt)::BIGINT AS n_viol,
+           ROUND((t.n_edges - d.dom_cnt)
+                 / CAST(t.n_edges AS DOUBLE), 6) AS viol_share
+    FROM tot t JOIN dom d USING (r) ORDER BY rel
+"""
+
+
+_SLIDING_TOPK_SQL = """
+    WITH hc AS (SELECT event_type,
+                       (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY event_type, hour),
+    anchors AS (SELECT DISTINCT hour AS anchor_hour FROM hc),
+    win AS (SELECT a.anchor_hour, hc.event_type,
+                   sum(hc.n)::BIGINT AS n
+            FROM anchors a JOIN hc
+              ON hc.hour > a.anchor_hour - 6
+             AND hc.hour <= a.anchor_hour
+            GROUP BY a.anchor_hour, hc.event_type),
+    rk AS (SELECT anchor_hour, event_type, n,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_hour
+                      ORDER BY n DESC, event_type) AS rank
+           FROM win)
+    SELECT anchor_hour, rank::BIGINT AS rank, event_type, n
+    FROM rk WHERE rank <= 3 ORDER BY anchor_hour, rank
+"""
+
+
+_TPCH_Q7_SQL = """
+    WITH li AS (SELECT l_orderkey, l_suppkey,
+                       l_extendedprice * (1.0 - l_discount) AS rev,
+                       1970 + (epoch_us(l_shipdate)
+                               // 31557600000000) AS l_year
+                FROM lineitem
+                WHERE epoch_us(l_shipdate) >= 820454400000000
+                  AND epoch_us(l_shipdate) < 883612800000000),
+    j AS (SELECT li.l_suppkey, li.rev, li.l_year, o.o_custkey
+          FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+    x AS (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                 j.l_year, j.rev
+          FROM j JOIN supplier s ON j.l_suppkey = s.s_suppkey
+                 JOIN customer c ON j.o_custkey = c.c_custkey
+                 JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+                 JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+          WHERE s.s_nationkey <> c.c_nationkey)
+    SELECT supp_nation, cust_nation, l_year::BIGINT AS l_year,
+           ROUND(sum(rev), 6) AS revenue
+    FROM x GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+_EMB_COHESION_SQL = """
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS MATERIALIZED (
+        SELECT d.source, e.vec_id, e.v
+        FROM documents d JOIN e ON d.doc_id = e.vec_id),
+    fl AS (SELECT source, vec_id, unnest(v) AS x,
+                  generate_subscripts(v, 1) AS i FROM m),
+    cent AS (SELECT source, i, sum(x) / count(*) AS c
+             FROM fl GROUP BY source, i),
+    cl AS (SELECT source, list(c ORDER BY i) AS cv
+           FROM cent GROUP BY source),
+    nrm AS (SELECT source, vec_id, sqrt(sum(x * x)) AS nrm
+            FROM fl GROUP BY source, vec_id),
+    cos AS (SELECT m.source,
+                   list_cosine_similarity(m.v, cl.cv) AS cos,
+                   n.nrm
+            FROM m JOIN cl USING (source)
+                   JOIN nrm n ON m.source = n.source
+                             AND m.vec_id = n.vec_id)
+    SELECT source, count(*)::BIGINT AS n,
+           ROUND(sum(nrm) / count(*), 6) AS mean_norm,
+           ROUND(sum(cos) / count(*), 6) AS cohesion
+    FROM cos GROUP BY source ORDER BY source
+"""
+
+
 _MATRYOSHKA_SQL = """
     WITH e AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4521,6 +4618,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_relpath_2hop": _RELPATH_2HOP_SQL,
         "kg_hits": _hits_sql(),
         "kg_entity_types": _ENTITY_TYPES_SQL,
+        # relation domain audit: entity type = argmax head relation,
+        # dominant-type share per relation
+        "kg_type_violations": _TYPE_VIOLATIONS_SQL,
         "docs_textrank": _textrank_sql(),
         "docs_quality_auc": _quality_auc_sql(),
         "docs_dsir_sample": _dsir_sample_sql(),
@@ -4689,6 +4789,12 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_matryoshka": _MATRYOSHKA_SQL,
         # two-proportion z-test between user_id-parity arms
         "events_ab_test": _AB_TEST_SQL,
+        # nation-pair shipping revenue (Q7 analogue, all unequal pairs)
+        "tpch_q7": _TPCH_Q7_SQL,
+        # trailing-6h windowed top-3 event types at every observed hour
+        "events_sliding_topk": _SLIDING_TOPK_SQL,
+        # embedding-space per-source centroid cohesion audit
+        "docs_emb_cohesion": _EMB_COHESION_SQL,
         # DAU + trailing-7-day distinct actives
         "events_rolling_active": _ROLLING_ACTIVE_SQL,
         # spherical kmeans: the kmeans chain over normalized vectors

@@ -47,6 +47,8 @@ def test_cli_kmeans_dedup_curate(tmp_path):
                 "/root/testdata/sf0.001/documents.parquet",
                 "--out", str(tmp_path / "dups")])
     assert os.path.isdir(str(tmp_path / "dups"))
+    # hot-bucket counters always surface ("no silent caps")
+    assert out["n_buckets"] >= 0 and out["n_capped_buckets"] >= 0
 
     out = _run(["curate", "--docs",
                 "/root/testdata/sf0.001/documents.parquet",

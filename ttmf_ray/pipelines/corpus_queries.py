@@ -1271,3 +1271,74 @@ def kg_reciprocity(sf_dir: str) -> pd.DataFrame:
         "r": ur, "n_edges": n_edges, "n_reciprocal": n_rec,
         "reciprocity": np.round(n_rec / n_edges.astype(np.float64), 6),
     }).sort_values("r").reset_index(drop=True)
+
+
+def kg_type_violations(sf_dir: str) -> pd.DataFrame:
+    """Relation domain audit (schema-violation detection for the
+    constructed KG): every entity gets a TYPE = the relation it most
+    often heads (count DESC, rel ASC tie-break); per relation the
+    dominant subject type and the share of edges whose subject deviates
+    — spikes flag extraction noise or alias-merge errors.
+
+    All integer counts: (h, r) pair counts come from one per-batch
+    combiner + groupby (|V|·|R|-bounded, the edge stream never lands
+    whole), the entity-type argmax and per-relation dominance are
+    driver folds on that vocab-scale table (rule 13), and the edge
+    re-count uses a broadcast type array."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast, spread
+
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    n_ent = len(ent_df)
+    ds = spread(rd.from_pandas(ids[["h", "t", "r"]]))
+
+    def hr_counts(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy().astype(np.int64)
+        r = t.column("r").to_numpy().astype(np.int64)
+        n_rel = int(r.max()) + 1 if len(r) else 1
+        k, c = np.unique(h * n_rel + r, return_counts=True)
+        return pa.table({"h": pa.array(k // n_rel),
+                         "r": pa.array(k % n_rel),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hr = (ds.map_batches(hr_counts, batch_format="pyarrow")
+          .groupby(["h", "r"]).aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    # entity type: argmax r by (c DESC, r ASC) per head
+    order = np.lexsort((hr["r"].to_numpy(), -hr["c"].to_numpy()))
+    hs = hr["h"].to_numpy(np.int64)[order]
+    rs = hr["r"].to_numpy(np.int64)[order]
+    first = np.unique(hs, return_index=True)[1]
+    htype = np.full(n_ent, -1, dtype=np.int64)
+    htype[hs[first]] = rs[first]
+    bc = Broadcast(htype)
+
+    def rt_counts(t: pa.Table) -> pa.Table:
+        types = bc.get()
+        h = t.column("h").to_numpy().astype(np.int64)
+        r = t.column("r").to_numpy().astype(np.int64)
+        ht = types[h]
+        n_t = int(types.max()) + 2
+        k, c = np.unique(r * n_t + (ht + 1), return_counts=True)
+        return pa.table({"r": pa.array(k // n_t),
+                         "htype": pa.array(k % n_t - 1),
+                         "c": pa.array(c.astype(np.int64))})
+
+    et = (ds.map_batches(rt_counts, batch_format="pyarrow")
+          .groupby(["r", "htype"]).aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    rows = []
+    for r_, g in et.groupby("r"):
+        c = g["c"].to_numpy(np.int64)
+        ty = g["htype"].to_numpy(np.int64)
+        o = np.lexsort((ty, -c))
+        total = int(c.sum())
+        dom_cnt = int(c[o[0]])
+        rows.append((int(r_), total, int(ty[o[0]]), total - dom_cnt,
+                     round((total - dom_cnt) / total, 6)))
+    return pd.DataFrame(rows, columns=["rel", "n_edges", "dom_subj_type",
+                                       "n_viol", "viol_share"]) \
+        .astype({"rel": np.int64, "n_edges": np.int64,
+                 "dom_subj_type": np.int64, "n_viol": np.int64}) \
+        .sort_values("rel", ignore_index=True)

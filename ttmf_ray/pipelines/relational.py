@@ -2233,3 +2233,222 @@ def events_ab_test(sf_dir: str) -> pd.DataFrame:
         "n_conv": np.array([x0, x1], np.int64),
         "rate": np.round([p0, p1], 6),
         "z": np.round([z, z], 6)})
+
+
+_Q7_LO_US = 820_454_400_000_000           # 1996-01-01 UTC in epoch-us
+_Q7_HI_US = 883_612_800_000_000           # 1998-01-01 UTC in epoch-us
+
+
+def tpch_q7(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 analogue (volume shipping between nation pairs): revenue
+    Σ extendedprice·(1−discount) per (supp_nation, cust_nation, year)
+    for lineitems shipped in [1996-01-01, 1998-01-01) between DIFFERENT
+    nations (the analogue keeps all unequal pairs instead of Q7's two
+    fixed nations — a harder join/groupby, same plan shape).
+
+    Shape: nation/customer/supplier are broadcast lookup arrays (small
+    sides never shuffle); the one bucketed hash_join attaches
+    o_custkey to the date-filtered lineitems on l_orderkey; a per-batch
+    (supp_nation, cust_nation, year, rev) combiner feeds one tiny
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast
+    from ..functions.joins import hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas() \
+        .sort_values("n_nationkey")
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    n_names = np.empty(int(nk.max()) + 1, dtype=object)
+    n_names[nk] = nat["n_name"].to_numpy(dtype=object)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas() \
+        .sort_values("c_custkey")
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey")
+    bc = Broadcast((cust["c_custkey"].to_numpy(np.int64),
+                    cust["c_nationkey"].to_numpy(np.int64),
+                    supp["s_suppkey"].to_numpy(np.int64),
+                    supp["s_nationkey"].to_numpy(np.int64)))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (sd >= _Q7_LO_US) & (sd < _Q7_HI_US)
+        ep = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        year = (1970 + sd[keep] // 31_557_600_000_000)  # mirrored below
+        return pa.table({
+            "l_orderkey": pa.array(
+                t.column("l_orderkey").to_numpy().astype(np.int64)[keep]),
+            "l_suppkey": pa.array(
+                t.column("l_suppkey").to_numpy().astype(np.int64)[keep]),
+            "rev": pa.array(ep * (1.0 - disc), pa.float64()),
+            "l_year": pa.array(year.astype(np.int64))})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64())}),
+            batch_format="pyarrow")
+    joined = hash_join(li.map_batches(lfilt, batch_format="pyarrow"),
+                       orders, on="l_orderkey")
+
+    def combine(t: pa.Table) -> pa.Table:
+        ck, cn, sk, sn = bc.get()
+        cust_k = t.column("o_custkey").to_numpy().astype(np.int64)
+        supp_k = t.column("l_suppkey").to_numpy().astype(np.int64)
+        cpos = np.clip(np.searchsorted(ck, cust_k), 0, len(ck) - 1)
+        spos = np.clip(np.searchsorted(sk, supp_k), 0, len(sk) - 1)
+        cnk = cn[cpos]
+        snk = sn[spos]
+        rev = t.column("rev").to_numpy()
+        year = t.column("l_year").to_numpy().astype(np.int64)
+        keep = snk != cnk
+        df = pd.DataFrame({"supp_nk": snk[keep], "cust_nk": cnk[keep],
+                           "l_year": year[keep], "rev": rev[keep]})
+        g = df.groupby(["supp_nk", "cust_nk", "l_year"],
+                       as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(combine, batch_format="pyarrow")
+           .groupby(["supp_nk", "cust_nk", "l_year"])
+           .aggregate(Sum("rev", alias_name="revenue"))).to_pandas()
+    agg["supp_nation"] = n_names[agg["supp_nk"].to_numpy(np.int64)]
+    agg["cust_nation"] = n_names[agg["cust_nk"].to_numpy(np.int64)]
+    agg["revenue"] = np.round(agg["revenue"].to_numpy(), 6)
+    return agg[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .astype({"l_year": np.int64}) \
+        .sort_values(["supp_nation", "cust_nation", "l_year"],
+                     ignore_index=True)
+
+
+def docs_emb_cohesion(sf_dir: str) -> pd.DataFrame:
+    """Embedding-space source audit (documents ⋈ embeddings on
+    doc_id = vec_id): per source — n, mean L2 norm, and cohesion = mean
+    cosine of each member to its source CENTROID (the SemDeDup-style
+    health check: a source whose vectors don't cohere is noise or
+    mixed-domain).  Two streaming passes: per-batch (source, count,
+    Σvec, Σnorm) partials → tiny driver combine → centroid broadcast →
+    per-batch cosine partials.  The doc→source map is a broadcast
+    lookup (documents' small columns only — text never loads)."""
+    from ..context import Broadcast
+    from ..stages.ann import list_col_matrix
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"]).to_pandas() \
+        .sort_values("doc_id")
+    did = docs["doc_id"].to_numpy(np.int64)
+    src_codes, src_names = pd.factorize(docs["source"], sort=True)
+    bc = Broadcast((did, src_codes.astype(np.int64)))
+    ns = len(src_names)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def part1(t: pa.Table) -> pa.Table:
+        ids_, codes_ = bc.get()
+        vid = t.column("vec_id").to_numpy().astype(np.int64)
+        M = list_col_matrix(t.column("embedding"))
+        pos = np.clip(np.searchsorted(ids_, vid), 0, len(ids_) - 1)
+        sc = codes_[pos]
+        cnt = np.bincount(sc, minlength=ns).astype(np.int64)
+        sums = np.zeros((ns, M.shape[1]))
+        np.add.at(sums, sc, M)
+        norms = np.bincount(sc, weights=np.linalg.norm(M, axis=1),
+                            minlength=ns)
+        return pa.table({
+            "sc": pa.array(np.arange(ns, dtype=np.int64)),
+            "cnt": pa.array(cnt),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            "nsum": pa.array(norms, pa.float64())})
+
+    p1 = emb.map_batches(part1, batch_format="pyarrow").to_pandas()
+    cnt = np.zeros(ns, np.int64)
+    nsum = np.zeros(ns)
+    vsum = None
+    for sc_, g in p1.groupby("sc"):
+        cnt[sc_] = g["cnt"].sum()
+        nsum[sc_] = g["nsum"].sum()
+        v = np.stack([np.asarray(x) for x in g["vsum"]]).sum(axis=0)
+        if vsum is None:
+            vsum = np.zeros((ns, len(v)))
+        vsum[sc_] = v
+    cents = vsum / np.maximum(cnt, 1)[:, None]
+    cn = np.linalg.norm(cents, axis=1)
+    cn[cn == 0] = 1.0
+    cents_u = cents / cn[:, None]
+    cbc = Broadcast(cents_u)
+
+    def part2(t: pa.Table) -> pa.Table:
+        ids_, codes_ = bc.get()
+        cu = cbc.get()
+        vid = t.column("vec_id").to_numpy().astype(np.int64)
+        M = list_col_matrix(t.column("embedding"))
+        pos = np.clip(np.searchsorted(ids_, vid), 0, len(ids_) - 1)
+        sc = codes_[pos]
+        nm = np.linalg.norm(M, axis=1)
+        nm[nm == 0] = 1.0
+        cos = ((M / nm[:, None]) * cu[sc]).sum(axis=1)
+        return pa.table({
+            "sc": pa.array(np.arange(ns, dtype=np.int64)),
+            "csum": pa.array(np.bincount(sc, weights=cos, minlength=ns),
+                             pa.float64())})
+
+    p2 = emb.map_batches(part2, batch_format="pyarrow").to_pandas() \
+        .groupby("sc", as_index=False)["csum"].sum()
+    csum = np.zeros(ns)
+    csum[p2["sc"].to_numpy(np.int64)] = p2["csum"].to_numpy()
+    safe = np.maximum(cnt, 1).astype(np.float64)
+    return pd.DataFrame({
+        "source": np.asarray(src_names, dtype=object),
+        "n": cnt,
+        "mean_norm": np.round(nsum / safe, 6),
+        "cohesion": np.round(csum / safe, 6)}) \
+        .sort_values("source", ignore_index=True)
+
+
+def events_sliding_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-3 event types per trailing 6-hour window, evaluated at every
+    OBSERVED hour (the streaming windowed-top-k monitor: what dominates
+    the stream right now).  Shape: per-batch (type, hour) count
+    combiner → one groupby; each hourly count row then RE-KEYS to the
+    ≤6 anchor hours it contributes to (the rolling_active trick — no
+    per-window rescan, state bounded by types × hours × 6); rank by
+    (count DESC, type ASC), keep rank ≤ 3.  Anchors = observed event
+    hours only, so both engines enumerate identical windows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def hour_counts(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        hour = ts // 3_600_000_000
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "hour": hour})
+        g = df.groupby(["event_type", "hour"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hourly = (ds.map_batches(hour_counts, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    # hours × types table is tiny (rule 13): window fold on the driver,
+    # identical re-key semantics to the distributed rolling_active path
+    anchors = np.sort(hourly["hour"].unique())
+    h = hourly["hour"].to_numpy(np.int64)
+    rows = []
+    for a in anchors.tolist():
+        m = (h > a - 6) & (h <= a)
+        g = hourly.loc[m].groupby("event_type", as_index=False)["n"].sum()
+        o = np.lexsort((g["event_type"].to_numpy(dtype=object),
+                        -g["n"].to_numpy()))[:3]
+        for rank, i in enumerate(o, 1):
+            rows.append((int(a), rank, g["event_type"].iloc[i],
+                         int(g["n"].iloc[i])))
+    return pd.DataFrame(rows, columns=["anchor_hour", "rank",
+                                       "event_type", "n"]) \
+        .astype({"anchor_hour": np.int64, "rank": np.int64,
+                 "n": np.int64}) \
+        .sort_values(["anchor_hour", "rank"], ignore_index=True)

@@ -203,11 +203,18 @@ def main(argv: list[str] | None = None) -> int:
             batch_format="pyarrow", batch_size=2048,
             concurrency=auto_pool(),
         )
+        pairs, cap_stats = candidate_pairs(buckets, with_stats=True)
         verified = verify_pairs_join(
-            candidate_pairs(buckets), ds, id_col="doc_id",
+            pairs, ds, id_col="doc_id",
             text_col="text", threshold=args.threshold)
         verified.write_parquet(args.out)
-        print(json.dumps({"threshold": args.threshold, "out": args.out}))
+        # "no silent caps": surface the hot-bucket chain-fallback counter
+        print(json.dumps({"threshold": args.threshold, "out": args.out,
+                          "n_buckets": int(cap_stats["n_buckets"].iloc[0]),
+                          "n_capped_buckets":
+                              int(cap_stats["n_capped"].iloc[0]),
+                          "max_bucket":
+                              int(cap_stats["max_bucket"].iloc[0])}))
     elif args.cmd == "curate":
         import pyarrow as pa
 
