@@ -456,6 +456,23 @@ class PathScore:
         )
 
 
+# one-slot per-process scorer cache for the task-pool path: tasks of the
+# same stage land on reused worker processes, so the unit-normalized
+# embedding matrices build once per worker, not once per task
+_scorer_cache: dict = {}
+
+
+def _score_paths_task(batch: pa.Table, *, emb_bc: Broadcast,
+                      queries_bc: Broadcast, keep_top: int) -> pa.Table:
+    key = (emb_bc._ref.hex(), queries_bc._ref.hex(), keep_top)
+    scorer = _scorer_cache.get(key)
+    if scorer is None:
+        _scorer_cache.clear()
+        scorer = _scorer_cache[key] = PathScore(
+            emb_bc, queries_bc, keep_top=keep_top)
+    return scorer(batch)
+
+
 def score_paths_for_queries(enum_ds, queries, E: np.ndarray, R: np.ndarray,
                             *, keep_top: int = 50,
                             concurrency: tuple[int, int] | int | None = None):
@@ -463,7 +480,14 @@ def score_paths_for_queries(enum_ds, queries, E: np.ndarray, R: np.ndarray,
     Dataset.  ``queries`` is a small (h, t, r) DataFrame/dict of arrays —
     broadcast sorted by (h, t, r) so each head's queries are a contiguous
     slice probed by searchsorted — or a ``Broadcast`` of the already
-    (h, t, r)-sorted ``(qh, qt, qr)`` arrays (streaming mode)."""
+    (h, t, r)-sorted ``(qh, qt, qr)`` arrays (streaming mode).
+
+    Runs as a TASK pool (same kernels via a per-process scorer cache):
+    the scoring stage launches only after PTransE finishes, so an actor
+    pool's spin-up sat on the trust critical path (~2 s of the ~4.6 s
+    post-training tail — the fusion-scorer lesson, CLAUDE.md
+    continuation 3); tasks start on warm workers immediately.  Pass
+    ``concurrency`` to force the actor-pool variant (GPU scorers)."""
     if isinstance(queries, Broadcast):
         queries_bc = queries
     else:
@@ -472,14 +496,24 @@ def score_paths_for_queries(enum_ds, queries, E: np.ndarray, R: np.ndarray,
         qr = np.asarray(queries["r"], dtype=np.int64)
         order = np.lexsort((qr, qt, qh))
         queries_bc = Broadcast((qh[order], qt[order], qr[order]))
+    emb_bc = Broadcast((E, R))
+    if concurrency is not None:
+        return enum_ds.map_batches(
+            PathScore,
+            fn_constructor_kwargs={"emb_bc": emb_bc,
+                                   "queries_bc": queries_bc,
+                                   "keep_top": keep_top},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=concurrency,
+        )
+    from functools import partial
+
     return enum_ds.map_batches(
-        PathScore,
-        fn_constructor_kwargs={"emb_bc": Broadcast((E, R)),
-                               "queries_bc": queries_bc,
-                               "keep_top": keep_top},
+        partial(_score_paths_task, emb_bc=emb_bc, queries_bc=queries_bc,
+                keep_top=keep_top),
         batch_format="pyarrow",
         batch_size=16,
-        concurrency=concurrency or auto_pool(),
     )
 
 
