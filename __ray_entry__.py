@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_test": rel.events_ab_test,
         "tpch_q7": rel.tpch_q7,
         "events_sliding_topk": rel.events_sliding_topk,
+        "events_streak": rel.events_streak,
+        "embeddings_srp_estimate": rel.embeddings_srp_estimate,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
         "events_rolling_active": rel.events_rolling_active,
         "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
@@ -872,6 +874,49 @@ _CONTAINMENT_FINAL = """
     JOIN cn cb ON cb.doc_id = c.b
     ORDER BY c.a, c.b
 """
+
+
+def _srp_estimate_sql(k: int = 16, n: int = 50) -> str:
+    """Exact mirror of embeddings_srp_estimate: the rp sign chain
+    (mix64(211, d, j) % 2) restricted to vec_id < n, bits = rounded
+    scaled projection > 0, per-pair Hamming -> cos(pi*h/k) vs exact
+    cosine (DOUBLE[] cast per rule 19)."""
+    lat, ref = _mix_chain("se", ["sg0.d", "sg0.j"], [211])
+    return f"""
+    WITH sub AS MATERIALIZED (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < {n}),
+    flat AS (SELECT vec_id, unnest(v) AS x,
+                    (generate_subscripts(v, 1) - 1)::BIGINT AS d
+             FROM sub),
+    dims AS (SELECT DISTINCT d FROM flat),
+    js AS (SELECT range AS j FROM range({k})),
+    sg0 AS (SELECT d, j FROM dims, js),
+    sg AS MATERIALIZED (SELECT sg0.d, sg0.j,
+                CASE WHEN {ref} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+           FROM sg0, {lat}),
+    bits AS MATERIALIZED (
+        SELECT f.vec_id, sg.j,
+               CASE WHEN ROUND(sum(f.x * sg.s) / sqrt({k}.0), 6) > 0
+                    THEN 1 ELSE 0 END AS b
+        FROM flat f JOIN sg ON sg.d = f.d GROUP BY f.vec_id, sg.j),
+    pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.v AS va, b.v AS vb
+           FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
+    ham AS (SELECT ba.vec_id AS ida, bb.vec_id AS idb,
+                   sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END)::BIGINT
+                       AS h
+            FROM bits ba JOIN bits bb
+              ON ba.j = bb.j AND ba.vec_id < bb.vec_id
+            GROUP BY ba.vec_id, bb.vec_id)
+    SELECT p.ida, p.idb, ham.h,
+           ROUND(cos(pi() * ham.h / {k}.0), 6) AS est_cos,
+           ROUND(list_cosine_similarity(p.va, p.vb), 6) AS true_cos,
+           ROUND(abs(cos(pi() * ham.h / {k}.0)
+                     - list_cosine_similarity(p.va, p.vb)), 6) AS err
+    FROM pr p JOIN ham ON ham.ida = p.ida AND ham.idb = p.idb
+    ORDER BY p.ida, p.idb
+    """
 
 
 def _rp_sql(k: int = 8) -> str:
@@ -3416,6 +3461,23 @@ _TYPE_VIOLATIONS_SQL = f"""
 """
 
 
+_STREAK_SQL = """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 86400000000)::BIGINT AS day
+                FROM events),
+    isl AS (SELECT user_id, day,
+                   day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS grp
+            FROM ud),
+    st AS (SELECT user_id, grp, count(*)::BIGINT AS len
+           FROM isl GROUP BY user_id, grp)
+    SELECT user_id, sum(len)::BIGINT AS n_active_days,
+           max(len)::BIGINT AS longest_streak,
+           count(*)::BIGINT AS n_streaks
+    FROM st GROUP BY user_id ORDER BY user_id
+"""
+
+
 _SLIDING_TOPK_SQL = """
     WITH hc AS (SELECT event_type,
                        (epoch_us(ts) // 3600000000)::BIGINT AS hour,
@@ -4793,6 +4855,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": _TPCH_Q7_SQL,
         # trailing-6h windowed top-3 event types at every observed hour
         "events_sliding_topk": _SLIDING_TOPK_SQL,
+        # gaps-and-islands: longest consecutive-day streak per user
+        "events_streak": _STREAK_SQL,
+        # SRP sign-sketch accuracy audit (cos(pi*h/k) vs exact cosine)
+        "embeddings_srp_estimate": _srp_estimate_sql(),
         # embedding-space per-source centroid cohesion audit
         "docs_emb_cohesion": _EMB_COHESION_SQL,
         # DAU + trailing-7-day distinct actives

@@ -2452,3 +2452,96 @@ def events_sliding_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"anchor_hour": np.int64, "rank": np.int64,
                  "n": np.int64}) \
         .sort_values(["anchor_hour", "rank"], ignore_index=True)
+
+
+def events_streak(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-
+    islands): distinct (user, day) rows via per-batch unique + one
+    groupby-distinct — state bounded by users × days, the event stream
+    never lands whole — then the island fold (day − rank constant
+    within a streak) runs vectorized on that table (rule 13; one
+    lexsort + one diff, no per-user loop).  Output: (user_id,
+    n_active_days, longest_streak, n_streaks)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def ud(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        day = ts // 86_400_000_000
+        k = np.unique(uid * np.int64(1 << 20) + day)
+        return pa.table({"user_id": pa.array(k >> 20),
+                         "day": pa.array(k & ((1 << 20) - 1))})
+
+    pairs = (ds.map_batches(ud, batch_format="pyarrow")
+             .groupby(["user_id", "day"]).count()
+             .select_columns(["user_id", "day"])).to_pandas()
+    uid = pairs["user_id"].to_numpy(np.int64)
+    day = pairs["day"].to_numpy(np.int64)
+    o = np.lexsort((day, uid))
+    uid, day = uid[o], day[o]
+    # island id: same user AND day exactly +1 continues the streak
+    new = np.ones(len(uid), dtype=bool)
+    if len(uid) > 1:
+        new[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+    isl = np.cumsum(new) - 1
+    lengths = np.bincount(isl)
+    isl_user = uid[new]
+    out = pd.DataFrame({"user_id": isl_user, "len": lengths})
+    g = out.groupby("user_id").agg(
+        longest_streak=("len", "max"), n_streaks=("len", "size"),
+        n_active_days=("len", "sum")).reset_index()
+    return g[["user_id", "n_active_days", "longest_streak",
+              "n_streaks"]] \
+        .astype({c: np.int64 for c in g.columns}) \
+        .sort_values("user_id", ignore_index=True)
+
+
+def embeddings_srp_estimate(sf_dir: str) -> pd.DataFrame:
+    """SRP (hyperplane-LSH) accuracy audit — the embeddings twin of
+    docs_minhash_estimate: for the 50 lowest vec_ids, 16 sign-random
+    projections (the embeddings_rp_project matrix, seed 211) → per-pair
+    Hamming distance h → est_cos = cos(π·h/16) vs the exact cosine,
+    plus the absolute error.  Signs threshold the ROUNDED scaled
+    projection so both engines agree by construction.  At scale the
+    same audit runs on a sampled id set; the projections themselves
+    are the stateless zero-copy map_batches stage."""
+    import pyarrow.compute as pc
+
+    from ..sources.pages import mix64_vec
+    from ..stages.ann import RP_SEED, list_col_matrix
+
+    k = 16
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), pa.scalar(50))),
+        batch_format="pyarrow")
+    import ray as _ray
+
+    tb = pa.concat_tables([t for t in _ray.get(sub.to_arrow_refs())
+                           if t.num_rows])
+    ids = tb.column("vec_id").to_numpy().astype(np.int64)
+    o = np.argsort(ids)
+    ids = ids[o]
+    X = list_col_matrix(tb.column("embedding"))[o]
+    d = X.shape[1]
+    dg = np.arange(d, dtype=np.int64)[:, None]
+    jg = np.arange(k, dtype=np.int64)[None, :]
+    S = np.where(mix64_vec(RP_SEED, dg, jg) % np.uint64(2) == 0,
+                 1.0, -1.0)
+    y = np.round((X @ S) / np.sqrt(float(k)), 6)
+    bits = y > 0
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Xu = X / nrm
+    C = Xu @ Xu.T
+    ii, jj = np.triu_indices(len(ids), 1)
+    h = (bits[ii] != bits[jj]).sum(axis=1).astype(np.int64)
+    est = np.cos(np.pi * h / float(k))
+    true = C[ii, jj]
+    return pd.DataFrame({
+        "ida": ids[ii], "idb": ids[jj], "h": h,
+        "est_cos": np.round(est, 6),
+        "true_cos": np.round(true, 6),
+        "err": np.round(np.abs(est - true), 6)}) \
+        .astype({"ida": np.int64, "idb": np.int64, "h": np.int64}) \
+        .sort_values(["ida", "idb"], ignore_index=True)
