@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_topk": rel.events_sliding_topk,
         "events_streak": rel.events_streak,
         "embeddings_srp_estimate": rel.embeddings_srp_estimate,
+        "events_pareto": rel.events_pareto,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
         "events_rolling_active": rel.events_rolling_active,
         "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
@@ -3461,6 +3462,28 @@ _TYPE_VIOLATIONS_SQL = f"""
 """
 
 
+_PARETO_SQL = """
+    WITH uc AS (SELECT user_id, count(*)::BIGINT AS n
+                FROM events GROUP BY user_id),
+    rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id)
+                     AS rank FROM uc),
+    tot AS (SELECT count(*)::BIGINT AS n_users, sum(n)::BIGINT AS total
+            FROM uc),
+    dc AS (SELECT (10 * (rk.rank - 1)) // tot.n_users AS decile,
+                  rk.n, tot.total
+           FROM rk, tot),
+    agg AS (SELECT decile, count(*)::BIGINT AS n_users,
+                   sum(n)::BIGINT AS n_events, any_value(total) AS total
+            FROM dc GROUP BY decile)
+    SELECT decile::BIGINT AS decile, n_users, n_events,
+           ROUND(n_events / CAST(total AS DOUBLE), 6) AS share,
+           ROUND(sum(n_events) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING)
+                 / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM agg ORDER BY decile
+"""
+
+
 _STREAK_SQL = """
     WITH ud AS (SELECT DISTINCT user_id,
                        (epoch_us(ts) // 86400000000)::BIGINT AS day
@@ -4859,6 +4882,8 @@ def oracle_sql() -> dict[str, str]:
         "events_streak": _STREAK_SQL,
         # SRP sign-sketch accuracy audit (cos(pi*h/k) vs exact cosine)
         "embeddings_srp_estimate": _srp_estimate_sql(),
+        # event concentration by user rank decile
+        "events_pareto": _PARETO_SQL,
         # embedding-space per-source centroid cohesion audit
         "docs_emb_cohesion": _EMB_COHESION_SQL,
         # DAU + trailing-7-day distinct actives

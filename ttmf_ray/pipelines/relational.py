@@ -2545,3 +2545,32 @@ def embeddings_srp_estimate(sf_dir: str) -> pd.DataFrame:
         "err": np.round(np.abs(est - true), 6)}) \
         .astype({"ida": np.int64, "idb": np.int64, "h": np.int64}) \
         .sort_values(["ida", "idb"], ignore_index=True)
+
+
+def events_pareto(sf_dir: str) -> pd.DataFrame:
+    """Event-concentration audit (the 80/20 readout behind bot/power-user
+    filters): users ranked by event count (count DESC, user_id ASC),
+    split into 10 rank deciles (decile = 10·(rank−1) // n_users); per
+    decile n_users / n_events / share / cumulative share.  Counts are
+    exact integers through one user-domain groupby; the decile fold
+    runs on that bounded table (rule 13); shares are single divisions
+    rounded 6 dp."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    uc = (ds.groupby("user_id").count()
+          .to_pandas().rename(columns={"count()": "n"}))
+    cnt = uc["n"].to_numpy(np.int64)
+    uid = uc["user_id"].to_numpy(np.int64)
+    order = np.lexsort((uid, -cnt))
+    cnt = cnt[order]
+    n_users = len(cnt)
+    total = int(cnt.sum())
+    dec = (10 * np.arange(n_users, dtype=np.int64)) // n_users
+    n_ev = np.bincount(dec, weights=cnt, minlength=10).astype(np.int64)
+    n_us = np.bincount(dec, minlength=10).astype(np.int64)
+    share = n_ev / float(total)
+    return pd.DataFrame({
+        "decile": np.arange(10, dtype=np.int64),
+        "n_users": n_us,
+        "n_events": n_ev,
+        "share": np.round(share, 6),
+        "cum_share": np.round(np.cumsum(n_ev) / float(total), 6)})
