@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streak": rel.events_streak,
         "embeddings_srp_estimate": rel.embeddings_srp_estimate,
         "events_pareto": rel.events_pareto,
+        "docs_code_detect": rel.docs_code_detect,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
         "events_rolling_active": rel.events_rolling_active,
         "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
@@ -3462,6 +3463,41 @@ _TYPE_VIOLATIONS_SQL = f"""
 """
 
 
+_CODE_DETECT_SQL = """
+    WITH aug AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || e'\ndef f(x):\n    return x + 1\n\nimport os\n\tval = items[0]; { x = (1, 2); }\n'
+                    ELSE text END AS t
+        FROM documents),
+    cc AS (SELECT doc_id,
+                  ((length(t) - length(replace(t, 'def ', ''))) // 4 + (length(t) - length(replace(t, 'import ', ''))) // 7 + (length(t) - length(replace(t, 'return ', ''))) // 7 + (length(t) - length(replace(t, '#include', ''))) // 8 + (length(t) - length(replace(t, 'function ', ''))) // 9)::BIGINT AS kw_hits,
+                  ((length(t) - length(replace(t, '{' , ''))) + (length(t) - length(replace(t, '}' , ''))) + (length(t) - length(replace(t, '(' , ''))) + (length(t) - length(replace(t, ')' , ''))) + (length(t) - length(replace(t, ';' , ''))) + (length(t) - length(replace(t, '=' , ''))) + (length(t) - length(replace(t, '[' , ''))) + (length(t) - length(replace(t, ']' , ''))))::BIGINT AS sym,
+                  length(t)::BIGINT AS nch
+           FROM aug),
+    ln AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS l
+           FROM aug),
+    lc AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+                  sum(CASE WHEN l LIKE '    %'
+                           OR l LIKE chr(9) || '%'
+                      THEN 1 ELSE 0 END)::BIGINT AS indent_lines
+           FROM ln GROUP BY doc_id),
+    sc AS (SELECT cc.doc_id, lc.n_lines, lc.indent_lines, cc.kw_hits,
+                  ROUND(cc.sym / greatest(cc.nch, 1)::DOUBLE, 6)
+                      AS sym_density,
+                  ROUND(lc.indent_lines
+                        / greatest(lc.n_lines, 1)::DOUBLE, 6)
+                      AS indent_frac
+           FROM cc JOIN lc USING (doc_id))
+    SELECT doc_id, n_lines, indent_lines, kw_hits, sym_density,
+           indent_frac,
+           (CASE WHEN (indent_frac >= 0.2 AND n_lines >= 3)
+                 OR kw_hits >= 2 OR sym_density > 0.03
+            THEN 1 ELSE 0 END)::BIGINT AS is_code
+    FROM sc ORDER BY doc_id
+"""
+
+
 _PARETO_SQL = """
     WITH uc AS (SELECT user_id, count(*)::BIGINT AS n
                 FROM events GROUP BY user_id),
@@ -4884,6 +4920,8 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_srp_estimate": _srp_estimate_sql(),
         # event concentration by user rank decile
         "events_pareto": _PARETO_SQL,
+        # code-likeness gate (indent/keyword/symbol kernels)
+        "docs_code_detect": _CODE_DETECT_SQL,
         # embedding-space per-source centroid cohesion audit
         "docs_emb_cohesion": _EMB_COHESION_SQL,
         # DAU + trailing-7-day distinct actives

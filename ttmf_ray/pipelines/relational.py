@@ -2574,3 +2574,63 @@ def events_pareto(sf_dir: str) -> pd.DataFrame:
         "n_events": n_ev,
         "share": np.round(share, 6),
         "cum_share": np.round(np.cumsum(n_ev) / float(total), 6)})
+
+
+CODE_AUG = ("\ndef f(x):\n    return x + 1\n\nimport os\n"
+            "\tval = items[0]; { x = (1, 2); }\n")
+_CODE_KWS = ["def ", "import ", "return ", "#include", "function "]
+_CODE_SYMS = list("{}();=[]")
+
+
+def docs_code_detect(sf_dir: str) -> pd.DataFrame:
+    """Code-likeness classifier (the pretraining-curation gate that
+    routes code-looking text away from the prose pipeline): per doc —
+    line count, indented-line count (4-space or tab), code-keyword
+    hits, symbol density — composed into an is_code flag
+    (indent_frac ≥ 0.2 with ≥ 3 lines, OR ≥ 2 keyword hits, OR symbol
+    density > 0.03; thresholds compare 6-dp-rounded ratios so both
+    engines land on the identical flag).  Every 7th doc gets a
+    deterministic code-snippet suffix (the docs_redact_pii
+    convention) so all kernels are exercised on the synthetic corpus.
+    One stateless vectorized pass: Arrow count_substring for
+    keywords/symbols, one line split for the indent kernel."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..stages.text import _split_flat
+
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        tx = t.column("text").to_numpy(zero_copy_only=False).astype(str)
+        tx = np.where(ids % 7 == 0, np.char.add(tx, CODE_AUG), tx)
+        arr = pa.array(tx.astype(object), pa.string())
+        n = len(ids)
+        kw = np.zeros(n, np.int64)
+        for w in _CODE_KWS:
+            kw += pc.count_substring(arr, w).to_numpy().astype(np.int64)
+        sym = np.zeros(n, np.int64)
+        for c in _CODE_SYMS:
+            sym += pc.count_substring(arr, c).to_numpy().astype(np.int64)
+        nch = pc.utf8_length(arr).to_numpy().astype(np.int64)
+        lines, didx, _ = _split_flat(arr, "\n")
+        n_lines = np.bincount(didx, minlength=n).astype(np.int64)
+        ind = (np.char.startswith(lines.astype(str), "    ")
+               | np.char.startswith(lines.astype(str), "\t"))
+        indent = np.bincount(didx, weights=ind,
+                             minlength=n).astype(np.int64)
+        ifrac = np.round(indent / np.maximum(n_lines, 1), 6)
+        sdens = np.round(sym / np.maximum(nch, 1), 6)
+        is_code = (((ifrac >= 0.2) & (n_lines >= 3)) | (kw >= 2)
+                   | (sdens > 0.03)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids), "n_lines": pa.array(n_lines),
+            "indent_lines": pa.array(indent), "kw_hits": pa.array(kw),
+            "sym_density": pa.array(sdens, pa.float64()),
+            "indent_frac": pa.array(ifrac, pa.float64()),
+            "is_code": pa.array(is_code)})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    ints = {c: np.int64 for c in ["doc_id", "n_lines", "indent_lines",
+                                  "kw_hits", "is_code"]}
+    return out.astype(ints).sort_values("doc_id").reset_index(drop=True)
