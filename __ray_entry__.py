@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": cq.kg_hits,
         "kg_entity_types": cq.kg_entity_types,
         "kg_type_violations": cq.kg_type_violations,
+        "kg_degree_assortativity": cq.kg_degree_assortativity,
         "docs_textrank": rel.docs_textrank,
         "docs_quality_auc": rel.docs_quality_auc,
         "docs_dsir_sample": rel.docs_dsir_sample,
@@ -3442,6 +3443,37 @@ def _rake_sql(k: int = 20) -> str:
     """
 
 
+_ASSORT_SQL = f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
+    dg AS (SELECT id, sum(d)::BIGINT AS d FROM (
+               SELECT h AS id, count(*) AS d FROM edges0 GROUP BY h
+               UNION ALL
+               SELECT t AS id, count(*) AS d FROM edges0 GROUP BY t)
+           GROUP BY id),
+    xy AS (SELECT a.d AS x, b.d AS y
+           FROM edges0 e JOIN dg a ON a.id = e.h
+                         JOIN dg b ON b.id = e.t),
+    s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                 sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                 sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+          FROM xy)
+    SELECT n AS n_edges,
+           -- zero-variance degeneracy (all heads or all tails share one
+           -- degree) → r defined as 0.0, matching the Python kernel
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy
+                        - CAST(sy AS DOUBLE) * sy) <= 0 THEN 0.0
+           ELSE ROUND((CAST(n AS DOUBLE) * sxy
+                       - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) END
+               AS assortativity
+    FROM s
+"""
+
+
 _TYPE_VIOLATIONS_SQL = f"""
     WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
     hr AS (SELECT h, r, count(*)::BIGINT AS c FROM edges0 GROUP BY h, r),
@@ -4742,6 +4774,8 @@ def oracle_sql() -> dict[str, str]:
         # relation domain audit: entity type = argmax head relation,
         # dominant-type share per relation
         "kg_type_violations": _TYPE_VIOLATIONS_SQL,
+        # edge-wise out/in degree Pearson r (exact integer sums)
+        "kg_degree_assortativity": _ASSORT_SQL,
         "docs_textrank": _textrank_sql(),
         "docs_quality_auc": _quality_auc_sql(),
         "docs_dsir_sample": _dsir_sample_sql(),

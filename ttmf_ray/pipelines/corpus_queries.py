@@ -1342,3 +1342,62 @@ def kg_type_violations(sf_dir: str) -> pd.DataFrame:
         .astype({"rel": np.int64, "n_edges": np.int64,
                  "dom_subj_type": np.int64, "n_viol": np.int64}) \
         .sort_values("rel", ignore_index=True)
+
+
+def kg_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the constructed KG: Pearson r between
+    the TOTAL degree (in+out) of the two endpoints across edges — the
+    hub-wiring diagnostic (disassortative r < 0 means hubs attach to
+    leaves, which drives the frontier caps; the out/in variant is
+    degenerate here because every subject heads exactly one edge).
+    Degrees come from one |V|-bounded combiner+groupby pass and
+    broadcast as one lookup array; the correlation sums (Σx, Σy, Σxy,
+    Σx², Σy², n) are EXACT integers through a second streaming pass,
+    so both engines land on the identical double before the 6-dp
+    round."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast, spread
+
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    n_ent = len(ent_df)
+    ds = spread(rd.from_pandas(ids[["h", "t"]]))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy().astype(np.int64)
+        tt = t.column("t").to_numpy().astype(np.int64)
+        od = np.bincount(h, minlength=n_ent).astype(np.int64)
+        idg = np.bincount(tt, minlength=n_ent).astype(np.int64)
+        return pa.table({"id": pa.array(np.arange(n_ent, dtype=np.int64)),
+                         "od": pa.array(od), "idg": pa.array(idg)})
+
+    deg = (ds.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("id")
+           .aggregate(Sum("od", alias_name="od"),
+                      Sum("idg", alias_name="idg"))).to_pandas()
+    dg = np.zeros(n_ent, np.int64)
+    dg[deg["id"].to_numpy(np.int64)] = (deg["od"].to_numpy(np.int64)
+                                        + deg["idg"].to_numpy(np.int64))
+    bc = Broadcast(dg)
+
+    def corr_partial(t: pa.Table) -> pa.Table:
+        d = bc.get()
+        x = d[t.column("h").to_numpy().astype(np.int64)]
+        y = d[t.column("t").to_numpy().astype(np.int64)]
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxy": pa.array([(x * y).sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()])})
+
+    s = ds.map_batches(corr_partial, batch_format="pyarrow").to_pandas() \
+        .sum()
+    n, sx, sy = int(s["n"]), int(s["sx"]), int(s["sy"])
+    sxy, sxx, syy = int(s["sxy"]), int(s["sxx"]), int(s["syy"])
+    num = float(n) * sxy - float(sx) * sy
+    den = np.sqrt((float(n) * sxx - float(sx) * sx)
+                  * (float(n) * syy - float(sy) * sy))
+    r = round(num / den, 6) if den > 0 else 0.0
+    return pd.DataFrame({"n_edges": [np.int64(n)],
+                         "assortativity": [r]})
