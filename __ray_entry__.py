@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_srp_estimate": rel.embeddings_srp_estimate,
         "events_pareto": rel.events_pareto,
         "docs_code_detect": rel.docs_code_detect,
+        "events_interarrival": rel.events_interarrival,
+        "tpch_q5": rel.tpch_q5,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
         "events_rolling_active": rel.events_rolling_active,
         "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
@@ -3530,6 +3532,23 @@ _CODE_DETECT_SQL = """
 """
 
 
+_INTERARRIVAL_SQL = """
+    WITH ev AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts FROM events),
+    gp AS (SELECT user_id,
+                  ts - lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts) AS gap
+           FROM ev),
+    g2 AS (SELECT user_id, gap FROM gp WHERE gap IS NOT NULL),
+    rk AS (SELECT user_id, gap,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY gap) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS k
+           FROM g2)
+    SELECT user_id, k::BIGINT AS n_gaps, gap::BIGINT AS median_gap_us
+    FROM rk WHERE rn = (k + 1) // 2 ORDER BY user_id
+"""
+
+
 _PARETO_SQL = """
     WITH uc AS (SELECT user_id, count(*)::BIGINT AS n
                 FROM events GROUP BY user_id),
@@ -3587,6 +3606,26 @@ _SLIDING_TOPK_SQL = """
            FROM win)
     SELECT anchor_hour, rank::BIGINT AS rank, event_type, n
     FROM rk WHERE rank <= 3 ORDER BY anchor_hour, rank
+"""
+
+
+_TPCH_Q5_SQL = """
+    WITH li AS (SELECT l_orderkey, l_suppkey,
+                       l_extendedprice * (1.0 - l_discount) AS rev,
+                       1970 + (epoch_us(l_shipdate)
+                               // 31557600000000) AS l_year
+                FROM lineitem),
+    j AS (SELECT li.l_suppkey, li.rev, li.l_year, o.o_custkey
+          FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+    x AS (SELECT n.n_regionkey, j.l_year, j.rev
+          FROM j JOIN supplier s ON j.l_suppkey = s.s_suppkey
+                 JOIN customer c ON j.o_custkey = c.c_custkey
+                 JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE s.s_nationkey = c.c_nationkey)
+    SELECT r.r_name AS region, x.l_year::BIGINT AS l_year,
+           ROUND(sum(x.rev), 6) AS revenue
+    FROM x JOIN region r ON x.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, x.l_year ORDER BY region, l_year
 """
 
 
@@ -4946,6 +4985,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_test": _AB_TEST_SQL,
         # nation-pair shipping revenue (Q7 analogue, all unequal pairs)
         "tpch_q7": _TPCH_Q7_SQL,
+        # local-supplier volume per region/year (Q5 analogue)
+        "tpch_q5": _TPCH_Q5_SQL,
         # trailing-6h windowed top-3 event types at every observed hour
         "events_sliding_topk": _SLIDING_TOPK_SQL,
         # gaps-and-islands: longest consecutive-day streak per user
@@ -4956,6 +4997,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pareto": _PARETO_SQL,
         # code-likeness gate (indent/keyword/symbol kernels)
         "docs_code_detect": _CODE_DETECT_SQL,
+        # exact lower-disc median inter-event gap per user
+        "events_interarrival": _INTERARRIVAL_SQL,
         # embedding-space per-source centroid cohesion audit
         "docs_emb_cohesion": _EMB_COHESION_SQL,
         # DAU + trailing-7-day distinct actives

@@ -2634,3 +2634,140 @@ def docs_code_detect(sf_dir: str) -> pd.DataFrame:
     ints = {c: np.int64 for c in ["doc_id", "n_lines", "indent_lines",
                                   "kw_hits", "is_code"]}
     return out.astype(ints).sort_values("doc_id").reset_index(drop=True)
+
+
+def events_interarrival(sf_dir: str) -> pd.DataFrame:
+    """Median inter-event gap per user (the burstiness/bot signal next
+    to events_streak): gaps are successive-timestamp diffs within a
+    user; median is the EXACT lower-discontinuous element, so both
+    engines pick the identical integer microsecond value.  Shape: the
+    (user, ts) rows hash-partition once by user (coarse int partitions,
+    rule 3); inside each partition one lexsort by (user, gap) lines
+    every user's gaps up contiguously and the median is a vectorized
+    segment pick — no per-user loop, state bounded by the partition's
+    events.  Users with a single event have no gap and are absent from
+    both engines' output."""
+    from ..context import num_cpus
+
+    n_part = min(256, max(32, num_cpus() * 4))
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "ts": pa.array(t.column("ts").cast(pa.int64()).to_numpy()),
+            "part": pa.array((uid % n_part).astype(np.int32))})
+
+    def med_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        o = np.lexsort((ts, uid))
+        uid, ts = uid[o], ts[o]
+        same = uid[1:] == uid[:-1]
+        gap = (ts[1:] - ts[:-1])[same]
+        guid = uid[1:][same]
+        if not len(gap):
+            return pd.DataFrame({"user_id": np.array([], np.int64),
+                                 "n_gaps": np.array([], np.int64),
+                                 "median_gap_us": np.array([], np.int64)})
+        o2 = np.lexsort((gap, guid))
+        guid, gap = guid[o2], gap[o2]
+        new = np.ones(len(guid), dtype=bool)
+        new[1:] = guid[1:] != guid[:-1]
+        starts = np.flatnonzero(new)
+        k = np.diff(np.append(starts, len(guid)))
+        med = gap[starts + (k - 1) // 2]
+        return pd.DataFrame({"user_id": guid[starts], "n_gaps": k,
+                             "median_gap_us": med})
+
+    out = (ds.map_batches(add_part, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(med_in_part, batch_format="pandas")).to_pandas()
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("user_id", ignore_index=True)
+
+
+def tpch_q5(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 analogue (local-supplier volume): revenue
+    Σ extendedprice·(1−discount) per (region, year) for lineitems where
+    customer and supplier sit in the SAME nation (the analogue keeps
+    all regions/years rather than Q5's single region+year slice).
+    Same plan as tpch_q7 — broadcast small-side lookups, one bucketed
+    hash_join on the order key, per-batch combiner → tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast
+    from ..functions.joins import hash_join
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey"]).to_pandas() \
+        .sort_values("n_nationkey")
+    reg = _read(sf_dir, "region",
+                ["r_regionkey", "r_name"]).to_pandas() \
+        .sort_values("r_regionkey")
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    n2r = np.zeros(int(nk.max()) + 1, np.int64)
+    n2r[nk] = nat["n_regionkey"].to_numpy(np.int64)
+    rk = reg["r_regionkey"].to_numpy(np.int64)
+    r_names = np.empty(int(rk.max()) + 1, dtype=object)
+    r_names[rk] = reg["r_name"].to_numpy(dtype=object)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas() \
+        .sort_values("c_custkey")
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey")
+    bc = Broadcast((cust["c_custkey"].to_numpy(np.int64),
+                    cust["c_nationkey"].to_numpy(np.int64),
+                    supp["s_suppkey"].to_numpy(np.int64),
+                    supp["s_nationkey"].to_numpy(np.int64),
+                    n2r))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        year = 1970 + sd // 31_557_600_000_000
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "rev": pa.array(ep * (1.0 - disc), pa.float64()),
+            "l_year": pa.array(year.astype(np.int64))})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64())}),
+            batch_format="pyarrow")
+    joined = hash_join(li.map_batches(lmap, batch_format="pyarrow"),
+                       orders, on="l_orderkey")
+
+    def combine(t: pa.Table) -> pa.Table:
+        ck, cn, sk, sn, n2r_ = bc.get()
+        cust_k = t.column("o_custkey").to_numpy().astype(np.int64)
+        supp_k = t.column("l_suppkey").to_numpy().astype(np.int64)
+        cnk = cn[np.clip(np.searchsorted(ck, cust_k), 0, len(ck) - 1)]
+        snk = sn[np.clip(np.searchsorted(sk, supp_k), 0, len(sk) - 1)]
+        keep = snk == cnk
+        df = pd.DataFrame({
+            "regionkey": n2r_[cnk[keep]],
+            "l_year": t.column("l_year").to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep],
+            "rev": t.column("rev").to_numpy()[keep]})
+        g = df.groupby(["regionkey", "l_year"], as_index=False)["rev"] \
+            .sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(combine, batch_format="pyarrow")
+           .groupby(["regionkey", "l_year"])
+           .aggregate(Sum("rev", alias_name="revenue"))).to_pandas()
+    agg["region"] = r_names[agg["regionkey"].to_numpy(np.int64)]
+    agg["revenue"] = np.round(agg["revenue"].to_numpy(), 6)
+    return agg[["region", "l_year", "revenue"]] \
+        .astype({"l_year": np.int64}) \
+        .sort_values(["region", "l_year"], ignore_index=True)
