@@ -193,3 +193,83 @@ def test_rnn_branch_mode_end_to_end(ray_session):
         cb = model.branches[4]
         exp = 1.0 / (1.0 + np.exp(-cb))
         assert np.allclose(zk_slab[allpad], exp[None, :], atol=0, rtol=0)
+
+
+def test_fusion_batch_grads_finite_difference():
+    """Numeric gradient check of _batch_grads for BOTH branch modes —
+    the BPTT through the masked-carry RNN is the subtlest math in the
+    estimator; every parameter tensor is checked entry-wise against
+    central differences of the BCE loss."""
+    import numpy as np
+
+    from ttmf_ray.functions.fusion import (MAX_P, N_BRANCH, _batch_grads,
+                                           _rnn_forward)
+
+    rng = np.random.default_rng(17)
+    B, d_scalar, hh, d_step = 12, 5, 3, 4
+    xb = rng.standard_normal((B, d_scalar))
+    yb = (rng.random(B) < 0.5).astype(np.float64)
+
+    def head_params(d_in):
+        return [rng.standard_normal((d_in, 6)) * 0.4, np.zeros(6),
+                rng.standard_normal((6, 1)) * 0.4, np.zeros(1)]
+
+    def loss(params, branch_batch, rnn):
+        if branch_batch is None:
+            Zin = xb
+        elif rnn:
+            tb, sb, lb = branch_batch
+            zk, _ = _rnn_forward(tuple(params[4:]), tb, sb, lb)
+            Zin = np.concatenate([zk, xb], axis=1)
+        else:
+            Wb, bb, wb, cb = params[4:]
+            Hk = np.tanh(np.matmul(branch_batch.transpose(1, 0, 2), Wb)
+                         .transpose(1, 0, 2) + bb)
+            zk = 1.0 / (1.0 + np.exp(-((Hk * wb[None]).sum(axis=2)
+                                       + cb)))
+            Zin = np.concatenate([zk, xb], axis=1)
+        W1, b1, W2, b2 = params[:4]
+        H = np.tanh(Zin @ W1 + b1)
+        p = 1.0 / (1.0 + np.exp(-(H @ W2 + b2)))[:, 0]
+        return -np.mean(yb * np.log(p) + (1 - yb) * np.log(1 - p))
+
+    def check(params, branch_batch, rnn):
+        grads = _batch_grads(params, xb, yb, branch_batch, rnn=rnn)
+        eps = 1e-6
+        for k, (pm, g) in enumerate(zip(params, grads)):
+            flat = pm.reshape(-1)
+            for j in range(0, flat.size, max(1, flat.size // 7)):
+                orig = flat[j]
+                flat[j] = orig + eps
+                lp = loss(params, branch_batch, rnn)
+                flat[j] = orig - eps
+                lm = loss(params, branch_batch, rnn)
+                flat[j] = orig
+                num = (lp - lm) / (2 * eps)
+                ana = g.reshape(-1)[j]
+                assert abs(num - ana) <= 1e-6 + 1e-4 * abs(num), \
+                    (rnn, k, j, num, ana)
+
+    # RNN mode: masked-carry BPTT (lens include 0 = all-pad rows)
+    tb = rng.standard_normal((B, d_step))
+    sb = rng.standard_normal((B, N_BRANCH, MAX_P, d_step))
+    lb = rng.integers(0, MAX_P + 1, (B, N_BRANCH)).astype(np.int64)
+    rnn_params = head_params(d_scalar + N_BRANCH) + [
+        rng.standard_normal((N_BRANCH, 2 * d_step, hh)) * 0.4,
+        rng.standard_normal((N_BRANCH, hh, hh)) * 0.4,
+        rng.standard_normal((N_BRANCH, hh)) * 0.2,
+        rng.standard_normal((N_BRANCH, hh)) * 0.4,
+        rng.standard_normal(N_BRANCH) * 0.2]
+    check(rnn_params, (tb, sb, lb), rnn=True)
+
+    # pool mode
+    Vm = rng.standard_normal((B, N_BRANCH, 2 * d_step))
+    pool_params = head_params(d_scalar + N_BRANCH) + [
+        rng.standard_normal((N_BRANCH, 2 * d_step, hh)) * 0.4,
+        rng.standard_normal((N_BRANCH, hh)) * 0.2,
+        rng.standard_normal((N_BRANCH, hh)) * 0.4,
+        rng.standard_normal(N_BRANCH) * 0.2]
+    check(pool_params, Vm, rnn=False)
+
+    # scalar-only
+    check(head_params(d_scalar), None, rnn=False)

@@ -686,12 +686,8 @@ def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
     """
     use_paths = pooled_all is not None
     rnn = isinstance(pooled_all, tuple)      # (trip, steps, lens) slabs
-    W1, b1, W2, b2 = params[:4]
     if use_paths and rnn:
-        Wx, Wh, bh, wb, cb = params[4:]
         d_step = pooled_all[0].shape[1]
-    elif use_paths:
-        Wb, bb, wb, cb = params[4:]
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     order = rng.permutation(len(ti))
     for s0 in range(0, len(ti), batch_size):
@@ -709,65 +705,12 @@ def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
                           np.float64)[:m]                # (B, K, P, d)
             np.copyto(sb, pooled_all[1][idx])
             lb = pooled_all[2][idx]                      # (B, K)
-            zk, hs = _rnn_forward((Wx, Wh, bh, wb, cb), tb,
-                                  sb, lb, keep_states=True)
-            Zin = np.concatenate([zk, xb], axis=1)
+            branch_batch = (tb, sb, lb)
         elif use_paths:
-            Vm = pooled_all[idx]
-            Hk = np.tanh(
-                np.matmul(Vm.transpose(1, 0, 2), Wb).transpose(1, 0, 2)
-                + bb)
-            zk = 1.0 / (1.0 + np.exp(-((Hk * wb[None]).sum(axis=2) + cb)))
-            Zin = np.concatenate([zk, xb], axis=1)
+            branch_batch = pooled_all[idx]
         else:
-            Zin = xb
-        H = np.tanh(Zin @ W1 + b1)
-        logits = H @ W2 + b2
-        p = 1.0 / (1.0 + np.exp(-logits))
-        gl = (p - yb[:, None]) / len(idx)       # dBCE/dlogits
-        gW2 = H.T @ gl
-        gb2 = gl.sum(axis=0)
-        gH = gl @ W2.T
-        gZ = gH * (1 - H * H)
-        gZin = gZ @ W1.T
-        gW1 = Zin.T @ gZ
-        gb1 = gZ.sum(axis=0)
-        grads = [gW1, gb1, gW2, gb2]
-        if use_paths and rnn:
-            # BPTT over the MAX_P masked-carry steps: at step t only
-            # rows with len > t flow through the tanh path; the rest
-            # carry the state (identity) — gradient mirrors the carry
-            gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K)
-            hK = hs[-1]
-            gwb = (hK * gz[:, :, None]).sum(axis=0)
-            gcb = gz.sum(axis=0)
-            gh = gz[:, :, None] * wb[None, :, :]       # (B, K, hh)
-            gWx = np.zeros_like(Wx)
-            gWh = np.zeros_like(Wh)
-            gbh = np.zeros_like(bh)
-            for t in reversed(range(MAX_P)):
-                mt = (lb > t)[:, :, None]
-                gpre = (gh * mt * (1 - hs[t + 1] ** 2)) \
-                    .transpose(1, 0, 2)                # (K, B, hh)
-                gWx[:, :d_step, :] += np.matmul(tb.T, gpre)
-                gWx[:, d_step:, :] += np.matmul(
-                    sb[:, :, t, :].transpose(1, 2, 0), gpre)
-                gWh += np.matmul(hs[t].transpose(1, 2, 0), gpre)
-                gbh += gpre.sum(axis=1)
-                gh = (np.matmul(gpre, Wh.transpose(0, 2, 1))
-                      .transpose(1, 0, 2)
-                      + gh * ~mt)
-            grads.extend([gWx, gWh, gbh, gwb, gcb])
-        elif use_paths:
-            gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K) sigmoid
-            gwb = (Hk * gz[:, :, None]).sum(axis=0)
-            gcb = gz.sum(axis=0)
-            gHk = gz[:, :, None] * wb[None, :, :]      # (B, K, h)
-            gVk = gHk * (1 - Hk * Hk)
-            gWb = np.matmul(Vm.transpose(1, 2, 0),     # (K,d,B)@(K,B,h)
-                            gVk.transpose(1, 0, 2))
-            gbb = gVk.sum(axis=0)
-            grads.extend([gWb, gbb, gwb, gcb])
+            branch_batch = None
+        grads = _batch_grads(params, xb, yb, branch_batch, rnn=rnn)
         adam.step += 1
         st = adam.step
         for k, (pm, g) in enumerate(zip(params, grads)):
@@ -776,6 +719,83 @@ def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
             mh = adam.m[k] / (1 - beta1**st)
             vh = adam.v[k] / (1 - beta2**st)
             pm -= lr * mh / (np.sqrt(vh) + eps)
+
+
+def _batch_grads(params, xb, yb, branch_batch, *, rnn: bool) -> list:
+    """BCE gradients of every parameter for one batch — a PURE function
+    of (params, batch), shared verbatim by the serial trainer, the Ray
+    local-SGD workers and the finite-difference gradient-check test.
+
+    ``branch_batch``: None (scalar-only model), the batch's pooled slab
+    ``Vm`` (branch_mode="pool"), or ``(tb, sb, lb)`` RNN input slices
+    (branch_mode="rnn")."""
+    use_paths = branch_batch is not None
+    W1, b1, W2, b2 = params[:4]
+    if use_paths and rnn:
+        Wx, Wh, bh, wb, cb = params[4:]
+        tb, sb, lb = branch_batch
+        d_step = tb.shape[1]
+        zk, hs = _rnn_forward((Wx, Wh, bh, wb, cb), tb, sb, lb,
+                              keep_states=True)
+        Zin = np.concatenate([zk, xb], axis=1)
+    elif use_paths:
+        Wb, bb, wb, cb = params[4:]
+        Vm = branch_batch
+        Hk = np.tanh(
+            np.matmul(Vm.transpose(1, 0, 2), Wb).transpose(1, 0, 2)
+            + bb)
+        zk = 1.0 / (1.0 + np.exp(-((Hk * wb[None]).sum(axis=2) + cb)))
+        Zin = np.concatenate([zk, xb], axis=1)
+    else:
+        Zin = xb
+    H = np.tanh(Zin @ W1 + b1)
+    logits = H @ W2 + b2
+    p = 1.0 / (1.0 + np.exp(-logits))
+    gl = (p - yb[:, None]) / len(xb)        # dBCE/dlogits
+    gW2 = H.T @ gl
+    gb2 = gl.sum(axis=0)
+    gH = gl @ W2.T
+    gZ = gH * (1 - H * H)
+    gZin = gZ @ W1.T
+    gW1 = Zin.T @ gZ
+    gb1 = gZ.sum(axis=0)
+    grads = [gW1, gb1, gW2, gb2]
+    if use_paths and rnn:
+        # BPTT over the MAX_P masked-carry steps: at step t only rows
+        # with len > t flow through the tanh path; the rest carry the
+        # state (identity) — gradient mirrors the carry
+        gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K)
+        hK = hs[-1]
+        gwb = (hK * gz[:, :, None]).sum(axis=0)
+        gcb = gz.sum(axis=0)
+        gh = gz[:, :, None] * wb[None, :, :]       # (B, K, hh)
+        gWx = np.zeros_like(Wx)
+        gWh = np.zeros_like(Wh)
+        gbh = np.zeros_like(bh)
+        for t in reversed(range(MAX_P)):
+            mt = (lb > t)[:, :, None]
+            gpre = (gh * mt * (1 - hs[t + 1] ** 2)) \
+                .transpose(1, 0, 2)                # (K, B, hh)
+            gWx[:, :d_step, :] += np.matmul(tb.T, gpre)
+            gWx[:, d_step:, :] += np.matmul(
+                sb[:, :, t, :].transpose(1, 2, 0), gpre)
+            gWh += np.matmul(hs[t].transpose(1, 2, 0), gpre)
+            gbh += gpre.sum(axis=1)
+            gh = (np.matmul(gpre, Wh.transpose(0, 2, 1))
+                  .transpose(1, 0, 2)
+                  + gh * ~mt)
+        grads.extend([gWx, gWh, gbh, gwb, gcb])
+    elif use_paths:
+        gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K) sigmoid
+        gwb = (Hk * gz[:, :, None]).sum(axis=0)
+        gcb = gz.sum(axis=0)
+        gHk = gz[:, :, None] * wb[None, :, :]      # (B, K, h)
+        gVk = gHk * (1 - Hk * Hk)
+        gWb = np.matmul(Vm.transpose(1, 2, 0),     # (K,d,B)@(K,B,h)
+                        gVk.transpose(1, 0, 2))
+        gbb = gVk.sum(axis=0)
+        grads.extend([gWb, gbb, gwb, gcb])
+    return grads
 
 
 def _fusion_worker(params, data, shard, batch_size, lr, local_epochs,
