@@ -193,6 +193,12 @@ def test_rnn_branch_mode_end_to_end(ray_session):
         cb = model.branches[4]
         exp = 1.0 / (1.0 + np.exp(-cb))
         assert np.allclose(zk_slab[allpad], exp[None, :], atol=0, rtol=0)
+    # distributed local-SGD with the RNN branch data (the tuple slab
+    # rides ray.put; workers run the same _batch_grads BPTT)
+    model_w = train_fusion(df, epochs=6, path_emb=(Ep, Rp),
+                           branch_mode="rnn", workers=2)
+    scored_w = score_fusion_df(df, model_w)
+    assert scored_w["conf"].between(0, 1).all()
 
 
 def test_fusion_batch_grads_finite_difference():
