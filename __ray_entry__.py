@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_code_detect": rel.docs_code_detect,
         "events_interarrival": rel.events_interarrival,
         "tpch_q5": rel.tpch_q5,
+        "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
         "events_rolling_active": rel.events_rolling_active,
         "embeddings_spherical_kmeans": rel.embeddings_spherical_kmeans,
@@ -4987,6 +4988,15 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": _TPCH_Q7_SQL,
         # local-supplier volume per region/year (Q5 analogue)
         "tpch_q5": _TPCH_Q5_SQL,
+        # per-source exact-duplicate rate (distinct-text convention of
+        # docs_exact_dedup: Python hashes, SQL groups the exact text)
+        "docs_dup_rate_by_source": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT text)::BIGINT AS n_unique,
+                   ROUND(1.0 - count(DISTINCT text)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+            FROM documents GROUP BY source ORDER BY source
+        """,
         # trailing-6h windowed top-3 event types at every observed hour
         "events_sliding_topk": _SLIDING_TOPK_SQL,
         # gaps-and-islands: longest consecutive-day streak per user

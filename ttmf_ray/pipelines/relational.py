@@ -2771,3 +2771,55 @@ def tpch_q5(sf_dir: str) -> pd.DataFrame:
     return agg[["region", "l_year", "revenue"]] \
         .astype({"l_year": np.int64}) \
         .sort_values(["region", "l_year"], ignore_index=True)
+
+
+def docs_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate rate per source (the per-feed dedup-health
+    readout that decides which crawls get re-fetched): n_docs vs
+    distinct texts, dup_rate = 1 − unique/docs.  Distinct texts count
+    via the 64-bit content hash (stages/dedup.py:stable_hash64 — the
+    docs_exact_dedup convention: the SQL twin groups by the exact text,
+    identical absent hash collisions): per-batch (source, hash) unique
+    partials → one groupby → per-block fold; document text never
+    shuffles, only (source, int64) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import stable_hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        tx = t.column("text").to_pylist()
+        h = np.fromiter((stable_hash64(x) for x in tx),
+                        dtype=np.uint64, count=len(tx)).view(np.int64)
+        df = pd.DataFrame({"source": src, "h": h})
+        g = df.groupby(["source", "h"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uh = (ds.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["source", "h"])
+          .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(src)
+        return pa.table({
+            "source": pa.array(uniq, pa.string()),
+            "n_unique": pa.array(np.bincount(
+                codes, minlength=len(uniq)).astype(np.int64)),
+            "n_docs": pa.array(np.bincount(
+                codes, weights=cnt, minlength=len(uniq))
+                .astype(np.int64))})
+
+    out = uh.map_batches(fold, batch_format="pyarrow").to_pandas() \
+        .groupby("source", as_index=False).sum()
+    nd = out["n_docs"].to_numpy(np.int64)
+    nu = out["n_unique"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": out["source"],
+        "n_docs": nd, "n_unique": nu,
+        "dup_rate": np.round(1.0 - nu / nd.astype(np.float64), 6)}) \
+        .sort_values("source", ignore_index=True)
