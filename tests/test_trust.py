@@ -96,8 +96,17 @@ def test_trust_scores_driver_query_pinned_fixture():
     order drifts ~1 ulp ACROSS SESSIONS; at float32 a 1-ulp drift flips
     6-dp rounding on ~10% of rows, so an exact conf hash is inherently
     flaky (observed 2026-08-18: two stable-within-session values hours
-    apart on identical code).  conf is therefore checked with a
-    tolerance that absorbs ulp drift but catches any semantic change."""
+    apart on identical code).  REVISED 2026-08-20: the original
+    atol=2e-6 (one rounding quantum) ALSO failed on identical code —
+    a fresh session showed 14/540 rows at up to 5e-6 (max rel 2.4e-5,
+    ~200 float32 ulps), rep-to-rep 0.00 within the session and
+    byte-identical at the parent commit, i.e. multi-epoch training
+    AMPLIFIES the per-op ulp drift well past one quantum.  The pin is
+    now two-sided: a loose max bound (5e-5, 10x the measured worst
+    case, still ~100x below any semantic change — the pool-vs-rnn
+    branch swap moves conf by O(1e-2)) plus a drift-SHAPE bound (at
+    most 5% of rows beyond one rounding quantum) that catches a broad
+    subtle change an outlier bound would miss."""
     import os
 
     import numpy as np
@@ -114,9 +123,13 @@ def test_trust_scores_driver_query_pinned_fixture():
     assert len(df) == len(exp) == 540
     for col in ("h", "t", "r", "flag"):
         assert (df[col].to_numpy() == exp[col].to_numpy()).all(), col
-    # 6-dp-rounded values; atol 2e-6 = one rounding quantum of slack.
+    # Two-sided pin (see docstring): loose max bound + drift shape.
+    d = np.abs(df["conf"].to_numpy() - exp["conf"].to_numpy())
     np.testing.assert_allclose(df["conf"].to_numpy(),
-                               exp["conf"].to_numpy(), atol=2e-6, rtol=0)
+                               exp["conf"].to_numpy(), atol=5e-5, rtol=0)
+    n_drift = int((d > 2e-6).sum())
+    assert n_drift <= 0.05 * len(d), \
+        f"{n_drift}/{len(d)} conf rows moved past one rounding quantum"
 
 
 def test_pool_stacked_remote_bitwise_parity(ray_session):
