@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_confusion": cq.docs_lang_confusion,
         "events_attribution": rel.events_attribution,
         "events_hourly_mad": rel.events_hourly_mad,
+        "events_cusum": rel.events_cusum,
         "tpch_q3": rel.tpch_q3,
         "tpch_q4": rel.tpch_q4,
         "events_session_quantiles": rel.events_session_quantiles,
@@ -3861,6 +3862,48 @@ _HOURLY_MAD_SQL = """
 """
 
 
+_CUSUM_SQL = """
+    WITH hc AS (SELECT event_type,
+                       (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY event_type, hour),
+    n AS (SELECT event_type, count(*) AS n FROM hc GROUP BY event_type),
+    rc AS (SELECT event_type, c AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY c) - 1 AS rk
+           FROM hc),
+    med AS (SELECT rc.event_type, max(CASE WHEN rc.rk = (n.n - 1) // 2
+                                      THEN rc.v END) AS med
+            FROM rc JOIN n USING (event_type) GROUP BY rc.event_type),
+    dv AS (SELECT hc.event_type, abs(hc.c - med.med) AS d
+           FROM hc JOIN med USING (event_type)),
+    rd AS (SELECT event_type, d AS v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY d) - 1 AS rk
+           FROM dv),
+    mad AS (SELECT rd.event_type,
+                   greatest(max(CASE WHEN rd.rk = (n.n - 1) // 2
+                                THEN rd.v END), 1) AS mad
+            FROM rd JOIN n USING (event_type) GROUP BY rd.event_type),
+    -- S_t = max(0, S_{t-1} + (c_t - med)) via the prefix identity
+    -- S_t = P_t - min(0, running-min P): pure integer window arithmetic.
+    ser AS (SELECT hc.event_type, hc.hour, hc.c,
+                   sum(hc.c - med.med) OVER (PARTITION BY hc.event_type
+                                             ORDER BY hc.hour) AS p
+            FROM hc JOIN med USING (event_type)),
+    cus AS (SELECT event_type, hour, c,
+                   p - least(min(p) OVER (PARTITION BY event_type
+                                          ORDER BY hour), 0) AS s
+            FROM ser)
+    SELECT cus.event_type, cus.hour, cus.c, cus.s::BIGINT AS cusum,
+           (4 * mad.mad)::BIGINT AS thresh,
+           CAST(CASE WHEN cus.s > 4 * mad.mad
+                THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+    FROM cus JOIN mad USING (event_type)
+    ORDER BY cus.event_type, cus.hour
+"""
+
+
 _ROLLING_ACTIVE_SQL = """
     WITH ud AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
                        (epoch_us(ts) // 86400000000)::BIGINT AS day
@@ -5025,6 +5068,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": _ATTRIBUTION_SQL,
         # median/MAD robust anomalies, all-integer lower-disc medians
         "events_hourly_mad": _HOURLY_MAD_SQL,
+        "events_cusum": _CUSUM_SQL,
         # TPC-H Q3 analogue: BUILDING segment, unshipped revenue top-10
         "tpch_q3": """
             WITH j AS (

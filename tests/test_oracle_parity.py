@@ -76,6 +76,7 @@ SUBSET = [
     "docs_lang_confusion",
     "events_attribution",
     "events_hourly_mad",
+    "events_cusum",
     "tpch_q3",
     "tpch_q4",
     "events_session_quantiles",
@@ -211,6 +212,27 @@ def test_lang_detect_on_known_snippets():
     assert detect_lang("der Hund ist in dem Haus und die Katze auch") == "de"
     assert detect_lang("el perro es grande y la casa es blanca por los campos") == "es"
     assert detect_lang("12345 67890 !!!") == "und"
+
+
+def test_cusum_prefix_identity_matches_recursion(sf_dir):
+    """The vectorized prefix form S_t = P_t - min(0, running-min P) must
+    equal Page's recursion S_t = max(0, S_{t-1} + (c_t - med)) row by
+    row (med recomputed here by the same lower-discrete rule)."""
+    import numpy as np
+    from ttmf_ray.pipelines.relational import events_cusum
+
+    out = events_cusum(sf_dir)
+    assert (out["cusum"] >= 0).all()
+    for _tp, g in out.groupby("event_type", sort=False):
+        c = g["c"].to_numpy(np.int64)
+        med = int(np.sort(c)[(len(c) - 1) // 2])
+        s, want = 0, []
+        for ct in c:
+            s = max(0, s + int(ct) - med)
+            want.append(s)
+        assert (g["cusum"].to_numpy(np.int64) == np.array(want)).all()
+    assert (out["is_alarm"] == (out["cusum"] > out["thresh"])
+            .astype(np.int64)).all()
 
 
 def test_ivf_recall_vs_brute(sf_dir):

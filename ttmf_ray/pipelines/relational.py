@@ -350,6 +350,18 @@ def events_hourly_mad(sf_dir: str) -> pd.DataFrame:
     return hourly_mad_anomaly(ds, k_mad=3)
 
 
+def events_cusum(sf_dir: str) -> pd.DataFrame:
+    """Per-type CUSUM drift alarms over the hourly count series —
+    Page's one-sided control chart with the lower-discrete median as
+    reference and 4·MAD as the alarm line, computed by the all-integer
+    prefix identity S_t = P_t − min(0, min running P)
+    (stages/temporal.py:cusum_alarm)."""
+    from ..stages.temporal import cusum_alarm
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    return cusum_alarm(ds, k_thresh=4)
+
+
 def embeddings_spherical_kmeans(sf_dir: str) -> pd.DataFrame:
     """Cosine (spherical) k-means: unit-normalize, then the quantized
     Lloyd loop of embeddings_kmeans — on the sphere Euclidean argmin ≡

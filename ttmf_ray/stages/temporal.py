@@ -673,3 +673,57 @@ def hourly_mad_anomaly(events_ds, *, ts_col: str = "ts",
                          "mad": np.int64(mad), "is_anomaly": fl})
     return pd.DataFrame(rows).sort_values([type_col, "hour"]) \
         .reset_index(drop=True)
+
+
+def cusum_alarm(events_ds, *, ts_col: str = "ts",
+                type_col: str = "event_type",
+                k_thresh: int = 4) -> pd.DataFrame:
+    """Per-type CUSUM drift alarm over the hourly count series — the
+    one-sided cumulative-sum control chart (Page 1954) with the type's
+    lower-discrete median as reference and k·MAD as the alarm line.
+
+    All integer, zero float risk: d_t = c_t − med, and the recursion
+    S_t = max(0, S_{t-1} + d_t) is computed by the prefix identity
+    S_t = P_t − min(0, min_{j≤t} P_j) with P = cumsum(d), so both the
+    distributed kernel and the SQL mirror are pure window arithmetic
+    (no per-row recursion).  Hours are the OBSERVED hours, ordered;
+    the reference/MAD reuse hourly_mad_anomaly's lower-discrete rule.
+
+    Shape: one (type, hour) count groupby of per-batch partials; the
+    per-type scan runs on the collected (types × hours)-row table
+    (tiny — hours-domain sized, not event-domain sized)."""
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column(type_col).to_numpy(zero_copy_only=False).astype(str)
+        hr = (t.column(ts_col).cast(pa.int64()).to_numpy()
+              // US_PER_HOUR).astype(np.int64)
+        key = np.char.add(np.char.add(et, "\x1f"), hr.astype(str))
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            type_col: pa.array(sp[:, 0], pa.string()),
+            "hour": pa.array(sp[:, 2].astype(np.int64)),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([type_col, "hour"]).sum("c").to_pandas()
+           .rename(columns={"sum(c)": "c"}))
+    frames = []
+    for tp, g in agg.groupby(type_col, sort=True):
+        g = g.sort_values("hour")
+        c = g["c"].to_numpy(np.int64)
+        med = int(np.sort(c)[(len(c) - 1) // 2])
+        dev = np.abs(c - med)
+        mad = max(int(np.sort(dev)[(len(dev) - 1) // 2]), 1)
+        p = np.cumsum(c - med)
+        run_min = np.minimum(np.minimum.accumulate(p), 0)
+        s = p - run_min
+        thresh = k_thresh * mad
+        frames.append(pd.DataFrame({
+            type_col: tp, "hour": g["hour"].to_numpy(np.int64),
+            "c": c, "cusum": s.astype(np.int64),
+            "thresh": np.int64(thresh),
+            "is_alarm": (s > thresh).astype(np.int64)}))
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values([type_col, "hour"]).reset_index(drop=True)
