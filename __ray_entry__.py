@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_code_detect": rel.docs_code_detect,
         "events_interarrival": rel.events_interarrival,
         "tpch_q5": rel.tpch_q5,
+        "tpch_q6": rel.tpch_q6,
+        "events_user_gini": rel.events_user_gini,
         "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
         "events_rolling_active": rel.events_rolling_active,
@@ -3631,6 +3633,41 @@ _TPCH_Q5_SQL = """
 """
 
 
+_TPCH_Q6_SQL = """
+    SELECT (1970 + (epoch_us(l_shipdate)
+                    // 31557600000000))::BIGINT AS l_year,
+           ROUND(sum(l_extendedprice * l_discount), 6) AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    GROUP BY l_year ORDER BY l_year
+"""
+
+
+_USER_GINI_SQL = """
+    WITH uc AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+                FROM events GROUP BY user_id, event_type),
+    hist AS (SELECT event_type, c, count(*)::BIGINT AS m
+             FROM uc GROUP BY event_type, c),
+    -- rank-weighted sum via the count-of-counts histogram:
+    -- S = sum v*(m*below + m(m+1)/2), tie-order invariant, all integer
+    cum AS (SELECT event_type, c, m,
+                   COALESCE(sum(m) OVER (PARTITION BY event_type
+                            ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS below
+            FROM hist),
+    agg AS (SELECT event_type,
+                   sum(m)::BIGINT AS n_users,
+                   sum(c * m)::BIGINT AS total,
+                   sum(c * (m * below + (m * (m + 1)) // 2))::BIGINT AS s
+            FROM cum GROUP BY event_type)
+    SELECT event_type, n_users, total,
+           ROUND((2 * s - (n_users + 1) * total)::DOUBLE
+                 / (n_users * total)::DOUBLE, 6) AS gini
+    FROM agg ORDER BY event_type
+"""
+
+
 _TPCH_Q7_SQL = """
     WITH li AS (SELECT l_orderkey, l_suppkey,
                        l_extendedprice * (1.0 - l_discount) AS rev,
@@ -5031,6 +5068,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": _TPCH_Q7_SQL,
         # local-supplier volume per region/year (Q5 analogue)
         "tpch_q5": _TPCH_Q5_SQL,
+        "tpch_q6": _TPCH_Q6_SQL,
+        "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of
         # docs_exact_dedup: Python hashes, SQL groups the exact text)
         "docs_dup_rate_by_source": """

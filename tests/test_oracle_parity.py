@@ -77,6 +77,8 @@ SUBSET = [
     "events_attribution",
     "events_hourly_mad",
     "events_cusum",
+    "tpch_q6",
+    "events_user_gini",
     "tpch_q3",
     "tpch_q4",
     "events_session_quantiles",

@@ -2588,6 +2588,100 @@ def events_pareto(sf_dir: str) -> pd.DataFrame:
         "cum_share": np.round(np.cumsum(n_ev) / float(total), 6)})
 
 
+def events_user_gini(sf_dir: str) -> pd.DataFrame:
+    """Per-type Gini coefficient of the per-user event-count
+    distribution (the inequality twin of events_pareto's decile
+    readout).  Exact integer arithmetic end-to-end via the
+    count-of-counts histogram: with distinct count values v_j
+    (ascending), multiplicities m_j and users-below prefix N_j, the
+    rank-weighted sum is Σ v_j·(m_j·N_j + m_j(m_j+1)/2) — invariant to
+    tie order — and gini = (2S − (n+1)T) / (nT), one final division.
+
+    Shape: per-batch (user,type) partials → one user-domain groupby →
+    per-batch histogram partials → one histogram-domain groupby; the
+    driver only ever sees the (types × distinct-count-values) table,
+    never the user table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def upartial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy().astype(np.int64),
+            "event_type": t.column("event_type")
+            .to_numpy(zero_copy_only=False).astype(str)})
+        g = df.groupby(["user_id", "event_type"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uc = (ds.map_batches(upartial, batch_format="pyarrow")
+          .groupby(["user_id", "event_type"]).sum("c"))
+
+    def hpartial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type")
+            .to_numpy(zero_copy_only=False).astype(str),
+            "c": t.column("sum(c)").to_numpy().astype(np.int64)})
+        g = df.groupby(["event_type", "c"], as_index=False) \
+            .size().rename(columns={"size": "m"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (uc.map_batches(hpartial, batch_format="pyarrow")
+            .groupby(["event_type", "c"])
+            .aggregate(Sum("m", alias_name="m")).to_pandas())
+    rows = []
+    for tp, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("c")
+        v = g["c"].to_numpy(np.int64)
+        m = g["m"].to_numpy(np.int64)
+        below = np.concatenate(([0], np.cumsum(m)[:-1]))
+        s = int(np.sum(v * (m * below + m * (m + 1) // 2)))
+        n = int(m.sum())
+        total = int(np.sum(v * m))
+        gini = (2 * s - (n + 1) * total) / float(n * total)
+        rows.append({"event_type": tp, "n_users": np.int64(n),
+                     "total": np.int64(total),
+                     "gini": np.round(gini, 6)})
+    return pd.DataFrame(rows).reset_index(drop=True)
+
+
+def tpch_q6(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 analogue (forecasting revenue change): revenue
+    Σ extendedprice·discount over lineitems with discount in
+    [0.05, 0.07] and quantity < 24, per ship year (the analogue keeps
+    all years rather than Q6's single-year slice — the tpch_q5
+    convention).  One pruned read → stateless filter+combine per
+    batch → tiny per-year groupby; nothing but (year, partial-sum)
+    rows ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        qty = t.column("l_quantity").to_numpy()
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        keep = (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        year = (1970 + sd[keep] // 31_557_600_000_000).astype(np.int64)
+        df = pd.DataFrame({"l_year": year, "rev": ep[keep] * disc[keep],
+                           "n": np.int64(1)})
+        g = df.groupby("l_year", as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_year")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Sum("n", alias_name="n_items")).to_pandas())
+    out["revenue"] = np.round(out["revenue"].to_numpy(), 6)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.astype({"l_year": np.int64}) \
+        .sort_values("l_year", ignore_index=True)
+
+
 CODE_AUG = ("\ndef f(x):\n    return x + 1\n\nimport os\n"
             "\tval = items[0]; { x = (1, 2); }\n")
 _CODE_KWS = ["def ", "import ", "return ", "#include", "function "]
