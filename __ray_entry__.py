@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": rel.events_interarrival,
         "tpch_q5": rel.tpch_q5,
         "tpch_q6": rel.tpch_q6,
+        "tpch_q10": rel.tpch_q10,
         "events_user_gini": rel.events_user_gini,
         "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
@@ -219,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subgraph_stats": cq.kg_subgraph_stats,
         "kg_ppr_micro": cq.kg_ppr_micro,
         "kg_pagerank": cq.kg_pagerank,
+        "kg_katz": cq.kg_katz,
         "kg_relation_cardinality": cq.kg_relation_cardinality,
         "docs_dup_canonical": cq.docs_dup_canonical,
         "kg_kgc_negatives": cq.kg_kgc_negatives,
@@ -329,6 +331,35 @@ def _pagerank_sql(n_iter: int = 10, d: str = "0.85") -> str:
         SELECT id, round(1.0 / nn.n, 9) AS pr FROM nodes CROSS JOIN nn),
     {its}
     SELECT CAST(id AS BIGINT) AS node, pr FROM {prev} ORDER BY node
+    """
+
+
+def _katz_sql(n_iter: int = 8, beta: str = "0.01") -> str:
+    """Mirror of kg_katz (stages/pagerank.py:katz): unrolled quantized
+    iterations x ← round(β · Σ_{u→v} (1 + x_u), 9) from x = 0 over the
+    distinct id-mapped KG edges — same edges0/e/nodes scaffold as
+    _pagerank_sql, MATERIALIZED per level (CLAUDE.md CTE rule)."""
+    its = []
+    prev = "k0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    s{i} AS MATERIALIZED (
+        SELECT e.v AS id, sum(1 + {prev}.x) AS s
+        FROM e JOIN {prev} ON {prev}.id = e.u GROUP BY e.v),
+    k{i} AS MATERIALIZED (
+        SELECT n.id, round({beta} * COALESCE(s{i}.s, 0), 9) AS x
+        FROM nodes n LEFT JOIN s{i} ON s{i}.id = n.id)""")
+        prev = f"k{i}"
+    return f"""
+    WITH edges0 AS MATERIALIZED ({_IDMAPPED_SQL}),
+    e AS MATERIALIZED (SELECT DISTINCT h AS u, t AS v FROM edges0),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (SELECT u AS id FROM e
+                                 UNION ALL SELECT v FROM e)),
+    k0 AS MATERIALIZED (SELECT id, 0.0 AS x FROM nodes),
+    {",".join(its)}
+    SELECT CAST(id AS BIGINT) AS node, x AS katz FROM {prev}
+    ORDER BY node
     """
 
 
@@ -3668,6 +3699,23 @@ _USER_GINI_SQL = """
 """
 
 
+_TPCH_Q10_SQL = """
+    WITH lo AS (SELECT l_orderkey,
+                       sum(l_extendedprice * (1.0 - l_discount)) AS rev
+                FROM lineitem WHERE l_returnflag = 'R'
+                GROUP BY l_orderkey),
+    cr AS (SELECT o.o_custkey AS c_custkey,
+                  round(sum(lo.rev), 6) AS revenue
+           FROM lo JOIN orders o ON lo.l_orderkey = o.o_orderkey
+           GROUP BY o.o_custkey)
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(c.c_acctbal, 2) AS c_acctbal, cr.revenue
+    FROM cr JOIN customer c ON cr.c_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY cr.revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
 _TPCH_Q7_SQL = """
     WITH li AS (SELECT l_orderkey, l_suppkey,
                        l_extendedprice * (1.0 - l_discount) AS rev,
@@ -4750,6 +4798,7 @@ def oracle_sql() -> dict[str, str]:
         # global PageRank: unrolled quantized power iteration (9 dp per
         # update — no cross-engine drift compounds); stages/pagerank.py
         "kg_pagerank": _pagerank_sql(),
+        "kg_katz": _katz_sql(),
         # Bordes et al. 2013 §4 relation cardinality profile: triples
         # per distinct head/tail, 1.5 cutoff
         "kg_relation_cardinality": f"""
@@ -5069,6 +5118,7 @@ def oracle_sql() -> dict[str, str]:
         # local-supplier volume per region/year (Q5 analogue)
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
+        "tpch_q10": _TPCH_Q10_SQL,
         "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of
         # docs_exact_dedup: Python hashes, SQL groups the exact text)

@@ -78,6 +78,8 @@ SUBSET = [
     "events_hourly_mad",
     "events_cusum",
     "tpch_q6",
+    "tpch_q10",
+    "kg_katz",
     "events_user_gini",
     "tpch_q3",
     "tpch_q4",

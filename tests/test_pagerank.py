@@ -34,6 +34,21 @@ def test_pagerank_driver_pool_parity():
     pool = pagerank(ds, n, n_iter=7, driver_max=0)
     pd.testing.assert_frame_equal(fast, pool)    # bitwise (9-dp quantized)
 
+def test_katz_structure_and_driver_pool_parity():
+    from ttmf_ray.stages.pagerank import katz
+
+    ds, n = _star_ds()
+    out = katz(ds, n, beta=0.1, n_iter=6)
+    assert len(out) == n
+    k = out.set_index("node")["katz"]
+    assert k.idxmax() == 0                   # 9 incoming walks win
+    # one-hop check: katz(10) gets only 9's walks, katz(1) only 0's
+    assert k.loc[0] > k.loc[1] > 0
+    assert k.loc[2] == 0.0                   # no in-edges at all
+    pool = katz(ds, n, beta=0.1, n_iter=6, driver_max=0)
+    pd.testing.assert_frame_equal(out, pool)  # bitwise (9-dp quantized)
+
+
 def test_hits_structure_and_driver_pool_parity():
     from ttmf_ray.stages.pagerank import hits
 

@@ -950,6 +950,24 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     return pr.sort_values("node", ignore_index=True)
 
 
+def kg_katz(sf_dir: str) -> pd.DataFrame:
+    """Katz centrality over the distinct-(h,t) relational KG — the
+    attenuated incoming-walk count x = Σ_k β^k (Aᵀ)^k 1 (β=0.01, 8
+    iterations, 9-dp quantization per update), the walk-based
+    complement to kg_pagerank's stationary-mass view.  The SQL twin
+    unrolls the identical iterations over the same id assignment
+    (stages/pagerank.py:katz — quantize-the-iteration ⇒ no
+    cross-engine drift compounds)."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.pagerank import katz
+
+    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    e = rd.from_pandas(ids[["h", "t"]].rename(
+        columns={"h": "src", "t": "dst"}))
+    kz = katz(distinct_rows(e, ["src", "dst"]), len(ent_df))
+    return kz.sort_values("node", ignore_index=True)
+
+
 def kg_relation_cardinality(sf_dir: str) -> pd.DataFrame:
     """Per-relation cardinality profile (the Bordes et al. 2013 §4
     protocol behind every KGE eval split): tph = triples per distinct

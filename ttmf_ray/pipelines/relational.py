@@ -2682,6 +2682,77 @@ def tpch_q6(sf_dir: str) -> pd.DataFrame:
         .sort_values("l_year", ignore_index=True)
 
 
+def tpch_q10(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 analogue (returned-item reporting): top-20 customers
+    by lost revenue Σ extendedprice·(1−discount) over lineitems with
+    l_returnflag = 'R' (the analogue keeps all order dates rather than
+    Q10's one-quarter slice).  Plan: filter+pre-sum per orderkey inside
+    the batch → one bucketed hash_join onto orders → per-custkey
+    combiner → customer-domain groupby; the customer/nation decoration
+    is a broadcast lookup.  Ranking happens on the 6-dp ROUNDED
+    revenue with c_custkey tiebreak (the docs_tfidf rule: never rank
+    on raw float sums across engines)."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]) \
+        .to_pandas().sort_values("c_custkey")
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]) \
+        .to_pandas().sort_values("n_nationkey")
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    n_names = np.empty(int(nk.max()) + 1, dtype=object)
+    n_names[nk] = nat["n_name"].to_numpy(dtype=object)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        keep = (t.column("l_returnflag")
+                .to_numpy(zero_copy_only=False).astype(str) == "R")
+        ep = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)[keep]
+        df = pd.DataFrame({"l_orderkey": ok, "rev": ep * (1.0 - disc)})
+        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64())}),
+            batch_format="pyarrow")
+    joined = hash_join(li.map_batches(lpart, batch_format="pyarrow"),
+                       orders, on="l_orderkey")
+
+    def cpart(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_custkey": t.column("o_custkey").to_numpy().astype(np.int64),
+            "rev": t.column("rev").to_numpy()})
+        g = df.groupby("c_custkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(cpart, batch_format="pyarrow")
+           .groupby("c_custkey")
+           .aggregate(Sum("rev", alias_name="revenue")).to_pandas())
+    agg["revenue"] = np.round(agg["revenue"].to_numpy(), 6)
+    agg = agg.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True]).head(20)
+    ck = agg["c_custkey"].to_numpy(np.int64)
+    pos = np.searchsorted(cust["c_custkey"].to_numpy(np.int64), ck)
+    out = pd.DataFrame({
+        "c_custkey": ck,
+        "c_name": cust["c_name"].to_numpy(dtype=object)[pos],
+        "n_name": n_names[cust["c_nationkey"]
+                          .to_numpy(np.int64)[pos]],
+        "c_acctbal": np.round(cust["c_acctbal"].to_numpy()[pos], 2),
+        "revenue": agg["revenue"].to_numpy()})
+    return out.reset_index(drop=True)
+
+
 CODE_AUG = ("\ndef f(x):\n    return x + 1\n\nimport os\n"
             "\tval = items[0]; { x = (1, 2); }\n")
 _CODE_KWS = ["def ", "import ", "return ", "#include", "function "]
