@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": rel.tpch_q5,
         "tpch_q6": rel.tpch_q6,
         "tpch_q10": rel.tpch_q10,
+        "tpch_q14": rel.tpch_q14,
+        "events_props_extract": rel.events_props_extract,
         "events_user_gini": rel.events_user_gini,
         "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
@@ -3716,6 +3718,41 @@ _TPCH_Q10_SQL = """
 """
 
 
+_TPCH_Q14_SQL = """
+    WITH x AS (SELECT 1970 + (epoch_us(l_shipdate)
+                              // 31557600000000) AS l_year,
+                      l_extendedprice * (1.0 - l_discount) AS rev,
+                      CASE WHEN p.p_type = 'PROMO'
+                           THEN 1.0 ELSE 0.0 END AS is_p
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    a AS (SELECT l_year::BIGINT AS l_year,
+                 round(sum(rev * is_p), 6) AS promo_rev,
+                 round(sum(rev), 6) AS total_rev
+          FROM x GROUP BY l_year)
+    SELECT l_year, promo_rev, total_rev,
+           round(100.0 * promo_rev / total_rev, 6) AS promo_share
+    FROM a ORDER BY l_year
+"""
+
+
+_PROPS_EXTRACT_SQL = """
+    WITH x AS (SELECT event_type,
+                      TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                               AS BIGINT) AS k
+               FROM events)
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           count(k)::BIGINT AS n_with_k,
+           COALESCE(sum(k), 0)::BIGINT AS sum_k,
+           COALESCE(min(k), 0)::BIGINT AS min_k,
+           COALESCE(max(k), 0)::BIGINT AS max_k,
+           CASE WHEN count(k) = 0 THEN 0.0
+                ELSE round(sum(k)::DOUBLE / count(k)::DOUBLE, 6)
+           END AS mean_k
+    FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
 _TPCH_Q7_SQL = """
     WITH li AS (SELECT l_orderkey, l_suppkey,
                        l_extendedprice * (1.0 - l_discount) AS rev,
@@ -5119,6 +5156,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _TPCH_Q5_SQL,
         "tpch_q6": _TPCH_Q6_SQL,
         "tpch_q10": _TPCH_Q10_SQL,
+        "tpch_q14": _TPCH_Q14_SQL,
+        "events_props_extract": _PROPS_EXTRACT_SQL,
         "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of
         # docs_exact_dedup: Python hashes, SQL groups the exact text)

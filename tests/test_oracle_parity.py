@@ -79,6 +79,8 @@ SUBSET = [
     "events_cusum",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q14",
+    "events_props_extract",
     "kg_katz",
     "events_user_gini",
     "tpch_q3",

@@ -2753,6 +2753,112 @@ def tpch_q10(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def tpch_q14(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 analogue (promotion effect): per ship year, the share
+    of revenue Σ extendedprice·(1−discount) coming from PROMO-type
+    parts (the analogue keeps all years rather than Q14's one-month
+    slice).  The part→is_promo map is a dense broadcast array indexed
+    by partkey inside the batch kernel — the lineitem stream never
+    joins, only gathers."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    promo = np.zeros(int(pk.max()) + 1, dtype=np.float64)
+    promo[pk] = (part["p_type"].to_numpy(dtype=object) == "PROMO") \
+        .astype(np.float64)
+    bc = Broadcast(promo)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pm = bc.get()
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        rev = (t.column("l_extendedprice").to_numpy()
+               * (1.0 - t.column("l_discount").to_numpy()))
+        is_p = pm[t.column("l_partkey").to_numpy().astype(np.int64)]
+        year = (1970 + sd // 31_557_600_000_000).astype(np.int64)
+        df = pd.DataFrame({"l_year": year, "promo_rev": rev * is_p,
+                           "total_rev": rev})
+        g = df.groupby("l_year", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_year")
+           .aggregate(Sum("promo_rev", alias_name="promo_rev"),
+                      Sum("total_rev", alias_name="total_rev"))
+           .to_pandas())
+    pr = out["promo_rev"].to_numpy()
+    tr = out["total_rev"].to_numpy()
+    out["promo_rev"] = np.round(pr, 6)
+    out["total_rev"] = np.round(tr, 6)
+    # share from the ROUNDED sums: one division over 6-dp-pinned inputs
+    out["promo_share"] = np.round(
+        100.0 * np.round(pr, 6) / np.round(tr, 6), 6)
+    return out.astype({"l_year": np.int64}) \
+        .sort_values("l_year", ignore_index=True)
+
+
+def events_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Typed-metadata extraction from the JSON ``props`` column (the
+    schema-on-read step every event pipeline runs before analytics):
+    pull the integer ``k`` per event with one vectorized RE2
+    ``extract_regex`` pass, then per event_type integer stats — n,
+    n_with_k, sum_k, min_k, max_k, mean_k (the only float: one
+    division over exact integers, 6 dp).  Per-batch combiner → one
+    tiny type-domain groupby; the props strings never shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>\d+)')
+        ks = pc.struct_field(ex, "k")
+        has = pc.is_valid(ks).to_numpy(zero_copy_only=False)
+        kv = np.where(has,
+                      pc.cast(pc.if_else(pc.is_valid(ks), ks, "0"),
+                              pa.int64()).to_numpy(zero_copy_only=False),
+                      0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type")
+            .to_numpy(zero_copy_only=False).astype(str),
+            "n": np.int64(1),
+            "n_with_k": has.astype(np.int64),
+            "sum_k": kv,
+            "min_k": np.where(has, kv, np.iinfo(np.int64).max),
+            "max_k": np.where(has, kv, np.iinfo(np.int64).min)})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), n_with_k=("n_with_k", "sum"),
+            sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+            max_k=("max_k", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_with_k", alias_name="n_with_k"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k"))
+           .to_pandas())
+    for c in ["n", "n_with_k", "sum_k", "min_k", "max_k"]:
+        out[c] = out[c].astype(np.int64)
+    # types with zero extracted k: pin min/max/mean to 0 (matches the
+    # mirror's COALESCE so neither engine leaks sentinels or NULLs)
+    none = out["n_with_k"].to_numpy() == 0
+    out.loc[none, ["min_k", "max_k"]] = np.int64(0)
+    out["mean_k"] = np.where(
+        none, 0.0,
+        np.round(out["sum_k"].to_numpy()
+                 / np.maximum(out["n_with_k"].to_numpy(np.float64), 1), 6))
+    return out.sort_values("event_type", ignore_index=True)
+
+
 CODE_AUG = ("\ndef f(x):\n    return x + 1\n\nimport os\n"
             "\tval = items[0]; { x = (1, 2); }\n")
 _CODE_KWS = ["def ", "import ", "return ", "#include", "function "]
