@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_redact_pii": rel.docs_redact_pii,
         "docs_length_band_filter": rel.docs_length_band_filter,
         "docs_lm_perplexity": rel.docs_lm_perplexity,
+        "docs_ccnet_buckets": rel.docs_ccnet_buckets,
         "docs_nb_quality": rel.docs_nb_quality,
         "docs_dsir_weights": rel.docs_dsir_weights,
         "lang_counts": rel.lang_counts,
@@ -362,6 +363,57 @@ def _katz_sql(n_iter: int = 8, beta: str = "0.01") -> str:
     {",".join(its)}
     SELECT CAST(id AS BIGINT) AS node, x AS katz FROM {prev}
     ORDER BY node
+    """
+
+
+def _ccnet_sql() -> str:
+    """Mirror of docs_ccnet_buckets: the docs_lm_perplexity model/score
+    chain, scores pinned to fixed-point int64 (round(m,6)·10⁶), per-
+    source tertile cutpoints at INTEGER ranks ⌊(n−1)/3⌋ / ⌊2(n−1)/3⌋
+    (the lower-disc rule; float q=1/3 would floor one rank low when
+    (n−1)%3=0), head = highest mean ln p third."""
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               list_transform({_TOKENS}, x -> lower(x)) AS ts
+        FROM documents),
+    ref AS (SELECT unnest(ts) AS token FROM toks WHERE doc_id % 2 = 0),
+    counts AS (SELECT token, count(*) AS cnt FROM ref GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    top AS (SELECT token, cnt FROM counts
+            ORDER BY cnt DESC, token LIMIT 20000),
+    den AS (SELECT (t.total + v.v + 1)::DOUBLE AS d
+            FROM tot t, (SELECT count(*) AS v FROM top) v),
+    lp AS (SELECT token, ln((cnt + 1)::DOUBLE / den.d) AS lp
+           FROM top, den),
+    flat AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+    scored AS (SELECT f.doc_id,
+                      COALESCE(lp.lp, (SELECT ln(1.0 / d) FROM den)) AS lp
+               FROM flat f LEFT JOIN lp ON lp.token = f.token),
+    agg AS (SELECT doc_id, sum(lp) / count(*) AS m
+            FROM scored GROUP BY doc_id),
+    fpt AS MATERIALIZED (
+        SELECT t.doc_id, t.source,
+               CAST(round(round(COALESCE(a.m, 0.0), 6) * 1000000)
+                    AS BIGINT) AS fp
+        FROM toks t LEFT JOIN agg a USING (doc_id)),
+    n AS (SELECT source, count(*) AS n FROM fpt GROUP BY source),
+    rc AS MATERIALIZED (
+        SELECT source, fp AS v,
+               row_number() OVER (PARTITION BY source ORDER BY fp) - 1
+                   AS rk
+        FROM fpt),
+    cuts AS (SELECT rc.source,
+                    max(CASE WHEN rc.rk = (n.n - 1) // 3
+                        THEN rc.v END) AS c1,
+                    max(CASE WHEN rc.rk = (2 * (n.n - 1)) // 3
+                        THEN rc.v END) AS c2
+             FROM rc JOIN n USING (source) GROUP BY rc.source)
+    SELECT f.doc_id, f.source, f.fp::DOUBLE / 1000000.0 AS logprob_mean,
+           CASE WHEN f.fp >= c.c2 THEN 'head'
+                WHEN f.fp >= c.c1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM fpt f JOIN cuts c USING (source) ORDER BY f.doc_id
     """
 
 
@@ -4535,6 +4587,7 @@ def oracle_sql() -> dict[str, str]:
         # mix64(101, word-fp) % 1024, target = lang='en' docs, raw = all
         # (stages/classify.py fit_dsir/DSIRScorer)
         "docs_dsir_weights": _dsir_sql(),
+        "docs_ccnet_buckets": _ccnet_sql(),
         # quantile-threshold filter: keep docs inside their language's
         # [p10, p99] token band (same lower-disc quantile rule)
         "docs_length_band_filter": f"""

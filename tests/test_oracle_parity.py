@@ -104,6 +104,7 @@ SUBSET = [
     "docs_line_dedup",
     "docs_length_band_filter",
     "docs_lm_perplexity",
+    "docs_ccnet_buckets",
     "docs_nb_quality",
     "docs_dsir_weights",
     "docs_dup_clusters",

@@ -241,6 +241,84 @@ def docs_lm_perplexity(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    score every doc with the reference-half unigram LM
+    (docs_lm_perplexity's exact model), then bucket per SOURCE into
+    perplexity tertiles — head = best (highest mean ln p) third.
+
+    Cross-engine determinism: buckets cut on the 6-dp-rounded score
+    reinterpreted as fixed-point int64 (score_fp = round(m,6)·10⁶), and
+    the tertile cutpoints are the observed values at integer ranks
+    ⌊(n−1)/3⌋ / ⌊2(n−1)/3⌋ — the lower-disc rule with PURE-INTEGER rank
+    arithmetic (a float q=1/3 would floor one rank low when (n−1)%3=0).
+
+    Scale shape: fit = top-tokens combiner; scoring = broadcast-model
+    actor pool; source attach = one bucketed hash_join; cutpoints come
+    from the (source × distinct-score) HISTOGRAM (stages/quantiles.py
+    combiner — payload is the distinct fixed-point score domain, not
+    the doc count); the final flag pass is stateless."""
+    import pyarrow.compute as pc
+
+    from ..context import Broadcast
+    from ..functions.joins import hash_join
+    from ..stages.lm_score import fit_unigram_lm, perplexity_score
+    from ..stages.quantiles import _batch_histogram
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    model = fit_unigram_lm(ref, vocab_k=20000)
+    scored = perplexity_score(ds, model)
+
+    src = ds.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow")
+    sc = hash_join(scored, src, on="doc_id").map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "source": t.column("source"),
+            "score_fp": pa.array(np.rint(np.round(
+                t.column("logprob_mean").to_numpy(), 6) * 1e6)
+                .astype(np.int64))}),
+        batch_format="pyarrow")
+
+    hist = (sc.map_batches(_batch_histogram(["score_fp"], "source"),
+                           batch_format="pyarrow")
+            .groupby(["source", "col", "value"]).sum("cnt").to_pandas()
+            .rename(columns={"sum(cnt)": "cnt"}))
+    cuts: dict = {}
+    for s, g in hist.groupby("source", sort=True):
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy(np.int64)
+        cum = np.cumsum(g["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        c1 = int(vals[np.searchsorted(cum, (n - 1) // 3 + 1)])
+        c2 = int(vals[np.searchsorted(cum, (2 * (n - 1)) // 3 + 1)])
+        cuts[s] = (c1, c2)
+    bc = Broadcast(cuts)
+
+    def flag(t: pa.Table) -> pa.Table:
+        cu = bc.get()
+        srcs = t.column("source").to_numpy(zero_copy_only=False)
+        fp = t.column("score_fp").to_numpy()
+        c1 = np.array([cu[s][0] for s in srcs], np.int64)
+        c2 = np.array([cu[s][1] for s in srcs], np.int64)
+        bucket = np.where(fp >= c2, "head",
+                          np.where(fp >= c1, "middle", "tail"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "logprob_mean": pa.array(fp / 1e6, pa.float64()),
+            "bucket": pa.array(bucket.astype(object), pa.string())})
+
+    out = sc.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.astype({"doc_id": np.int64}) \
+        .sort_values("doc_id", ignore_index=True)
+
+
 ML_IN_SOURCES = ("src0", "src1", "src2", "src3")
 
 
