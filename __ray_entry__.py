@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": rel.tpch_q10,
         "tpch_q14": rel.tpch_q14,
         "events_props_extract": rel.events_props_extract,
+        "events_value_stats": rel.events_value_stats,
+        "embeddings_class_centroids": rel.embeddings_class_centroids,
         "events_user_gini": rel.events_user_gini,
         "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
@@ -3805,6 +3807,55 @@ _PROPS_EXTRACT_SQL = """
 """
 
 
+_VALUE_STATS_SQL = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100.0) AS BIGINT) AS c
+               FROM events),
+    a AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+                 sum(c * c)::BIGINT AS s2,
+                 min(c)::BIGINT AS mn, max(c)::BIGINT AS mx
+          FROM c GROUP BY event_type)
+    SELECT event_type, n,
+           round(s::DOUBLE / 100.0, 2) AS sum_v,
+           round(s::DOUBLE / (100.0 * n), 6) AS mean_v,
+           round((n * s2 - s * s)::DOUBLE
+                 / (n::DOUBLE * n::DOUBLE * 10000.0), 6) AS var_v,
+           round(mn::DOUBLE / 100.0, 2) AS min_v,
+           round(mx::DOUBLE / 100.0, 2) AS max_v
+    FROM a ORDER BY event_type
+"""
+
+
+_CLASS_CENTROIDS_SQL = """
+    WITH emb AS MATERIALIZED (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+               CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+        FROM embeddings),
+    cent AS MATERIALIZED (
+        SELECT label, list(xr ORDER BY pos) AS v FROM (
+            SELECT label, pos, round(avg(x), 6) AS xr FROM (
+                SELECT label, unnest(v) AS x,
+                       generate_subscripts(v, 1) AS pos
+                FROM emb)
+            GROUP BY label, pos)
+        GROUP BY label),
+    d AS MATERIALIZED (
+        SELECT e.id, e.label, c.label AS clabel,
+               round(list_distance(e.v, c.v), 6) AS dist
+        FROM emb e CROSS JOIN cent c),
+    own AS (SELECT id, dist AS d_own FROM d WHERE label = clabel),
+    oth AS (SELECT id, clabel AS other_label, dist AS d_other FROM (
+        SELECT id, clabel, dist,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY dist, clabel) AS rn
+        FROM d WHERE label <> clabel) WHERE rn = 1)
+    SELECT e.id AS vec_id, e.label, o.d_own, t.other_label, t.d_other,
+           round(t.d_other - o.d_own, 6) AS margin
+    FROM emb e JOIN own o ON o.id = e.id JOIN oth t ON t.id = e.id
+    ORDER BY vec_id
+"""
+
+
 _TPCH_Q7_SQL = """
     WITH li AS (SELECT l_orderkey, l_suppkey,
                        l_extendedprice * (1.0 - l_discount) AS rev,
@@ -5211,6 +5262,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10": _TPCH_Q10_SQL,
         "tpch_q14": _TPCH_Q14_SQL,
         "events_props_extract": _PROPS_EXTRACT_SQL,
+        "events_value_stats": _VALUE_STATS_SQL,
+        "embeddings_class_centroids": _CLASS_CENTROIDS_SQL,
         "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of
         # docs_exact_dedup: Python hashes, SQL groups the exact text)

@@ -81,6 +81,8 @@ SUBSET = [
     "tpch_q10",
     "tpch_q14",
     "events_props_extract",
+    "events_value_stats",
+    "embeddings_class_centroids",
     "kg_katz",
     "events_user_gini",
     "tpch_q3",

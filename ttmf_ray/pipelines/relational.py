@@ -2937,6 +2937,128 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type", ignore_index=True)
 
 
+def events_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type moments of the event ``value`` column — n, sum, mean,
+    population variance, min, max — computed EXACTLY: values are 2-dp
+    currency, so the kernel reinterprets them as integer cents and
+    every cross-batch reduction is an int64 Σc / Σc² (the
+    events_hourly_anomaly trick applied to a payload column); the only
+    floats are final single divisions, rounded 6 dp."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type")
+            .to_numpy(zero_copy_only=False).astype(str),
+            "n": np.int64(1), "s": c, "s2": c * c,
+            "mn": c, "mx": c})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"),
+                      Sum("s2", alias_name="s2"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx"))
+           .to_pandas())
+    n = out["n"].to_numpy(np.int64)
+    s = out["s"].to_numpy(np.int64)
+    s2 = out["s2"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": n,
+        "sum_v": np.round(s / 100.0, 2),
+        "mean_v": np.round(s / (100.0 * n), 6),
+        # population variance in currency²: (nΣc² − (Σc)²) / (n²·10⁴)
+        "var_v": np.round((n * s2 - s * s)
+                          / (n.astype(np.float64) ** 2 * 1e4), 6),
+        "min_v": np.round(out["mn"].to_numpy(np.int64) / 100.0, 2),
+        "max_v": np.round(out["mx"].to_numpy(np.int64) / 100.0, 2),
+    }).sort_values("event_type", ignore_index=True)
+
+
+def embeddings_class_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid separation audit (the labeled-embedding
+    health check behind classifier-based curation): per vector, the
+    Euclidean distance to its OWN label centroid, the nearest OTHER
+    label and its distance, and the margin — negative margins mark
+    vectors sitting in another class's territory.
+
+    Cross-engine contract (the kmeans convention): centroids =
+    per-dim mean rounded 6 dp; every distance rounded 6 dp before any
+    comparison; nearest-other ties break to the smaller label; margin
+    recomputed as round(d_other − d_own, 6).  One (label × dim)
+    partial-sum combiner builds the centroids; scoring is a stateless
+    broadcast pass (labels × dim is the small object)."""
+    from ..context import Broadcast
+    from ..stages.ann import list_col_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        X = list_col_matrix(t.column("embedding"))
+        lab = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((len(ul), X.shape[1]), np.float64)
+        np.add.at(acc, inv, X)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, X.shape[1])),
+            "pos": pa.array(np.tile(np.arange(X.shape[1], dtype=np.int64),
+                                    len(ul))),
+            "s": pa.array(acc.ravel()),
+            "cnt": pa.array(np.repeat(cnt, X.shape[1]))})
+
+    from ray.data.aggregate import Sum
+
+    cs = (ds.map_batches(cpart, batch_format="pyarrow")
+          .groupby(["label", "pos"])
+          .aggregate(Sum("s", alias_name="s"),
+                     Sum("cnt", alias_name="cnt")).to_pandas()
+          .sort_values(["label", "pos"]))
+    labels = np.sort(cs["label"].unique()).astype(np.int64)
+    d = int(cs["pos"].max()) + 1
+    C = np.round(cs["s"].to_numpy().reshape(len(labels), d)
+                 / cs["cnt"].to_numpy().reshape(len(labels), d), 6)
+    bc = Broadcast((labels, C))
+
+    def score(t: pa.Table) -> pa.Table:
+        labs, Cm = bc.get()
+        X = list_col_matrix(t.column("embedding"))
+        lab = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        li = np.searchsorted(labs, lab)
+        # (n, k) rounded distances to every centroid
+        d2 = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+        dist = np.round(np.sqrt(d2), 6)
+        n = len(lab)
+        d_own = dist[np.arange(n), li]
+        masked = dist.copy()
+        masked[np.arange(n), li] = np.inf
+        oi = np.argmin(masked, axis=1)          # ties → smaller label
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "label": pa.array(lab),
+            "d_own": pa.array(d_own),
+            "other_label": pa.array(labs[oi]),
+            "d_other": pa.array(masked[np.arange(n), oi]),
+            "margin": pa.array(np.round(
+                masked[np.arange(n), oi] - d_own, 6))})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.astype({"vec_id": np.int64, "label": np.int64,
+                       "other_label": np.int64}) \
+        .sort_values("vec_id", ignore_index=True)
+
+
 CODE_AUG = ("\ndef f(x):\n    return x + 1\n\nimport os\n"
             "\tval = items[0]; { x = (1, 2); }\n")
 _CODE_KWS = ["def ", "import ", "return ", "#include", "function "]
