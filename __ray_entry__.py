@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_dedup": cq.docs_minhash_dedup,
         "docs_incremental_dedup": cq.docs_incremental_dedup,
         "docs_line_dedup": cq.docs_line_dedup,
+        "docs_remove_boilerplate": cq.docs_remove_boilerplate,
         "docs_dup_clusters": cq.docs_dup_clusters,
         "docs_simhash": cq.docs_simhash,
         "docs_lang_detect": cq.docs_lang_detect,
@@ -3807,6 +3808,36 @@ _PROPS_EXTRACT_SQL = """
 """
 
 
+_BOILERPLATE_SQL = """
+    WITH aug AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               text
+               || (CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                   '(c) 2026 Example Corp. All rights reserved.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+                   'This site uses cookies to improve your experience.'
+                   ELSE '' END) AS text
+        FROM documents),
+    l AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM aug),
+    freq AS (SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd FROM l
+        WHERE length(line) >= 5 GROUP BY line) WHERE nd >= 3),
+    k AS (SELECT l.doc_id, l.pos, l.line,
+                 CASE WHEN length(l.line) >= 5 AND f.line IS NOT NULL
+                      THEN 0 ELSE 1 END AS keep
+          FROM l LEFT JOIN freq f ON l.line = f.line)
+    SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(1 - keep)::BIGINT AS n_dropped,
+           COALESCE(string_agg(CASE WHEN keep = 1 THEN line END,
+                               chr(10) ORDER BY pos), '') AS text_clean
+    FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _VALUE_STATS_SQL = """
     WITH c AS (SELECT event_type,
                       CAST(round(value * 100.0) AS BIGINT) AS c
@@ -5263,6 +5294,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": _TPCH_Q14_SQL,
         "events_props_extract": _PROPS_EXTRACT_SQL,
         "events_value_stats": _VALUE_STATS_SQL,
+        "docs_remove_boilerplate": _BOILERPLATE_SQL,
         "embeddings_class_centroids": _CLASS_CENTROIDS_SQL,
         "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of

@@ -104,6 +104,7 @@ SUBSET = [
     "docs_incremental_dedup",
     "docs_redact_pii",
     "docs_line_dedup",
+    "docs_remove_boilerplate",
     "docs_length_band_filter",
     "docs_lm_perplexity",
     "docs_ccnet_buckets",
@@ -221,6 +222,19 @@ def test_lang_detect_on_known_snippets():
     assert detect_lang("der Hund ist in dem Haus und die Katze auch") == "de"
     assert detect_lang("el perro es grande y la casa es blanca por los campos") == "es"
     assert detect_lang("12345 67890 !!!") == "und"
+
+
+def test_boilerplate_drops_planted_chrome(sf_dir):
+    """The planted footer (%3) / cookie banner (%4) must be excised
+    from every doc, and untouched docs must come back unchanged."""
+    from ttmf_ray.pipelines.corpus_queries import docs_remove_boilerplate
+
+    df = docs_remove_boilerplate(sf_dir)
+    assert (df.loc[df["doc_id"] % 12 == 0, "n_dropped"] >= 2).all()
+    assert not df["text_clean"].str.contains("Example Corp").any()
+    assert not df["text_clean"].str.contains("uses cookies").any()
+    clean = df[(df["doc_id"] % 3 != 0) & (df["doc_id"] % 4 != 0)]
+    assert (clean["n_dropped"] == 0).all()
 
 
 def test_cusum_prefix_identity_matches_recursion(sf_dir):

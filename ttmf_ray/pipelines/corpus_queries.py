@@ -154,6 +154,40 @@ def docs_dup_clusters(sf_dir: str) -> pd.DataFrame:
         rd.from_pandas(pairs[["a", "b"]]))
 
 
+BOILER_FOOTER = "(c) 2026 Example Corp. All rights reserved."
+BOILER_BANNER = "This site uses cookies to improve your experience."
+
+
+def docs_remove_boilerplate(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate-line removal: lines appearing in ≥3 distinct docs
+    are dropped from EVERY doc (template chrome — the jusText-family
+    rule, vs docs_line_dedup's keep-first-occurrence).  Deterministic
+    augmentation (the redact_pii convention): every 3rd doc gains a
+    copyright footer, every 4th a cookie banner (both on %12), so the
+    frequent-line dictionary and both drop paths are exercised
+    (stages/curation.py:remove_boilerplate)."""
+    from ..stages.curation import remove_boilerplate
+    from .relational import _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        tx = t.column("text").to_numpy(zero_copy_only=False).astype(str)
+        tx = np.where(ids % 3 == 0,
+                      np.char.add(tx, "\n" + BOILER_FOOTER), tx)
+        tx = np.where(ids % 4 == 0,
+                      np.char.add(tx, "\n" + BOILER_BANNER), tx)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(tx.astype(object), pa.string())})
+
+    out = remove_boilerplate(
+        ds.map_batches(aug, batch_format="pyarrow")).to_pandas()
+    return out.astype({"doc_id": np.int64, "n_lines": np.int64,
+                       "n_dropped": np.int64}) \
+        .sort_values("doc_id", ignore_index=True)
+
+
 def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     """Corpus-global line-level dedup (C4/RefinedWeb rule: a duplicated
     line survives only at its first occurrence; docs are rebuilt from

@@ -677,6 +677,93 @@ def stratified_sample(ds, *, n_per_group: int, group_col: str,
 
 # ---------------------------------------------------------------------------
 # Cross-document duplicated-ngram fraction (Lee et al. 2022-style signal)
+def remove_boilerplate(docs_ds, *, id_col: str = "doc_id",
+                       text_col: str = "text", sep: str = "\n",
+                       k_docs: int = 3, min_line_len: int = 5):
+    """Boilerplate-line removal (the jusText/trafilatura-family rule):
+    a line appearing in ≥ ``k_docs`` DISTINCT documents is template
+    chrome (footer, cookie banner, nav) and is dropped from EVERY
+    document — unlike :func:`line_dedup`, no first occurrence survives.
+    Lines shorter than ``min_line_len`` chars bypass (blank separators
+    and stubs are content structure, not boilerplate).
+
+    Shape: one explode pass emits per-batch DISTINCT (line, doc) pairs
+    (the docs_top_tokens combiner); one groupby counts distinct docs
+    per line; the surviving frequent-line table is the BOILERPLATE
+    DICTIONARY — threshold-bounded and heavy-tail small, so it rides a
+    single broadcast (the docs_decontaminate shape) and the drop +
+    rebuild is a stateless per-batch pass: split, vectorized
+    hash-probe + string re-check (collisions cannot misdrop), one
+    ``binary_join`` rebuild.  Documents never shuffle.
+
+    Returns Dataset (id_col, n_lines, n_dropped, text_clean)."""
+    from ..context import Broadcast
+    from .dedup import stable_hash64
+    from .text import _as_array
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        split = pc.split_pattern(_as_array(t.column(text_col)),
+                                 pattern=sep)
+        counts = np.diff(split.offsets.to_numpy()).astype(np.int64)
+        doc = np.repeat(ids, counts)
+        flat = split.flatten().cast(pa.string())
+        ok = pc.greater_equal(pc.utf8_length(flat),
+                              pa.scalar(min_line_len)) \
+            .to_numpy(zero_copy_only=False)
+        d = pa.table({"line": flat.filter(pa.array(ok)),
+                      "doc": pa.array(doc[ok])})
+        return d.group_by(["line", "doc"]).aggregate([]) \
+            .group_by("line").aggregate([("doc", "count_distinct")]) \
+            .rename_columns(["line", "nd"])
+
+    freq = (docs_ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("line").sum("nd").to_pandas())
+    freq = freq[freq["sum(nd)"] >= k_docs]
+    lines = freq["line"].to_numpy(dtype=object)
+    hs = np.fromiter((stable_hash64(x) for x in lines),
+                     dtype=np.uint64, count=len(lines)).view(np.int64)
+    order = np.argsort(hs, kind="stable")
+    bc = Broadcast((hs[order], lines[order]))
+
+    def clean(t: pa.Table) -> pa.Table:
+        bh, bl = bc.get()
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        split = pc.split_pattern(_as_array(t.column(text_col)),
+                                 pattern=sep)
+        offs = split.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        flat = split.flatten().cast(pa.string())
+        fl = flat.to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        drop = np.zeros(len(fl), dtype=bool)
+        cand = lens >= min_line_len
+        if cand.any() and len(bh):
+            ch = np.fromiter((stable_hash64(x) for x in fl[cand]),
+                             dtype=np.uint64,
+                             count=int(cand.sum())).view(np.int64)
+            pos = np.clip(np.searchsorted(bh, ch), 0, len(bh) - 1)
+            hit = (bh[pos] == ch) & (bl[pos] == fl[cand])
+            drop[np.where(cand)[0][hit]] = True
+        keep = ~drop
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        new_counts = np.bincount(doc_idx[keep],
+                                 minlength=len(counts)).astype(np.int64)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(
+                ([0], np.cumsum(new_counts))).astype(np.int32)),
+            flat.filter(pa.array(keep)))
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_lines": pa.array(counts.astype(np.int64)),
+            "n_dropped": pa.array(
+                counts.astype(np.int64) - new_counts),
+            "text_clean": pc.binary_join(
+                kept_list, pa.scalar(sep)).cast(pa.string())})
+
+    return docs_ds.map_batches(clean, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 def dup_ngram_fraction(docs_ds, *, id_col: str = "doc_id",
