@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": rel.tpch_q14,
         "events_props_extract": rel.events_props_extract,
         "events_value_stats": rel.events_value_stats,
+        "events_ab_srm": rel.events_ab_srm,
+        "docs_signal_agreement": rel.docs_signal_agreement,
         "embeddings_class_centroids": rel.embeddings_class_centroids,
         "events_user_gini": rel.events_user_gini,
         "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
@@ -417,6 +419,69 @@ def _ccnet_sql() -> str:
                 WHEN f.fp >= c.c1 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM fpt f JOIN cuts c USING (source) ORDER BY f.doc_id
+    """
+
+
+def _ab_srm_sql() -> str:
+    """Mirror of events_ab_srm: distinct users, arm = mix64(9, uid) % 2,
+    Pearson χ² of the two arm counts against the designed 50/50."""
+    lat, ref = _mix_chain("srm", ["u.user_id"], [9])
+    return f"""
+    WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id
+               FROM events),
+    arms AS (SELECT ({ref} % 2)::BIGINT AS arm FROM u, {lat}),
+    cnt AS (SELECT count(*) FILTER (arm = 0)::BIGINT AS n0,
+                   count(*) FILTER (arm = 1)::BIGINT AS n1,
+                   count(*)::DOUBLE / 2.0 AS e
+            FROM arms)
+    SELECT t.arm,
+           CASE WHEN t.arm = 0 THEN c.n0 ELSE c.n1 END AS n_users,
+           round(c.e, 6) AS expected,
+           round((c.n0 - c.e) * (c.n0 - c.e) / c.e
+                 + (c.n1 - c.e) * (c.n1 - c.e) / c.e, 6) AS chi2,
+           CAST(CASE WHEN (c.n0 - c.e) * (c.n0 - c.e) / c.e
+                        + (c.n1 - c.e) * (c.n1 - c.e) / c.e > 3.841
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM cnt c, (VALUES (0::BIGINT), (1::BIGINT)) t(arm) ORDER BY t.arm
+    """
+
+
+def _signal_agreement_sql() -> str:
+    """Mirror of docs_signal_agreement: the NB chain (_nb_model_ctes)
+    plus an LM chain DERIVED from it — the unigram counts are c1+c0 and
+    the top-20000 tie-break (cnt DESC, token) is identical, so the NB
+    CTEs' counts/top/flat are reused verbatim.  Ranks are permutation
+    row_numbers over (6-dp fixed-point score, doc_id); Spearman is the
+    all-integer Σd² identity."""
+    return f"""
+    WITH {_nb_model_ctes()},
+    lden AS (SELECT ((t.n1 + t.n0) + v.v + 1)::DOUBLE AS d
+             FROM tot t, (SELECT count(*) AS v FROM top) v),
+    lp AS (SELECT token, ln((c1 + c0 + 1)::DOUBLE / lden.d) AS lp
+           FROM top, lden),
+    lscored AS (SELECT f.doc_id,
+                       COALESCE(lp.lp, (SELECT ln(1.0 / d) FROM lden))
+                           AS lp
+                FROM flat f LEFT JOIN lp ON lp.token = f.token),
+    lagg AS (SELECT doc_id, sum(lp) / count(*) AS m
+             FROM lscored GROUP BY doc_id),
+    sc AS (SELECT t.doc_id,
+                  CAST(round(round(pri.p + COALESCE(a.s, 0.0), 6)
+                             * 1000000) AS BIGINT) AS afp,
+                  CAST(round(round(COALESCE(la.m, 0.0), 6)
+                             * 1000000) AS BIGINT) AS bfp
+           FROM toks t LEFT JOIN agg a USING (doc_id)
+                LEFT JOIN lagg la USING (doc_id), pri),
+    rk AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY afp, doc_id) AS ra,
+                  row_number() OVER (ORDER BY bfp, doc_id) AS rb
+           FROM sc)
+    SELECT count(*)::BIGINT AS n_docs,
+           sum((ra - rb) * (ra - rb))::BIGINT AS sum_d2,
+           round(1.0 - 6.0 * sum((ra - rb) * (ra - rb))::DOUBLE
+                 / (count(*) * (count(*) * count(*) - 1)), 6)
+               AS spearman_rho
+    FROM rk
     """
 
 
@@ -5295,6 +5360,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": _PROPS_EXTRACT_SQL,
         "events_value_stats": _VALUE_STATS_SQL,
         "docs_remove_boilerplate": _BOILERPLATE_SQL,
+        "events_ab_srm": _ab_srm_sql(),
+        "docs_signal_agreement": _signal_agreement_sql(),
         "embeddings_class_centroids": _CLASS_CENTROIDS_SQL,
         "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of

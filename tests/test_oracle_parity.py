@@ -82,6 +82,8 @@ SUBSET = [
     "tpch_q14",
     "events_props_extract",
     "events_value_stats",
+    "events_ab_srm",
+    "docs_signal_agreement",
     "embeddings_class_centroids",
     "kg_katz",
     "events_user_gini",

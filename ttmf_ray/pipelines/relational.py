@@ -3059,6 +3059,90 @@ def embeddings_class_centroids(sf_dir: str) -> pd.DataFrame:
         .sort_values("vec_id", ignore_index=True)
 
 
+def events_ab_srm(sf_dir: str) -> pd.DataFrame:
+    """Sample-ratio-mismatch guardrail for a hash-randomized experiment
+    (the invalidity check every A/B platform runs BEFORE reading the
+    metric): users are assigned arm = mix64(9, user_id) % 2, the
+    allocation is audited against the designed 50/50 with Pearson's
+    χ² = Σ (obs − n/2)² / (n/2), flagged at the α=0.05 cutoff 3.841.
+    Per-batch distinct-user partials → one user-domain groupby → two
+    integers; χ² is one fixed-order float chain, 6 dp."""
+    from ray.data.aggregate import Max
+
+    from ..sources.pages import mix64_vec
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy().astype(np.int64))
+        return pa.table({"user_id": pa.array(u),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    users = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Max("one", alias_name="one"))
+             .to_pandas())
+    uid = users["user_id"].to_numpy(np.int64)
+    arm = (mix64_vec(9, uid).astype(np.uint64) % np.uint64(2)) \
+        .astype(np.int64)
+    n = len(uid)
+    n1 = int(arm.sum())
+    n0 = n - n1
+    exp = n / 2.0
+    chi2 = (n0 - exp) ** 2 / exp + (n1 - exp) ** 2 / exp
+    return pd.DataFrame({
+        "arm": np.array([0, 1], np.int64),
+        "n_users": np.array([n0, n1], np.int64),
+        "expected": np.round([exp, exp], 6),
+        "chi2": np.round([chi2, chi2], 6),
+        "srm_flag": np.array([int(chi2 > 3.841)] * 2, np.int64)})
+
+
+def docs_signal_agreement(sf_dir: str) -> pd.DataFrame:
+    """Curation-signal agreement audit: Spearman rank correlation
+    between the NB quality score (docs_nb_quality) and the unigram-LM
+    mean log-probability (docs_lm_perplexity) over every doc — the
+    "do our quality gates even agree?" readout that decides whether a
+    second signal adds information.
+
+    Exactness: both scores are pinned to 6-dp fixed-point int64, ranks
+    are the PERMUTATION row_number over (score_fp, doc_id) — no
+    average-rank halves — so Spearman reduces to the all-integer
+    identity ρ = 1 − 6·Σd²/(n(n²−1)): one integer Σd², one final
+    division.  Both models are the existing broadcast fits; the rank
+    sort is over the doc-domain score table (the same bounded object
+    every scored-corpus query already returns)."""
+    import pyarrow.compute as pc
+
+    from ..stages.classify import fit_nb_quality, nb_quality_score
+    from ..stages.lm_score import fit_unigram_lm, perplexity_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    nbm = fit_nb_quality(ref, vocab_k=20000)
+    lmm = fit_unigram_lm(ref, vocab_k=20000)
+    nb = nb_quality_score(ds, nbm).to_pandas().sort_values("doc_id")
+    lm = perplexity_score(ds, lmm).to_pandas().sort_values("doc_id")
+    ids = nb["doc_id"].to_numpy(np.int64)
+    a = np.rint(np.round(nb["nb_score"].to_numpy(), 6) * 1e6) \
+        .astype(np.int64)
+    b = np.rint(np.round(lm["logprob_mean"].to_numpy(), 6) * 1e6) \
+        .astype(np.int64)
+    ra = np.empty(len(a), np.int64)
+    ra[np.lexsort((ids, a))] = np.arange(1, len(a) + 1)
+    rb = np.empty(len(b), np.int64)
+    rb[np.lexsort((ids, b))] = np.arange(1, len(b) + 1)
+    d2 = int(((ra - rb) ** 2).sum())
+    n = len(a)
+    rho = 1.0 - 6.0 * d2 / (n * (n * n - 1))
+    return pd.DataFrame({"n_docs": [np.int64(n)],
+                         "sum_d2": [np.int64(d2)],
+                         "spearman_rho": [np.round(rho, 6)]})
+
+
 CODE_AUG = ("\ndef f(x):\n    return x + 1\n\nimport os\n"
             "\tval = items[0]; { x = (1, 2); }\n")
 _CODE_KWS = ["def ", "import ", "return ", "#include", "function "]
