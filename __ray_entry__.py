@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_srm": rel.events_ab_srm,
         "docs_signal_agreement": rel.docs_signal_agreement,
         "embeddings_class_centroids": rel.embeddings_class_centroids,
+        "embeddings_range_search": rel.embeddings_range_search,
         "events_user_gini": rel.events_user_gini,
         "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
@@ -3903,6 +3904,20 @@ _BOILERPLATE_SQL = """
 """
 
 
+_RANGE_SEARCH_SQL = """
+    WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id IN (0, 100, 200, 300, 400))
+    SELECT q.query_id, CAST(x.vec_id AS BIGINT) AS vec_id,
+           round(list_cosine_similarity(q.v, x.embedding::DOUBLE[]), 6)
+               AS cosine
+    FROM q JOIN embeddings x ON x.vec_id <> q.query_id
+    WHERE round(list_cosine_similarity(q.v, x.embedding::DOUBLE[]), 6)
+          >= 0.2
+    ORDER BY q.query_id, vec_id
+"""
+
+
 _VALUE_STATS_SQL = """
     WITH c AS (SELECT event_type,
                       CAST(round(value * 100.0) AS BIGINT) AS c
@@ -5363,6 +5378,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_srm": _ab_srm_sql(),
         "docs_signal_agreement": _signal_agreement_sql(),
         "embeddings_class_centroids": _CLASS_CENTROIDS_SQL,
+        "embeddings_range_search": _RANGE_SEARCH_SQL,
         "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of
         # docs_exact_dedup: Python hashes, SQL groups the exact text)

@@ -85,6 +85,7 @@ SUBSET = [
     "events_ab_srm",
     "docs_signal_agreement",
     "embeddings_class_centroids",
+    "embeddings_range_search",
     "kg_katz",
     "events_user_gini",
     "tpch_q3",

@@ -468,6 +468,32 @@ def embeddings_ann_recall(sf_dir: str) -> pd.DataFrame:
                       n_probe=2)
 
 
+def embeddings_range_search(sf_dir: str) -> pd.DataFrame:
+    """Radius cosine search: every corpus vector with round-6 cosine
+    ≥ 0.2 to each of the 5 fixed query vectors, self excluded — the
+    bounded-neighborhood twin of ann_topk (stages/ann.py:range_search;
+    one normalized GEMM per batch against the broadcast query
+    matrix)."""
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    from ..stages.ann import list_col_matrix, range_search
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .materialize()
+    qset = sorted(ANN_RECALL_QIDS)
+    tb = pa.concat_tables(
+        [x for x in _ray.get(ds.map_batches(
+            lambda t: t.filter(pc.is_in(
+                t.column("vec_id"),
+                value_set=pa.array(qset, pa.int64()))),
+            batch_format="pyarrow").to_arrow_refs()) if x.num_rows])
+    got = tb.column("vec_id").to_numpy().astype(np.int64)
+    order = np.argsort(got)
+    Q = list_col_matrix(tb.column("embedding"))[order]
+    return range_search(ds, Q, got[order], 0.2)
+
+
 def events_rolling_active(sf_dir: str) -> pd.DataFrame:
     """DAU + trailing-7-day distinct actives per observed day
     (stages/temporal.py:rolling_active — signature-row shuffles only)."""

@@ -123,6 +123,43 @@ def brute_topk(ds, queries: np.ndarray, k: int, **stage_kw) -> pd.DataFrame:
     return merge_topk(partials, k)
 
 
+def range_search(ds, queries: np.ndarray, query_ids, radius: float, *,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> pd.DataFrame:
+    """Radius (range) cosine search — ALL corpus vectors within
+    ``radius`` of each query, the bounded-neighborhood twin of
+    :func:`brute_topk` (top-k fixes the count, range fixes the
+    similarity floor; dedup-audit and recall tooling needs both).
+
+    Per batch: one normalized GEMM against the broadcast query matrix,
+    cosines rounded 6 dp BEFORE the threshold compare (the house
+    cross-engine rule — the SQL twin thresholds
+    round(list_cosine_similarity(...), 6) on ::DOUBLE[] casts), self
+    matches excluded.  Output is match-domain sized; the corpus
+    streams."""
+    qn = np.asarray(queries, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    bc = Broadcast((qn, np.asarray(query_ids, dtype=np.int64)))
+
+    def part(t: pa.Table) -> pa.Table:
+        Q, qids = bc.get()
+        X = list_col_matrix(t.column(vec_col))
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = np.round(Xn @ Q.T, 6)                    # (n, q)
+        ri, qi = np.nonzero((cos >= radius)
+                            & (ids[:, None] != qids[None, :]))
+        return pa.table({
+            "query_id": pa.array(qids[qi]),
+            id_col: pa.array(ids[ri]),
+            "cosine": pa.array(cos[ri, qi])})
+
+    out = ds.map_batches(part, batch_format="pyarrow",
+                         batch_size=4096).to_pandas()
+    return out.astype({"query_id": np.int64, id_col: np.int64}) \
+        .sort_values(["query_id", id_col], ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # IVF (scale path): seeded k-means buckets + probe-limited search
 # ---------------------------------------------------------------------------
