@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_signal_agreement": rel.docs_signal_agreement,
         "embeddings_class_centroids": rel.embeddings_class_centroids,
         "embeddings_range_search": rel.embeddings_range_search,
+        "events_session_paths": rel.events_session_paths,
         "events_user_gini": rel.events_user_gini,
         "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
@@ -3904,6 +3905,35 @@ _BOILERPLATE_SQL = """
 """
 
 
+_SESSION_PATHS_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_type, rn,
+               CASE WHEN lag(es) OVER (PARTITION BY user_id ORDER BY rn)
+                         IS NULL
+                         OR es - lag(es) OVER (PARTITION BY user_id
+                                               ORDER BY rn) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ), tagged AS (
+        SELECT user_id, event_type, rn,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY rn)
+                   AS session_id
+        FROM flagged
+    ), paths AS (
+        SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM tagged GROUP BY user_id, session_id
+    )
+    SELECT path, count(*)::BIGINT AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 _RANGE_SEARCH_SQL = """
     WITH q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
                       embedding::DOUBLE[] AS v
@@ -5379,6 +5409,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_signal_agreement": _signal_agreement_sql(),
         "embeddings_class_centroids": _CLASS_CENTROIDS_SQL,
         "embeddings_range_search": _RANGE_SEARCH_SQL,
+        "events_session_paths": _SESSION_PATHS_SQL,
         "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of
         # docs_exact_dedup: Python hashes, SQL groups the exact text)

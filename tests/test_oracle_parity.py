@@ -91,6 +91,7 @@ SUBSET = [
     "tpch_q3",
     "tpch_q4",
     "events_session_quantiles",
+    "events_session_paths",
     "docs_text_norm",
     "docs_containment",
     "docs_ngram_novelty",

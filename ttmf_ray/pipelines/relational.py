@@ -1083,6 +1083,62 @@ def events_sessions(sf_dir: str, gap_sec: int = 1800,
         .sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def events_session_paths(sf_dir: str, gap_sec: int = 1800,
+                         n_parts: int = 64, k: int = 20) -> pd.DataFrame:
+    """Top-20 session journeys: each session's ordered event-type path
+    ('click>view>purchase'), counted corpus-wide — the product-
+    analytics view the sessionizer exists for (vs events_markov's
+    memoryless pairs).  Same shuffle shape as events_sessions: users
+    hash into partitions, each partition sessionizes VECTORIZED and
+    emits per-path count partials; one tiny path-domain groupby, then
+    per-block partial top-k (lossless: global counts are final) →
+    final cut on (n DESC, path ASC)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return t.append_column(
+            "__part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def paths_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        es = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_s = new_user | np.concatenate(
+            ([False], es[1:] - es[:-1] > gap_sec))
+        sid = np.cumsum(new_s)           # globally unique within part
+        d = pd.DataFrame({"sid": sid,
+                          "event_type": g["event_type"].to_numpy()})
+        p = d.groupby("sid", sort=True)["event_type"].agg(">".join)
+        return p.value_counts().rename_axis("path") \
+            .reset_index(name="c")
+
+    def topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "path": t.column("path").to_numpy(zero_copy_only=False),
+            "n_sessions": t.column("sum(c)").to_numpy()
+            .astype(np.int64)})
+        df = df.sort_values(["n_sessions", "path"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("__part")
+           .map_groups(paths_part, batch_format="pandas")
+           .groupby("path").sum("c")
+           .map_batches(topk, batch_format="pyarrow")
+           .to_pandas())
+    out = out.sort_values(["n_sessions", "path"],
+                          ascending=[False, True]).head(k)
+    return out.astype({"n_sessions": np.int64}) \
+        .reset_index(drop=True)
+
+
 def events_markov_transitions(sf_dir: str, n_parts: int = 64) -> pd.DataFrame:
     """First-order Markov transition table over each user's event stream
     (the sequence-model view of the event log): consecutive event-type
