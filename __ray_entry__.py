@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr_micro": cq.kg_ppr_micro,
         "kg_pagerank": cq.kg_pagerank,
         "kg_katz": cq.kg_katz,
+        "kg_reach2": cq.kg_reach2,
         "kg_relation_cardinality": cq.kg_relation_cardinality,
         "docs_dup_canonical": cq.docs_dup_canonical,
         "kg_kgc_negatives": cq.kg_kgc_negatives,
@@ -422,6 +423,28 @@ def _ccnet_sql() -> str:
                 ELSE 'tail' END AS bucket
     FROM fpt f JOIN cuts c USING (source) ORDER BY f.doc_id
     """
+
+
+_REACH2_SQL_TMPL = """
+    WITH edges0 AS MATERIALIZED ({idmapped}),
+    e AS MATERIALIZED (SELECT DISTINCT h AS u, t AS v FROM edges0),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (SELECT u AS id FROM e
+                                 UNION ALL SELECT v FROM e)),
+    p2 AS (SELECT a.u AS u, b.v AS v FROM e a JOIN e b ON a.v = b.u),
+    un AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM e
+                                      UNION ALL SELECT u, v FROM p2)
+           WHERE u <> v),
+    c1 AS (SELECT u, count(*) AS n FROM (
+               SELECT DISTINCT u, v FROM e WHERE u <> v) GROUP BY u),
+    c2 AS (SELECT u, count(*) AS n FROM un GROUP BY u)
+    SELECT CAST(n.id AS BIGINT) AS node,
+           COALESCE(c1.n, 0)::BIGINT AS n1,
+           COALESCE(c2.n, 0)::BIGINT AS n_reach2
+    FROM nodes n LEFT JOIN c1 ON c1.u = n.id
+                 LEFT JOIN c2 ON c2.u = n.id
+    ORDER BY node
+"""
 
 
 def _ab_srm_sql() -> str:
@@ -5081,6 +5104,7 @@ def oracle_sql() -> dict[str, str]:
         # update — no cross-engine drift compounds); stages/pagerank.py
         "kg_pagerank": _pagerank_sql(),
         "kg_katz": _katz_sql(),
+        "kg_reach2": _REACH2_SQL_TMPL.format(idmapped=_IDMAPPED_SQL),
         # Bordes et al. 2013 §4 relation cardinality profile: triples
         # per distinct head/tail, 1.5 cutoff
         "kg_relation_cardinality": f"""

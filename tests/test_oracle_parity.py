@@ -87,6 +87,7 @@ SUBSET = [
     "embeddings_class_centroids",
     "embeddings_range_search",
     "kg_katz",
+    "kg_reach2",
     "events_user_gini",
     "tpch_q3",
     "tpch_q4",

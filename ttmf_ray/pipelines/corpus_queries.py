@@ -1226,6 +1226,24 @@ def kg_relpath_2hop(sf_dir: str) -> pd.DataFrame:
     return relpath_2hop(spread(ds), len(rel_df))
 
 
+def kg_reach2(sf_dir: str) -> pd.DataFrame:
+    """Per-entity ≤2-hop reach profile over the distinct-(h,t)
+    relational KG: n1 = distinct out-neighbors, n_reach2 = distinct
+    nodes within two hops, self excluded (stages/graph.py:reach2 —
+    mid-node partitions + segment cross-product; the neighborhood-
+    growth evidence behind the frontier caps)."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.graph import reach2
+
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    e = rd.from_pandas(ids[["h", "t"]].rename(
+        columns={"h": "src", "t": "dst"}))
+    from ..context import spread
+
+    out = reach2(spread(distinct_rows(e, ["src", "dst"])), len(ent_df))
+    return out.sort_values("node", ignore_index=True)
+
+
 def kg_hits(sf_dir: str) -> pd.DataFrame:
     """HITS hubs/authorities over the distinct-(h,t) relational KG —
     8 max-normalized quantized power iterations (node, hub, auth);

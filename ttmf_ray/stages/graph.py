@@ -920,6 +920,101 @@ def relpath_2hop(edges_ds, n_rel: int) -> pd.DataFrame:
         .sort_values(["r1", "r2"], ignore_index=True)
 
 
+def reach2(edges_ds, n_nodes: int, *, src_col: str = "src",
+           dst_col: str = "dst") -> pd.DataFrame:
+    """Per-node ≤2-hop reach over a distinct directed edge Dataset:
+    n1 = distinct out-neighbors, n_reach2 = distinct nodes reachable in
+    one OR two hops (self excluded from both) — the neighborhood-size
+    profile behind frontier-cap sizing (how much does one extra hop
+    cost per node?).
+
+    Shape: edges hash-partition by MID node (the relpath_2hop tagging),
+    each partition emits its DISTINCT (src, dst2) 2-hop pairs via a
+    vectorized segment cross-product (never a Python loop over mids);
+    the union with the 1-hop pairs is deduped by one int-partition
+    distinct (stages/dedup.py:distinct_rows) and per-src counts fold as
+    |V|-sized bincount partials.  The 2-hop pair volume is the true
+    path count Σ_m in(m)·out(m) — at web scale the frontier cap /
+    hub-salting lever applies here exactly as in PathEnum."""
+    from ..context import num_cpus
+    from .dedup import distinct_rows
+
+    n_part = min(512, max(64, num_cpus() * 4))
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy().astype(np.int64)
+        d = t.column(dst_col).to_numpy().astype(np.int64)
+        mid = np.concatenate([d, s])
+        val = np.concatenate([s, d])
+        side = np.concatenate([np.zeros(len(s), np.int8),
+                               np.ones(len(d), np.int8)])
+        return pa.table({"mid": pa.array(mid), "val": pa.array(val),
+                         "side": pa.array(side),
+                         "part": pa.array(mid % n_part)})
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"u": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64)})
+        mid = df["mid"].to_numpy(np.int64)
+        val = df["val"].to_numpy(np.int64)
+        side = df["side"].to_numpy(np.int8)
+        order = np.lexsort((val, side, mid))
+        mid, val, side = mid[order], val[order], side[order]
+        _, vi = np.unique(mid, return_inverse=True)
+        nv = int(vi.max()) + 1 if len(vi) else 0
+        a = np.bincount(vi[side == 0], minlength=nv)   # in-edges per mid
+        b = np.bincount(vi[side == 1], minlength=nv)   # out-edges per mid
+        ins, outs = val[side == 0], val[side == 1]
+        in_off = np.concatenate(([0], np.cumsum(a)[:-1]))
+        out_off = np.concatenate(([0], np.cumsum(b)[:-1]))
+        npairs = a * b
+        total = int(npairs.sum())
+        if not total:
+            return pd.DataFrame({"u": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64)})
+        seg = np.repeat(np.arange(nv), npairs)
+        k = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
+        u = ins[in_off[seg] + k // b[seg]]
+        v = outs[out_off[seg] + k % b[seg]]
+        key = np.unique(u * n_nodes + v)
+        return pd.DataFrame({"u": (key // n_nodes).astype(np.int64),
+                             "v": (key % n_nodes).astype(np.int64)})
+
+    p2 = (edges_ds.map_batches(tag, batch_format="pyarrow")
+          .groupby("part")
+          .map_groups(pairs_in_part, batch_format="pandas"))
+    p1 = edges_ds.map_batches(
+        lambda t: pa.table({
+            "u": t.column(src_col).cast(pa.int64()),
+            "v": t.column(dst_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    un = distinct_rows(p1.union(p2), ["u", "v"])
+
+    import ray as _ray
+
+    def _count_fold(ds, filter_self: bool) -> np.ndarray:
+        def part(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy().astype(np.int64)
+            v = t.column("v").to_numpy().astype(np.int64)
+            keep = u != v
+            return pa.table({"c": pa.array(np.bincount(
+                u[keep], minlength=n_nodes).astype(np.int64))})
+
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        for t in _ray.get(ds.map_batches(
+                part, batch_format="pyarrow").to_arrow_refs()):
+            if len(t):
+                acc += t.column("c").to_numpy()
+        return acc
+
+    n_r2 = _count_fold(un, True)
+    n1 = _count_fold(distinct_rows(p1, ["u", "v"]), True)
+    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                         "n1": n1, "n_reach2": n_r2})
+
+
 # ---------------------------------------------------------------------------
 # Entity relation-signature profile (schema induction over the KG)
 # ---------------------------------------------------------------------------
