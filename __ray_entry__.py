@@ -30,9 +30,11 @@ mirrored value-for-value):
   ``kg_negative_samples``/``kg_kgc_negatives`` the corruption draws, and
   ``kg_split_counts`` the split arithmetic.  Rows-only determinism is
   still enforced (pinned worker counts, sorted collections).
-- ``media_features_real`` — inputs are synthesized binary WAV/PPM
-  payloads (no DuckDB-visible table); the decode kernels carry their own
-  roundtrip assertions in test_media.py.
+- ``media_features_real`` / ``media_image_dedup`` — inputs are
+  synthesized binary WAV/PPM payloads (no DuckDB-visible table); the
+  decode kernels carry their own roundtrip assertions in test_media.py,
+  and the aHash dedup pins its planted byte-identical copy groups +
+  noise-robustness property there too.
 (``kg_graph_features`` and the symmetrized-graph ``kg_graph_features_sym``
 are FULLY mirrored — including the PPR column with its data-dependent
 iteration count, via a recursive CTE running the identical update to the
@@ -179,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": rel.events_value_stats,
         "events_ab_srm": rel.events_ab_srm,
         "docs_signal_agreement": rel.docs_signal_agreement,
+        "docs_slop_ngrams": rel.docs_slop_ngrams,
         "embeddings_class_centroids": rel.embeddings_class_centroids,
         "embeddings_range_search": rel.embeddings_range_search,
         "events_session_paths": rel.events_session_paths,
@@ -222,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": cq.docs_repetition,
         "media_features_real": cq.media_features_real,
         "media_frame_sample": cq.media_frame_sample,
+        "media_image_dedup": cq.media_image_dedup,
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
@@ -445,6 +449,34 @@ _REACH2_SQL_TMPL = """
                  LEFT JOIN c2 ON c2.u = n.id
     ORDER BY node
 """
+
+
+def _slop_ngrams_sql() -> str:
+    """Mirror of docs_slop_ngrams: lowered empty-filtered tokens with
+    positions, trigrams via positional self-joins (the dup-span
+    fingerprint pattern), per-source count, top-10 on (n DESC, ngram)."""
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               list_transform({_TOKENS}, x -> lower(x)) AS ts
+        FROM documents),
+    w AS MATERIALIZED (
+        SELECT doc_id, source, unnest(ts) AS w,
+               generate_subscripts(ts, 1) AS p
+        FROM toks),
+    tri AS (SELECT a.source,
+                   a.w || ' ' || b.w || ' ' || c.w AS ngram
+            FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                     JOIN w c ON c.doc_id = a.doc_id AND c.p = a.p + 2),
+    cnt AS (SELECT source, ngram, count(*)::BIGINT AS n
+            FROM tri GROUP BY source, ngram),
+    rk AS (SELECT source, ngram, n,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n DESC, ngram) AS rn
+           FROM cnt)
+    SELECT source, ngram, n FROM rk WHERE rn <= 10
+    ORDER BY source, n DESC, ngram
+    """
 
 
 def _ab_srm_sql() -> str:
@@ -5431,6 +5463,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_remove_boilerplate": _BOILERPLATE_SQL,
         "events_ab_srm": _ab_srm_sql(),
         "docs_signal_agreement": _signal_agreement_sql(),
+        "docs_slop_ngrams": _slop_ngrams_sql(),
         "embeddings_class_centroids": _CLASS_CENTROIDS_SQL,
         "embeddings_range_search": _RANGE_SEARCH_SQL,
         "events_session_paths": _SESSION_PATHS_SQL,

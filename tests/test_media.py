@@ -129,3 +129,38 @@ def test_codec_probe_boundary():
     if _soundfile is None:
         with pytest.raises(NotImplementedError, match="audio/mpeg"):
             real_decode(b"ID3fakemp3", "audio/mpeg")
+
+
+def test_image_ahash_dedup_planted_copies():
+    """media_image_dedup: ids 50-59 are byte-identical copies of 0-9 —
+    each pair must share (ahash, canonical_id) with n_same == 2; the
+    40 untouched images stay singletons."""
+    import numpy as np
+
+    from ttmf_ray.pipelines.corpus_queries import media_image_dedup
+
+    out = media_image_dedup("/root/testdata/sf0.001").set_index("media_id")
+    for j in range(10):
+        assert out.loc[50 + j, "ahash"] == out.loc[j, "ahash"]
+        assert out.loc[50 + j, "canonical_id"] == j
+        assert out.loc[j, "n_same"] == 2
+    singles = out.drop(index=list(range(10)) + list(range(50, 60)))
+    assert (singles["n_same"] == 1).all()
+    assert out["ahash"].nunique() == 50
+
+
+def test_ahash_noise_robustness():
+    """The perceptual property: one-pixel noise moves the aHash at most
+    a few bits (byte-identical copies are exactly equal by the dedup
+    test above)."""
+    import numpy as np
+
+    from ttmf_ray.stages.media import ahash64, decode_ppm, synth_ppm
+
+    img = decode_ppm(synth_ppm(42, 7))
+    h0 = ahash64(img)
+    noisy = img.copy()
+    noisy[3, 5, 1] = (int(noisy[3, 5, 1]) + 9) % 256
+    h1 = ahash64(noisy)
+    dist = bin(int(np.uint64(h0) ^ np.uint64(h1))).count("1")
+    assert dist <= 4

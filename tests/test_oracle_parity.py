@@ -84,6 +84,7 @@ SUBSET = [
     "events_value_stats",
     "events_ab_srm",
     "docs_signal_agreement",
+    "docs_slop_ngrams",
     "embeddings_class_centroids",
     "embeddings_range_search",
     "kg_katz",

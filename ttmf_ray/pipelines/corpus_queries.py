@@ -1273,6 +1273,35 @@ def kg_entity_types(sf_dir: str) -> pd.DataFrame:
     return entity_signatures(ds, len(ent_df))
 
 
+def media_image_dedup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual image dedup over 60 synthesized PPMs: ids 50-59 are
+    byte-identical copies of ids 0-9, so aHash collapses each pair to
+    one canonical id (stages/media.py:image_ahash_dedup — actor-pool
+    decode+hash, hash-domain groupby).  Rows-only: binary payloads are
+    synthesized, not a DuckDB-visible table; the pytest pins the
+    planted-copy groups and the aHash noise-robustness property."""
+    from ..sources.pages import mix64_vec
+    from ..stages.media import image_ahash_dedup
+
+    def noise_ppm(i: int, w: int = 24, h: int = 16) -> bytes:
+        # per-image mix64 noise: structured gradients (synth_ppm) are
+        # perceptually NEAR-DUP by construction — aHash correctly
+        # collapses them, so the dedup fixture needs distinct content
+        px = (mix64_vec(42, 930, i, np.arange(w * h * 3))
+              % np.uint64(256)).astype(np.uint8)
+        return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+    ids = np.arange(60)
+    payloads = [noise_ppm(int(i) if i < 50 else int(i) - 50)
+                for i in ids]
+    t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    from ..context import spread
+
+    ds = spread(rd.from_arrow(t))
+    return image_ahash_dedup(ds)
+
+
 def media_frame_sample(sf_dir: str) -> pd.DataFrame:
     """Video frame-sampling actor-pool pipeline: 40 deterministic MPV1
     'videos' (concatenated genuine PPM frames) → every-4th-frame decode →

@@ -3225,6 +3225,61 @@ def docs_signal_agreement(sf_dir: str) -> pd.DataFrame:
                          "spearman_rho": [np.round(rho, 6)]})
 
 
+def docs_slop_ngrams(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Per-source top-10 repeated word 3-grams by occurrence count —
+    the 'slop phrase' detector (over-represented boilerplate phrases
+    are the textual fingerprint of template/LLM-generated feeds; the
+    phrase-level sibling of docs_dup_rate_by_source).  Per-batch
+    (source, ngram, cnt) combiner → one ngram-domain groupby →
+    per-block partial top-k per source (lossless: counts are final
+    after the groupby) → cut on (n DESC, ngram ASC)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.lm_score import _doc_tokens
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, doc_idx, n = _doc_tokens(t.column("text"))
+        src = t.column("source").to_numpy(zero_copy_only=False) \
+            .astype(object)
+        if len(toks) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "ngram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ok = np.zeros(max(len(toks) - 2, 0), dtype=bool)
+        if len(ok):
+            ok = (doc_idx[:-2] == doc_idx[2:])
+        tri = np.char.add(np.char.add(np.char.add(np.char.add(
+            toks[:-2][ok].astype(str), " "), toks[1:-1][ok].astype(str)),
+            " "), toks[2:][ok].astype(str))
+        key = np.char.add(np.char.add(
+            src[doc_idx[:-2][ok]].astype(str), "\x1f"), tri)
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"source": pa.array(sp[:, 0], pa.string()),
+                         "ngram": pa.array(sp[:, 2], pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    def topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "ngram": t.column("ngram").to_numpy(zero_copy_only=False),
+            "n": t.column("sum(c)").to_numpy().astype(np.int64)})
+        df = df.sort_values(["source", "n", "ngram"],
+                            ascending=[True, False, True]) \
+            .groupby("source", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "ngram"]).sum("c")
+           .map_batches(topk, batch_format="pyarrow").to_pandas())
+    out = out.sort_values(["source", "n", "ngram"],
+                          ascending=[True, False, True]) \
+        .groupby("source", sort=False).head(k)
+    return out.astype({"n": np.int64}).reset_index(drop=True)
+
+
 CODE_AUG = ("\ndef f(x):\n    return x + 1\n\nimport os\n"
             "\tval = items[0]; { x = (1, 2); }\n")
 _CODE_KWS = ["def ", "import ", "return ", "#include", "function "]

@@ -192,6 +192,66 @@ def resize_mean_pool(img: np.ndarray, s: int) -> np.ndarray:
     return img.reshape(s, bh, s, bw).mean(axis=(1, 3))
 
 
+def ahash64(img: np.ndarray, s: int = 8) -> np.int64:
+    """Average-hash (aHash) of an (h, w, 3) uint8 image: grayscale →
+    block-mean pool to s×s → one bit per cell (above the cell mean),
+    packed MSB-first into an int64 — the standard cheap perceptual
+    fingerprint (robust to re-encode / small noise, exact-equal for
+    byte-identical images)."""
+    g = img.astype(np.float64).mean(axis=2)
+    p = resize_mean_pool(g, s)
+    bits = (p > p.mean()).ravel().astype(np.uint8)
+    packed = np.packbits(bits)           # 8 bytes, MSB-first
+    return np.int64(packed.view(">u8")[0].astype(np.uint64)
+                    .astype(np.int64))
+
+
+class AHasher:
+    """Actor stage: (media_id, payload PPM bytes) → (media_id, ahash).
+
+    Binary decode is inherently per-row (each payload is one image);
+    the pool parallelizes across batches, state-free beyond the pool
+    itself — the image-dedup front half (reference has no media ops;
+    this is the §2.9 multimodal extension surface)."""
+
+    def __init__(self, *, target_size: int = 8):
+        self.s = target_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy().astype(np.int64)
+        payloads = batch.column("payload").to_pylist()
+        hs = np.fromiter(
+            (ahash64(decode_ppm(p), self.s) for p in payloads),
+            dtype=np.int64, count=len(ids))
+        return pa.table({"media_id": pa.array(ids),
+                         "ahash": pa.array(hs)})
+
+
+def image_ahash_dedup(ds, *, target_size: int = 8,
+                      concurrency=None) -> "pd.DataFrame":
+    """Perceptual image dedup: aHash every image in an actor pool, then
+    one hash-domain groupby (min media_id = canonical, group size) —
+    the image twin of docs_exact_dedup; only (media_id, int64 hash)
+    rows ever shuffle, payloads stay put."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min
+
+    from ..context import auto_pool
+
+    hashes = ds.map_batches(
+        AHasher, fn_constructor_kwargs={"target_size": target_size},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency or auto_pool())
+    groups = (hashes.groupby("ahash")
+              .aggregate(Min("media_id", alias_name="canonical_id"),
+                         Count(alias_name="n_same")).to_pandas())
+    per = hashes.to_pandas()
+    out = per.merge(groups, on="ahash")
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("media_id", ignore_index=True)
+
+
 def real_decode(payload: bytes, mime: str) -> np.ndarray:
     """The codec boundary.  Container-less formats decode HERE with real
     kernels; codec formats use Pillow / libsndfile when the import probe
