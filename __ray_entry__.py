@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_class_centroids": rel.embeddings_class_centroids,
         "embeddings_range_search": rel.embeddings_range_search,
         "events_session_paths": rel.events_session_paths,
+        "events_funnel_time": rel.events_funnel_time,
         "events_user_gini": rel.events_user_gini,
         "docs_dup_rate_by_source": rel.docs_dup_rate_by_source,
         "docs_emb_cohesion": rel.docs_emb_cohesion,
@@ -3960,6 +3961,39 @@ _BOILERPLATE_SQL = """
 """
 
 
+_FUNNEL_TIME_SQL = """
+    WITH s0 AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                       min(epoch_us(ts)) AS t
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    h1 AS (SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                  min(epoch_us(e.ts)) AS t, min(s0.t) AS tprev
+           FROM events e JOIN s0 ON s0.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t
+             AND epoch_us(e.ts) <= s0.t + 172800000000
+           GROUP BY e.user_id),
+    h2 AS (SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                  min(epoch_us(e.ts)) AS t, min(h1.t) AS tprev
+           FROM events e JOIN h1 ON h1.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > h1.t
+             AND epoch_us(e.ts) <= h1.t + 172800000000
+           GROUP BY e.user_id),
+    gaps AS (SELECT 1 AS step, t - tprev AS gap FROM h1
+             UNION ALL SELECT 2 AS step, t - tprev AS gap FROM h2),
+    n AS (SELECT step, count(*) AS n FROM gaps GROUP BY step),
+    qs(q) AS (SELECT unnest([0.5, 0.9]::DOUBLE[])),
+    og AS (SELECT step, gap AS v, row_number()
+               OVER (PARTITION BY step ORDER BY gap) - 1 AS rk
+           FROM gaps)
+    SELECT CAST(n.step AS BIGINT) AS step, qs.q,
+           CAST(og.v AS BIGINT) AS gap_us_q,
+           CAST(n.n AS BIGINT) AS n_users
+    FROM n CROSS JOIN qs
+    JOIN og ON og.step = n.step
+        AND og.rk = CAST(floor((n.n - 1) * qs.q) AS BIGINT)
+    ORDER BY step, q
+"""
+
+
 _SESSION_PATHS_SQL = """
     WITH ordered AS (
         SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es,
@@ -5467,6 +5501,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_class_centroids": _CLASS_CENTROIDS_SQL,
         "embeddings_range_search": _RANGE_SEARCH_SQL,
         "events_session_paths": _SESSION_PATHS_SQL,
+        "events_funnel_time": _FUNNEL_TIME_SQL,
         "events_user_gini": _USER_GINI_SQL,
         # per-source exact-duplicate rate (distinct-text convention of
         # docs_exact_dedup: Python hashes, SQL groups the exact text)

@@ -94,6 +94,7 @@ SUBSET = [
     "tpch_q4",
     "events_session_quantiles",
     "events_session_paths",
+    "events_funnel_time",
     "docs_text_norm",
     "docs_containment",
     "docs_ngram_novelty",

@@ -517,6 +517,29 @@ def events_window_funnel(sf_dir: str) -> pd.DataFrame:
     return window_funnel(ds, FUNNEL_STEPS, window_us=WINDOW_FUNNEL_US)
 
 
+def events_funnel_time(sf_dir: str) -> pd.DataFrame:
+    """Per-hop time-to-convert quantiles for the 48h windowed funnel
+    (view→click→purchase): median and p90 of t_hop − t_prev across
+    converting users — the latency readout next to
+    events_window_funnel's count readout.  Gaps come from the
+    identical hop chain (stages/temporal.py:funnel_hop_gaps); the
+    quantiles run the distributed histogram-combiner stage with the
+    float floor((n−1)·q) rank rule both engines share."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.temporal import funnel_hop_gaps
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    gaps = funnel_hop_gaps(ds, FUNNEL_STEPS,
+                           window_us=WINDOW_FUNNEL_US).materialize()
+    n = (gaps.groupby("step").count().to_pandas()
+         .rename(columns={"count()": "n_users"}))
+    q = exact_quantiles(gaps, ["gap_us"], [0.5, 0.9], group_col="step")
+    out = q.merge(n, on="step")
+    return out.astype({"step": np.int64, "gap_us_q": np.int64,
+                       "n_users": np.int64}) \
+        .sort_values(["step", "q"], ignore_index=True)
+
+
 def docs_bpe_fertility(sf_dir: str) -> pd.DataFrame:
     """Tokenizer fertility per doc under the corpus's own top-8 learned
     BPE merges — pieces-per-word via the broadcast (word → n_syms)

@@ -523,6 +523,71 @@ def window_funnel(events_ds, steps: list[str], *, window_us: int,
         "n_users": np.asarray(counts, dtype=np.int64)})
 
 
+def funnel_hop_gaps(events_ds, steps: list[str], *, window_us: int,
+                    ts_col: str = "ts", user_col: str = "user_id",
+                    type_col: str = "event_type"):
+    """Per-hop conversion GAPS for the windowed funnel: for every user
+    surviving hop j of :func:`window_funnel`'s chain, emit
+    (step = j, gap_us = t_j − t_{j-1}) — the time-to-convert input the
+    per-hop latency quantiles run on.  Identical chain semantics
+    (first step-j event strictly after and within ``window_us`` of the
+    previous hop); same hash_join + per-user min shape.  Returns a
+    Dataset of (step, gap_us) int rows — gap-domain sized."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Min
+
+    from ..functions.joins import hash_join
+
+    def step_rows(j):
+        def fn(t: pa.Table) -> pa.Table:
+            et = t.column(type_col).to_numpy(zero_copy_only=False)
+            sel = et == steps[j]
+            return pa.table({
+                user_col: pa.array(
+                    t.column(user_col).to_numpy().astype(np.int64)[sel]),
+                "ets": pa.array(
+                    t.column(ts_col).cast(pa.int64()).to_numpy()[sel])})
+        return events_ds.map_batches(fn, batch_format="pyarrow")
+
+    chain = (step_rows(0).groupby(user_col)
+             .aggregate(Min("ets", alias_name="t"))).materialize()
+    gap_parts = []
+    for j in range(1, len(steps)):
+        joined = hash_join(step_rows(j), chain, on=user_col)
+
+        def eligible(t: pa.Table) -> pa.Table:
+            ts = t.column("ets").to_numpy()
+            tp = t.column("t").to_numpy()
+            keep = (ts > tp) & (ts <= tp + np.int64(window_us))
+            return pa.table({
+                user_col: pa.array(t.column(user_col)
+                                   .to_numpy().astype(np.int64)[keep]),
+                "ets": pa.array(ts[keep]),
+                "tprev": pa.array(tp[keep])})
+
+        nxt = (joined.map_batches(eligible, batch_format="pyarrow")
+               .groupby(user_col)
+               .aggregate(Min("ets", alias_name="t"),
+                          Min("tprev", alias_name="tprev"))).materialize()
+
+        def to_gap(t: pa.Table, j=j) -> pa.Table:
+            return pa.table({
+                "step": pa.array(np.full(t.num_rows, j, np.int64)),
+                "gap_us": pa.array(
+                    t.column("t").to_numpy().astype(np.int64)
+                    - t.column("tprev").to_numpy().astype(np.int64))})
+
+        gap_parts.append(nxt.map_batches(to_gap, batch_format="pyarrow"))
+        chain = nxt.map_batches(
+            lambda t: t.select([user_col, "t"]), batch_format="pyarrow") \
+            .materialize()
+    out = gap_parts[0]
+    for g in gap_parts[1:]:
+        out = out.union(g)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Rolling active users (DAU + trailing-7-day actives)
 # ---------------------------------------------------------------------------
