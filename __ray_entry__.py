@@ -4039,7 +4039,7 @@ _RANGE_SEARCH_SQL = """
 
 _VALUE_STATS_SQL = """
     WITH c AS (SELECT event_type,
-                      CAST(round(value * 100.0) AS BIGINT) AS c
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
                FROM events),
     a AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
                  sum(c * c)::BIGINT AS s2,

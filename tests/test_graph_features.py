@@ -165,3 +165,41 @@ def test_biased_walks_diverge_from_uniform(ray_session):
     b2 = bia[bia.step > 1].reset_index(drop=True)
     assert len(u2) == len(b2)          # same walks stay alive per step?
     assert not u2.equals(b2)           # the weighting changed choices
+
+
+def test_reach2_frontier_cap_hot_mid_node(ray_session):
+    """Planted hub: one mid node with 40 in- and 40 out-neighbors.
+    Uncapped reach2 emits the full 40x40 cross product through the
+    hub; with mid_cap=5 the hub's pair volume is bounded at 25 and the
+    n_capped_mids counter fires.  A cap ABOVE every degree must be a
+    no-op (identical counts, zero counter) — the kg_reach2 contract."""
+    import ray.data as rd
+
+    from ttmf_ray.stages.graph import reach2
+
+    hub = 0
+    ins = np.arange(1, 41, dtype=np.int64)           # 1..40 -> hub
+    outs = np.arange(41, 81, dtype=np.int64)         # hub -> 41..80
+    ed = pd.DataFrame({
+        "src": np.concatenate([ins, np.full(40, hub, np.int64)]),
+        "dst": np.concatenate([np.full(40, hub, np.int64), outs])})
+    n_nodes = 81
+
+    full = reach2(rd.from_pandas(ed), n_nodes)
+    # every in-neighbor reaches hub + all 40 outs
+    assert (full.loc[full.node.isin(ins), "n_reach2"] == 41).all()
+
+    capped, stats = reach2(rd.from_pandas(ed), n_nodes,
+                           mid_cap=5, with_stats=True)
+    assert int(stats["n_capped_mids"].iloc[0]) == 1
+    # capped: each in-neighbor keeps hub + the 5 smallest-id outs ...
+    ins_kept = capped.loc[capped.node.isin(ins[:5]), "n_reach2"]
+    assert (ins_kept == 6).all()
+    # ... and in-neighbors outside the kept 5 lose their 2-hop set
+    dropped = capped.loc[capped.node.isin(ins[5:]), "n_reach2"]
+    assert (dropped == 1).all()
+
+    noop, nstats = reach2(rd.from_pandas(ed), n_nodes,
+                          mid_cap=1000, with_stats=True)
+    assert int(nstats["n_capped_mids"].iloc[0]) == 0
+    pd.testing.assert_frame_equal(noop, full)

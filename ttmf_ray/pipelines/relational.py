@@ -861,18 +861,35 @@ def tpch_q1(sf_dir: str) -> pd.DataFrame:
                 "l_extendedprice", "l_discount"])
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "l_returnflag": b.column("l_returnflag").to_pylist(),
-            "l_linestatus": b.column("l_linestatus").to_pylist(),
-            "qty": b.column("l_quantity").to_numpy(),
-            "price": b.column("l_extendedprice").to_numpy(),
-            "rev": b.column("l_extendedprice").to_numpy()
-            * (1 - b.column("l_discount").to_numpy()),
-        })
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"), sum_price=("price", "sum"),
-            sum_rev=("rev", "sum"), n=("qty", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # dictionary-encode the two string keys (Arrow C kernel — no
+        # per-row Python churn) and fold all four aggregates as
+        # bincounts over the combined int code.
+        rf = b.column("l_returnflag").combine_chunks().dictionary_encode()
+        ls = b.column("l_linestatus").combine_chunks().dictionary_encode()
+        rfc = rf.indices.to_numpy().astype(np.int64)
+        lsc = ls.indices.to_numpy().astype(np.int64)
+        nls = len(ls.dictionary)
+        nk = len(rf.dictionary) * nls
+        key = rfc * nls + lsc
+        qty = b.column("l_quantity").to_numpy()
+        price = b.column("l_extendedprice").to_numpy()
+        rev = price * (1 - b.column("l_discount").to_numpy())
+        n = np.bincount(key, minlength=nk)
+        ks = np.nonzero(n)[0]
+        rf_names = rf.dictionary.to_numpy(zero_copy_only=False) \
+            .astype(object)
+        ls_names = ls.dictionary.to_numpy(zero_copy_only=False) \
+            .astype(object)
+        return pa.table({
+            "l_returnflag": pa.array(rf_names[ks // nls], pa.string()),
+            "l_linestatus": pa.array(ls_names[ks % nls], pa.string()),
+            "sum_qty": pa.array(
+                np.bincount(key, weights=qty, minlength=nk)[ks]),
+            "sum_price": pa.array(
+                np.bincount(key, weights=price, minlength=nk)[ks]),
+            "sum_rev": pa.array(
+                np.bincount(key, weights=rev, minlength=nk)[ks]),
+            "n": pa.array(n[ks].astype(np.int64))})
 
     from ray.data.aggregate import Sum
 
@@ -1116,8 +1133,6 @@ def events_session_paths(sf_dir: str, gap_sec: int = 1800,
     emits per-path count partials; one tiny path-domain groupby, then
     per-block partial top-k (lossless: global counts are final) →
     final cut on (n DESC, path ASC)."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
                                   "event_type"])
 
@@ -2527,27 +2542,44 @@ def docs_emb_cohesion(sf_dir: str) -> pd.DataFrame:
     doc_id = vec_id): per source — n, mean L2 norm, and cohesion = mean
     cosine of each member to its source CENTROID (the SemDeDup-style
     health check: a source whose vectors don't cohere is noise or
-    mixed-domain).  Two streaming passes: per-batch (source, count,
-    Σvec, Σnorm) partials → tiny driver combine → centroid broadcast →
-    per-batch cosine partials.  The doc→source map is a broadcast
-    lookup (documents' small columns only — text never loads)."""
+    mixed-domain).  The doc→source attachment is a bucketed
+    ``hash_join`` (functions/joins.py) — both sides stream; nothing
+    doc-count-sized ever reaches the driver (the only broadcasts are
+    the source-name list and the ns×d centroid matrix, both
+    source-DOMAIN sized).  Two streaming passes over the materialized
+    join: per-batch (source, count, Σvec, Σnorm) partials → tiny
+    driver combine → centroid broadcast → per-batch cosine partials."""
     from ..context import Broadcast
+    from ..functions.joins import hash_join
     from ..stages.ann import list_col_matrix
 
-    docs = _read(sf_dir, "documents", ["doc_id", "source"]).to_pandas() \
-        .sort_values("doc_id")
-    did = docs["doc_id"].to_numpy(np.int64)
-    src_codes, src_names = pd.factorize(docs["source"], sort=True)
-    bc = Broadcast((did, src_codes.astype(np.int64)))
+    docs_src = _read(sf_dir, "documents", ["doc_id", "source"])
+    # distinct source names: per-batch unique partial → driver unique
+    # (source-domain sized, tiny)
+    names_p = docs_src.map_batches(
+        lambda t: pa.table({"source": pa.array(np.unique(
+            t.column("source").to_numpy(zero_copy_only=False)
+            .astype(str)))}),
+        batch_format="pyarrow").to_pandas()
+    src_names = np.sort(names_p["source"].unique().astype(str))
     ns = len(src_names)
+    nbc = Broadcast(src_names)
+
+    docs_keyed = docs_src.map_batches(
+        lambda t: pa.table({
+            "vec_id": t.column("doc_id").cast(pa.int64()),
+            "source": t.column("source")}), batch_format="pyarrow")
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialize: consumed by both streaming passes below
+    joined = hash_join(emb, docs_keyed, on="vec_id").materialize()
+
+    def _codes(t: pa.Table) -> np.ndarray:
+        s = t.column("source").to_numpy(zero_copy_only=False).astype(str)
+        return np.searchsorted(nbc.get(), s)
 
     def part1(t: pa.Table) -> pa.Table:
-        ids_, codes_ = bc.get()
-        vid = t.column("vec_id").to_numpy().astype(np.int64)
         M = list_col_matrix(t.column("embedding"))
-        pos = np.clip(np.searchsorted(ids_, vid), 0, len(ids_) - 1)
-        sc = codes_[pos]
+        sc = _codes(t)
         cnt = np.bincount(sc, minlength=ns).astype(np.int64)
         sums = np.zeros((ns, M.shape[1]))
         np.add.at(sums, sc, M)
@@ -2559,7 +2591,7 @@ def docs_emb_cohesion(sf_dir: str) -> pd.DataFrame:
             "vsum": pa.array(list(sums), pa.list_(pa.float64())),
             "nsum": pa.array(norms, pa.float64())})
 
-    p1 = emb.map_batches(part1, batch_format="pyarrow").to_pandas()
+    p1 = joined.map_batches(part1, batch_format="pyarrow").to_pandas()
     cnt = np.zeros(ns, np.int64)
     nsum = np.zeros(ns)
     vsum = None
@@ -2577,12 +2609,9 @@ def docs_emb_cohesion(sf_dir: str) -> pd.DataFrame:
     cbc = Broadcast(cents_u)
 
     def part2(t: pa.Table) -> pa.Table:
-        ids_, codes_ = bc.get()
         cu = cbc.get()
-        vid = t.column("vec_id").to_numpy().astype(np.int64)
         M = list_col_matrix(t.column("embedding"))
-        pos = np.clip(np.searchsorted(ids_, vid), 0, len(ids_) - 1)
-        sc = codes_[pos]
+        sc = _codes(t)
         nm = np.linalg.norm(M, axis=1)
         nm[nm == 0] = 1.0
         cos = ((M / nm[:, None]) * cu[sc]).sum(axis=1)
@@ -2591,7 +2620,7 @@ def docs_emb_cohesion(sf_dir: str) -> pd.DataFrame:
             "csum": pa.array(np.bincount(sc, weights=cos, minlength=ns),
                              pa.float64())})
 
-    p2 = emb.map_batches(part2, batch_format="pyarrow").to_pandas() \
+    p2 = joined.map_batches(part2, batch_format="pyarrow").to_pandas() \
         .groupby("sc", as_index=False)["csum"].sum()
     csum = np.zeros(ns)
     csum[p2["sc"].to_numpy(np.int64)] = p2["csum"].to_numpy()
@@ -2815,8 +2844,11 @@ def events_user_gini(sf_dir: str) -> pd.DataFrame:
     rows = []
     for tp, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("c")
-        v = g["c"].to_numpy(np.int64)
-        m = g["m"].to_numpy(np.int64)
+        # object dtype: the rank-weighted products reach v·n² — a silent
+        # int64 wrap at scale would corrupt gini with no error, so the
+        # multiply runs on arbitrary-precision Python ints.
+        v = g["c"].to_numpy(np.int64).astype(object)
+        m = g["m"].to_numpy(np.int64).astype(object)
         below = np.concatenate(([0], np.cumsum(m)[:-1]))
         s = int(np.sum(v * (m * below + m * (m + 1) // 2)))
         n = int(m.sum())
@@ -2877,7 +2909,6 @@ def tpch_q10(sf_dir: str) -> pd.DataFrame:
     on raw float sums across engines)."""
     from ray.data.aggregate import Sum
 
-    from ..context import Broadcast
     from ..functions.joins import hash_join
 
     cust = _read(sf_dir, "customer",
@@ -3054,7 +3085,11 @@ def events_value_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        c = np.rint(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        # floor(v*100 + 0.5): one shared deterministic cents rule in BOTH
+        # engines (np.rint is half-to-even, DuckDB round() half-away —
+        # they'd diverge on an exact half cent).
+        c = np.floor(t.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
         df = pd.DataFrame({
             "event_type": t.column("event_type")
             .to_numpy(zero_copy_only=False).astype(str),

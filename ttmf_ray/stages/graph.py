@@ -921,7 +921,8 @@ def relpath_2hop(edges_ds, n_rel: int) -> pd.DataFrame:
 
 
 def reach2(edges_ds, n_nodes: int, *, src_col: str = "src",
-           dst_col: str = "dst") -> pd.DataFrame:
+           dst_col: str = "dst", mid_cap: "int | None" = None,
+           with_stats: bool = False):
     """Per-node ≤2-hop reach over a distinct directed edge Dataset:
     n1 = distinct out-neighbors, n_reach2 = distinct nodes reachable in
     one OR two hops (self excluded from both) — the neighborhood-size
@@ -935,7 +936,18 @@ def reach2(edges_ds, n_nodes: int, *, src_col: str = "src",
     distinct (stages/dedup.py:distinct_rows) and per-src counts fold as
     |V|-sized bincount partials.  The 2-hop pair volume is the true
     path count Σ_m in(m)·out(m) — at web scale the frontier cap /
-    hub-salting lever applies here exactly as in PathEnum."""
+    hub-salting lever applies here exactly as in PathEnum.
+
+    ``mid_cap``: the frontier cap.  When set, a mid node keeps only its
+    ``mid_cap`` smallest-id in-neighbors and out-neighbors (the
+    GraphFeatures/PathEnum deterministic-truncation contract), bounding
+    any partition's pair volume at cap²·|mids| instead of the unbounded
+    hub product in(m)·out(m).  With ``with_stats=True`` the return is
+    ``(df, stats)`` where stats carries ``n_capped_mids`` — the exact
+    global count of hub mids that hit the cap (each mid's edges land in
+    exactly one hash partition, so per-partition counts sum exactly).
+    Packing bound: pairs dedup via ``u * n_nodes + v`` — valid while
+    n_nodes < ~3e9 (int64); shard the pair key first beyond that."""
     from ..context import num_cpus
     from .dedup import distinct_rows
 
@@ -968,19 +980,40 @@ def reach2(edges_ds, n_nodes: int, *, src_col: str = "src",
         ins, outs = val[side == 0], val[side == 1]
         in_off = np.concatenate(([0], np.cumsum(a)[:-1]))
         out_off = np.concatenate(([0], np.cumsum(b)[:-1]))
-        npairs = a * b
+        if mid_cap is not None:
+            n_capped = int(np.count_nonzero((a > mid_cap)
+                                            | (b > mid_cap)))
+            a_c = np.minimum(a, mid_cap)
+            b_c = np.minimum(b, mid_cap)
+        else:
+            n_capped, a_c, b_c = 0, a, b
+        npairs = a_c * b_c
         total = int(npairs.sum())
-        if not total:
+        parts = []
+        if total:
+            seg = np.repeat(np.arange(nv), npairs)
+            k = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
+            # first a_c/b_c values per mid: within (mid, side) the
+            # lexsort left vals ascending, so the cap keeps the
+            # smallest-id neighbors deterministically.
+            u = ins[in_off[seg] + k // b_c[seg]]
+            v = outs[out_off[seg] + k % b_c[seg]]
+            key = np.unique(u * n_nodes + v)
+            parts.append(pd.DataFrame(
+                {"u": (key // n_nodes).astype(np.int64),
+                 "v": (key % n_nodes).astype(np.int64)}))
+        if n_capped:
+            # per-partition stats sentinel: u = -1 - part is unique per
+            # partition so it survives the downstream distinct.
+            part_id = int(df["part"].iloc[0])
+            parts.append(pd.DataFrame(
+                {"u": np.array([-1 - part_id], np.int64),
+                 "v": np.array([n_capped], np.int64)}))
+        if not parts:
             return pd.DataFrame({"u": np.empty(0, np.int64),
                                  "v": np.empty(0, np.int64)})
-        seg = np.repeat(np.arange(nv), npairs)
-        k = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(npairs)[:-1])), npairs)
-        u = ins[in_off[seg] + k // b[seg]]
-        v = outs[out_off[seg] + k % b[seg]]
-        key = np.unique(u * n_nodes + v)
-        return pd.DataFrame({"u": (key // n_nodes).astype(np.int64),
-                             "v": (key % n_nodes).astype(np.int64)})
+        return pd.concat(parts, ignore_index=True)
 
     p2 = (edges_ds.map_batches(tag, batch_format="pyarrow")
           .groupby("part")
@@ -994,25 +1027,36 @@ def reach2(edges_ds, n_nodes: int, *, src_col: str = "src",
 
     import ray as _ray
 
-    def _count_fold(ds, filter_self: bool) -> np.ndarray:
+    def _count_fold(ds) -> np.ndarray:
+        # self-loops (u == v) are excluded by definition; negative u
+        # rows are per-partition stats sentinels — their v values fold
+        # into the trailing extra slot as the global capped-mid count.
         def part(t: pa.Table) -> pa.Table:
             u = t.column("u").to_numpy().astype(np.int64)
             v = t.column("v").to_numpy().astype(np.int64)
-            keep = u != v
-            return pa.table({"c": pa.array(np.bincount(
-                u[keep], minlength=n_nodes).astype(np.int64))})
+            keep = (u != v) & (u >= 0)
+            c = np.bincount(u[keep], minlength=n_nodes).astype(np.int64)
+            return pa.table({"c": pa.array(np.concatenate(
+                [c, [v[u < 0].sum()]]))})
 
-        acc = np.zeros(n_nodes, dtype=np.int64)
+        acc = np.zeros(n_nodes + 1, dtype=np.int64)
         for t in _ray.get(ds.map_batches(
                 part, batch_format="pyarrow").to_arrow_refs()):
             if len(t):
                 acc += t.column("c").to_numpy()
         return acc
 
-    n_r2 = _count_fold(un, True)
-    n1 = _count_fold(distinct_rows(p1, ["u", "v"]), True)
-    return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
-                         "n1": n1, "n_reach2": n_r2})
+    folded = _count_fold(un)
+    n_r2, n_capped_mids = folded[:-1], int(folded[-1])
+    n1 = _count_fold(distinct_rows(p1, ["u", "v"]))[:-1]
+    out = pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
+                        "n1": n1, "n_reach2": n_r2})
+    if with_stats:
+        stats = pd.DataFrame({"n_capped_mids": [n_capped_mids],
+                              "mid_cap": [-1 if mid_cap is None
+                                          else int(mid_cap)]})
+        return out, stats
+    return out
 
 
 # ---------------------------------------------------------------------------

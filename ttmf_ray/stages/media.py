@@ -243,6 +243,9 @@ def image_ahash_dedup(ds, *, target_size: int = 8,
         AHasher, fn_constructor_kwargs={"target_size": target_size},
         batch_format="pyarrow", batch_size=64,
         concurrency=concurrency or auto_pool())
+    # materialize: consumed twice below (groupby + to_pandas) — without
+    # this the decode+hash actor stage would run the payloads twice.
+    hashes = hashes.materialize()
     groups = (hashes.groupby("ahash")
               .aggregate(Min("media_id", alias_name="canonical_id"),
                          Count(alias_name="n_same")).to_pandas())
