@@ -536,8 +536,9 @@ def _signal_agreement_sql() -> str:
            FROM sc)
     SELECT count(*)::BIGINT AS n_docs,
            sum((ra - rb) * (ra - rb))::BIGINT AS sum_d2,
-           round(1.0 - 6.0 * sum((ra - rb) * (ra - rb))::DOUBLE
-                 / (count(*) * (count(*) * count(*) - 1)), 6)
+           floor((1.0 - 6.0 * sum((ra - rb) * (ra - rb))::DOUBLE
+                  / (count(*) * (count(*) * count(*) - 1)))
+                 * 1000000 + 0.5) / 1000000
                AS spearman_rho
     FROM rk
     """
@@ -810,7 +811,8 @@ def _quality_auc_sql() -> str:
                     (SELECT sum(n0) FROM hist) AS nn,
                     sum(n1 * (2 * cum_before + cnt + 1)) AS su FROM r)
     SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-           ROUND(CAST(su - p * (p + 1) AS DOUBLE) / (2 * p * nn), 6)
+           floor(CAST(su - p * (p + 1) AS DOUBLE) / (2 * p * nn)
+                 * 1000000 + 0.5) / 1000000
                AS auc
     FROM tots
     """
@@ -919,8 +921,9 @@ def _source_overlap_sql() -> str:
     SELECT p.src_a, p.src_b, CAST(p.n_a AS BIGINT) AS n_a,
            CAST(p.n_b AS BIGINT) AS n_b,
            CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
-           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                 / (p.n_a + p.n_b - COALESCE(i.n_common, 0)), 6)
+           floor(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (p.n_a + p.n_b - COALESCE(i.n_common, 0))
+                 * 1000000 + 0.5) / 1000000
                AS jaccard
     FROM pairs p LEFT JOIN inter i USING (src_a, src_b)
     ORDER BY src_a, src_b
@@ -1022,12 +1025,15 @@ def _minhash_estimate_sql(k: int = 16, n_bands: int = 8,
     cn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
     {final if final is not None else f'''
     SELECT c.a, c.b,
-           ROUND(COALESCE(e.n_eq, 0) / {float(k)}, 6) AS est_j,
-           ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
-                 / (ca.n + cb.n - COALESCE(i.ni, 0)), 6) AS true_j,
-           ROUND(abs(COALESCE(e.n_eq, 0) / {float(k)}
+           floor(COALESCE(e.n_eq, 0) / {float(k)}
+                 * 1000000 + 0.5) / 1000000 AS est_j,
+           floor(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                 / (ca.n + cb.n - COALESCE(i.ni, 0))
+                 * 1000000 + 0.5) / 1000000 AS true_j,
+           floor(abs(COALESCE(e.n_eq, 0) / {float(k)}
                      - CAST(COALESCE(i.ni, 0) AS DOUBLE)
-                       / (ca.n + cb.n - COALESCE(i.ni, 0))), 6)
+                       / (ca.n + cb.n - COALESCE(i.ni, 0)))
+                 * 1000000 + 0.5) / 1000000
                AS abs_err
     FROM cand c
     LEFT JOIN eq e ON e.a = c.a AND e.b = c.b
@@ -1071,8 +1077,9 @@ def _novelty_sql() -> str:
            GROUP BY doc_id)
     SELECT d.doc_id, COALESCE(ns.n_shingles, 0) AS n_shingles,
            COALESCE(nv.n_novel, 0) AS n_novel,
-           ROUND(COALESCE(nv.n_novel, 0)
-                 / greatest(COALESCE(ns.n_shingles, 0), 1)::DOUBLE, 6)
+           floor(COALESCE(nv.n_novel, 0)
+                 / greatest(COALESCE(ns.n_shingles, 0), 1)::DOUBLE
+                 * 1000000 + 0.5) / 1000000
                AS novelty
     FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
     LEFT JOIN ns USING (doc_id) LEFT JOIN nv USING (doc_id)
@@ -1084,9 +1091,11 @@ _CONTAINMENT_FINAL = """
     SELECT c.a, c.b,
            CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
            CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
-           ROUND(COALESCE(i.ni, 0) / greatest(ca.n, 1)::DOUBLE, 6)
+           floor(COALESCE(i.ni, 0) / greatest(ca.n, 1)::DOUBLE
+                 * 1000000 + 0.5) / 1000000
                AS cont_a,
-           ROUND(COALESCE(i.ni, 0) / greatest(cb.n, 1)::DOUBLE, 6)
+           floor(COALESCE(i.ni, 0) / greatest(cb.n, 1)::DOUBLE
+                 * 1000000 + 0.5) / 1000000
                AS cont_b
     FROM cand c
     LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
@@ -2004,7 +2013,7 @@ def _minhash_dedup_sql() -> str:
             JOIN cnt ca ON ca.doc_id = i.a
             JOIN cnt cb ON cb.doc_id = i.b)
     SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
-           ROUND(j, 4) AS jaccard
+           floor(j * 10000 + 0.5) / 10000 AS jaccard
     FROM jac WHERE j >= 0.5
     """
 
@@ -2473,10 +2482,13 @@ _REPETITION_SQL = """
     bga AS (SELECT doc_id, MAX(c) AS top_bg FROM bgc GROUP BY doc_id)
     SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
            CAST(w.n_words AS BIGINT) AS n_words,
-           ROUND((w.n_words - w.n_unique) / w.n_words::DOUBLE, 6)
+           floor((w.n_words - w.n_unique) / w.n_words::DOUBLE
+                 * 1000000 + 0.5) / 1000000
                AS dup_word_frac,
-           ROUND(w.top_w / w.n_words::DOUBLE, 6) AS top_word_frac,
-           ROUND(COALESCE(2.0 * b.top_bg, 0) / w.n_words::DOUBLE, 6)
+           floor(w.top_w / w.n_words::DOUBLE
+                 * 1000000 + 0.5) / 1000000 AS top_word_frac,
+           floor(COALESCE(2.0 * b.top_bg, 0) / w.n_words::DOUBLE
+                 * 1000000 + 0.5) / 1000000
                AS top_bigram_frac
     FROM wagg w LEFT JOIN bga b USING (doc_id)
     ORDER BY w.doc_id
@@ -2915,9 +2927,10 @@ _LENGTH_CORR_SQL = f"""
                  sum(y * y)::BIGINT AS syy
           FROM t GROUP BY source)
     SELECT source, n,
-           ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy)
+           floor((n::DOUBLE * sxy - sx::DOUBLE * sy)
                  / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
-                        * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6) AS r
+                        * (n::DOUBLE * syy - sy::DOUBLE * sy))
+                 * 1000000 + 0.5) / 1000000 AS r
     FROM s ORDER BY source
 """
 
@@ -3208,8 +3221,10 @@ def _dup_ngrams_sql(min_count: int = 2, thr: float = 0.5) -> str:
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n AS BIGINT) AS n_shingles,
            CAST(nd AS BIGINT) AS n_dup,
-           ROUND(nd / n::DOUBLE, 6) AS dup_fraction,
-           CAST(CASE WHEN ROUND(nd / n::DOUBLE, 6) >= {thr}
+           floor(nd / n::DOUBLE * 1000000 + 0.5) / 1000000
+               AS dup_fraction,
+           CAST(CASE WHEN floor(nd / n::DOUBLE * 1000000 + 0.5)
+                          / 1000000 >= {thr}
                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
     FROM per
     """
@@ -3230,9 +3245,11 @@ _DOMAIN_STATS_SQL = f"""
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(sum_chars AS BIGINT) AS sum_chars,
            CAST(sum_tokens AS BIGINT) AS sum_tokens,
-           ROUND(sum_stop / sum_tokens::DOUBLE, 6) AS stop_ratio,
+           floor(sum_stop / sum_tokens::DOUBLE * 1000000 + 0.5)
+               / 1000000 AS stop_ratio,
            CAST(CASE WHEN n_docs >= 5
-                      AND ROUND(sum_stop / sum_tokens::DOUBLE, 6) >= 0.05
+                      AND floor(sum_stop / sum_tokens::DOUBLE
+                                * 1000000 + 0.5) / 1000000 >= 0.05
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM g
     """
@@ -3706,8 +3723,9 @@ _TYPE_VIOLATIONS_SQL = f"""
     SELECT t.r::BIGINT AS rel, t.n_edges,
            d.dom_subj_type::BIGINT AS dom_subj_type,
            (t.n_edges - d.dom_cnt)::BIGINT AS n_viol,
-           ROUND((t.n_edges - d.dom_cnt)
-                 / CAST(t.n_edges AS DOUBLE), 6) AS viol_share
+           floor((t.n_edges - d.dom_cnt)
+                 / CAST(t.n_edges AS DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS viol_share
     FROM tot t JOIN dom d USING (r) ORDER BY rel
 """
 
@@ -3732,10 +3750,12 @@ _CODE_DETECT_SQL = """
                       THEN 1 ELSE 0 END)::BIGINT AS indent_lines
            FROM ln GROUP BY doc_id),
     sc AS (SELECT cc.doc_id, lc.n_lines, lc.indent_lines, cc.kw_hits,
-                  ROUND(cc.sym / greatest(cc.nch, 1)::DOUBLE, 6)
+                  floor(cc.sym / greatest(cc.nch, 1)::DOUBLE
+                        * 1000000 + 0.5) / 1000000
                       AS sym_density,
-                  ROUND(lc.indent_lines
-                        / greatest(lc.n_lines, 1)::DOUBLE, 6)
+                  floor(lc.indent_lines
+                        / greatest(lc.n_lines, 1)::DOUBLE
+                        * 1000000 + 0.5) / 1000000
                       AS indent_frac
            FROM cc JOIN lc USING (doc_id))
     SELECT doc_id, n_lines, indent_lines, kw_hits, sym_density,
@@ -3778,10 +3798,12 @@ _PARETO_SQL = """
                    sum(n)::BIGINT AS n_events, any_value(total) AS total
             FROM dc GROUP BY decile)
     SELECT decile::BIGINT AS decile, n_users, n_events,
-           ROUND(n_events / CAST(total AS DOUBLE), 6) AS share,
-           ROUND(sum(n_events) OVER (ORDER BY decile
+           floor(n_events / CAST(total AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS share,
+           floor(sum(n_events) OVER (ORDER BY decile
                      ROWS UNBOUNDED PRECEDING)
-                 / CAST(total AS DOUBLE), 6) AS cum_share
+                 / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS cum_share
     FROM agg ORDER BY decile
 """
 
@@ -3873,8 +3895,9 @@ _USER_GINI_SQL = """
                    sum(c * (m * below + (m * (m + 1)) // 2))::BIGINT AS s
             FROM cum GROUP BY event_type)
     SELECT event_type, n_users, total,
-           ROUND((2 * s - (n_users + 1) * total)::DOUBLE
-                 / (n_users * total)::DOUBLE, 6) AS gini
+           floor((2 * s - (n_users + 1) * total)::DOUBLE
+                 / (n_users * total)::DOUBLE * 1000000 + 0.5)
+               / 1000000 AS gini
     FROM agg ORDER BY event_type
 """
 
@@ -3925,7 +3948,8 @@ _PROPS_EXTRACT_SQL = """
            COALESCE(min(k), 0)::BIGINT AS min_k,
            COALESCE(max(k), 0)::BIGINT AS max_k,
            CASE WHEN count(k) = 0 THEN 0.0
-                ELSE round(sum(k)::DOUBLE / count(k)::DOUBLE, 6)
+                ELSE floor(sum(k)::DOUBLE / count(k)::DOUBLE
+                           * 1000000 + 0.5) / 1000000
            END AS mean_k
     FROM x GROUP BY event_type ORDER BY event_type
 """
@@ -4196,7 +4220,8 @@ _AB_TEST_SQL = """
                              * (1.0 / n0 + 1.0 / n1)) AS se
                  FROM s))
     SELECT a.arm, a.n_users, a.n_conv,
-           ROUND(a.n_conv / CAST(a.n_users AS DOUBLE), 6) AS rate,
+           floor(a.n_conv / CAST(a.n_users AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS rate,
            ROUND(zc.z, 6) AS z
     FROM a, zc ORDER BY a.arm
 """
@@ -4410,10 +4435,11 @@ _FERTILITY_TAIL = """,
             FROM dw LEFT JOIN wn USING (word) GROUP BY dw.doc_id)
     SELECT d.doc_id, COALESCE(agg.n_words, 0) AS n_words,
            COALESCE(agg.n_pieces, 0) AS n_pieces,
-           ROUND(CASE WHEN COALESCE(agg.n_words, 0) > 0
+           floor((CASE WHEN COALESCE(agg.n_words, 0) > 0
                  THEN agg.n_pieces
                       / greatest(agg.n_words, 1)::DOUBLE
-                 ELSE 0.0 END, 6) AS fertility
+                 ELSE 0.0 END) * 1000000 + 0.5) / 1000000
+               AS fertility
     FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
     LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
 """
@@ -4606,20 +4632,25 @@ def _gopher_sql() -> str:
            FROM aug),
     feat AS (SELECT a.doc_id,
                     COALESCE(ws.n_words, 0) AS n_words,
-                    ROUND(CASE WHEN COALESCE(ws.n_words, 0) > 0
+                    floor((CASE WHEN COALESCE(ws.n_words, 0) > 0
                           THEN ws.sum_len::DOUBLE / ws.n_words
-                          ELSE 0.0 END, 6) AS mean_word_len,
-                    ROUND(CASE WHEN COALESCE(ws.n_words, 0) > 0
+                          ELSE 0.0 END) * 1000000 + 0.5) / 1000000
+                        AS mean_word_len,
+                    floor((CASE WHEN COALESCE(ws.n_words, 0) > 0
                           THEN (ch.hash_cnt + ch.ell3_cnt)::DOUBLE
                                / ws.n_words
-                          ELSE 0.0 END, 6) AS symbol_ratio,
-                    ROUND(ls.bullet_cnt::DOUBLE / ls.n_lines, 6)
+                          ELSE 0.0 END) * 1000000 + 0.5) / 1000000
+                        AS symbol_ratio,
+                    floor(ls.bullet_cnt::DOUBLE / ls.n_lines
+                          * 1000000 + 0.5) / 1000000
                         AS bullet_frac,
-                    ROUND(ls.ell_cnt::DOUBLE / ls.n_lines, 6)
+                    floor(ls.ell_cnt::DOUBLE / ls.n_lines
+                          * 1000000 + 0.5) / 1000000
                         AS ellipsis_frac,
-                    ROUND(CASE WHEN COALESCE(ws.n_words, 0) > 0
+                    floor((CASE WHEN COALESCE(ws.n_words, 0) > 0
                           THEN ws.alpha_cnt::DOUBLE / ws.n_words
-                          ELSE 0.0 END, 6) AS alpha_frac,
+                          ELSE 0.0 END) * 1000000 + 0.5) / 1000000
+                        AS alpha_frac,
                     COALESCE(ws.stop_hits, 0) AS stop_hits
              FROM aug a LEFT JOIN ws USING (doc_id)
                   LEFT JOIN ls USING (doc_id) JOIN ch USING (doc_id))
@@ -4670,13 +4701,14 @@ def _mattr_sql(w: int = 25) -> str:
              FROM toks t LEFT JOIN nn USING (doc_id)
                   LEFT JOIN ct USING (doc_id))
     SELECT doc_id, n_tokens, n_types,
-           ROUND(CASE WHEN n_tokens > 0
-                 THEN n_types::DOUBLE / n_tokens ELSE 0.0 END, 6) AS ttr,
+           floor((CASE WHEN n_tokens > 0
+                 THEN n_types::DOUBLE / n_tokens ELSE 0.0 END)
+                 * 1000000 + 0.5) / 1000000 AS ttr,
            n_windows,
-           ROUND(CASE WHEN n_windows > 0
+           floor((CASE WHEN n_windows > 0
                  THEN sd::DOUBLE / (n_windows * {w})
                  WHEN n_tokens > 0 THEN n_types::DOUBLE / n_tokens
-                 ELSE 0.0 END, 6) AS mattr
+                 ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS mattr
     FROM base ORDER BY doc_id
     """
 
@@ -5508,8 +5540,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_rate_by_source": """
             SELECT source, count(*)::BIGINT AS n_docs,
                    count(DISTINCT text)::BIGINT AS n_unique,
-                   ROUND(1.0 - count(DISTINCT text)
-                         / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+                   floor((1.0 - count(DISTINCT text)
+                          / CAST(count(*) AS DOUBLE))
+                         * 1000000 + 0.5) / 1000000 AS dup_rate
             FROM documents GROUP BY source ORDER BY source
         """,
         # trailing-6h windowed top-3 event types at every observed hour
@@ -5585,9 +5618,9 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY w.doc_id)
             SELECT d.doc_id, COALESCE(sc.n_words, 0) AS n_words,
                    COALESCE(sc.n_oov, 0) AS n_oov,
-                   ROUND(COALESCE(sc.n_oov, 0)
-                         / greatest(COALESCE(sc.n_words, 0), 1)::DOUBLE,
-                         6) AS oov_rate
+                   floor(COALESCE(sc.n_oov, 0)
+                         / greatest(COALESCE(sc.n_words, 0), 1)::DOUBLE
+                         * 1000000 + 0.5) / 1000000 AS oov_rate
             FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id
                   FROM documents) d
             LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id

@@ -29,10 +29,31 @@ def test_media_features_pipeline():
 
 
 def test_real_decoder_is_explicit_stub_for_codec_formats():
-    with pytest.raises(NotImplementedError):
-        real_decode(b"x", "image/jpeg")
+    # mp4 stays an honest stub; JPEG now has the pure-numpy baseline
+    # fallback (stages/jpegnp.py) when Pillow is absent.
     with pytest.raises(NotImplementedError):
         real_decode(b"x", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "audio/mp3")
+
+
+def test_real_decoder_jpeg_numpy_fallback():
+    """real_decode('image/jpeg') works in this codec-less container via
+    the from-scratch baseline decoder: round-trip a synthetic gradient
+    through encode_jpeg and check luminance error within quantization
+    noise."""
+    from ttmf_ray.stages.jpegnp import encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    gray = (96 + 48 * np.sin(xx / 8.0) + 32 * np.cos(yy / 6.0)) \
+        .clip(0, 255).astype(np.uint8)
+    lum = real_decode(encode_jpeg(gray, quality=90), "image/jpeg")
+    assert lum.shape == (32, 48)
+    assert np.abs(lum - gray.astype(np.float64)).max() < 12
+    rgb = np.stack([gray, gray // 2, 255 - gray], axis=-1)
+    lum3 = real_decode(encode_jpeg(rgb, quality=90), "image/jpeg")
+    want = rgb.astype(np.float64).mean(axis=2)
+    assert np.abs(lum3 - want).mean() < 6
 
 
 def test_wav_roundtrip_and_features():
@@ -116,8 +137,15 @@ def test_codec_probe_boundary():
     from ttmf_ray.stages.media import _PIL_Image, _soundfile, real_decode
 
     if _PIL_Image is None:
-        with pytest.raises(NotImplementedError, match="image/jpeg"):
+        # Pillow absent: JPEG routes to the pure-numpy baseline decoder,
+        # which rejects a marker-less stream.
+        with pytest.raises(ValueError):
             real_decode(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+        from ttmf_ray.stages.jpegnp import encode_jpeg
+
+        img = np.full((6, 8, 3), (10, 20, 30), np.uint8)
+        px = real_decode(encode_jpeg(img, quality=95), "image/jpeg")
+        assert px.shape == (6, 8) and 0 <= px.mean() <= 255
     else:                                    # pragma: no cover - env
         import io
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
+import numpy as np
 import ray
 
 
@@ -82,6 +83,21 @@ def spread(ds, blocks_per_cpu: int = 4):
     (measured: a 21.5k-row single-block input pinned a 32-actor stage to
     ~1 task at a time).  Order-preserving split (no shuffle)."""
     return ds.repartition(max(2, num_cpus() * blocks_per_cpu))
+
+
+def half_up(x, dp: int):
+    """Deterministic half-UP rounding shared with the SQL mirrors.
+
+    ``np.round`` is half-to-even while DuckDB ``ROUND`` is
+    half-away-from-zero: a non-negative dyadic ratio that lands exactly
+    on the rounding grid's half (e.g. jaccard 25/32 = 0.78125 at 4 dp)
+    rounds DIFFERENTLY in the two engines.  Both sides therefore use
+    the one rule ``floor(x·10^dp + 0.5) / 10^dp`` (SQL spells it the
+    same way).  Only valid for x ≥ 0 — for signed values floor() is
+    half-up toward +inf on negatives, so the SQL twin must use the
+    identical floor expression, not ROUND."""
+    f = 10.0 ** dp
+    return np.floor(np.asarray(x, dtype=np.float64) * f + 0.5) / f
 
 
 class Broadcast:

@@ -14,7 +14,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..context import Broadcast
+from ..context import Broadcast, half_up
 from ..sources.pages import CorpusSpec, pages_dataset, spec_for_sf_dir
 from ..pipelines.kg_construct import extract_pages, kg_construct
 
@@ -135,7 +135,9 @@ def docs_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         pairs, ds, id_col="doc_id", text_col="text", threshold=0.5,
         n_buckets=16,
     ).to_pandas()
-    verified["jaccard"] = verified["jaccard"].round(4)
+    # shared half-up rule (context.half_up): an exact-half jaccard
+    # (25/32) diverged np.round-vs-ROUND at sf0.1 (heavy-mirror sweep).
+    verified["jaccard"] = half_up(verified["jaccard"].to_numpy(), 4)
     return verified.astype({"a": np.int64, "b": np.int64}) \
         .sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -232,7 +234,9 @@ def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
         pairs, ds, id_col="doc_id", text_col="text", threshold=0.5,
         n_buckets=16,
     ).to_pandas()
-    verified["jaccard"] = verified["jaccard"].round(4)
+    # shared half-up rule (context.half_up): an exact-half jaccard
+    # (25/32) diverged np.round-vs-ROUND at sf0.1 (heavy-mirror sweep).
+    verified["jaccard"] = half_up(verified["jaccard"].to_numpy(), 4)
     return verified.astype({"a": np.int64, "b": np.int64}) \
         .sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -335,7 +339,8 @@ def docs_repetition(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     ).to_pandas()
     for c in ("dup_word_frac", "top_word_frac", "top_bigram_frac"):
-        out[c] = out[c].round(6)
+        # count/count ratios are dyadic-tie prone — shared half-up rule
+        out[c] = half_up(out[c].to_numpy(), 6)
     return out.astype({"doc_id": np.int64, "n_words": np.int64}) \
         .sort_values("doc_id").reset_index(drop=True)
 
@@ -1435,7 +1440,7 @@ def kg_type_violations(sf_dir: str) -> pd.DataFrame:
         total = int(c.sum())
         dom_cnt = int(c[o[0]])
         rows.append((int(r_), total, int(ty[o[0]]), total - dom_cnt,
-                     round((total - dom_cnt) / total, 6)))
+                     float(half_up((total - dom_cnt) / total, 6))))
     return pd.DataFrame(rows, columns=["rel", "n_edges", "dom_subj_type",
                                        "n_viol", "viol_share"]) \
         .astype({"rel": np.int64, "n_edges": np.int64,

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..context import Broadcast
+from ..context import Broadcast, half_up
 from ..stages.dedup import distinct_rows
 
 
@@ -2292,8 +2292,8 @@ def docs_length_corr(sf_dir: str) -> pd.DataFrame:
     sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
     sxy = agg["sxy"].to_numpy(np.float64)
     sxx, syy = agg["sxx"].to_numpy(np.float64), agg["syy"].to_numpy(np.float64)
-    r = np.round((n * sxy - sx * sy)
-                 / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    r = half_up((n * sxy - sx * sy)
+                / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
     out = pd.DataFrame({
         "source": agg["source"], "n": agg["n"].astype(np.int64),
         "r": r})
@@ -2338,7 +2338,7 @@ def docs_oov_rate(sf_dir: str) -> pd.DataFrame:
                                 minlength=n).astype(np.int64)
         else:
             n_oov = n_tok.copy()
-        rate = np.round(n_oov / np.maximum(n_tok, 1).astype(np.float64),
+        rate = half_up(n_oov / np.maximum(n_tok, 1).astype(np.float64),
                         6)
         return pa.table({
             "doc_id": t.column("doc_id"),
@@ -2441,7 +2441,7 @@ def events_ab_test(sf_dir: str) -> pd.DataFrame:
         "arm": np.array([0, 1], np.int64),
         "n_users": np.array([n0, n1], np.int64),
         "n_conv": np.array([x0, x1], np.int64),
-        "rate": np.round([p0, p1], 6),
+        "rate": half_up([p0, p1], 6),
         "z": np.round([z, z], 6)})
 
 
@@ -2796,8 +2796,8 @@ def events_pareto(sf_dir: str) -> pd.DataFrame:
         "decile": np.arange(10, dtype=np.int64),
         "n_users": n_us,
         "n_events": n_ev,
-        "share": np.round(share, 6),
-        "cum_share": np.round(np.cumsum(n_ev) / float(total), 6)})
+        "share": half_up(share, 6),
+        "cum_share": half_up(np.cumsum(n_ev) / float(total), 6)})
 
 
 def events_user_gini(sf_dir: str) -> pd.DataFrame:
@@ -2856,7 +2856,7 @@ def events_user_gini(sf_dir: str) -> pd.DataFrame:
         gini = (2 * s - (n + 1) * total) / float(n * total)
         rows.append({"event_type": tp, "n_users": np.int64(n),
                      "total": np.int64(total),
-                     "gini": np.round(gini, 6)})
+                     "gini": half_up(gini, 6)})
     return pd.DataFrame(rows).reset_index(drop=True)
 
 
@@ -3068,8 +3068,8 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
     out.loc[none, ["min_k", "max_k"]] = np.int64(0)
     out["mean_k"] = np.where(
         none, 0.0,
-        np.round(out["sum_k"].to_numpy()
-                 / np.maximum(out["n_with_k"].to_numpy(np.float64), 1), 6))
+        half_up(out["sum_k"].to_numpy()
+            / np.maximum(out["n_with_k"].to_numpy(np.float64), 1), 6))
     return out.sort_values("event_type", ignore_index=True)
 
 
@@ -3280,7 +3280,7 @@ def docs_signal_agreement(sf_dir: str) -> pd.DataFrame:
     rho = 1.0 - 6.0 * d2 / (n * (n * n - 1))
     return pd.DataFrame({"n_docs": [np.int64(n)],
                          "sum_d2": [np.int64(d2)],
-                         "spearman_rho": [np.round(rho, 6)]})
+                         "spearman_rho": [float(half_up(rho, 6))]})
 
 
 def docs_slop_ngrams(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -3381,8 +3381,8 @@ def docs_code_detect(sf_dir: str) -> pd.DataFrame:
                | np.char.startswith(lines.astype(str), "\t"))
         indent = np.bincount(didx, weights=ind,
                              minlength=n).astype(np.int64)
-        ifrac = np.round(indent / np.maximum(n_lines, 1), 6)
-        sdens = np.round(sym / np.maximum(nch, 1), 6)
+        ifrac = half_up(indent / np.maximum(n_lines, 1), 6)
+        sdens = half_up(sym / np.maximum(nch, 1), 6)
         is_code = (((ifrac >= 0.2) & (n_lines >= 3)) | (kw >= 2)
                    | (sdens > 0.03)).astype(np.int64)
         return pa.table({
@@ -3583,5 +3583,5 @@ def docs_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "source": out["source"],
         "n_docs": nd, "n_unique": nu,
-        "dup_rate": np.round(1.0 - nu / nd.astype(np.float64), 6)}) \
+        "dup_rate": half_up(1.0 - nu / nd.astype(np.float64), 6)}) \
         .sort_values("source", ignore_index=True)

@@ -321,7 +321,7 @@ def doc_fertility(docs_ds, *, k: int = 8, id_col: str = "doc_id",
     The (word → n_syms) table is vocab-sized and broadcasts once; the
     scoring pass is stateless (one searchsorted + one bincount per
     batch).  Output: (id, n_words, n_pieces, fertility round-6)."""
-    from ..context import Broadcast, auto_pool
+    from ..context import Broadcast, auto_pool, half_up
 
     enc = encode_words(docs_ds, text_col=text_col, k=k)
     words = enc["word"].to_numpy(dtype=object)
@@ -347,7 +347,7 @@ def doc_fertility(docs_ds, *, k: int = 8, id_col: str = "doc_id",
                                        minlength=n).astype(np.int64)
             else:
                 n_pieces = np.zeros(n, np.int64)
-            fert = np.round(np.where(
+            fert = half_up(np.where(
                 n_words > 0,
                 n_pieces / np.maximum(n_words, 1).astype(np.float64),
                 0.0), 6)

@@ -31,6 +31,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..context import half_up
+
 from ..context import Broadcast, auto_pool
 
 DSIR_SEED = 101
@@ -331,7 +333,7 @@ def nb_auc(docs_ds, model: dict, *, id_col: str = "doc_id",
     cum_before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
     P, N = int(n1.sum()), int(n0.sum())
     u2 = int((n1 * (2 * cum_before + cnt + 1)).sum()) - P * (P + 1)
-    auc = round(u2 / (2 * P * N), 6) if P and N else 0.0
+    auc = float(half_up(u2 / (2 * P * N), 6)) if P and N else 0.0
     return pd.DataFrame({"n_pos": [P], "n_neg": [N], "auc": [auc]})
 
 

@@ -40,6 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..context import half_up
 from ..sources.pages import mix64_vec
 
 _I63 = np.uint64(1 << 63)
@@ -817,7 +818,7 @@ def dup_ngram_fraction(docs_ds, *, id_col: str = "doc_id",
     def finish(t: pa.Table) -> pa.Table:
         n = t.column("sum(n)").to_numpy().astype(np.int64)
         nd = t.column("sum(n_dup)").to_numpy().astype(np.int64)
-        frac = np.round(np.where(n > 0, nd / np.maximum(n, 1), 0.0), 6)
+        frac = half_up(np.where(n > 0, nd / np.maximum(n, 1), 0.0), 6)
         return pa.table({
             "doc_id": t.column("doc_id").cast(pa.int64()),
             "n_shingles": pa.array(n),
@@ -867,7 +868,7 @@ def domain_stats(docs_ds, *, source_col: str = "source",
         sc = t.column("sum(sum_chars)").to_numpy().astype(np.int64)
         st = t.column("sum(sum_tokens)").to_numpy().astype(np.int64)
         ss = t.column("sum(sum_stop)").to_numpy().astype(np.int64)
-        ratio = np.round(
+        ratio = half_up(
             np.where(st > 0, ss / np.maximum(st, 1), 0.0), 6)
         keep = ((nd >= min_docs) & (ratio >= min_stop_ratio)) \
             .astype(np.int64)
@@ -1317,7 +1318,7 @@ def source_overlap(docs_ds, *, text_col: str = "text",
     out = pd.DataFrame({
         "src_a": out["src_a"], "src_b": out["src_b"],
         "n_a": na, "n_b": nb, "n_common": nc,
-        "jaccard": np.round(nc / (na + nb - nc), 6)})
+        "jaccard": half_up(nc / (na + nb - nc), 6)})
     return out.sort_values(["src_a", "src_b"], ignore_index=True)
 
 
@@ -1531,5 +1532,5 @@ def ngram_novelty(docs_ds, *, id_col: str = "doc_id",
     return pd.DataFrame({
         "doc_id": agg["doc_id"].to_numpy(np.int64),
         "n_shingles": ns, "n_novel": nv,
-        "novelty": np.round(nv / np.maximum(ns, 1).astype(np.float64),
-                            6)})
+        "novelty": half_up(nv / np.maximum(ns, 1).astype(np.float64),
+                           6)})

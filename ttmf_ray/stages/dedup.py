@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..context import half_up
 from ..sources.pages import mix64, mix64_vec
 
 _WORD = re.compile(r"\w+", re.UNICODE)
@@ -1066,8 +1067,8 @@ def minhash_estimate(docs_ds, *, id_col: str = "doc_id",
         tj[i] = ni / un if un else 0.0
     out = pd.DataFrame({
         "a": pdf["a"].to_numpy(), "b": pdf["b"].to_numpy(),
-        "est_j": np.round(est, 6), "true_j": np.round(tj, 6),
-        "abs_err": np.round(np.abs(est - tj), 6)})
+        "est_j": half_up(est, 6), "true_j": half_up(tj, 6),
+        "abs_err": half_up(np.abs(est - tj), 6)})
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
@@ -1131,6 +1132,6 @@ def containment_audit(docs_ds, *, id_col: str = "doc_id",
     out = pd.DataFrame({
         "a": pdf["a"].to_numpy(), "b": pdf["b"].to_numpy(),
         "n_a": na, "n_b": nb, "n_inter": ni,
-        "cont_a": np.round(ni / np.maximum(na, 1).astype(np.float64), 6),
-        "cont_b": np.round(ni / np.maximum(nb, 1).astype(np.float64), 6)})
+        "cont_a": half_up(ni / np.maximum(na, 1).astype(np.float64), 6),
+        "cont_b": half_up(ni / np.maximum(nb, 1).astype(np.float64), 6)})
     return out.sort_values(["a", "b"], ignore_index=True)

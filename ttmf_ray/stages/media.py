@@ -269,6 +269,12 @@ def real_decode(payload: bytes, mime: str) -> np.ndarray:
         if _PIL_Image is not None:
             img = _PIL_Image.open(io.BytesIO(payload)).convert("RGB")
             return np.asarray(img, dtype=np.float64).mean(axis=2)
+        if mime == "image/jpeg":
+            # containerless fallback: pure-numpy baseline JPEG decoder
+            # (stages/jpegnp.py) — real DCT/Huffman decode, no codec lib.
+            from .jpegnp import decode_jpeg
+            px = decode_jpeg(payload).astype(np.float64)
+            return px.mean(axis=2) if px.ndim == 3 else px
     elif mime in ("audio/mpeg", "audio/mp3", "audio/flac", "audio/ogg"):
         if _soundfile is not None:
             x, _rate = _soundfile.read(io.BytesIO(payload),

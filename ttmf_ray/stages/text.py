@@ -12,6 +12,8 @@ import re
 
 import numpy as np
 import pyarrow as pa
+
+from ..context import half_up
 import pyarrow.compute as pc
 
 # --- language ID: n-gram/stopword heuristic over a closed profile set -----
@@ -388,12 +390,12 @@ def gopher_quality_batch(batch: pa.Table, *, id_col: str = "doc_id",
 
     nw = np.maximum(n_words, 1).astype(np.float64)
     nl = np.maximum(n_lines, 1).astype(np.float64)
-    mwl = np.round(np.where(n_words > 0, sum_len / nw, 0.0), 6)
-    sr = np.round(np.where(n_words > 0, (hash_cnt + ell3_cnt) / nw, 0.0),
-                  6)
-    bf = np.round(bullet_cnt / nl, 6)
-    ef = np.round(ell_cnt / nl, 6)
-    af = np.round(np.where(n_words > 0, alpha_cnt / nw, 0.0), 6)
+    mwl = half_up(np.where(n_words > 0, sum_len / nw, 0.0), 6)
+    sr = half_up(np.where(n_words > 0, (hash_cnt + ell3_cnt) / nw, 0.0),
+                 6)
+    bf = half_up(bullet_cnt / nl, 6)
+    ef = half_up(ell_cnt / nl, 6)
+    af = half_up(np.where(n_words > 0, alpha_cnt / nw, 0.0), 6)
     keep = ((n_words >= 20) & (n_words <= 100000)
             & (mwl >= 3.0) & (mwl <= 10.0) & (sr <= 0.1)
             & (bf <= 0.9) & (ef <= 0.3) & (af >= 0.8)
@@ -456,11 +458,11 @@ def mattr_batch(batch: pa.Table, *, w: int = 25, id_col: str = "doc_id",
     sd = np.bincount(didx, weights=contrib, minlength=n).astype(np.int64)
     n_windows = np.maximum(n_tok - w + 1, 0).astype(np.int64)
     safe_n = np.maximum(n_tok, 1).astype(np.float64)
-    ttr = np.round(np.where(n_tok > 0, n_types / safe_n, 0.0), 6)
+    ttr = half_up(np.where(n_tok > 0, n_types / safe_n, 0.0), 6)
     denom = np.maximum(n_windows * np.int64(w), 1).astype(np.float64)
-    mattr = np.round(np.where(n_windows > 0, sd / denom,
-                              np.where(n_tok > 0, n_types / safe_n, 0.0)),
-                     6)
+    mattr = half_up(np.where(n_windows > 0, sd / denom,
+                             np.where(n_tok > 0, n_types / safe_n, 0.0)),
+                    6)
     return pa.table({
         id_col: batch.column(id_col),
         "n_tokens": pa.array(n_tok),
