@@ -330,8 +330,241 @@ def run_scaling() -> dict:
     }
 
 
+class MemSampler:
+    """Background sampler: peak object-store usage (cluster view), peak
+    driver RSS, min system MemAvailable — the memory evidence for the
+    sf1 dual-trust-path bench (VERDICT r3 item 1)."""
+
+    def __init__(self, interval: float = 1.0):
+        import threading
+
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.peak_obj_store = 0.0
+        self.peak_rss = 0.0
+        self.min_avail = float("inf")
+
+    @staticmethod
+    def _meminfo_avail() -> float:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return float(line.split()[1]) * 1024.0
+        return float("nan")
+
+    @staticmethod
+    def _self_rss() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) * 1024.0
+        return 0.0
+
+    def _sample(self) -> None:
+        import ray
+
+        try:
+            total = ray.cluster_resources().get("object_store_memory", 0.0)
+            avail = ray.available_resources().get("object_store_memory",
+                                                  total)
+            self.peak_obj_store = max(self.peak_obj_store, total - avail)
+        except Exception:
+            pass
+        self.peak_rss = max(self.peak_rss, self._self_rss())
+        self.min_avail = min(self.min_avail, self._meminfo_avail())
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval):
+            self._sample()
+
+    def __enter__(self):
+        self._sample()
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self._sample()
+
+    def summary(self) -> dict:
+        gib = 1024.0 ** 3
+        return {
+            "peak_object_store_gib": round(self.peak_obj_store / gib, 3),
+            "peak_driver_rss_gib": round(self.peak_rss / gib, 3),
+            "min_sys_avail_gib": round(self.min_avail / gib, 3),
+        }
+
+
+def run_trust_paths() -> dict:
+    """sf1-scale bench of BOTH trust paths (VERDICT r3 item 1).
+
+    One corpus (GRAFT_PAGES, default 2,000,000 pages — 10× the sf0.1
+    headline, the 'sf1' regime), ONE kg_construct pass, then
+    trust_pipeline twice on the same materialized edges:
+    ``TrustConfig(streaming=False)`` (driver fast paths) and
+    ``streaming=True`` (object-store refs + Dataset joins end-to-end).
+    Reports per-path wall, accuracy/max-F1, per-stage timings and peak
+    memory (object store / driver RSS / system headroom) so the
+    driver-vs-streaming crossover is a measurement, not a design claim.
+    """
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("GRAFT_PAGES", "2000000"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    from ttmf_ray.context import tune_data_context
+    from ttmf_ray.functions.transe import TransEConfig
+    from ttmf_ray.pipelines.kg_construct import kg_construct
+    from ttmf_ray.pipelines.trust import TrustConfig, trust_pipeline
+    from ttmf_ray.sources.pages import CorpusSpec, ensure_pages_parquet
+
+    tune_data_context(target_max_block_size=2 * 1024 * 1024)
+    spec = CorpusSpec(seed=42, n_pages=n_pages)
+    t0 = time.time()
+    corpus_path = ensure_pages_parquet(spec)   # cached across runs
+    gen_wall = round(time.time() - t0, 1)
+
+    out: dict = {
+        "metric": f"trust path comparison (driver vs streaming) over "
+                  f"{n_pages} synthetic Common-Crawl-style pages",
+        "num_cpus": num_cpus, "n_pages": n_pages,
+        "corpus_gen_or_cache_sec": gen_wall,
+        "steal_canary": steal_canary(),
+        "bandwidth_canary": bandwidth_canary(num_cpus),
+    }
+    with MemSampler() as mem_a:
+        t0 = time.time()
+        edges = kg_construct(rd.read_parquet(corpus_path)).materialize()
+        n_edges = edges.count()
+        out["kg_construct_sec"] = round(time.time() - t0, 1)
+    out["n_edges"] = n_edges
+    out["phase_a_mem"] = mem_a.summary()
+    out["pages_per_sec"] = round(n_pages / out["kg_construct_sec"], 1)
+
+    base = dict(
+        transe=TransEConfig(dim=32, epochs=20, lr=0.02, batch_size=4096),
+        ptranse=TransEConfig(dim=32, epochs=4, lr=0.02, loss="logistic",
+                             batch_size=8192),
+        subgraph_max_nodes=600, path_max_paths=800,
+        fusion_batch_size=2048, fusion_epochs=60,
+    )
+    for mode, streaming in (("driver", False), ("streaming", True)):
+        cfg = TrustConfig(streaming=streaming, **base)
+        with MemSampler() as mem:
+            t0 = time.time()
+            res = trust_pipeline(edges, cfg)
+            wall = round(time.time() - t0, 1)
+        out[mode] = {
+            "trust_sec": wall,
+            "n_scored": len(res["scored_test"]),
+            "accuracy": round(res["accuracy"], 4),
+            "max_f1": round(res["max_f1"], 4),
+            "triples_per_sec": round(
+                n_edges / (out["kg_construct_sec"] + wall), 1),
+            "mem": mem.summary(),
+            "trust_timings": res.get("timings", {}),
+        }
+    ray.shutdown()
+    return out
+
+
+def run_skew() -> dict:
+    """Skew-robustness harness (VERDICT r3 item 4).
+
+    Same pipeline, two corpora: the standard subject-popularity skew
+    (U^3) and a deliberately hub-heavy variant (U^8 — ONE entity heads
+    ~25% of all facts, the planted 100k-degree-entity regime).  Reports
+    kg_construct + trust walls for both, the skewed/uniform wall ratio,
+    the hub's share of edges, and a capped ``reach2`` over the hub KG
+    proving the frontier cap bounds the blow-up stage (n_capped_mids
+    fires, pair volume stays bounded)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("GRAFT_PAGES", "100000"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    from ttmf_ray.context import spread, tune_data_context
+    from ttmf_ray.functions.transe import TransEConfig
+    from ttmf_ray.functions.vocab import build_vocab, id_map_edges
+    from ttmf_ray.pipelines.kg_construct import kg_construct
+    from ttmf_ray.pipelines.trust import TrustConfig, trust_pipeline
+    from ttmf_ray.sources.pages import CorpusSpec, ensure_pages_parquet
+    from ttmf_ray.stages.graph import reach2
+
+    tune_data_context(target_max_block_size=2 * 1024 * 1024)
+    cfg = TrustConfig(
+        transe=TransEConfig(dim=32, epochs=20, lr=0.02, batch_size=4096),
+        ptranse=TransEConfig(dim=32, epochs=4, lr=0.02, loss="logistic",
+                             batch_size=8192),
+        subgraph_max_nodes=600, path_max_paths=800,
+        fusion_batch_size=2048, fusion_epochs=60,
+    )
+    out: dict = {
+        "metric": f"hub-skew robustness over {n_pages} pages "
+                  "(skew U^3 vs U^8)",
+        "num_cpus": num_cpus, "n_pages": n_pages,
+        "steal_canary": steal_canary(),
+    }
+    for label, skew in (("uniformish", 3.0), ("hub_heavy", 8.0)):
+        spec = CorpusSpec(seed=42, n_pages=n_pages, skew=skew)
+        path = ensure_pages_parquet(spec)
+        t0 = time.time()
+        edges = kg_construct(rd.read_parquet(path)).materialize()
+        n_edges = edges.count()
+        wall_a = round(time.time() - t0, 1)
+        t0 = time.time()
+        res = trust_pipeline(edges, cfg)
+        wall_b = round(time.time() - t0, 1)
+        ep = edges.to_pandas()
+        top_share = round(
+            ep["subj"].value_counts().iloc[0] / len(ep), 4)
+        rec = {
+            "skew": skew, "n_edges": n_edges,
+            "kg_construct_sec": wall_a, "trust_sec": wall_b,
+            "hub_subject_edge_share": top_share,
+            "accuracy": round(res["accuracy"], 4),
+            "max_f1": round(res["max_f1"], 4),
+        }
+        if label == "hub_heavy":
+            # the 2-hop blow-up stage, capped: counter must fire and the
+            # pair volume through the hub mid stays <= cap^2 per side
+            ent_df, rel_df = build_vocab(edges)
+            ids = id_map_edges(edges, ent_df, rel_df).to_pandas()
+            eds = spread(rd.from_pandas(
+                ids.rename(columns={"h": "src", "t": "dst"})
+                [["src", "dst"]].drop_duplicates()))
+            t0 = time.time()
+            _, stats = reach2(eds, len(ent_df), mid_cap=64,
+                              with_stats=True)
+            rec["reach2_capped_sec"] = round(time.time() - t0, 1)
+            rec["reach2_n_capped_mids"] = int(
+                stats["n_capped_mids"].iloc[0])
+        out[label] = rec
+    out["wall_ratio_skewed_vs_uniform"] = round(
+        (out["hub_heavy"]["kg_construct_sec"]
+         + out["hub_heavy"]["trust_sec"])
+        / (out["uniformish"]["kg_construct_sec"]
+           + out["uniformish"]["trust_sec"]), 3)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--trust-paths" in sys.argv:
+        print(json.dumps(run_trust_paths()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))

@@ -98,3 +98,52 @@ def test_fingerprint_drift_triggers_rerun(tmp_path):
     assert r["shards_processed"] == 2
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_trust_resumed_matches_uninterrupted(tmp_path):
+    """VERDICT r3 item 6: the conf table assembled by a killed-then-
+    resumed phase-B run must match an uninterrupted run within the
+    pinned drift scheme (CLAUDE.md rules 14/25): h/t/r/flag EXACT,
+    conf |diff| bounded loosely (multi-epoch float training amplifies
+    per-op alignment drift; a tight atol is a flaky pin) plus a
+    drift-SHAPE bound (few rows past one 6-dp quantum)."""
+    import numpy as np
+
+    from ttmf_ray.functions.transe import TransEConfig
+    from ttmf_ray.pipelines.trust import TrustConfig, trust_scores_resumable
+
+    spec = CorpusSpec(seed=42, n_pages=400)
+    edges = kg_construct(pages_dataset(spec)).materialize()
+    cfg = TrustConfig(
+        transe=TransEConfig(dim=16, epochs=10, lr=0.02),
+        ptranse=TransEConfig(dim=16, epochs=4, lr=0.01, loss="logistic"),
+        path_max_paths=2000, kge_workers=2,
+        fusion_epochs=20,
+    )
+
+    def collect(out_dir):
+        parts = sorted(glob.glob(f"{out_dir}/shard=*/part-*.parquet"))
+        df = pd.concat([pq.read_table(p).to_pandas() for p in parts])
+        return df.sort_values(["h", "t", "r"], ignore_index=True)
+
+    out_ref = str(tmp_path / "ref")
+    trust_scores_resumable(edges, out_ref, cfg, n_shards=4)
+    ref = collect(out_ref)
+
+    out_res = str(tmp_path / "res")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        trust_scores_resumable(edges, out_res, cfg, n_shards=4,
+                               fail_after_shards=1)
+    assert len(completed_shards(out_res)) == 1
+    r = trust_scores_resumable(edges, out_res, cfg, n_shards=4)
+    assert r["shards_skipped"] == 1 and r["shards_processed"] == 3
+    res = collect(out_res)
+
+    # keys + labels exact
+    pd.testing.assert_frame_equal(ref[["h", "t", "r", "flag"]],
+                                  res[["h", "t", "r", "flag"]])
+    # conf: loose max bound (>=10x the measured 5e-6 worst case) and a
+    # drift-shape bound — most rows agree to well under a 6-dp quantum
+    d = np.abs(ref["conf"].to_numpy() - res["conf"].to_numpy())
+    assert d.max() <= 1e-4, d.max()
+    assert (d > 1e-6).mean() <= 0.15, (d > 1e-6).mean()

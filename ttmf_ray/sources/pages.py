@@ -167,6 +167,14 @@ _LANGS = ("en", "en", "en", "en", "en", "en", "en", "en", "en", "fr", "de", "es"
 class CorpusSpec:
     seed: int = 42
     n_pages: int = 1000
+    # subject-popularity exponent: srank ~ U^skew.  3.0 is the standard
+    # corpus (hub subjects exist but are mild); 8.0 makes a SINGLE
+    # entity head ~40% of all facts — the deliberately hub-heavy
+    # variant for the skew-robustness harness (bench.py --skew).
+    # float**int == float**float bitwise in CPython (both route through
+    # C pow), so the default reproduces the historical u**3 corpora and
+    # existing /tmp caches stay valid.
+    skew: float = 3.0
 
     @property
     def n_entities(self) -> int:
@@ -197,7 +205,7 @@ def fact(spec: CorpusSpec, j: int) -> tuple[int, int, int]:
     nk = spec.n_entities // 3  # entities per kind
     n_comm = max(2, nk // 20)  # ~20 entities of each kind per community
     # subject popularity ~ U^3 → hub subjects (hot keys)
-    srank = int(u01(spec.seed, 102, j) ** 3 * nk) % nk
+    srank = int(u01(spec.seed, 102, j) ** spec.skew * nk) % nk
     if u01(spec.seed, 104, j) < 0.85:
         # same community: ranks sharing srank's residue class mod n_comm
         per_comm = (nk + n_comm - 1) // n_comm
@@ -371,10 +379,10 @@ def pages_dataset(spec: CorpusSpec, *, shards: int | None = None):
 
     n = spec.n_pages
     shards = shards or max(1, min(64, n // 2000 or 1))
-    seed, n_pages = spec.seed, spec.n_pages
+    seed, n_pages, skew = spec.seed, spec.n_pages, spec.skew
 
     def gen(batch: pa.Table) -> pa.Table:
-        local = CorpusSpec(seed=seed, n_pages=n_pages)
+        local = CorpusSpec(seed=seed, n_pages=n_pages, skew=skew)
         ids = batch.column("id").to_numpy()
         return pages_batch(local, ids)
 
@@ -388,7 +396,8 @@ def ensure_pages_parquet(spec: CorpusSpec, root: str = "/tmp/ttmf_pages") -> str
     """Materialize the corpus once per (seed, n_pages); return the directory."""
     import os
 
-    out = os.path.join(root, f"v2_s{spec.seed}_n{spec.n_pages}")
+    suffix = "" if spec.skew == 3.0 else f"_k{spec.skew:g}"
+    out = os.path.join(root, f"v2_s{spec.seed}_n{spec.n_pages}{suffix}")
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
