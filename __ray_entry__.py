@@ -197,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum": rel.events_cusum,
         "tpch_q3": rel.tpch_q3,
         "tpch_q4": rel.tpch_q4,
+        "tpch_q12": rel.tpch_q12,
+        "tpch_q9": rel.tpch_q9,
+        "events_retention": rel.events_retention,
         "events_session_quantiles": rel.events_session_quantiles,
         "docs_text_norm": rel.docs_text_norm,
         "docs_containment": rel.docs_containment,
@@ -227,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_real": cq.media_features_real,
         "media_frame_sample": cq.media_frame_sample,
         "media_image_dedup": cq.media_image_dedup,
+        "media_jpeg_features": cq.media_jpeg_features,
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
@@ -5758,5 +5762,61 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
               AND ms.max_ship > epoch_us(o.o_orderdate)
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        # priority x 60-day lateness lineitem counts (Q12 analogue)
+        "tpch_q12": """
+            WITH lp AS (SELECT l_orderkey,
+                               epoch_us(l_shipdate) // 86400000000
+                                   AS ship_day,
+                               count(*)::BIGINT AS n
+                        FROM lineitem GROUP BY 1, 2),
+            o AS (SELECT o_orderkey,
+                         epoch_us(o_orderdate) // 86400000000 AS o_day,
+                         o_orderpriority
+                  FROM orders)
+            SELECT o.o_orderpriority,
+                   sum(CASE WHEN lp.ship_day > o.o_day + 60
+                       THEN lp.n ELSE 0 END)::BIGINT AS late_count,
+                   sum(CASE WHEN lp.ship_day > o.o_day + 60
+                       THEN 0 ELSE lp.n END)::BIGINT AS ontime_count
+            FROM lp JOIN o ON o.o_orderkey = lp.l_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        # profit rollup per supplier nation x ship year (Q9 analogue;
+        # unit cost = 0.5 * p_retailprice, no partsupp in the schema)
+        "tpch_q9": """
+            SELECT n.n_name,
+                   CAST(1970 + (epoch_us(l.l_shipdate) // 86400000000)
+                               // 365 AS BIGINT) AS year,
+                   ROUND(sum(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.5 * p.p_retailprice * l.l_quantity), 2)
+                       AS profit
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # weekly cohort retention (distinct active weeks per user)
+        "events_retention": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 604800000000 AS week
+                        FROM events),
+            ch AS (SELECT user_id, min(week) AS cohort_week
+                   FROM uw GROUP BY user_id),
+            rws AS (SELECT ch.cohort_week,
+                           uw.week - ch.cohort_week AS k
+                    FROM uw JOIN ch USING (user_id)
+                    WHERE uw.week - ch.cohort_week <= 8),
+            agg AS (SELECT cohort_week, k, count(*)::BIGINT AS n_users
+                    FROM rws GROUP BY 1, 2),
+            base AS (SELECT cohort_week, n_users AS base_n
+                     FROM agg WHERE k = 0)
+            SELECT a.cohort_week::BIGINT AS cohort_week,
+                   a.k::BIGINT AS k, a.n_users,
+                   floor(a.n_users / b.base_n::DOUBLE * 1000000 + 0.5)
+                       / 1000000 AS rate
+            FROM agg a JOIN base b USING (cohort_week)
+            ORDER BY cohort_week, k
         """,
     }

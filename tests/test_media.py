@@ -192,3 +192,24 @@ def test_ahash_noise_robustness():
     h1 = ahash64(noisy)
     dist = bin(int(np.uint64(h0) ^ np.uint64(h1))).count("1")
     assert dist <= 4
+
+
+def test_media_jpeg_features_scalar_oracle():
+    """media_jpeg_features: the actor-pool feature table must equal an
+    independent per-image re-decode (decode -> luminance -> 8x8 mean
+    pool -> mean/std/min/max) to float precision — the rows-only
+    query's pinned oracle."""
+    from ttmf_ray.pipelines.corpus_queries import media_jpeg_features
+    from ttmf_ray.stages.media import real_decode, synth_jpeg
+
+    out = media_jpeg_features("/root/testdata/sf0.001") \
+        .set_index("media_id")
+    assert len(out) == 60 and (out["kind"] == "image").all()
+    for i in (0, 7, 31, 59):
+        lum = real_decode(synth_jpeg(42, i), "image/jpeg")
+        v = resize_mean_pool(lum, 8)
+        r = out.loc[i]
+        assert abs(r["feat_mean"] - round(float(v.mean()), 6)) <= 1e-6
+        assert abs(r["feat_std"] - round(float(v.std()), 6)) <= 1e-6
+        assert abs(r["feat_min"] - round(float(v.min()), 6)) <= 1e-6
+        assert abs(r["feat_max"] - round(float(v.max()), 6)) <= 1e-6

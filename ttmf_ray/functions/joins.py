@@ -106,9 +106,21 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     ).union(rt.map_batches(
         lambda t, c=cols_order: t.select(c), batch_format="pyarrow"
     ))
+    # normalize Ray's zero-column empty-partition blocks to the join's
+    # output schema (same contract as left_join_fill below)
+    arrow_types: dict[str, pa.DataType] = {}
+    for schema, ren in ((left.schema(), lren), (right.schema(), rren)):
+        for name, typ in zip(schema.names, schema.types):
+            arrow_types[ren.get(name, name)] = typ
+    empty = pa.table({c: pa.array([], type=arrow_types[c])
+                      for c in [on] + lset + rset})
+
+    def stabilize(t: pa.Table) -> pa.Table:
+        return t if t.num_rows else empty
+
     return unioned.groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas"
-    )
+    ).map_batches(stabilize, batch_format="pyarrow", batch_size=None)
 
 
 def left_join_fill(left, right, *, on: str, fill: dict,
@@ -206,5 +218,23 @@ def left_join_fill(left, right, *, on: str, fill: dict,
             out[hit_col] = hit.to_numpy().astype(np.float64)
         return out
 
+    # Ray's map_groups emits ZERO-COLUMN empty blocks for empty sort
+    # partitions (observed first at the 2M-page scale): normalize every
+    # zero-row block to the canonical output schema so downstream
+    # map_batches consumers never see a schema-less table.
+    arrow_types: dict[str, pa.DataType] = {}
+    for schema in (left.schema(), right.schema()):
+        for name, typ in zip(schema.names, schema.types):
+            arrow_types[name] = typ
+    out_names = [on] + lcols + rcols + ([hit_col] if hit_col else [])
+    empty = pa.table({
+        c: pa.array([], type=(pa.float64() if c == hit_col
+                              else arrow_types[c]))
+        for c in out_names})
+
+    def stabilize(t: pa.Table) -> pa.Table:
+        return t if t.num_rows else empty
+
     return lt.union(rt).groupby("__bucket").map_groups(
-        join_bucket, batch_format="pandas")
+        join_bucket, batch_format="pandas").map_batches(
+        stabilize, batch_format="pyarrow", batch_size=None)

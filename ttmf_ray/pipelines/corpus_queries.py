@@ -327,6 +327,40 @@ def media_features_real(sf_dir: str) -> pd.DataFrame:
         .sort_values("media_id").reset_index(drop=True)
 
 
+def media_jpeg_features(sf_dir: str) -> pd.DataFrame:
+    """JPEG decode through the REAL codec boundary in an actor pool: 60
+    deterministic baseline-JPEG payloads (minted by the from-scratch
+    numpy encoder, stages/jpegnp.py) → MediaFeatures with
+    use_fake_decoder=False (Pillow when present, else the from-scratch
+    numpy baseline decoder) → resize-pool features.  Rows-only: the
+    payloads are synthesized binary, not a DuckDB-visible table; the
+    scalar oracle (independent per-image re-decode) is pinned in
+    tests/test_media.py."""
+    from ..stages.media import (MEDIA_SCHEMA, MediaFeatureConfig,
+                                media_features, synth_jpeg)
+
+    n = 60
+    rows = {f.name: [] for f in MEDIA_SCHEMA}
+    for i in range(n):
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["payload"].append(synth_jpeg(42, i))
+        rows["mime"].append("image/jpeg")
+        rows["width"].append(32)
+        rows["height"].append(24)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+    t = pa.table({f.name: pa.array(rows[f.name], f.type)
+                  for f in MEDIA_SCHEMA})
+    out = media_features(
+        rd.from_arrow(t),
+        cfg=MediaFeatureConfig(use_fake_decoder=False)).to_pandas()
+    for c in ("feat_mean", "feat_std", "feat_min", "feat_max"):
+        out[c] = out[c].round(6)
+    return out.astype({"media_id": np.int64}) \
+        .sort_values("media_id").reset_index(drop=True)
+
+
 def docs_repetition(sf_dir: str) -> pd.DataFrame:
     """Gopher-style word-repetition quality signals per document
     (dup-word / top-word / top-bigram fractions), SQL-mirrored."""

@@ -3585,3 +3585,193 @@ def docs_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
         "n_docs": nd, "n_unique": nu,
         "dup_rate": half_up(1.0 - nu / nd.astype(np.float64), 6)}) \
         .sort_values("source", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: lateness x priority, profit rollup, cohort retention
+# ---------------------------------------------------------------------------
+
+_Q12_LATE_US = 60 * 86_400_000_000            # 60-day lateness cutoff
+
+
+def tpch_q12(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 analogue (shipping-mode priority audit; the synthetic
+    schema lacks shipmode/commit/receipt, so lateness is
+    l_shipdate > o_orderdate + 60 days): per order priority, the count
+    of late vs on-time lineitems.
+
+    Shape: lineitem pre-combines to (orderkey, ship DAY, n) rows —
+    shipdates within an order quantize to days, so the combiner cuts
+    the join payload without losing the lateness predicate — then ONE
+    bucketed hash_join against orders and a stateless per-batch
+    lateness fold into a priority-domain groupby.  All integer counts,
+    zero float risk."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        day = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        key = ok * 100_000 + (day % 100_000)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "l_orderkey": pa.array(uk // 100_000),
+            "ship_day": pa.array(uk % 100_000),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    lp = (li.map_batches(lpart, batch_format="pyarrow")
+          .groupby(["l_orderkey", "ship_day"])
+          .aggregate(Sum("n", alias_name="n")))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_day": pa.array(
+                t.column("o_orderdate").cast(pa.int64()).to_numpy()
+                // 86_400_000_000),
+            "o_orderpriority": t.column("o_orderpriority")}),
+            batch_format="pyarrow")
+    j = hash_join(lp, orders, on="l_orderkey")
+
+    def fold(t: pa.Table) -> pa.Table:
+        late = (t.column("ship_day").to_numpy()
+                > t.column("o_day").to_numpy() + 60)
+        n = t.column("n").to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderpriority": t.column("o_orderpriority")
+            .to_numpy(zero_copy_only=False).astype(str),
+            "late_count": np.where(late, n, 0),
+            "ontime_count": np.where(late, 0, n)})
+        g = df.groupby("o_orderpriority", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (j.map_batches(fold, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("late_count", alias_name="late_count"),
+                      Sum("ontime_count", alias_name="ontime_count"))
+           .to_pandas())
+    return out.astype({"late_count": np.int64, "ontime_count": np.int64}) \
+        .sort_values("o_orderpriority", ignore_index=True)
+
+
+def tpch_q9(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 analogue (product-type profit rollup; no partsupp table,
+    so unit cost is 0.5 * p_retailprice): per supplier nation and ship
+    year, profit = sum(l_extendedprice*(1-l_discount)
+    - 0.5*p_retailprice*l_quantity).
+
+    The supplier->nation and part->retailprice maps are dense broadcast
+    arrays indexed inside the batch kernel (the tpch_q14 convention) —
+    the lineitem stream joins nothing, gathers twice, and pre-combines
+    per (nation, year) before one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    snat = np.zeros(int(sk.max()) + 1, dtype=np.int64)
+    snat[sk] = sup["s_nationkey"].to_numpy(np.int64)
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    n_names = np.empty(int(nk.max()) + 1, dtype=object)
+    n_names[nk] = nat["n_name"].to_numpy(dtype=object)
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]) \
+        .to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    pcost = np.zeros(int(pk.max()) + 1, dtype=np.float64)
+    pcost[pk] = 0.5 * part["p_retailprice"].to_numpy(np.float64)
+    bc = Broadcast((snat, pcost))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        snat_, pcost_ = bc.get()
+        nation = snat_[t.column("l_suppkey").to_numpy().astype(np.int64)]
+        year = 1970 + (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+                       // 86_400_000_000) // 365
+        amount = (t.column("l_extendedprice").to_numpy()
+                  * (1.0 - t.column("l_discount").to_numpy())
+                  - pcost_[t.column("l_partkey").to_numpy()
+                           .astype(np.int64)]
+                  * t.column("l_quantity").to_numpy())
+        key = nation * 10_000 + year
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "nationkey": pa.array(uk // 10_000),
+            "year": pa.array(uk % 10_000),
+            "amount": pa.array(np.bincount(inv, weights=amount,
+                                           minlength=len(uk)))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["nationkey", "year"])
+           .aggregate(Sum("amount", alias_name="amount")).to_pandas())
+    out = pd.DataFrame({
+        "n_name": n_names[agg["nationkey"].to_numpy(np.int64)],
+        "year": agg["year"].astype(np.int64),
+        "profit": np.round(agg["amount"].to_numpy(), 2)})
+    return out.sort_values(["n_name", "year"], ignore_index=True)
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def events_retention(sf_dir: str, max_k: int = 8) -> pd.DataFrame:
+    """Weekly cohort retention (the product-analytics staple): users
+    cohort by their FIRST active week; retention[cohort, k] = distinct
+    users of that cohort active in week cohort+k, as count + rate.
+
+    Shape: per-batch distinct (user, week) partial -> int-partition
+    distinct (the signature rows, never the event stream) -> per-user
+    min-week groupby -> one bucketed hash_join re-attaching the cohort
+    to each (user, week) row -> tiny (cohort, k) count groupby.  Rates
+    use the shared half-up rule (dyadic count ratios)."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..context import half_up
+    from ..functions.joins import hash_join
+    from ..stages.dedup import distinct_rows
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def uw(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        w = t.column("ts").cast(pa.int64()).to_numpy() // _WEEK_US
+        k = np.unique(u * 100_000 + (w % 100_000))
+        return pa.table({"user_id": pa.array(k // 100_000),
+                         "week": pa.array(k % 100_000)})
+
+    pairs = distinct_rows(
+        ds.map_batches(uw, batch_format="pyarrow"),
+        ["user_id", "week"]).materialize()
+    cohorts = pairs.groupby("user_id") \
+        .aggregate(Min("week", alias_name="cohort_week"))
+    j = hash_join(pairs, cohorts, on="user_id")
+
+    def fold(t: pa.Table) -> pa.Table:
+        cw = t.column("cohort_week").to_numpy().astype(np.int64)
+        k = t.column("week").to_numpy().astype(np.int64) - cw
+        keep = k <= max_k
+        key = cw[keep] * 1_000 + k[keep]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cohort_week": pa.array(uk // 1_000),
+                         "k": pa.array(uk % 1_000),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    agg = (j.map_batches(fold, batch_format="pyarrow")
+           .groupby(["cohort_week", "k"])
+           .aggregate(Sum("n_users", alias_name="n_users")).to_pandas()
+           .astype({"cohort_week": np.int64, "k": np.int64,
+                    "n_users": np.int64})
+           .sort_values(["cohort_week", "k"], ignore_index=True))
+    size = agg[agg["k"] == 0].set_index("cohort_week")["n_users"]
+    base = size.reindex(agg["cohort_week"]).to_numpy(np.float64)
+    agg["rate"] = half_up(agg["n_users"].to_numpy() / base, 6)
+    return agg

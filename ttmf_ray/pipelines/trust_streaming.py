@@ -109,6 +109,10 @@ def _sweep_remote(key: str, value: str, descending: bool, *tbls):
     (same `thresholds_by_key` kernel as the driver path)."""
     frames = []
     for t in tbls:
+        # empty bucket partitions ship as zero-row blocks with NO
+        # columns (observed first at the 2M-page scale) — skip them
+        if t.num_rows == 0 or key not in t.schema.names:
+            continue
         df = t.select([key, value, "flag", "which"]).to_pandas()
         frames.append(df[df["which"] == 0][[key, value, "flag"]])
     return thresholds_by_key(pd.concat(frames, ignore_index=True),
@@ -123,6 +127,8 @@ def _fusion_remote(path_emb, fusion_kwargs, *tbls):
     """Remote fusion training: assemble the valid conf table (object
     store, never the driver), canonical-sort, and run the SAME
     ``train_fusion`` (its local-SGD rounds spawn nested Ray tasks)."""
+    tbls = [t for t in tbls
+            if t.num_rows and "which" in t.schema.names]
     df = pa.concat_tables(tbls, promote_options="default").to_pandas()
     df = df[df["which"] == 0].drop(columns=["which"])
     df = df.sort_values(["h", "t", "r", "flag"], ignore_index=True)

@@ -140,6 +140,24 @@ def synth_ppm(seed: int, i: int, *, w: int = 24, h: int = 16) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
+def synth_jpeg(seed: int, i: int, *, w: int = 32, h: int = 24,
+               quality: int = 85) -> bytes:
+    """Genuine baseline-JPEG bytes (stages/jpegnp.py encoder): a seeded
+    smooth RGB gradient — smooth so the decode error stays within
+    quantization noise and feature tests have a tight scalar oracle."""
+    from ..sources.pages import mix64
+    from .jpegnp import encode_jpeg
+
+    xo = mix64(seed, 930, i) % 97
+    fx = 5.0 + mix64(seed, 931, i) % 7
+    fy = 4.0 + mix64(seed, 932, i) % 6
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 120 + 60 * np.sin((xx + xo) / fx) + 40 * np.cos(yy / fy)
+    img = np.stack([base, np.roll(base, 3, axis=1), 255 - base],
+                   axis=2).clip(0, 255).astype(np.uint8)
+    return encode_jpeg(img, quality=quality)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (mono float64 samples in [-1, 1], sample_rate)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
