@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": rel.top_parts,
         "ann_topk": rel.ann_topk,
         "embeddings_kmeans": rel.embeddings_kmeans,
+        "embeddings_outliers": rel.embeddings_outliers,
+        "docs_compression_ratio": rel.docs_compression_ratio,
         "embeddings_rp_project": rel.embeddings_rp_project,
         "embeddings_semantic_dedup": rel.embeddings_semantic_dedup,
         "order_priority_revenue": rel.order_priority_revenue,
@@ -112,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": rel.events_funnel,
         "embeddings_ivfpq": rel.embeddings_ivfpq,
         "part_cooccur_triangles": cq.part_cooccur_triangles,
+        "kg_triangles": cq.kg_triangles,
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_bpe_encode": rel.docs_bpe_encode,
         "docs_token_budget_mixture": rel.docs_token_budget_mixture,
@@ -1751,14 +1754,12 @@ def _bpe_sql(k: int = 8, tail: str | None = None) -> str:
     return "".join(parts)
 
 
-_TRIANGLES_SQL = """
-    WITH li AS MATERIALIZED (
-        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
-                        CAST(l_partkey AS BIGINT) AS p
-        FROM lineitem),
-    ed AS MATERIALIZED (
-        SELECT DISTINCT x.p AS a, y.p AS b
-        FROM li x JOIN li y ON y.o = x.o AND y.p > x.p),
+def _triangles_sql(edge_ctes: str) -> str:
+    """Shared 3-way-join triangle mirror over any MATERIALIZED ``ed``
+    CTE of DISTINCT oriented a<b undirected edges (part co-occurrence
+    projection / symmetrized KG)."""
+    return f"""
+    WITH {edge_ctes},
     tri AS MATERIALIZED (
         SELECT e1.a AS u, e1.b AS v, e2.b AS w
         FROM ed e1
@@ -1775,13 +1776,24 @@ _TRIANGLES_SQL = """
            GROUP BY node)
     SELECT dg.node, dg.deg,
            COALESCE(tn.tri, 0)::BIGINT AS tri,
-           ROUND(CASE WHEN dg.deg >= 2
+           floor((CASE WHEN dg.deg >= 2
                       THEN 2.0 * COALESCE(tn.tri, 0)::DOUBLE
                            / (dg.deg::DOUBLE * (dg.deg::DOUBLE - 1.0))
-                      ELSE 0.0 END, 6) AS coeff
+                      ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS coeff
     FROM dg LEFT JOIN tn USING (node)
     ORDER BY node
 """
+
+
+_TRIANGLES_SQL = _triangles_sql("""li AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                        CAST(l_partkey AS BIGINT) AS p
+        FROM lineitem),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM li x JOIN li y ON y.o = x.o AND y.p > x.p)""")
+
+
 
 
 _KG_COMPONENTS_SQL = f"""
@@ -2861,6 +2873,24 @@ _HEAPS_SQL = """
                AS cum_types
     FROM base ORDER BY doc_id
 """
+
+
+def _kmeans_outliers_sql(k: int = 8, n_iter: int = 4,
+                         top: int = 20) -> str:
+    body, cfin = _kmeans_ctes(k, n_iter)
+    return f"""
+    WITH {body},
+    asg AS (SELECT id AS vec_id, CAST(c AS BIGINT) AS cluster, d AS dist
+            FROM (
+        SELECT e.id, c.c, round(list_distance(e.v, c.v), 6) AS d,
+               row_number() OVER (PARTITION BY e.id
+                   ORDER BY round(list_distance(e.v, c.v), 6), c.c) AS rn
+        FROM emb e CROSS JOIN {cfin} c)
+    WHERE rn = 1)
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (ORDER BY dist DESC, vec_id) AS rank
+    FROM asg ORDER BY dist DESC, vec_id LIMIT {top}
+    """
 
 
 def _kmeans_sql(k: int = 8, n_iter: int = 4) -> str:
@@ -5330,6 +5360,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "embeddings_kmeans": _kmeans_sql(),
+        # top-20 farthest-from-centroid vectors over the same chain
+        "embeddings_outliers": _kmeans_outliers_sql(),
         # JL sign random projection: ±1 from mix64(211, d, j), rounded
         # projections + packed sign code (stages/ann.py)
         "embeddings_rp_project": _rp_sql(),
@@ -5379,6 +5411,12 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        # symmetrized-KG triangle census (shared 3-way-join mirror)
+        "kg_triangles": _triangles_sql(f"""idm AS MATERIALIZED (
+            {_IDMAPPED_SQL}),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT least(h, t) AS a, greatest(h, t) AS b
+        FROM idm WHERE h <> t)"""),
         "docs_bpe_merges": _bpe_sql(8),
         # the encode half: the unrolled merge chain's FINAL symbol table
         "docs_bpe_encode": _bpe_sql(8, tail="""

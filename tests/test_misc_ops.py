@@ -172,3 +172,29 @@ def test_pages_extract_query_all_match(sf_dir):
 
     out = pages_extract(sf_dir).to_pandas()
     assert out["match"].all()
+
+
+def test_docs_compression_ratio_scalar_oracle(ray_session):
+    """docs_compression_ratio: per-doc values must equal an independent
+    zlib re-compress (level 6) of the same utf-8 bytes."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ttmf_ray.pipelines.relational import docs_compression_ratio
+
+    sf = "/root/testdata/sf0.001"
+    out = docs_compression_ratio(sf).set_index("doc_id")
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, row in docs.head(25).iterrows():
+        enc = row["text"].encode("utf-8")
+        r = out.loc[row["doc_id"]]
+        assert r["n_bytes"] == len(enc)
+        assert r["n_compressed"] == len(zlib.compress(enc, 6))
+    # ratios in a sane band and the flag consistent with the ratio
+    assert ((out["ratio"] > 0) & (out["ratio"] < 1.5)).all()
+    assert (out["low_info"] == (out["n_compressed"]
+                                / np.maximum(out["n_bytes"], 1)
+                                < 0.35).astype(int)).all()

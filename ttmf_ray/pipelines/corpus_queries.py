@@ -984,6 +984,32 @@ def part_cooccur_triangles(sf_dir: str) -> pd.DataFrame:
     return triangle_stats(distinct_rows(pairs, ["a", "b"]))
 
 
+def kg_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle census of the SYMMETRIZED relational KG (per-node
+    triangle count, distinct-neighbor degree, local clustering
+    coefficient) — the closure/community signal the directed KG audit
+    family lacks (directed triangles are near-zero on this
+    near-bipartite schema, see part_cooccur_adamic_adar's docstring).
+
+    Same edge-iterator kernel as part_cooccur_triangles
+    (stages/graph.py:triangle_stats — broadcast oriented adjacency,
+    zero shuffles); SQL twin is the shared 3-way self-join over the
+    identical least/greatest-oriented distinct pair set."""
+    from ..stages.graph import triangle_stats
+
+    _, _, ids = _relational_kg(sf_dir)
+    h = ids["h"].to_numpy(np.int64)
+    t = ids["t"].to_numpy(np.int64)
+    keep = h != t
+    a = np.minimum(h[keep], t[keep])
+    b = np.maximum(h[keep], t[keep])
+    pairs = pd.DataFrame({"a": a, "b": b}).drop_duplicates(
+        ignore_index=True)
+    from ..context import spread
+
+    return triangle_stats(spread(rd.from_pandas(pairs)))
+
+
 def part_cooccur_kcore(sf_dir: str) -> pd.DataFrame:
     """Maximal 60-core of the part co-occurrence graph → (node, deg in
     core).  Simultaneous peeling (stages/graph.py:kcore): per round one

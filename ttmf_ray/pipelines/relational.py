@@ -3775,3 +3775,57 @@ def events_retention(sf_dir: str, max_k: int = 8) -> pd.DataFrame:
     base = size.reindex(agg["cohort_week"]).to_numpy(np.float64)
     agg["rate"] = half_up(agg["n_users"].to_numpy() / base, 6)
     return agg
+
+
+def embeddings_outliers(sf_dir: str, k: int = 8, n_iter: int = 4,
+                        top: int = 20) -> pd.DataFrame:
+    """Centroid-distance outlier report (the SemDeDup-family health
+    check: vectors far from every cluster center are noise / OOD
+    candidates): run the mirrored k-means, rank by ROUNDED distance to
+    the assigned centroid (DESC, vec_id tie-break), keep the top 20.
+    Reuses the exact quantized-iteration chain, so the SQL twin ranks
+    identical distances."""
+    from ..stages.cluster import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign_ds, _ = kmeans(ds, k=k, n_iter=n_iter)
+    out = assign_ds.to_pandas()
+    out["dist"] = out["dist"].round(6)
+    out = out.sort_values(["dist", "vec_id"],
+                          ascending=[False, True]).head(top)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.astype({"vec_id": np.int64, "cluster": np.int64}) \
+        .reset_index(drop=True)
+
+
+def docs_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-doc zlib compression ratio — the classic low-information /
+    boilerplate quality signal (highly repetitive text compresses far
+    below prose).  Stateless vectorized-per-doc map_batches; rows-only
+    (no SQL zlib) with the scalar re-compress oracle pinned in
+    tests/test_misc_ops.py.  Level pinned at 6: the DEFLATE bitstream
+    for a given (input, level, zlib build) is deterministic."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        from ..context import half_up
+
+        txt = t.column("text").to_pylist()
+        raw = np.array([len(x.encode("utf-8")) for x in txt], np.int64)
+        comp = np.array(
+            [len(zlib.compress(x.encode("utf-8"), 6)) for x in txt],
+            np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_bytes": pa.array(raw),
+            "n_compressed": pa.array(comp),
+            "ratio": pa.array(half_up(comp / np.maximum(raw, 1), 6)),
+            "low_info": pa.array(
+                (comp / np.maximum(raw, 1) < 0.35).astype(np.int64))})
+
+    out = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return out.astype({c: np.int64 for c in
+                       ("doc_id", "n_bytes", "n_compressed", "low_info")}) \
+        .sort_values("doc_id", ignore_index=True)

@@ -461,6 +461,9 @@ def triangle_stats(pairs_ds) -> pd.DataFrame:
            .groupby("node")
            .aggregate(Sum("tri", alias_name="tri"))
            .to_pandas())
+    if "node" not in tri.columns:      # zero triangles in the graph
+        tri = pd.DataFrame({"node": np.empty(0, np.int64),
+                            "tri": np.empty(0, np.int64)})
 
     nodes = np.flatnonzero(deg > 0).astype(np.int64)
     out = pd.DataFrame({"node": nodes, "deg": deg[nodes].astype(np.int64)})
@@ -470,7 +473,8 @@ def triangle_stats(pairs_ds) -> pd.DataFrame:
     t3 = out["tri"].to_numpy(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         coeff = np.where(d >= 2, 2.0 * t3 / (d * (d - 1.0)), 0.0)
-    out["coeff"] = np.round(coeff, 6)
+    from ..context import half_up
+    out["coeff"] = half_up(coeff, 6)
     return out.sort_values("node").reset_index(drop=True)
 
 
