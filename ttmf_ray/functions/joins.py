@@ -62,10 +62,20 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     lset = [lren.get(c, c) for c in lraw]
     rset = [rren.get(c, c) for c in rraw]
 
+    # TYPED null columns: bare pa.nulls() is the Arrow null type, which
+    # pandas renders as OBJECT columns of None — through the bucket
+    # Sort at 10^6-row scale that object churn measured ~280 s and tens
+    # of GiB (sf1 bench, round 4).  Typed nulls stay numeric (NaN).
+    atypes: dict[str, pa.DataType] = {}
+    for schema, ren in ((left.schema(), lren), (right.schema(), rren)):
+        for name, typ in zip(schema.names, schema.types):
+            atypes[ren.get(name, name)] = typ
+
     def widen(missing: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             for c in missing:
-                t = t.append_column(c, pa.nulls(t.num_rows))
+                t = t.append_column(
+                    c, pa.nulls(t.num_rows, type=atypes.get(c)))
             return t
         return fn
 
@@ -181,10 +191,19 @@ def left_join_fill(left, right, *, on: str, fill: dict,
 
     rset = rcols + ["__hit"]
 
+    atypes: dict[str, pa.DataType] = {"__hit": pa.int8()}
+    for schema in (left.schema(), right.schema()):
+        for name, typ in zip(schema.names, schema.types):
+            atypes[name] = typ
+
+    # typed nulls — see hash_join.widen: untyped pa.nulls() makes
+    # object-dtype None columns through the bucket Sort (measured ~280 s
+    # at the 2M-page scale)
     def widen(cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             for c in cols:
-                t = t.append_column(c, pa.nulls(t.num_rows))
+                t = t.append_column(
+                    c, pa.nulls(t.num_rows, type=atypes.get(c)))
             return t
         return fn
 
