@@ -198,3 +198,29 @@ def test_docs_compression_ratio_scalar_oracle(ray_session):
     assert (out["low_info"] == (out["n_compressed"]
                                 / np.maximum(out["n_bytes"], 1)
                                 < 0.35).astype(int)).all()
+
+
+def test_corpus_skew_knob():
+    """CorpusSpec.skew: default 3.0 reproduces the historical U^3
+    corpus bitwise (cache compatibility); skew=8.0 plants a hub —
+    one subject entity heads >15% of fact instances."""
+    import collections
+
+    from ttmf_ray.sources.pages import CorpusSpec, fact, u01
+
+    spec = CorpusSpec(seed=42, n_pages=100000)
+    nk = spec.n_entities // 3
+    legacy = [int(u01(spec.seed, 102, j) ** 3 * nk) % nk
+              for j in range(1000)]
+    now = [fact(spec, j)[0] // 3 for j in range(1000)]
+    assert now == legacy
+
+    hub = CorpusSpec(seed=42, n_pages=100000, skew=8.0)
+    c = collections.Counter(fact(hub, j)[0] for j in range(5000))
+    top_share = c.most_common(1)[0][1] / 5000
+    assert top_share > 0.15, top_share
+    # and the cache key separates the variants
+    from ttmf_ray.sources.pages import ensure_pages_parquet  # noqa: F401
+    import inspect
+    src = inspect.getsource(ensure_pages_parquet)
+    assert "_k{spec.skew:g}" in src
