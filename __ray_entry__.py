@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": rel.revenue_by_nation,
         "top_parts": rel.top_parts,
         "ann_topk": rel.ann_topk,
+        "embeddings_mips": rel.embeddings_mips,
+        "events_ewma": rel.events_ewma,
         "embeddings_kmeans": rel.embeddings_kmeans,
         "embeddings_outliers": rel.embeddings_outliers,
         "docs_compression_ratio": rel.docs_compression_ratio,
@@ -115,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ivfpq": rel.embeddings_ivfpq,
         "part_cooccur_triangles": cq.part_cooccur_triangles,
         "kg_triangles": cq.kg_triangles,
+        "kg_twins": cq.kg_twins,
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_bpe_encode": rel.docs_bpe_encode,
         "docs_token_budget_mixture": rel.docs_token_budget_mixture,
@@ -201,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": rel.tpch_q3,
         "tpch_q4": rel.tpch_q4,
         "tpch_q12": rel.tpch_q12,
+        "tpch_q13": rel.tpch_q13,
+        "tpch_q18": rel.tpch_q18,
         "tpch_q9": rel.tpch_q9,
         "events_retention": rel.events_retention,
         "events_session_quantiles": rel.events_session_quantiles,
@@ -5359,6 +5364,40 @@ def oracle_sql() -> dict[str, str]:
                      e.vec_id
             LIMIT 10
         """,
+        # max-inner-product top-10 vs vec_id=1, ranked on the ROUNDED
+        # dot (rule-19 ::DOUBLE[] cast so DuckDB accumulates in f64)
+        "embeddings_mips": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 1),
+            sc AS (SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+                          ROUND(list_inner_product(
+                              e.embedding::DOUBLE[], q.qv), 5) AS ip
+                   FROM embeddings e, q)
+            SELECT vec_id, ip FROM (
+                SELECT vec_id, ip,
+                       row_number() OVER (ORDER BY ip DESC, vec_id)
+                           AS rn
+                FROM sc) WHERE rn <= 10
+            ORDER BY vec_id
+        """,
+        # half-life-1h EWMA over a 16-hour window: every term is an
+        # exact dyadic c*2^-(d+1), so the sum is EXACT in float64 in
+        # any addition order — bitwise cross-engine by construction
+        "events_ewma": """
+            WITH hc AS (SELECT event_type,
+                               epoch_us(ts) // 3600000000 AS hour,
+                               count(*)::BIGINT AS c
+                        FROM events GROUP BY 1, 2)
+            SELECT a.event_type, a.hour::BIGINT AS hour, a.c AS n,
+                   COALESCE((SELECT sum(b.c * power(
+                                 0.5, a.hour - b.hour + 1))
+                             FROM hc b
+                             WHERE b.event_type = a.event_type
+                               AND b.hour BETWEEN a.hour - 15
+                                              AND a.hour), 0.0)
+                       AS ewma
+            FROM hc a ORDER BY a.event_type, a.hour
+        """,
         "embeddings_kmeans": _kmeans_sql(),
         # top-20 farthest-from-centroid vectors over the same chain
         "embeddings_outliers": _kmeans_outliers_sql(),
@@ -5411,6 +5450,35 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        # structural-equivalence twins: exact (out-set, in-set) match
+        "kg_twins": f"""
+            WITH idm AS MATERIALIZED ({_IDMAPPED_SQL}),
+            op AS (SELECT DISTINCT h AS ent, t AS nbr FROM idm),
+            ip AS (SELECT DISTINCT t AS ent, h AS nbr FROM idm),
+            osig AS (SELECT ent, string_agg(nbr::VARCHAR, ','
+                              ORDER BY nbr) AS out_sig
+                     FROM op GROUP BY ent),
+            isig AS (SELECT ent, string_agg(nbr::VARCHAR, ','
+                              ORDER BY nbr) AS in_sig
+                     FROM ip GROUP BY ent),
+            allent AS (SELECT DISTINCT ent FROM (
+                SELECT ent FROM op UNION ALL SELECT ent FROM ip)),
+            sig AS (SELECT a.ent,
+                           COALESCE(o.out_sig, '') AS out_sig,
+                           COALESCE(i.in_sig, '') AS in_sig
+                    FROM allent a
+                    LEFT JOIN osig o USING (ent)
+                    LEFT JOIN isig i USING (ent)),
+            cls AS (SELECT out_sig, in_sig,
+                           min(ent) AS twin_class,
+                           count(*) AS class_size
+                    FROM sig GROUP BY 1, 2)
+            SELECT s.ent::BIGINT AS ent,
+                   c.twin_class::BIGINT AS twin_class,
+                   c.class_size::BIGINT AS class_size
+            FROM sig s JOIN cls c USING (out_sig, in_sig)
+            WHERE c.class_size >= 2 ORDER BY ent
+        """,
         # symmetrized-KG triangle census (shared 3-way-join mirror)
         "kg_triangles": _triangles_sql(f"""idm AS MATERIALIZED (
             {_IDMAPPED_SQL}),
@@ -5800,6 +5868,36 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
               AND ms.max_ship > epoch_us(o.o_orderdate)
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        # customer order-count distribution incl. the zero class
+        "tpch_q13": """
+            WITH oc AS (SELECT o_custkey, count(*)::BIGINT AS n
+                        FROM orders GROUP BY o_custkey),
+            h AS (SELECT n AS c_count, count(*)::BIGINT AS custdist
+                  FROM oc GROUP BY n
+                  UNION ALL
+                  SELECT 0, (SELECT count(*) FROM customer)
+                            - (SELECT count(*) FROM oc)
+                  WHERE (SELECT count(*) FROM customer)
+                        > (SELECT count(*) FROM oc))
+            SELECT c_count::BIGINT AS c_count, custdist FROM h
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # large-volume customers: total order quantity > 250, top 20
+        "tpch_q18": """
+            WITH per AS (SELECT l_orderkey,
+                                CAST(round(sum(l_quantity), 0) AS BIGINT)
+                                    AS qty
+                         FROM lineitem GROUP BY l_orderkey
+                         HAVING sum(l_quantity) > 250)
+            SELECT c.c_name, CAST(o.o_custkey AS BIGINT) AS c_custkey,
+                   CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   ROUND(o.o_totalprice, 2) AS o_totalprice,
+                   per.qty AS total_qty
+            FROM per
+            JOIN orders o ON o.o_orderkey = per.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY per.qty DESC, per.l_orderkey LIMIT 20
         """,
         # priority x 60-day lateness lineitem counts (Q12 analogue)
         "tpch_q12": """

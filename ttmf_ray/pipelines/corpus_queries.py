@@ -1565,3 +1565,65 @@ def kg_degree_assortativity(sf_dir: str) -> pd.DataFrame:
     r = round(num / den, 6) if den > 0 else 0.0
     return pd.DataFrame({"n_edges": [np.int64(n)],
                          "assortativity": [r]})
+
+
+def kg_twins(sf_dir: str) -> pd.DataFrame:
+    """Structural-equivalence twins: entities sharing the EXACT
+    (sorted distinct out-neighbor set, sorted distinct in-neighbor set)
+    — the alias-merge audit one level deeper than entity_signatures'
+    relation-signature grouping (same relations ≠ same neighbors).
+
+    Per-batch distinct (entity, neighbor, side) key combiner (state
+    bounded by distinct pairs, never the edge stream) → one groupby →
+    per-entity sorted ','-join → twin classes = groupby over the
+    (out_sig, in_sig) strings.  Output: one row per entity that has at
+    least one twin, with its class id (min entity id in the class) and
+    class size.  SQL twin string_agg's the same sorted sets."""
+    from ray.data.aggregate import Count
+
+    from ..context import spread
+
+    _, _, ids = _relational_kg(sf_dir)
+    h = ids["h"].to_numpy(np.int64)
+    t = ids["t"].to_numpy(np.int64)
+    ds = spread(rd.from_pandas(pd.DataFrame({"h": h, "t": t})))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        hh = b.column("h").to_numpy().astype(np.int64)
+        tt = b.column("t").to_numpy().astype(np.int64)
+        n = max(int(hh.max()), int(tt.max())) + 1 if len(hh) else 1
+        k_out = np.unique(hh * n + tt)
+        k_in = np.unique(tt * n + hh)
+        return pa.table({
+            "ent": pa.array(np.concatenate([k_out // n, k_in // n])),
+            "nbr": pa.array(np.concatenate([k_out % n, k_in % n])),
+            "side": pa.array(np.concatenate(
+                [np.ones(len(k_out), np.int8),
+                 np.zeros(len(k_in), np.int8)]))})
+
+    dd = (ds.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["ent", "nbr", "side"])
+          .aggregate(Count(alias_name="cnt")).to_pandas())
+    # vocab-scale driver fold (rule 13): sorted ','-joined sigs
+    dd = dd.sort_values(["ent", "side", "nbr"])
+    ent = dd["ent"].to_numpy(np.int64)
+    nbr = dd["nbr"].to_numpy(np.int64)
+    side = dd["side"].to_numpy(np.int8)
+    sigs: dict[int, list[str]] = {}
+    import itertools
+
+    for (e, sd), grp in itertools.groupby(
+            zip(ent.tolist(), side.tolist(), nbr.tolist()),
+            key=lambda x: (x[0], x[1])):
+        sigs.setdefault(e, ["", ""])[sd] = \
+            ",".join(str(x[2]) for x in grp)
+    df = pd.DataFrame({
+        "ent": list(sigs.keys()),
+        "in_sig": [v[0] for v in sigs.values()],
+        "out_sig": [v[1] for v in sigs.values()]})
+    g = df.groupby(["out_sig", "in_sig"])["ent"]
+    df["twin_class"] = g.transform("min").astype(np.int64)
+    df["class_size"] = g.transform("size").astype(np.int64)
+    out = df[df["class_size"] >= 2][["ent", "twin_class", "class_size"]]
+    return out.astype({"ent": np.int64}) \
+        .sort_values("ent", ignore_index=True)

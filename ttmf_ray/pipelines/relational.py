@@ -3829,3 +3829,188 @@ def docs_compression_ratio(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: np.int64 for c in
                        ("doc_id", "n_bytes", "n_compressed", "low_info")}) \
         .sort_values("doc_id", ignore_index=True)
+
+
+def embeddings_mips(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Brute-force MAX-INNER-PRODUCT top-k vs the embedding of
+    vec_id=1 — the retrieval scoring cosine misses (un-normalized
+    relevance, the recommender-model protocol).  Per-batch partial
+    top-k on the float64 dot against the broadcast query (lossless —
+    scores are global), driver merge; ranked on the ROUNDED score with
+    vec_id tie-break (the docs_tfidf rule)."""
+    import pyarrow.parquet as pq
+
+    from ..context import Broadcast
+    from ..stages.ann import list_col_matrix
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    row = int(np.nonzero(t.column("vec_id").to_numpy() == 1)[0][0])
+    q = np.asarray(t.column("embedding").to_pylist()[row], np.float64)
+    bc = Broadcast(q)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def part(b: pa.Table) -> pa.Table:
+        M = list_col_matrix(b.column("embedding"))
+        ip = M @ bc.get()
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        ipr = np.round(ip, 5)
+        order = np.lexsort((ids, -ipr))[:k]
+        return pa.table({"vec_id": pa.array(ids[order]),
+                         "ip": pa.array(ipr[order])})
+
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    p = p.sort_values(["ip", "vec_id"],
+                      ascending=[False, True]).head(k)
+    return p.astype({"vec_id": np.int64}) \
+        .sort_values("vec_id", ignore_index=True)
+
+
+def events_ewma(sf_dir: str, window: int = 16) -> pd.DataFrame:
+    """Per-type hourly EWMA with half-life one hour over a bounded
+    16-hour window: ewma(t) = sum_{d=0..15} c(t-d) * 2^-(d+1) — the
+    streaming anomaly baseline next to events_hourly_anomaly's global
+    z-scores.  With alpha = 1/2 every term is an exact dyadic, so the
+    windowed sum is EXACT in float64 regardless of addition order —
+    bitwise across engines by construction.  Shape: per-batch
+    (type, hour) count combiner -> one groupby; each hourly count
+    re-keys to the <=16 anchor hours it contributes to (the
+    rolling_active trick — no per-window rescan)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        hour = ts // 3_600_000_000
+        et = b.column("event_type").to_numpy(zero_copy_only=False) \
+            .astype(str)
+        df = pd.DataFrame({"event_type": et, "hour": hour})
+        g = df.groupby(["event_type", "hour"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hourly = (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    # re-key: hour h contributes c*2^-(d+1) to anchors h..h+15 — the
+    # anchor set is restricted to OBSERVED (type, hour) rows afterwards
+    def rekey(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False) \
+            .astype(object)
+        h = t.column("hour").to_numpy().astype(np.int64)
+        c = t.column("c").to_numpy().astype(np.int64)
+        d = np.arange(window, dtype=np.int64)
+        anchor = (h[:, None] + d[None, :]).ravel()
+        w = (c[:, None] * (0.5 ** (d[None, :] + 1).astype(np.float64)))
+        return pa.table({
+            "event_type": pa.array(np.repeat(et, window)),
+            "hour": pa.array(anchor),
+            "w": pa.array(w.ravel())})
+
+    contrib = (hourly.map_batches(rekey, batch_format="pyarrow")
+               .groupby(["event_type", "hour"])
+               .aggregate(Sum("w", alias_name="ewma")).to_pandas())
+    obs = hourly.to_pandas().rename(columns={"c": "n"})
+    out = obs.merge(contrib[["event_type", "hour", "ewma"]],
+                    on=["event_type", "hour"], how="left")
+    out["ewma"] = out["ewma"].fillna(0.0)
+    return out.astype({"hour": np.int64, "n": np.int64}) \
+        .sort_values(["event_type", "hour"], ignore_index=True)
+
+
+def tpch_q13(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 analogue (customer order-count distribution): how many
+    customers placed exactly k orders, including k = 0.  Per-batch
+    custkey count combiner -> one custkey groupby -> count-of-counts
+    histogram (the events_user_gini shape — the customer table never
+    lands on the driver; zero-order customers come from a COUNT of the
+    customer table minus the distinct order-placing customers)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def part(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table({"c_custkey": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    per = (orders.map_batches(part, batch_format="pyarrow")
+           .groupby("c_custkey").aggregate(Sum("n", alias_name="n")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"c_count": pa.array(u),
+                         "custdist": pa.array(c.astype(np.int64))})
+
+    out = (per.map_batches(hist, batch_format="pyarrow")
+           .groupby("c_count")
+           .aggregate(Sum("custdist", alias_name="custdist")).to_pandas())
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_with = int(out["custdist"].sum())
+    if n_cust > n_with:
+        out = pd.concat([out, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_cust - n_with]})],
+            ignore_index=True)
+    return out.astype({"c_count": np.int64, "custdist": np.int64}) \
+        .sort_values(["custdist", "c_count"],
+                     ascending=[False, False], ignore_index=True)
+
+
+def tpch_q18(sf_dir: str, qty_threshold: int = 250) -> pd.DataFrame:
+    """TPC-H Q18 analogue (large-volume customers): orders whose total
+    lineitem quantity exceeds the threshold, decorated with customer
+    name and ranked by (total quantity DESC, orderkey ASC), top 20.
+    Per-order quantity pre-sums inside the batch -> one orderkey
+    groupby -> threshold filter -> bucketed hash_join onto orders ->
+    broadcast customer-name gather.  Quantities are integers in the
+    generator, so ranking is exact."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        q = t.column("l_quantity").to_numpy()
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(u),
+            "qty": pa.array(np.bincount(inv, weights=q,
+                                        minlength=len(u)))})
+
+    per = (li.map_batches(lpart, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("qty", alias_name="qty"))
+           .map_batches(lambda t: t.filter(
+               pa.compute.greater(t.column("qty"),
+                                  pa.scalar(float(qty_threshold)))),
+               batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            "o_totalprice": t.column("o_totalprice"),
+            "o_date_us": t.column("o_orderdate").cast(pa.int64())}),
+            batch_format="pyarrow")
+    j = hash_join(per, orders, on="l_orderkey").to_pandas()
+    j["qty"] = np.round(j["qty"].to_numpy(), 0).astype(np.int64)
+    j = j.sort_values(["qty", "l_orderkey"],
+                      ascending=[False, True]).head(20)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas() \
+        .sort_values("c_custkey")
+    pos = np.searchsorted(cust["c_custkey"].to_numpy(np.int64),
+                          j["o_custkey"].to_numpy(np.int64))
+    out = pd.DataFrame({
+        "c_name": cust["c_name"].to_numpy(dtype=object)[pos],
+        "c_custkey": j["o_custkey"].to_numpy(np.int64),
+        "o_orderkey": j["l_orderkey"].to_numpy(np.int64),
+        "o_totalprice": np.round(j["o_totalprice"].to_numpy(), 2),
+        "total_qty": j["qty"].to_numpy(np.int64)})
+    return out.reset_index(drop=True)
