@@ -18,16 +18,21 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _bucket_group(tagged, n_buckets: int):
-    """groupby("__bucket") with the input COALESCED first.
+def _bucket_group(tagged, n_buckets: int, coalesce: bool):
+    """groupby("__bucket"), optionally COALESCING the input first.
 
     Ray's sort-based map_groups launches roughly one task per sorted
     input block; a fragmented upstream (e.g. 1,478 tiny pivot blocks at
     the 2M-page scale) turned the reducer into 1,777 sub-second tasks
     whose fixed cost serialized the whole join (measured 313 s for ~4 s
     of actual join work; the same join over coalesced inputs runs in
-    ~10 s).  Repartitioning to ~bucket-count blocks makes each reducer
-    task one fat bucket."""
+    ~10 s).  ``coalesce=True`` repartitions to ~bucket-count blocks so
+    each reducer task is one fat bucket — pass it whenever a join input
+    comes out of a small-batch actor/task pool.  Default off: the extra
+    exchange costs ~1-2 s on compact interactive joins (measured 2.3x
+    on the sf0.1 minhash verify)."""
+    if not coalesce:
+        return tagged.groupby("__bucket")
     from ..context import num_cpus
 
     return tagged.repartition(
@@ -35,7 +40,8 @@ def _bucket_group(tagged, n_buckets: int):
 
 
 def hash_join(left, right, *, on: str, n_buckets: int = 64,
-              how: str = "inner", suffixes: tuple[str, str] = ("_l", "_r")):
+              how: str = "inner", suffixes: tuple[str, str] = ("_l", "_r"),
+              coalesce: bool = False):
     """Dataset ⋈ Dataset on an integer key column; returns joined Dataset.
 
     Both inputs stream; only same-bucket rows meet in one reducer.
@@ -144,14 +150,15 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     def stabilize(t: pa.Table) -> pa.Table:
         return t if t.num_rows else empty
 
-    return _bucket_group(unioned, n_buckets).map_groups(
+    return _bucket_group(unioned, n_buckets, coalesce).map_groups(
         join_bucket, batch_format="pandas"
     ).map_batches(stabilize, batch_format="pyarrow", batch_size=None)
 
 
 def left_join_fill(left, right, *, on: str, fill: dict,
                    hit_col: str | None = None, n_buckets: int = 64,
-                   combine_right_sum: bool = False):
+                   combine_right_sum: bool = False,
+                   coalesce: bool = False):
     """LEFT join Dataset ⋈ Dataset on an integer key with explicit miss
     defaults — the feature-ATTACH join of the streaming trust pipeline.
 
@@ -270,6 +277,6 @@ def left_join_fill(left, right, *, on: str, fill: dict,
     def stabilize(t: pa.Table) -> pa.Table:
         return t if t.num_rows else empty
 
-    return _bucket_group(lt.union(rt), n_buckets).map_groups(
+    return _bucket_group(lt.union(rt), n_buckets, coalesce).map_groups(
         join_bucket, batch_format="pandas").map_batches(
         stabilize, batch_format="pyarrow", batch_size=None)

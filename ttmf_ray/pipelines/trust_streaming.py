@@ -360,7 +360,8 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
             pairs=Broadcast.from_ref(pairs_ref), batch_size=96,
         ).map_batches(_gf_right, batch_format="pyarrow")
         return left_join_fill(conf0, gf_right, on="__ht", fill=GF_FILL,
-                              hit_col="__gf_hit").materialize()
+                              hit_col="__gf_hit",
+                              coalesce=True).materialize()
 
     th_gf = _StageThread(run_gf_join)
     th_gf.start()
@@ -417,7 +418,8 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
                      batch_size=None)
         .materialize())
     final = (left_join_fill(conf3, paths_right, on="__htr",
-                            fill=_path_fill(), combine_right_sum=True)
+                            fill=_path_fill(), combine_right_sum=True,
+                            coalesce=True)
              .map_batches(lambda t: t.drop_columns(["__ht", "__htr"]),
                           batch_format="pyarrow")
              .materialize())
