@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": rel.ann_topk,
         "embeddings_mips": rel.embeddings_mips,
         "events_ewma": rel.events_ewma,
+        "events_cuped": rel.events_cuped,
         "embeddings_kmeans": rel.embeddings_kmeans,
         "embeddings_outliers": rel.embeddings_outliers,
         "docs_compression_ratio": rel.docs_compression_ratio,
@@ -5379,6 +5380,47 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM sc) WHERE rn <= 10
             ORDER BY vec_id
+        """,
+        # CUPED variance-reduced A/B readout on exact integer cents;
+        # theta intermediates go through HUGEINT (n*sxx overflows int64
+        # at sf0.1 scale) then one double chain shared with the Ray side
+        "events_cuped": """
+            WITH mm AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))
+                               // 2 AS mid FROM events),
+            uc AS (SELECT user_id,
+                          sum(CASE WHEN epoch_us(ts) < mm.mid
+                              THEN CAST(floor(value * 100.0 + 0.5)
+                                        AS BIGINT) ELSE 0 END) AS pre,
+                          sum(CASE WHEN epoch_us(ts) >= mm.mid
+                              THEN CAST(floor(value * 100.0 + 0.5)
+                                        AS BIGINT) ELSE 0 END) AS post
+                   FROM events, mm GROUP BY user_id),
+            m AS (SELECT user_id % 2 AS arm, count(*)::BIGINT AS n,
+                         sum(pre)::BIGINT AS sx, sum(post)::BIGINT AS sy,
+                         sum(pre * pre)::BIGINT AS sxx,
+                         sum(pre * post)::BIGINT AS sxy
+                  FROM uc GROUP BY 1),
+            tot AS (SELECT sum(n)::HUGEINT AS n, sum(sx)::HUGEINT AS sx,
+                           sum(sy)::HUGEINT AS sy,
+                           sum(sxx)::HUGEINT AS sxx,
+                           sum(sxy)::HUGEINT AS sxy FROM m),
+            th AS (SELECT CASE WHEN (n * sxx - sx * sx) > 0
+                          THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                          ELSE 0.0 END AS theta,
+                          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                              AS mpre_g
+                   FROM tot)
+            SELECT m.arm::BIGINT AS arm, m.n AS n_users,
+                   m.sx AS sum_pre_cents, m.sy AS sum_post_cents,
+                   ROUND(m.sy / CAST(m.n AS DOUBLE) / 100.0, 6)
+                       AS mean_post,
+                   ROUND((m.sy / CAST(m.n AS DOUBLE)
+                          - th.theta * (m.sx / CAST(m.n AS DOUBLE)
+                                        - th.mpre_g)) / 100.0, 6)
+                       AS mean_adj,
+                   ROUND(th.theta, 6) AS theta
+            FROM m, th ORDER BY arm
         """,
         # half-life-1h EWMA over a 16-hour window: every term is an
         # exact dyadic c*2^-(d+1), so the sum is EXACT in float64 in

@@ -118,3 +118,33 @@ def test_left_join_fill_combines_split_partials():
     assert out.loc[0, "p0"] == 0.7 and out.loc[0, "p1"] == -0.3
     assert out.loc[0, "p1_has"] == 1.0
     assert out.loc[1, "p0"] == 0.1 and out.loc[1, "p1_has"] == 0.0
+
+
+def test_left_join_fill_coalesce_fragmented_parity(ray_session):
+    """coalesce=True must be a pure performance knob: identical output
+    to coalesce=False over heavily fragmented inputs (many tiny blocks
+    — the 2M-page streaming regime in miniature)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.functions.joins import left_join_fill
+
+    rng = np.random.default_rng(3)
+    L = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
+                      "a": rng.standard_normal(5000)})
+    R = pd.DataFrame({"k": rng.choice(5000, 2500, replace=False)
+                      .astype(np.int64)})
+    R["b"] = rng.standard_normal(2500)
+    lds = rd.from_pandas(L).repartition(60).materialize()
+    rds = rd.from_pandas(R).repartition(90).materialize()
+
+    outs = []
+    for co in (False, True):
+        out = left_join_fill(lds, rds, on="k", fill={"b": 0.0},
+                             hit_col="hit", combine_right_sum=True,
+                             coalesce=co).to_pandas() \
+            .sort_values("k", ignore_index=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 5000 and outs[0]["hit"].sum() == 2500

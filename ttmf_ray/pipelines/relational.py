@@ -4014,3 +4014,97 @@ def tpch_q18(sf_dir: str, qty_threshold: int = 250) -> pd.DataFrame:
         "o_totalprice": np.round(j["o_totalprice"].to_numpy(), 2),
         "total_qty": j["qty"].to_numpy(np.int64)})
     return out.reset_index(drop=True)
+
+
+def events_cuped(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    the experiment window is the second half of the time range; each
+    user's PRE-period spend is the control covariate.  theta =
+    cov(pre, post)/var(pre) pooled over users; adjusted arm mean =
+    mean_post_arm - theta * (mean_pre_arm - mean_pre_global) — an
+    identity on integer sums, so no per-user float pass exists.
+
+    Exactness: values are 2-dp currency -> integer cents (the
+    events_value_stats rule); every moment is an int64 sum; theta and
+    the adjusted means are ONE fixed-order float64 chain written
+    identically in both engines, rounded 6 dp."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    mm = (ds.map_batches(lambda t: pa.table({
+        "mn": pa.array([int(t.column("ts").cast(pa.int64())
+                            .to_numpy().min())]),
+        "mx": pa.array([int(t.column("ts").cast(pa.int64())
+                            .to_numpy().max())])}),
+        batch_format="pyarrow")
+        .aggregate(Min("mn"), Max("mx")))
+    mid = (mm["min(mn)"] + mm["max(mx)"]) // 2
+
+    def upart(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        c = np.floor(t.column("value").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        pre = np.where(ts < mid, c, 0)
+        post = np.where(ts >= mid, c, 0)
+        u, inv = np.unique(uid, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(u),
+            "pre": pa.array(np.bincount(inv, weights=pre,
+                                        minlength=len(u))
+                            .astype(np.int64)),
+            "post": pa.array(np.bincount(inv, weights=post,
+                                         minlength=len(u))
+                             .astype(np.int64))})
+
+    users = (ds.map_batches(upart, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Sum("pre", alias_name="pre"),
+                        Sum("post", alias_name="post")))
+
+    def moments(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        x = t.column("pre").to_numpy().astype(np.int64)
+        y = t.column("post").to_numpy().astype(np.int64)
+        arm = (uid % 2).astype(np.int64)
+        rows = []
+        for a in (0, 1):
+            m = arm == a
+            rows.append((a, int(m.sum()), int(x[m].sum()),
+                         int(y[m].sum()), int((x[m] * x[m]).sum()),
+                         int((x[m] * y[m]).sum())))
+        return pa.table({
+            "arm": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "sx": pa.array([r[2] for r in rows], pa.int64()),
+            "sy": pa.array([r[3] for r in rows], pa.int64()),
+            "sxx": pa.array([r[4] for r in rows], pa.int64()),
+            "sxy": pa.array([r[5] for r in rows], pa.int64())})
+
+    g = (users.map_batches(moments, batch_format="pyarrow")
+         .groupby("arm")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("sx", alias_name="sx"),
+                    Sum("sy", alias_name="sy"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("sxy", alias_name="sxy"))
+         .to_pandas().sort_values("arm", ignore_index=True))
+    n = int(g["n"].sum())
+    sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+    sxx, sxy = int(g["sxx"].sum()), int(g["sxy"].sum())
+    denom = float(n * sxx - sx * sx)
+    theta = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+    mean_pre_g = sx / n
+    na = g["n"].to_numpy(np.int64).astype(np.float64)
+    mean_post = g["sy"].to_numpy(np.int64) / na / 100.0
+    mean_pre = g["sx"].to_numpy(np.int64) / na
+    mean_adj = (g["sy"].to_numpy(np.int64) / na
+                - theta * (mean_pre - mean_pre_g)) / 100.0
+    return pd.DataFrame({
+        "arm": g["arm"].astype(np.int64),
+        "n_users": g["n"].astype(np.int64),
+        "sum_pre_cents": g["sx"].astype(np.int64),
+        "sum_post_cents": g["sy"].astype(np.int64),
+        "mean_post": np.round(mean_post, 6),
+        "mean_adj": np.round(mean_adj, 6),
+        "theta": np.round([theta, theta], 6)})
