@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": rel.tpch_q4,
         "tpch_q12": rel.tpch_q12,
         "tpch_q13": rel.tpch_q13,
+        "tpch_q19": rel.tpch_q19,
         "tpch_q18": rel.tpch_q18,
         "tpch_q9": rel.tpch_q9,
         "events_retention": rel.events_retention,
@@ -5910,6 +5911,38 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
               AND ms.max_ship > epoch_us(o.o_orderdate)
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        # 3-combo brand/size/quantity discounted revenue (Q19 analogue)
+        "tpch_q19": """
+            WITH j AS (SELECT l.l_quantity AS qty,
+                              l.l_extendedprice * (1 - l.l_discount)
+                                  AS rev,
+                              p.p_brand AS b, p.p_size AS s
+                       FROM lineitem l
+                       JOIN part p ON p.p_partkey = l.l_partkey),
+            f AS (SELECT qty, rev,
+                         (b = 'Brand#13' AND s <= 15
+                          AND qty BETWEEN 1 AND 20) AS c1,
+                         (b = 'Brand#22' AND s <= 30
+                          AND qty BETWEEN 5 AND 35) AS c2,
+                         (s >= 40 AND qty >= 20) AS c3
+                  FROM j)
+            SELECT combo::BIGINT AS combo, n, ROUND(revenue, 2)
+                       AS revenue FROM (
+                SELECT 0 AS combo, count(*) FILTER (c1)::BIGINT AS n,
+                       COALESCE(sum(rev) FILTER (c1), 0.0) AS revenue
+                FROM f
+                UNION ALL
+                SELECT 1, count(*) FILTER (c2),
+                       COALESCE(sum(rev) FILTER (c2), 0.0) FROM f
+                UNION ALL
+                SELECT 2, count(*) FILTER (c3),
+                       COALESCE(sum(rev) FILTER (c3), 0.0) FROM f
+                UNION ALL
+                SELECT 3, count(*) FILTER (c1 OR c2 OR c3),
+                       COALESCE(sum(rev) FILTER (c1 OR c2 OR c3), 0.0)
+                FROM f)
+            ORDER BY combo
         """,
         # customer order-count distribution incl. the zero class
         "tpch_q13": """

@@ -4108,3 +4108,59 @@ def events_cuped(sf_dir: str) -> pd.DataFrame:
         "mean_post": np.round(mean_post, 6),
         "mean_adj": np.round(mean_adj, 6),
         "theta": np.round([theta, theta], 6)})
+
+
+def tpch_q19(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 analogue (discounted revenue for three brand/size/
+    quantity predicate combos, OR-ed): revenue and matching lineitem
+    count per combo plus the OR total.  The part (brand, size) map is
+    a dense broadcast pair of arrays gathered inside the batch kernel
+    (tpch_q14 convention) — the combos are evaluated VECTORIZED in one
+    pass, no join, one tiny groupby over 4 partial rows."""
+    from ray.data.aggregate import Sum
+
+    from ..context import Broadcast
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    n_pk = int(pk.max()) + 1
+    brand = np.zeros(n_pk, dtype=np.int64)
+    codes, names = pd.factorize(part["p_brand"], sort=True)
+    brand[pk] = codes
+    b_small = int(np.where(names == "Brand#13")[0][0])
+    b_mid = int(np.where(names == "Brand#22")[0][0])
+    size = np.zeros(n_pk, dtype=np.int64)
+    size[pk] = part["p_size"].to_numpy(np.int64)
+    bc = Broadcast((brand, size, b_small, b_mid))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand_, size_, bs, bm = bc.get()
+        lp = t.column("l_partkey").to_numpy().astype(np.int64)
+        qty = t.column("l_quantity").to_numpy()
+        rev = (t.column("l_extendedprice").to_numpy()
+               * (1.0 - t.column("l_discount").to_numpy()))
+        b = brand_[lp]
+        s = size_[lp]
+        c1 = (b == bs) & (s <= 15) & (qty >= 1) & (qty <= 20)
+        c2 = (b == bm) & (s <= 30) & (qty >= 5) & (qty <= 35)
+        c3 = (s >= 40) & (qty >= 20)
+        combos = [c1, c2, c3, c1 | c2 | c3]
+        return pa.table({
+            "combo": pa.array(np.arange(4, dtype=np.int64)),
+            "n": pa.array([int(c.sum()) for c in combos],
+                          pa.int64()),
+            "revenue": pa.array([float(rev[c].sum()) for c in combos],
+                                pa.float64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("combo")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("revenue", alias_name="revenue")).to_pandas())
+    out["revenue"] = np.round(out["revenue"].to_numpy(), 2)
+    return out.astype({"combo": np.int64, "n": np.int64}) \
+        .sort_values("combo", ignore_index=True)
