@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cooccur_triangles": cq.part_cooccur_triangles,
         "kg_triangles": cq.kg_triangles,
         "kg_twins": cq.kg_twins,
+        "kg_bfs_layers": cq.kg_bfs_layers,
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_bpe_encode": rel.docs_bpe_encode,
         "docs_token_budget_mixture": rel.docs_token_budget_mixture,
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": rel.tpch_q12,
         "tpch_q13": rel.tpch_q13,
         "tpch_q19": rel.tpch_q19,
+        "docs_burstiness": rel.docs_burstiness,
         "tpch_q18": rel.tpch_q18,
         "tpch_q9": rel.tpch_q9,
         "events_retention": rel.events_retention,
@@ -1759,6 +1761,46 @@ def _bpe_sql(k: int = 8, tail: str | None = None) -> str:
     ORDER BY step
     """)
     return "".join(parts)
+
+
+def _bfs_layers_sql(depth: int = 4) -> str:
+    """Mirror of kg_bfs_layers: unrolled level CTEs with NOT-EXISTS
+    cumulative visited sets; a seeds x depths grid left-joins the
+    per-level counts so zero-expansion levels emit 0 rows like the Ray
+    side."""
+    seeds = "(0), (10), (20), (30), (40)"
+    ctes = [f"""sd AS (SELECT node AS seed FROM (VALUES {seeds})
+                       AS v(node)
+                WHERE node <= (SELECT max(greatest(h, t)) FROM ed))"""]
+    prev_sets = []
+    for d in range(1, depth + 1):
+        src = "sd" if d == 1 else f"l{d - 1}"
+        src_node = "seed" if d == 1 else "node"
+        not_in = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM l{i} x "
+            f"WHERE x.seed = p.seed AND x.node = e.t)"
+            for i in prev_sets)
+        cond = f"e.t <> p.seed" + (f" AND {not_in}" if not_in else "")
+        ctes.append(f"""l{d} AS MATERIALIZED (
+            SELECT DISTINCT p.seed, e.t AS node
+            FROM ed e JOIN {src} p ON e.h = p.{src_node}
+            WHERE {cond})""")
+        prev_sets.append(d)
+    counts = " UNION ALL ".join(
+        f"SELECT seed, {d} AS depth, count(*)::BIGINT AS n_new "
+        f"FROM l{d} GROUP BY seed" for d in range(1, depth + 1))
+    grid = (f"SELECT s.seed, g.depth FROM sd s, "
+            f"(SELECT unnest(range(1, {depth + 1})) AS depth) g")
+    return f"""
+    WITH idm AS MATERIALIZED ({_IDMAPPED_SQL}),
+    ed AS MATERIALIZED (SELECT DISTINCT h, t FROM idm),
+    {','.join(ctes)},
+    cnt AS ({counts})
+    SELECT gr.seed::BIGINT AS seed, gr.depth::BIGINT AS depth,
+           COALESCE(c.n_new, 0)::BIGINT AS n_new
+    FROM ({grid}) gr LEFT JOIN cnt c USING (seed, depth)
+    ORDER BY seed, depth
+"""
 
 
 def _triangles_sql(edge_ctes: str) -> str:
@@ -5493,6 +5535,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        # 5-seed directed BFS layer census (unrolled levels)
+        "kg_bfs_layers": _bfs_layers_sql(),
         # structural-equivalence twins: exact (out-set, in-set) match
         "kg_twins": f"""
             WITH idm AS MATERIALIZED ({_IDMAPPED_SQL}),
@@ -5911,6 +5955,28 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
               AND ms.max_ship > epoch_us(o.o_orderdate)
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        # word burstiness: var/mean dispersion over all docs, top-50
+        "docs_burstiness": """
+            WITH dw AS (SELECT doc_id,
+                               unnest(regexp_extract_all(lower(text),
+                                      '[0-9a-z_]+')) AS word
+                        FROM documents),
+            wc AS (SELECT doc_id, word, count(*)::BIGINT AS c
+                   FROM dw GROUP BY 1, 2),
+            ag AS (SELECT word, sum(c)::BIGINT AS sx,
+                          sum(c * c)::BIGINT AS sxx,
+                          count(*)::BIGINT AS df
+                   FROM wc GROUP BY word),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            sc AS (SELECT word, df, sx AS total,
+                          floor(((sxx / nd.n - (sx / nd.n)
+                                  * (sx / nd.n)) / (sx / nd.n))
+                                * 1000000 + 0.5) / 1000000
+                              AS burstiness
+                   FROM ag, nd WHERE df >= 20)
+            SELECT word, df, total, burstiness FROM sc
+            ORDER BY burstiness DESC, word LIMIT 50
         """,
         # 3-combo brand/size/quantity discounted revenue (Q19 analogue)
         "tpch_q19": """

@@ -1627,3 +1627,65 @@ def kg_twins(sf_dir: str) -> pd.DataFrame:
     out = df[df["class_size"] >= 2][["ent", "twin_class", "class_size"]]
     return out.astype({"ent": np.int64}) \
         .sort_values("ent", ignore_index=True)
+
+
+def kg_bfs_layers(sf_dir: str, depth: int = 4) -> pd.DataFrame:
+    """Directed BFS layer census from 5 fixed seed entities (ids 0, 10,
+    20, 30, 40): how many NEW entities are first reached at each depth
+    ≤ 4 — the per-seed expansion profile behind frontier-cap sizing
+    (the multi-seed sibling of reach2's global 2-hop view).
+
+    Level-synchronous distributed BFS: per level ONE pass over the edge
+    Dataset with the (frontier, visited) bitmask broadcast; batches
+    emit (seed, newly-reached node) candidate pairs only — the edge
+    stream never lands.  Visited state is |V|×5 bits; at web scale the
+    bitmask becomes a hash-partitioned frontier join (documented), the
+    level structure is identical.  SQL twin unrolls the levels with
+    NOT-EXISTS cumulative sets."""
+    from ray.data.aggregate import Count
+
+    from ..context import Broadcast, spread
+
+    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    n_ent = len(ent_df)
+    seeds = [s for s in (0, 10, 20, 30, 40) if s < n_ent]
+    ds = spread(rd.from_pandas(ids[["h", "t"]].drop_duplicates()))
+
+    vis = np.zeros((n_ent, len(seeds)), dtype=bool)
+    frontier = np.zeros((n_ent, len(seeds)), dtype=bool)
+    for i, s in enumerate(seeds):
+        vis[s, i] = True
+        frontier[s, i] = True
+    rows = []
+    for d in range(1, depth + 1):
+        bc = Broadcast(frontier)
+
+        def expand(t: pa.Table) -> pa.Table:
+            fr = bc.get()
+            h = t.column("h").to_numpy().astype(np.int64)
+            tt = t.column("t").to_numpy().astype(np.int64)
+            outs = []
+            for i in range(fr.shape[1]):
+                nodes = np.unique(tt[fr[h, i]])
+                outs.append(pa.table({
+                    "seed": pa.array(np.full(len(nodes), i, np.int64)),
+                    "node": pa.array(nodes)}))
+            return pa.concat_tables(outs)
+
+        cand = (ds.map_batches(expand, batch_format="pyarrow")
+                .groupby(["seed", "node"])
+                .aggregate(Count(alias_name="c")).to_pandas())
+        if "seed" not in cand.columns:      # dead frontier everywhere
+            cand = pd.DataFrame({"seed": np.empty(0, np.int64),
+                                 "node": np.empty(0, np.int64)})
+        frontier = np.zeros_like(frontier)
+        for i in range(len(seeds)):
+            nodes = cand.loc[cand["seed"] == i, "node"] \
+                .to_numpy(np.int64)
+            new = nodes[~vis[nodes, i]]
+            vis[new, i] = True
+            frontier[new, i] = True
+            rows.append((seeds[i], d, len(new)))
+    out = pd.DataFrame(rows, columns=["seed", "depth", "n_new"])
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values(["seed", "depth"], ignore_index=True)

@@ -4164,3 +4164,66 @@ def tpch_q19(sf_dir: str) -> pd.DataFrame:
     out["revenue"] = np.round(out["revenue"].to_numpy(), 2)
     return out.astype({"combo": np.int64, "n": np.int64}) \
         .sort_values("combo", ignore_index=True)
+
+
+def docs_burstiness(sf_dir: str, min_df: int = 20,
+                    top: int = 50) -> pd.DataFrame:
+    """Word burstiness (corpus-linguistics dispersion): for words in
+    ≥ 20 docs, burstiness = var/mean of the per-document count over ALL
+    documents — bursty words concentrate (names, topics), function
+    words spread.  Top-50 by (round-6 burstiness DESC, word ASC).
+
+    Per-batch (word, Σc, Σc², df) partials → ONE word-domain groupby;
+    the var/mean chain is fixed-order over exact integer sums in both
+    engines."""
+    from ray.data.aggregate import Sum
+
+    from ..context import half_up
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.text import _split_flat
+
+        # split-on-complement + drop empties == regexp_extract_all of
+        # [0-9a-z_]+ — one Arrow kernel, no per-doc loop
+        flat, doc_idx, _ = _split_flat(
+            pc.utf8_lower(t.column("text").combine_chunks()),
+            "[^0-9a-z_]+")
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        codes, uniq = pd.factorize(flat)
+        nw = len(uniq)
+        key = doc_idx * nw + codes
+        uk, c = np.unique(key, return_counts=True)
+        wcode = (uk % nw).astype(np.int64)
+        return pa.table({
+            "word": pa.array(np.asarray(uniq, dtype=object),
+                             pa.string()),
+            "sx": pa.array(np.bincount(wcode, weights=c, minlength=nw)
+                           .astype(np.int64)),
+            "sxx": pa.array(np.bincount(wcode, weights=c * c,
+                                        minlength=nw).astype(np.int64)),
+            "df": pa.array(np.bincount(wcode, minlength=nw)
+                           .astype(np.int64))})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby("word")
+         .aggregate(Sum("sx", alias_name="sx"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("df", alias_name="df")).to_pandas())
+    g = g[g["df"] >= min_df]
+    n = float(n_docs)
+    sx = g["sx"].to_numpy(np.int64).astype(np.float64)
+    sxx = g["sxx"].to_numpy(np.int64).astype(np.float64)
+    mean = sx / n
+    b = half_up((sxx / n - (sx / n) * (sx / n)) / (sx / n), 6)
+    out = pd.DataFrame({"word": g["word"], "df": g["df"].astype(np.int64),
+                        "total": g["sx"].astype(np.int64),
+                        "burstiness": b})
+    out = out.sort_values(["burstiness", "word"],
+                          ascending=[False, True]).head(top)
+    return out.reset_index(drop=True)
