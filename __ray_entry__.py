@@ -30,11 +30,15 @@ mirrored value-for-value):
   ``kg_negative_samples``/``kg_kgc_negatives`` the corruption draws, and
   ``kg_split_counts`` the split arithmetic.  Rows-only determinism is
   still enforced (pinned worker counts, sorted collections).
-- ``media_features_real`` / ``media_image_dedup`` — inputs are
-  synthesized binary WAV/PPM payloads (no DuckDB-visible table); the
-  decode kernels carry their own roundtrip assertions in test_media.py,
-  and the aHash dedup pins its planted byte-identical copy groups +
-  noise-robustness property there too.
+- ``media_features_real`` / ``media_image_dedup`` /
+  ``media_jpeg_features`` — inputs are synthesized binary WAV/PPM/JPEG
+  payloads (no DuckDB-visible table); the decode kernels carry their
+  own roundtrip assertions in test_media.py / test_jpegnp.py, the
+  aHash dedup pins its planted byte-identical copy groups, and the
+  JPEG feature table is pinned against an independent per-image
+  re-decode (scalar oracle).
+- ``docs_compression_ratio`` — DuckDB has no zlib; the per-doc values
+  are pinned against an independent re-compress in test_misc_ops.py.
 (``kg_graph_features`` and the symmetrized-graph ``kg_graph_features_sym``
 are FULLY mirrored — including the PPR column with its data-dependent
 iteration count, via a recursive CTE running the identical update to the
@@ -209,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": rel.tpch_q13,
         "tpch_q19": rel.tpch_q19,
         "docs_burstiness": rel.docs_burstiness,
+        "events_bot_score": rel.events_bot_score,
         "tpch_q18": rel.tpch_q18,
         "tpch_q9": rel.tpch_q9,
         "events_retention": rel.events_retention,
@@ -243,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": cq.media_frame_sample,
         "media_image_dedup": cq.media_image_dedup,
         "media_jpeg_features": cq.media_jpeg_features,
+        "media_audio_dedup": cq.media_audio_dedup,
         "embeddings_near_dup": cq.embeddings_near_dup,
         "kg_negative_samples": cq.kg_negative_samples,
         "kg_graph_features": cq.kg_graph_features,
@@ -5955,6 +5961,29 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
               AND ms.max_ship > epoch_us(o.o_orderdate)
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        # interarrival-regularity bot signal: top-20 most-regular users
+        "events_bot_score": """
+            WITH ev AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+            gp AS (SELECT user_id,
+                          (ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts)) // 1000000
+                              AS g
+                   FROM ev),
+            m AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+                         sum(g)::BIGINT AS sg,
+                         sum(g * g)::BIGINT AS sgg
+                  FROM gp WHERE g IS NOT NULL GROUP BY user_id),
+            sc AS (SELECT user_id, n_gaps,
+                          floor(((sgg / CAST(n_gaps AS DOUBLE)
+                                  - (sg / CAST(n_gaps AS DOUBLE))
+                                    * (sg / CAST(n_gaps AS DOUBLE)))
+                                 / ((sg / CAST(n_gaps AS DOUBLE))
+                                    * (sg / CAST(n_gaps AS DOUBLE))))
+                                * 1000000 + 0.5) / 1000000 AS cv2
+                   FROM m WHERE n_gaps >= 4)
+            SELECT CAST(user_id AS BIGINT) AS user_id, n_gaps, cv2
+            FROM sc ORDER BY cv2, user_id LIMIT 20
         """,
         # word burstiness: var/mean dispersion over all docs, top-50
         "docs_burstiness": """

@@ -213,3 +213,47 @@ def test_media_jpeg_features_scalar_oracle():
         assert abs(r["feat_std"] - round(float(v.std()), 6)) <= 1e-6
         assert abs(r["feat_min"] - round(float(v.min()), 6)) <= 1e-6
         assert abs(r["feat_max"] - round(float(v.max()), 6)) <= 1e-6
+
+
+def test_media_audio_dedup_planted_copies():
+    """media_audio_dedup: ids 50-59 are byte-identical copies of 0-9 —
+    identical fingerprints, canonical = the lower id; untouched clips
+    stay singletons."""
+    from ttmf_ray.pipelines.corpus_queries import media_audio_dedup
+
+    import collections
+
+    from ttmf_ray.stages.media import (audio_fingerprint, decode_wav,
+                                       synth_wav)
+
+    out = media_audio_dedup("/root/testdata/sf0.001").set_index("media_id")
+    assert len(out) == 60
+    # scalar oracle: recompute every fingerprint independently and
+    # derive the EXPECTED groups from it — the code is gain-invariant
+    # and bin-quantized (31.25 Hz), so near-f0 clips legitimately
+    # collide (the aHash planted-fixture lesson, CLAUDE.md round 3)
+    exp = {i: int(audio_fingerprint(decode_wav(
+        synth_wav(42, int(i % 50 if i >= 50 else i)))[0]))
+        for i in range(60)}
+    groups = collections.defaultdict(list)
+    for i, f in exp.items():
+        groups[f].append(i)
+    for i in range(60):
+        assert out.loc[i, "afp"] == exp[i]
+        grp = groups[exp[i]]
+        assert out.loc[i, "n_same"] == len(grp)
+        assert out.loc[i, "canonical_id"] == min(grp)
+    # the planted byte-copies are in-group by construction
+    for j in range(10):
+        assert out.loc[50 + j, "afp"] == out.loc[j, "afp"]
+
+
+def test_audio_fingerprint_gain_robust_but_content_sensitive():
+    """The quantized spectral-peak code survives a mild gain change but
+    distinguishes different tones."""
+    from ttmf_ray.stages.media import audio_fingerprint, decode_wav, synth_wav
+
+    x, _ = decode_wav(synth_wav(42, 3))
+    assert audio_fingerprint(x) == audio_fingerprint(0.7 * x)
+    y, _ = decode_wav(synth_wav(42, 4))
+    assert audio_fingerprint(x) != audio_fingerprint(y)

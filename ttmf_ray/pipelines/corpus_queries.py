@@ -1689,3 +1689,19 @@ def kg_bfs_layers(sf_dir: str, depth: int = 4) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["seed", "depth", "n_new"])
     return out.astype({c: np.int64 for c in out.columns}) \
         .sort_values(["seed", "depth"], ignore_index=True)
+
+
+def media_audio_dedup(sf_dir: str) -> pd.DataFrame:
+    """Spectral-fingerprint audio dedup over 60 synthetic WAV clips:
+    ids 50-59 are byte-identical copies of 0-9 (same seeds) — the
+    audio sibling of media_image_dedup.  Rows-only (binary payloads);
+    the planted copy groups + gain-robustness property are pinned in
+    tests/test_media.py."""
+    from ..stages.media import audio_fp_dedup, synth_wav
+
+    ids = np.arange(60)
+    payloads = [synth_wav(42, int(i % 50 if i >= 50 else i))
+                for i in ids]
+    t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    return audio_fp_dedup(rd.from_arrow(t))

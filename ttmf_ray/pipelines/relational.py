@@ -4227,3 +4227,74 @@ def docs_burstiness(sf_dir: str, min_df: int = 20,
     out = out.sort_values(["burstiness", "word"],
                           ascending=[False, True]).head(top)
     return out.reset_index(drop=True)
+
+
+def events_bot_score(sf_dir: str, min_events: int = 5,
+                     top: int = 20) -> pd.DataFrame:
+    """Inter-event regularity bot signal: a user whose gaps between
+    consecutive events are suspiciously uniform (squared coefficient of
+    variation cv2 = var/mean² near 0) is automation, not a human.  The
+    traffic-quality guardrail every web-scale ingest runs before
+    counting 'users'.
+
+    Per-user gap moments (n, Σg, Σg²) come from per-batch partials over
+    user-hash partitions (each partition sorts its own users' events —
+    the sessionizer shape); gaps are integer µs so every moment is an
+    exact int64 sum; cv2 is one fixed-order float chain rounded 6 dp.
+    Output: the 20 most-regular users with ≥ 5 events, ranked
+    (cv2 ASC, user_id ASC)."""
+    from ray.data.aggregate import Sum
+
+    from ..context import half_up
+
+    n_parts = 64
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return t.append_column(
+            "__part", pa.array((uid % n_parts).astype(np.int32)))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"user_id": np.empty(0, np.int64),
+                                 "n_gaps": np.empty(0, np.int64),
+                                 "sg": np.empty(0, np.int64),
+                                 "sgg": np.empty(0, np.int64)})
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        same = uid[1:] == uid[:-1]
+        # whole SECONDS: µs gaps squared overflow int64 (and exceed the
+        # 2^53 float-exact range) — second-quantized moments stay exact
+        # in both engines
+        gp = ((ts[1:] - ts[:-1]) // 1_000_000)[same]
+        gu = uid[1:][same]
+        u, inv = np.unique(gu, return_inverse=True)
+        return pd.DataFrame({
+            "user_id": u,
+            "n_gaps": np.bincount(inv, minlength=len(u))
+            .astype(np.int64),
+            "sg": np.bincount(inv, weights=gp, minlength=len(u))
+            .astype(np.int64),
+            "sgg": np.bincount(inv, weights=gp.astype(np.float64) * gp,
+                               minlength=len(u)).astype(np.int64)})
+
+    per = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("__part").map_groups(gaps, batch_format="pandas")
+           .groupby("user_id")
+           .aggregate(Sum("n_gaps", alias_name="n_gaps"),
+                      Sum("sg", alias_name="sg"),
+                      Sum("sgg", alias_name="sgg")).to_pandas())
+    per = per[per["n_gaps"] >= min_events - 1]
+    n = per["n_gaps"].to_numpy(np.int64).astype(np.float64)
+    sg = per["sg"].to_numpy(np.int64).astype(np.float64)
+    sgg = per["sgg"].to_numpy(np.int64).astype(np.float64)
+    mean = sg / n
+    var = sgg / n - mean * mean
+    per["cv2"] = half_up(var / (mean * mean), 6)
+    out = per.sort_values(["cv2", "user_id"]).head(top)
+    return out[["user_id", "n_gaps", "cv2"]] \
+        .astype({"user_id": np.int64, "n_gaps": np.int64}) \
+        .reset_index(drop=True)

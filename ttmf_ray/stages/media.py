@@ -463,3 +463,73 @@ def frame_sample(ds, *, stride: int = 4, target_size: int = 8,
         FrameSampler,
         fn_constructor_kwargs={"stride": stride, "target_size": target_size},
         batch_format="pyarrow", batch_size=16, concurrency=concurrency)
+
+
+def audio_fingerprint(x: np.ndarray, *, win: int = 512,
+                      n_bands: int = 8) -> np.int64:
+    """Spectral-peak audio fingerprint (Shazam-lite, pure numpy): frame
+    the mono signal into non-overlapping ``win``-sample windows, rfft
+    each, split the spectrum into ``n_bands`` log-ish bands, take the
+    argmax bin per band per frame, and fold the (frame, band, peak)
+    sequence through the mix64 chain into one int64.
+
+    Deterministic and content-derived: byte-identical audio → identical
+    fingerprint; the quantized peak positions (not magnitudes) make the
+    per-frame code robust to small gain changes (property pinned in
+    test_media.py)."""
+    from ..sources.pages import mix64
+
+    n = (len(x) // win) * win
+    if n == 0:
+        return np.int64(0)
+    frames = x[:n].reshape(-1, win)
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    nb = spec.shape[1] - 1
+    edges = np.unique(np.geomspace(1, nb, n_bands + 1).astype(np.int64))
+    h = 0
+    for b in range(len(edges) - 1):
+        lo, hi = int(edges[b]), int(edges[b + 1])
+        peaks = lo + np.argmax(spec[:, lo:hi], axis=1)
+        for p in peaks.tolist():
+            h = mix64(h, b, p)
+    return np.int64(np.uint64(h).astype(np.int64))
+
+
+class AudioFP:
+    """Actor-pool stage: WAV payload → (media_id, afp int64)."""
+
+    def __init__(self, *, win: int = 512):
+        self.win = win
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = []
+        for p in batch.column("payload").to_pylist():
+            x, _rate = decode_wav(p)
+            fps.append(audio_fingerprint(x, win=self.win))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "afp": pa.array(np.asarray(fps, np.int64))})
+
+
+def audio_fp_dedup(ds, *, concurrency=None) -> "pd.DataFrame":
+    """Spectral-fingerprint audio dedup: fingerprint every clip in an
+    actor pool, then one hash-domain groupby (min media_id = canonical,
+    group size) — the audio twin of image_ahash_dedup; only (media_id,
+    int64 afp) rows ever shuffle, payloads stay put."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min
+
+    from ..context import auto_pool
+
+    fps = ds.map_batches(
+        AudioFP, batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency or auto_pool())
+    fps = fps.materialize()         # consumed twice below
+    groups = (fps.groupby("afp")
+              .aggregate(Min("media_id", alias_name="canonical_id"),
+                         Count(alias_name="n_same")).to_pandas())
+    per = fps.to_pandas()
+    out = per.merge(groups, on="afp")
+    return out.astype({c: np.int64 for c in out.columns}) \
+        .sort_values("media_id", ignore_index=True)
