@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": rel.tpch_q19,
         "docs_burstiness": rel.docs_burstiness,
         "events_bot_score": rel.events_bot_score,
+        "docs_watermark": rel.docs_watermark,
         "tpch_q18": rel.tpch_q18,
         "tpch_q9": rel.tpch_q9,
         "events_retention": rel.events_retention,
@@ -729,6 +730,53 @@ def _wfp_sql(col: str) -> str:
     return (f"list_reduce(list_transform(split({col}, ''),"
             f" c -> unicode(c)::HUGEINT),"
             f" (x, y) -> (x * 1000003 + y) % 2305843009213693951)")
+
+
+def _watermark_sql() -> str:
+    """Mirror of docs_watermark: greenlist bigram hash mix64(421,
+    fp(prev), fp(w)) % 2 over positioned token pairs, z from integer
+    counts; every 7th doc gets the Python-computed watermark-positive
+    suffix literal (shared constant — both engines see identical
+    text)."""
+    from ttmf_ray.pipelines.relational import WM_SUFFIX
+
+    lat, ref = _mix_chain("wm", ["p.fp_prev", "p.fp"], [421])
+    return f"""
+    WITH aug AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || '{WM_SUFFIX}'
+                    ELSE text END AS t
+        FROM documents),
+    d AS (SELECT doc_id,
+                 regexp_extract_all(lower(t), '[0-9a-z_]+') AS ws
+          FROM aug),
+    flat AS (SELECT doc_id, unnest(ws) AS w,
+                    generate_subscripts(ws, 1) AS p
+             FROM d),
+    gw AS (SELECT DISTINCT w FROM flat),
+    wf AS (SELECT w, {_wfp_sql('w')} AS fp FROM gw),
+    ft AS (SELECT f.doc_id, f.p, wf.fp FROM flat f JOIN wf USING (w)),
+    pr AS (SELECT a.doc_id, a.fp AS fp_prev, b.fp AS fp
+           FROM ft a JOIN ft b ON b.doc_id = a.doc_id
+                              AND b.p = a.p + 1),
+    gr AS (SELECT p.doc_id, CAST({ref} % 2 AS BIGINT) AS green
+           FROM pr p, {lat}),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_pairs,
+                   sum(green)::BIGINT AS n_green
+            FROM gr GROUP BY doc_id)
+    SELECT d0.doc_id, COALESCE(agg.n_pairs, 0) AS n_pairs,
+           COALESCE(agg.n_green, 0) AS n_green,
+           floor((CASE WHEN COALESCE(agg.n_pairs, 0) > 0
+                  THEN (2.0 * agg.n_green - agg.n_pairs)
+                       / sqrt(CAST(agg.n_pairs AS DOUBLE))
+                  ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS z,
+           CAST(CASE WHEN COALESCE(agg.n_pairs, 0) > 0
+                      AND (2.0 * agg.n_green - agg.n_pairs)
+                          / sqrt(CAST(agg.n_pairs AS DOUBLE)) > 4.0
+                THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM (SELECT doc_id FROM aug) d0 LEFT JOIN agg USING (doc_id)
+    ORDER BY d0.doc_id
+"""
 
 
 def _dsir_sql() -> str:
@@ -5962,6 +6010,8 @@ def oracle_sql() -> dict[str, str]:
               AND ms.max_ship > epoch_us(o.o_orderdate)
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
+        # greenlist watermark detection (planted suffix every 7th doc)
+        "docs_watermark": _watermark_sql(),
         # interarrival-regularity bot signal: top-20 most-regular users
         "events_bot_score": """
             WITH ev AS (SELECT user_id, epoch_us(ts) AS ts FROM events),

@@ -224,3 +224,17 @@ def test_corpus_skew_knob():
     import inspect
     src = inspect.getsource(ensure_pages_parquet)
     assert "_k{spec.skew:g}" in src
+
+
+def test_docs_watermark_perfect_separation(ray_session):
+    """docs_watermark: every planted-suffix doc is flagged, no natural
+    doc is (the 96-token green run dominates any base-length dilution;
+    natural z stays ~N(0,1))."""
+    from ttmf_ray.pipelines.relational import docs_watermark
+
+    out = docs_watermark("/root/testdata/sf0.001")
+    wm = out["doc_id"] % 7 == 0
+    assert (out.loc[wm, "flagged"] == 1).all()
+    assert (out.loc[~wm, "flagged"] == 0).all()
+    assert out.loc[wm, "z"].min() > 4.5
+    assert out.loc[~wm, "z"].abs().max() < 4.0

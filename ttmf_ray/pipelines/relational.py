@@ -4298,3 +4298,91 @@ def events_bot_score(sf_dir: str, min_events: int = 5,
     return out[["user_id", "n_gaps", "cv2"]] \
         .astype({"user_id": np.int64, "n_gaps": np.int64}) \
         .reset_index(drop=True)
+
+
+_WM_SEED = 421
+
+
+def _wm_sequence(n: int = 96) -> list[str]:
+    """Deterministic watermark-POSITIVE token run: starting from 'the',
+    each next token is the first of a fixed candidate list whose bigram
+    hash is green — every internal pair of the run scores green, so
+    appending it pushes a doc's z past any reasonable threshold.
+    Computed once in Python and baked as a literal into BOTH engines
+    (the redact_pii augmentation convention)."""
+    from ..stages.dedup import word_fp
+    from ..sources.pages import mix64
+
+    cands = [f"wm{chr(c)}" for c in range(97, 123)]
+    seq = ["the"]
+    for _ in range(n - 1):
+        prev = word_fp(seq[-1])
+        nxt = next(w for w in cands
+                   if w != seq[-1]
+                   and mix64(_WM_SEED, prev, word_fp(w)) % 2 == 1)
+        seq.append(nxt)
+    return seq
+
+
+WM_SUFFIX = " " + " ".join(_wm_sequence())
+
+
+def docs_watermark(sf_dir: str) -> pd.DataFrame:
+    """Kirchenbauer-style greenlist watermark DETECTION (ICML 2023):
+    token i is 'green' iff mix64(421, fp(w_{i-1}), fp(w_i)) is odd
+    (γ = 1/2 greenlist keyed by the previous token); a doc's
+    z = (2·greens − pairs)/sqrt(pairs) spikes when text was generated
+    under the watermark.  Every 7th doc gets the deterministic
+    watermark-positive suffix appended (both engines — the redact_pii
+    augmentation convention) so flagged rows exist.
+
+    Vectorized: one Arrow split kernel, per-unique-word rolling fp,
+    mix64_vec over consecutive pairs, per-doc bincounts; z is one
+    fixed-order integer→double chain.  Output: (doc_id, n_pairs,
+    n_green, z round-6, flagged pre-rounding z > 4)."""
+    import pyarrow.compute as pc
+
+    from ..context import half_up
+    from ..sources.pages import mix64_vec
+    from ..stages.dedup import word_fp
+    from ..stages.text import _split_flat
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        txt = t.column("text").combine_chunks()
+        aug = pa.array([
+            x + WM_SUFFIX if d % 7 == 0 else x
+            for x, d in zip(txt.to_pylist(), did.tolist())],
+            pa.string())
+        flat, doc_idx, _ = _split_flat(pc.utf8_lower(aug),
+                                       "[^0-9a-z_]+")
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        codes, uniq = pd.factorize(flat)
+        ufp = np.fromiter((word_fp(w) for w in uniq),
+                          dtype=np.int64, count=len(uniq))
+        fp = ufp[codes]
+        same = doc_idx[1:] == doc_idx[:-1]
+        green = (mix64_vec(_WM_SEED, fp[:-1], fp[1:])
+                 % np.uint64(2)).astype(np.int64)
+        dd = doc_idx[1:][same]
+        n = np.bincount(dd, minlength=len(did)).astype(np.int64)
+        g = np.bincount(dd, weights=green[same],
+                        minlength=len(did)).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(n > 0,
+                         (2.0 * g - n) / np.sqrt(n.astype(np.float64)),
+                         0.0)
+        return pa.table({
+            "doc_id": pa.array(did),
+            "n_pairs": pa.array(n),
+            "n_green": pa.array(g),
+            "z": pa.array(half_up(z, 6)),
+            "flagged": pa.array((z > 4.0).astype(np.int64))})
+
+    out = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return out.astype({c: np.int64 for c in
+                       ("doc_id", "n_pairs", "n_green", "flagged")}) \
+        .sort_values("doc_id", ignore_index=True)
