@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": cq.kg_triangles,
         "kg_twins": cq.kg_twins,
         "kg_bfs_layers": cq.kg_bfs_layers,
+        "kg_relation_entropy": cq.kg_relation_entropy,
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_bpe_encode": rel.docs_bpe_encode,
         "docs_token_budget_mixture": rel.docs_token_budget_mixture,
@@ -5589,6 +5590,25 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        # per-relation object-distribution entropy (selectivity audit)
+        "kg_relation_entropy": f"""
+            WITH idm AS MATERIALIZED ({_IDMAPPED_SQL}),
+            rt AS (SELECT r, t, count(*)::BIGINT AS c
+                   FROM idm GROUP BY r, t),
+            ag AS (SELECT r, sum(c)::BIGINT AS n,
+                          count(*)::BIGINT AS k,
+                          sum(c * ln(c::DOUBLE)) AS sclc
+                   FROM rt GROUP BY r)
+            SELECT r::BIGINT AS rel, n AS n_edges, k AS n_objects,
+                   floor((ln(n::DOUBLE) - sclc / n::DOUBLE)
+                         * 1000000 + 0.5) / 1000000 AS entropy,
+                   floor((CASE WHEN k > 1
+                          THEN (ln(n::DOUBLE) - sclc / n::DOUBLE)
+                               / ln(k::DOUBLE)
+                          ELSE 0.0 END) * 1000000 + 0.5) / 1000000
+                       AS norm_entropy
+            FROM ag ORDER BY rel
+        """,
         # 5-seed directed BFS layer census (unrolled levels)
         "kg_bfs_layers": _bfs_layers_sql(),
         # structural-equivalence twins: exact (out-set, in-set) match

@@ -1705,3 +1705,49 @@ def media_audio_dedup(sf_dir: str) -> pd.DataFrame:
     t = pa.table({"media_id": pa.array(ids, pa.int64()),
                   "payload": pa.array(payloads, pa.binary())})
     return audio_fp_dedup(rd.from_arrow(t))
+
+
+def kg_relation_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-relation object-distribution entropy + normalized form —
+    the selectivity audit next to kg_relation_cardinality's tph/hpt
+    ratios: H_r = ln(N_r) − (Σ_t c_{r,t}·ln c_{r,t})/N_r, norm =
+    H_r / ln(#distinct objects) (1 = uniform fan-out, 0 = a single
+    dominant object — extraction-template smell).
+
+    Per-batch (r, t) count combiner → ONE (r, t)-domain groupby →
+    per-relation fold over vocab-bounded rows; the entropy chain is
+    fixed-order over exact integer counts, rounded 6 dp in both
+    engines."""
+    from ray.data.aggregate import Sum
+
+    from ..context import half_up
+
+    _, rel_df, ids = _relational_kg(sf_dir)
+    ds = rd.from_pandas(ids[["t", "r"]])
+
+    def part(b: pa.Table) -> pa.Table:
+        tt = b.column("t").to_numpy().astype(np.int64)
+        r = b.column("r").to_numpy().astype(np.int64)
+        n_r = int(r.max()) + 1 if len(r) else 1
+        k, c = np.unique(tt * n_r + r, return_counts=True)
+        return pa.table({"t": pa.array(k // n_r),
+                         "r": pa.array(k % n_r),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rt = (ds.map_batches(part, batch_format="pyarrow")
+          .groupby(["t", "r"]).aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    rows = []
+    for r_, g in rt.groupby("r", sort=True):
+        c = g["c"].to_numpy(np.int64).astype(np.float64)
+        n = float(c.sum())
+        k = len(c)
+        ent = np.log(n) - float((c * np.log(c)).sum()) / n
+        norm = ent / np.log(k) if k > 1 else 0.0
+        rows.append((int(r_), int(n), k,
+                     float(half_up(ent, 6)), float(half_up(norm, 6))))
+    out = pd.DataFrame(rows, columns=["rel", "n_edges", "n_objects",
+                                      "entropy", "norm_entropy"])
+    return out.astype({"rel": np.int64, "n_edges": np.int64,
+                       "n_objects": np.int64}) \
+        .sort_values("rel", ignore_index=True)
