@@ -411,11 +411,17 @@ def run_trust_paths() -> dict:
     """
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("GRAFT_PAGES", "2000000"))
+    # GRAFT_OBJECT_STORE_GB: cap the object store to force Ray's spill
+    # path (the sf1 run fits comfortably otherwise — a 100-TB job will
+    # NOT, so the pipeline must survive spilling)
+    obj_gb = os.environ.get("GRAFT_OBJECT_STORE_GB")
 
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             **({"object_store_memory": int(float(obj_gb) * 1024 ** 3)}
+                if obj_gb else {}))
     import ray.data as rd
 
     from ttmf_ray.context import tune_data_context
