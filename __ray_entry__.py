@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": rel.tpch_q12,
         "tpch_q13": rel.tpch_q13,
         "tpch_q19": rel.tpch_q19,
+        "tpch_q22": rel.tpch_q22,
         "docs_burstiness": rel.docs_burstiness,
         "events_bot_score": rel.events_bot_score,
         "docs_watermark": rel.docs_watermark,
@@ -6108,6 +6109,25 @@ def oracle_sql() -> dict[str, str]:
                        COALESCE(sum(rev) FILTER (c1 OR c2 OR c3), 0.0)
                 FROM f)
             ORDER BY combo
+        """,
+        # above-avg-balance customers with no orders (Q22 analogue)
+        "tpch_q22": """
+            WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+                              CAST(floor(c_acctbal * 100.0 + 0.5)
+                                   AS BIGINT) AS bal
+                       FROM customer),
+            av AS (SELECT CAST(sum(bal) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) AS a
+                   FROM c WHERE bal > 0),
+            noord AS (SELECT c.ck, c.bal FROM c, av
+                      WHERE c.bal > av.a
+                        AND NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_custkey = c.ck))
+            SELECT (ck % 10)::BIGINT AS cntrycode,
+                   count(*)::BIGINT AS numcust,
+                   round(CAST(sum(bal) AS DOUBLE) / 100.0, 2)
+                       AS totacctbal
+            FROM noord GROUP BY 1 ORDER BY 1
         """,
         # customer order-count distribution incl. the zero class
         "tpch_q13": """

@@ -4386,3 +4386,73 @@ def docs_watermark(sf_dir: str) -> pd.DataFrame:
     return out.astype({c: np.int64 for c in
                        ("doc_id", "n_pairs", "n_green", "flagged")}) \
         .sort_values("doc_id", ignore_index=True)
+
+
+def tpch_q22(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 analogue (global sales opportunity): customers with
+    above-average positive account balance and NO orders, grouped by
+    'country code' = custkey % 10.  The no-orders test is a LEFT join
+    with hit flag (functions/joins.py:left_join_fill) against the
+    distinct order-placing custkeys — the anti-join shape, no
+    driver-side set.  avg comes from exact integer cents."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import left_join_fill
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t.column("c_acctbal").to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "bal_c": pa.array(c)})
+
+    cds = cust.map_batches(cents, batch_format="pyarrow").materialize()
+    pos = cds.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([int((t.column("bal_c").to_numpy() > 0)
+                               .sum())]),
+            "s": pa.array([int(t.column("bal_c").to_numpy()
+                               [t.column("bal_c").to_numpy() > 0]
+                               .sum())])}),
+        batch_format="pyarrow") \
+        .aggregate(Sum("n"), Sum("s"))
+    avg_c = pos["sum(s)"] / pos["sum(n)"]
+
+    ordk = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({"c_custkey": pa.array(np.unique(
+            t.column("o_custkey").to_numpy().astype(np.int64)))}),
+        batch_format="pyarrow")
+    from ..stages.dedup import distinct_rows
+
+    ordk = distinct_rows(ordk, ["c_custkey"]).map_batches(
+        lambda t: t.append_column("has_o", pa.array(
+            np.ones(t.num_rows, np.int8))), batch_format="pyarrow")
+    j = left_join_fill(cds, ordk, on="c_custkey", fill={"has_o": 0})
+
+    def fold(t: pa.Table) -> pa.Table:
+        bal = t.column("bal_c").to_numpy().astype(np.int64)
+        has = t.column("has_o").to_numpy().astype(np.int64)
+        ck = t.column("c_custkey").to_numpy().astype(np.int64)
+        keep = (bal > avg_c) & (has == 0)
+        code = ck[keep] % 10
+        return pa.table({
+            "cntrycode": pa.array(np.arange(10, dtype=np.int64)),
+            "numcust": pa.array(np.bincount(code, minlength=10)
+                                .astype(np.int64)),
+            "totacctbal_c": pa.array(np.bincount(
+                code, weights=bal[keep], minlength=10)
+                .astype(np.int64))})
+
+    out = (j.map_batches(fold, batch_format="pyarrow")
+           .groupby("cntrycode")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("totacctbal_c", alias_name="totacctbal_c"))
+           .to_pandas())
+    out = out[out["numcust"] > 0]
+    out["totacctbal"] = np.round(
+        out["totacctbal_c"].to_numpy(np.int64) / 100.0, 2)
+    return out[["cntrycode", "numcust", "totacctbal"]] \
+        .astype({"cntrycode": np.int64, "numcust": np.int64}) \
+        .sort_values("cntrycode", ignore_index=True)
