@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_twins": cq.kg_twins,
         "kg_bfs_layers": cq.kg_bfs_layers,
         "kg_relation_entropy": cq.kg_relation_entropy,
+        "docs_split_stratified": cq.docs_split_stratified,
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_bpe_encode": rel.docs_bpe_encode,
         "docs_token_budget_mixture": rel.docs_token_budget_mixture,
@@ -732,6 +733,32 @@ def _wfp_sql(col: str) -> str:
     return (f"list_reduce(list_transform(split({col}, ''),"
             f" c -> unicode(c)::HUGEINT),"
             f" (x, y) -> (x * 1000003 + y) % 2305843009213693951)")
+
+
+def _split_stratified_sql(seed: int = 1009) -> str:
+    """Mirror of docs_split_stratified: rank = row_number over
+    (mix64(seed, doc_id), doc_id) per source; integer 80/10/10
+    boundaries."""
+    lat, ref = _mix_chain("sp", ["d.doc_id"], [seed])
+    return f"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+               FROM documents),
+    k AS (SELECT d.doc_id, d.source,
+                 CAST({ref} - CASE WHEN {ref} >= 9223372036854775808
+                              THEN 18446744073709551616 ELSE 0 END
+                      AS BIGINT) AS key
+          FROM d, {lat}),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY key, doc_id) - 1 AS rk,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM k)
+    SELECT doc_id, source,
+           CASE WHEN rk < (n * 8) // 10 THEN 'train'
+                WHEN rk < (n * 8) // 10 + n // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r ORDER BY doc_id
+"""
 
 
 def _watermark_sql() -> str:
@@ -5591,6 +5618,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        # stratified 80/10/10 split by seeded hash rank per source
+        "docs_split_stratified": _split_stratified_sql(),
         # per-relation object-distribution entropy (selectivity audit)
         "kg_relation_entropy": f"""
             WITH idm AS MATERIALIZED ({_IDMAPPED_SQL}),

@@ -1751,3 +1751,68 @@ def kg_relation_entropy(sf_dir: str) -> pd.DataFrame:
     return out.astype({"rel": np.int64, "n_edges": np.int64,
                        "n_objects": np.int64}) \
         .sort_values("rel", ignore_index=True)
+
+
+def docs_split_stratified(sf_dir: str) -> pd.DataFrame:
+    """Stratified train/val/test split (80/10/10 per source) by seeded
+    hash rank — the leakage-safe eval-split primitive every curation
+    run ends with: proportions hold per SOURCE (not just globally), and
+    membership depends only on (seed, doc_id), so re-runs and
+    incremental ingests agree.
+
+    Per-batch (source, count) partials size the strata; each doc's
+    rank within its source = position of mix64(1009, doc_id) among its
+    stratum's sorted keys.  The rank pass is a per-source-partition
+    vectorized argsort (sources hash-partition; state bounded by the
+    stratum).  SQL twin: row_number over the identical mix64 key."""
+    from ..sources.pages import mix64_vec
+
+    ds = _docs_ds(sf_dir, ["doc_id", "source"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        key = mix64_vec(1009, did).astype(np.int64)
+        src = t.column("source").to_numpy(zero_copy_only=False) \
+            .astype(str)
+        from ..stages.dedup import word_fp
+
+        codes, uniq = pd.factorize(src)
+        # partition by STABLE source hash (python hash() is per-process
+        # randomized — it fragmented strata across partitions); few
+        # sources -> few partitions; at web scale salt the big strata
+        # and merge rank offsets
+        part = np.asarray([word_fp(u) % 16 for u in uniq])[codes]
+        return pa.table({"doc_id": pa.array(did),
+                         "source": pa.array(src, pa.string()),
+                         "key": pa.array(key),
+                         "part": pa.array(part.astype(np.int32))})
+
+    def split_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "source": np.empty(0, object),
+                                 "split": np.empty(0, object)})
+        outs = []
+        for src, gg in g.groupby("source"):
+            key = gg["key"].to_numpy(np.int64)
+            order = np.lexsort((gg["doc_id"].to_numpy(np.int64), key))
+            n = len(gg)
+            n_tr = (n * 8) // 10
+            n_va = n // 10
+            split = np.empty(n, dtype=object)
+            ranks = np.empty(n, dtype=np.int64)
+            ranks[order] = np.arange(n)
+            split[ranks < n_tr] = "train"
+            split[(ranks >= n_tr) & (ranks < n_tr + n_va)] = "val"
+            split[ranks >= n_tr + n_va] = "test"
+            outs.append(pd.DataFrame({
+                "doc_id": gg["doc_id"].to_numpy(np.int64),
+                "source": src, "split": split}))
+        return pd.concat(outs, ignore_index=True)
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("part").map_groups(split_part,
+                                       batch_format="pandas")
+           .to_pandas())
+    return out.astype({"doc_id": np.int64}) \
+        .sort_values("doc_id", ignore_index=True)
