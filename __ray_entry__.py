@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_mips": rel.embeddings_mips,
         "events_ewma": rel.events_ewma,
         "events_cuped": rel.events_cuped,
+        "events_hour_profile": rel.events_hour_profile,
         "embeddings_kmeans": rel.embeddings_kmeans,
         "embeddings_outliers": rel.embeddings_outliers,
         "docs_compression_ratio": rel.docs_compression_ratio,
@@ -5547,6 +5548,31 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_adj,
                    ROUND(th.theta, 6) AS theta
             FROM m, th ORDER BY arm
+        """,
+        # hour-of-day seasonality + chi-square uniformity per type
+        "events_hour_profile": """
+            WITH hc AS (SELECT event_type,
+                               (epoch_us(ts) // 3600000000) % 24 AS hod,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1, 2),
+            grid AS (SELECT t.event_type, g.hod
+                     FROM (SELECT DISTINCT event_type FROM events) t,
+                          (SELECT unnest(range(0, 24)) AS hod) g),
+            full_ AS (SELECT gr.event_type, gr.hod::BIGINT AS hod,
+                             COALESCE(hc.n, 0)::BIGINT AS n
+                      FROM grid gr LEFT JOIN hc USING (event_type, hod)),
+            tot AS (SELECT event_type, sum(n)::BIGINT AS tn
+                    FROM full_ GROUP BY event_type),
+            c2 AS (SELECT f.event_type,
+                          floor(sum((f.n - t.tn / 24.0)
+                                    * (f.n - t.tn / 24.0)
+                                    / (t.tn / 24.0))
+                                * 1000000 + 0.5) / 1000000 AS chi2
+                   FROM full_ f JOIN tot t USING (event_type)
+                   GROUP BY f.event_type)
+            SELECT f.event_type, f.hod, f.n, c2.chi2
+            FROM full_ f JOIN c2 USING (event_type)
+            ORDER BY f.event_type, f.hod
         """,
         # half-life-1h EWMA over a 16-hour window: every term is an
         # exact dyadic c*2^-(d+1), so the sum is EXACT in float64 in

@@ -4456,3 +4456,48 @@ def tpch_q22(sf_dir: str) -> pd.DataFrame:
     return out[["cntrycode", "numcust", "totacctbal"]] \
         .astype({"cntrycode": np.int64, "numcust": np.int64}) \
         .sort_values("cntrycode", ignore_index=True)
+
+
+def events_hour_profile(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day seasonality per event type: the 24-bin activity
+    profile plus a chi-square uniformity statistic (a flat profile is
+    bot/synthetic traffic; humans have day cycles — the aggregate
+    sibling of events_bot_score's per-user regularity).  Per-batch
+    (type, hour-of-day) count combiner → one tiny groupby; chi2 =
+    sum((o - n/24)^2 / (n/24)) as one fixed-order chain over exact
+    integer counts, rounded 6 dp."""
+    from ray.data.aggregate import Sum
+
+    from ..context import half_up
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        hod = (ts // 3_600_000_000) % 24
+        et = t.column("event_type").to_numpy(zero_copy_only=False) \
+            .astype(str)
+        codes, uniq = pd.factorize(et)
+        key = codes.astype(np.int64) * 24 + hod
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(
+                np.asarray(uniq, dtype=object)[uk // 24], pa.string()),
+            "hod": pa.array(uk % 24),
+            "n": pa.array(c.astype(np.int64))})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby(["event_type", "hod"])
+         .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for et, gg in g.groupby("event_type", sort=True):
+        c = np.zeros(24, np.int64)
+        c[gg["hod"].to_numpy(np.int64)] = gg["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        e = n / 24.0
+        chi2 = float(half_up(((c - e) * (c - e) / e).sum(), 6))
+        for h in range(24):
+            rows.append((et, h, int(c[h]), chi2))
+    out = pd.DataFrame(rows, columns=["event_type", "hod", "n", "chi2"])
+    return out.astype({"hod": np.int64, "n": np.int64}) \
+        .sort_values(["event_type", "hod"], ignore_index=True)
