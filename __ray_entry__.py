@@ -5540,13 +5540,15 @@ def oracle_sql() -> dict[str, str]:
                    FROM tot)
             SELECT m.arm::BIGINT AS arm, m.n AS n_users,
                    m.sx AS sum_pre_cents, m.sy AS sum_post_cents,
-                   ROUND(m.sy / CAST(m.n AS DOUBLE) / 100.0, 6)
+                   floor(m.sy / CAST(m.n AS DOUBLE) / 100.0
+                         * 1000000 + 0.5) / 1000000
                        AS mean_post,
-                   ROUND((m.sy / CAST(m.n AS DOUBLE)
+                   floor((m.sy / CAST(m.n AS DOUBLE)
                           - th.theta * (m.sx / CAST(m.n AS DOUBLE)
-                                        - th.mpre_g)) / 100.0, 6)
+                                        - th.mpre_g)) / 100.0
+                         * 1000000 + 0.5) / 1000000
                        AS mean_adj,
-                   ROUND(th.theta, 6) AS theta
+                   floor(th.theta * 1000000 + 0.5) / 1000000 AS theta
             FROM m, th ORDER BY arm
         """,
         # hour-of-day seasonality + chi-square uniformity per type

@@ -4105,9 +4105,9 @@ def events_cuped(sf_dir: str) -> pd.DataFrame:
         "n_users": g["n"].astype(np.int64),
         "sum_pre_cents": g["sx"].astype(np.int64),
         "sum_post_cents": g["sy"].astype(np.int64),
-        "mean_post": np.round(mean_post, 6),
-        "mean_adj": np.round(mean_adj, 6),
-        "theta": np.round([theta, theta], 6)})
+        "mean_post": half_up(mean_post, 6),
+        "mean_adj": half_up(mean_adj, 6),
+        "theta": half_up([theta, theta], 6)})
 
 
 def tpch_q19(sf_dir: str) -> pd.DataFrame:
