@@ -63,3 +63,35 @@ def test_frequency_policy_elects_deterministically():
     ds = rd.from_items(rows)
     alias = build_alias_table(ds, ["subj_surface"], policy="frequency")
     assert alias.loc[alias["norm_key"] == "foo bar", "canonical"].iloc[0] == "Foo Bar"
+
+
+def test_kg_construct_incremental_matches_full_diff(ray_session):
+    """Incremental ingest == full-recompute set difference: extending
+    the corpus 2000 -> 2400 pages, the incremental path over the new
+    shard must produce exactly distinct(edges(0..2400)) -
+    distinct(edges(0..2000))."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.pipelines.kg_construct import (kg_construct,
+                                                 kg_construct_incremental)
+    from ttmf_ray.sources.pages import CorpusSpec, pages_batch
+
+    import numpy as np
+    import pyarrow as pa
+
+    big = CorpusSpec(seed=42, n_pages=2400)
+
+    def pages(lo, hi):
+        return rd.from_arrow(pages_batch(big, np.arange(lo, hi)))
+
+    old_edges = kg_construct(pages(0, 2000)).materialize()
+    inc = kg_construct_incremental(pages(2000, 2400), old_edges) \
+        .to_pandas().sort_values(["subj", "pred", "obj"],
+                                 ignore_index=True)
+
+    full = kg_construct(pages(0, 2400)).to_pandas()
+    old = old_edges.to_pandas()
+    key = lambda df: set(map(tuple, df.itertuples(index=False)))
+    want = key(full) - key(old)
+    assert key(inc) == want and len(inc) > 0

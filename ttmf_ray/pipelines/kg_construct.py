@@ -177,3 +177,55 @@ def kg_construct_resumable(spec, out_dir: str, *, n_shards: int = 8,
         "shards_skipped": done_before,
         "shards_processed": processed,
     }
+
+
+def kg_construct_incremental(new_pages_ds, existing_edges_ds, *,
+                             policy: str = "titlecase"):
+    """Incremental phase A: extract triples from NEW pages only and
+    anti-join against the existing edge table — the daily-crawl ingest
+    shape (re-extracting the historical corpus to add a shard is the
+    thing a 10^12-document pipeline can never afford).
+
+    The anti-join is a bucketed LEFT join with hit flag
+    (functions/joins.py:left_join_fill) on a packed signature of the
+    canonical triple — BOTH sides stream, nothing corpus-sized is
+    broadcast; the existing side ships only (signature) rows, never its
+    strings twice.  Collision safety: the signature is a 64-bit
+    stable_hash64 of the tab-joined triple; at 10^12 edges expect
+    birthday collisions — swap to the 128-bit pair (two independent
+    hashes) before that scale (documented, same plan shape).
+
+    Returns the NEW distinct (subj, pred, obj) edges not already in
+    ``existing_edges_ds``."""
+    import pyarrow as pa
+
+    from ..functions.joins import left_join_fill
+    from ..stages.dedup import stable_hash64
+
+    def sig(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = [f"{s}\t{p}\t{o}" for s, p, o in zip(
+            t.column("subj").to_pylist(),
+            t.column("pred").to_pylist(),
+            t.column("obj").to_pylist())]
+        h = np.fromiter((stable_hash64(k) for k in keys),
+                        dtype=np.uint64, count=len(keys))
+        return t.append_column("__sig", pa.array(h.view(np.int64)))
+
+    new_edges = kg_construct(new_pages_ds, policy=policy) \
+        .map_batches(sig, batch_format="pyarrow")
+    old_sigs = existing_edges_ds.map_batches(
+        lambda t: sig(t).select(["__sig"]).append_column(
+            "__old", pa.array([1] * t.num_rows,
+                              type=pa.int8())),
+        batch_format="pyarrow")
+    j = left_join_fill(new_edges, old_sigs, on="__sig",
+                       fill={"__old": 0})
+    import pyarrow.compute as pc
+
+    return j.map_batches(
+        lambda t: t.filter(pc.equal(t.column("__old"),
+                                    pa.scalar(0, pa.int8())))
+        .select(["subj", "pred", "obj"]),
+        batch_format="pyarrow")
