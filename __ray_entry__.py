@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q19": rel.tpch_q19,
         "tpch_q22": rel.tpch_q22,
         "docs_burstiness": rel.docs_burstiness,
+        "docs_dp_release": rel.docs_dp_release,
         "events_bot_score": rel.events_bot_score,
         "docs_watermark": rel.docs_watermark,
         "tpch_q18": rel.tpch_q18,
@@ -734,6 +735,28 @@ def _wfp_sql(col: str) -> str:
     return (f"list_reduce(list_transform(split({col}, ''),"
             f" c -> unicode(c)::HUGEINT),"
             f" (x, y) -> (x * 1000003 + y) % 2305843009213693951)")
+
+
+def _dp_release_sql(eps: float = 1.0, seed: int = 1303) -> str:
+    """Mirror of docs_dp_release: the same seeded geometric-difference
+    discrete-Laplace noise — u_i = mix64(seed, i, fp(source))/2^64,
+    G_i = floor(ln(u_i)/ln(e^-eps))."""
+    lat1, ref1 = _mix_chain("dpa", ["f.fp"], [seed, 1])
+    lat2, ref2 = _mix_chain("dpb", ["f.fp"], [seed, 2])
+    return f"""
+    WITH g AS (SELECT source, count(*)::BIGINT AS n
+               FROM documents GROUP BY source),
+    f AS (SELECT source, n, {_wfp_sql('source')} AS fp FROM g),
+    u AS (SELECT f.source, f.n,
+                 CAST({ref1} AS DOUBLE) / 18446744073709551616.0 AS u1,
+                 CAST({ref2} AS DOUBLE) / 18446744073709551616.0 AS u2
+          FROM f, {lat1}, {lat2})
+    SELECT source, n AS n_true,
+           CAST(n + floor(ln(u1) / ln(exp(-{eps})))
+                  - floor(ln(u2) / ln(exp(-{eps}))) AS BIGINT)
+               AS n_noisy
+    FROM u ORDER BY source
+"""
 
 
 def _split_stratified_sql(seed: int = 1009) -> str:
@@ -5646,6 +5669,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        # DP per-source counts (seeded discrete-Laplace, reproducible)
+        "docs_dp_release": _dp_release_sql(),
         # stratified 80/10/10 split by seeded hash rank per source
         "docs_split_stratified": _split_stratified_sql(),
         # per-relation object-distribution entropy (selectivity audit)

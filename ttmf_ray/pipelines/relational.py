@@ -4501,3 +4501,48 @@ def events_hour_profile(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["event_type", "hod", "n", "chi2"])
     return out.astype({"hod": np.int64, "n": np.int64}) \
         .sort_values(["event_type", "hod"], ignore_index=True)
+
+
+def docs_dp_release(sf_dir: str, eps: float = 1.0,
+                    seed: int = 1303) -> pd.DataFrame:
+    """Differentially-private per-source doc counts (discrete Laplace,
+    eps=1): the privacy-release step a corpus-statistics dashboard
+    runs before publishing.  Noise = G1 - G2 with G_i =
+    floor(ln(u_i)/ln(e^-eps)) geometric draws — and the u_i come from
+    the SEEDED mix64 chain over the source's rolling fp, so the
+    'noise' is a pure function of (seed, source): reproducible
+    releases, exactly mirrorable (both engines call libm ln on
+    identical doubles).  n_true kept alongside for the audit."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.pages import mix64
+    from ..stages.dedup import word_fp
+
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def part(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False) \
+            .astype(str)
+        codes, uniq = pd.factorize(src)
+        return pa.table({
+            "source": pa.array(np.asarray(uniq, dtype=object),
+                               pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=len(uniq))
+                          .astype(np.int64))})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby("source").aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    p = float(np.exp(-eps))
+    lnp = np.log(p)
+    rows = []
+    for src, n in zip(g["source"], g["n"].astype(int)):
+        fp = word_fp(src)
+        u1 = mix64(seed, 1, fp) / float(1 << 64)
+        u2 = mix64(seed, 2, fp) / float(1 << 64)
+        g1 = int(np.floor(np.log(u1) / lnp))
+        g2 = int(np.floor(np.log(u2) / lnp))
+        rows.append((src, int(n), int(n) + g1 - g2))
+    out = pd.DataFrame(rows, columns=["source", "n_true", "n_noisy"])
+    return out.astype({"n_true": np.int64, "n_noisy": np.int64}) \
+        .sort_values("source", ignore_index=True)
