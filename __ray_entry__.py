@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": rel.top_parts,
         "ann_topk": rel.ann_topk,
         "embeddings_mips": rel.embeddings_mips,
+        "embeddings_pq_recall": rel.embeddings_pq_recall,
         "events_ewma": rel.events_ewma,
         "events_cuped": rel.events_cuped,
         "events_hour_profile": rel.events_hour_profile,
@@ -3176,6 +3177,84 @@ def _pq_sql(m: int = 2, k: int = 4, n_iter: int = 2) -> str:
     """
 
 
+def _pq_recall_sql(qids=(0, 100, 200), m: int = 2, k: int = 4,
+                   n_iter: int = 2, k_top: int = 10) -> str:
+    """Mirror of embeddings_pq_recall: ONE set of PQ fit chains, then
+    per query a dq table + ADC top-10 and an exact-L2 top-10 over the
+    full vectors, recall = overlap/k_top."""
+    bodies, finals = [], []
+    for j in range(m):
+        vexpr = (f"list_slice(e0.embedding::DOUBLE[], "
+                 f"{j} * (len(e0.embedding) // {m}) + 1, "
+                 f"{j + 1} * (len(e0.embedding) // {m}))")
+        body, cf = _kmeans_ctes(k, n_iter, tag=f"p{j}", vexpr=vexpr)
+        bodies.append(body)
+        finals.append(f"""q{j} AS (
+        SELECT id, c FROM (
+            SELECT e.id, c.c,
+                   row_number() OVER (PARTITION BY e.id
+                       ORDER BY round(list_distance(e.v, c.v), 6), c.c)
+                       AS rn
+            FROM p{j}emb e CROSS JOIN {cf} c)
+        WHERE rn = 1)""")
+        # keep the final-codebook name for dq below
+        if j == 0:
+            cf0 = cf
+        else:
+            cf1 = cf
+    cfs = [cf0, cf1] if m == 2 else None
+    per_q = []
+    unions = []
+    for qi, qid in enumerate(qids):
+        dqs = []
+        for j in range(m):
+            dqs.append(f"""dq{j}_{qi} AS (
+        SELECT c.c, round(list_distance(
+            list_slice(qv{qi}.v, {j} * (len(qv{qi}.v) // {m}) + 1,
+                       {j + 1} * (len(qv{qi}.v) // {m})), c.v), 6) AS d
+        FROM {cfs[j]} c, qv{qi})""")
+        adc = " + ".join(f"dq{j}_{qi}.d * dq{j}_{qi}.d"
+                         for j in range(m))
+        dq_joins = " ".join(f"JOIN dq{j}_{qi} ON dq{j}_{qi}.c = q{j}.c"
+                            for j in range(m))
+        qj = " ".join(f"JOIN q{j} ON q{j}.id = q0.id"
+                      for j in range(1, m))
+        per_q.append(f"""qv{qi} AS (SELECT embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id = {qid}),
+    {','.join(dqs)},
+    adc{qi} AS (SELECT id FROM (
+        SELECT q0.id,
+               row_number() OVER (
+                   ORDER BY round({adc}, 6), q0.id) AS rn
+        FROM q0 {qj} {dq_joins})
+        WHERE rn <= {k_top}),
+    br{qi} AS (SELECT id FROM (
+        SELECT f.id,
+               row_number() OVER (
+                   ORDER BY round(list_distance(f.v, qv{qi}.v), 6),
+                            f.id) AS rn
+        FROM femb f, qv{qi})
+        WHERE rn <= {k_top})""")
+        unions.append(f"""SELECT {qid} AS query_id,
+               (SELECT count(*) FROM adc{qi} a
+                JOIN br{qi} b ON b.id = a.id)::BIGINT AS n_common""")
+    all_bodies = ",\n".join(bodies)
+    all_finals = ",\n".join(finals)
+    all_perq = ",\n".join(per_q)
+    un = " UNION ALL ".join(unions)
+    return f"""
+    WITH {all_bodies},
+    femb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                    embedding::DOUBLE[] AS v FROM embeddings),
+    {all_finals},
+    {all_perq}
+    SELECT query_id::BIGINT AS query_id, n_common,
+           floor(n_common / {float(k_top)} * 1000000 + 0.5) / 1000000
+               AS recall
+    FROM ({un}) ORDER BY query_id
+"""
+
+
 def _pq_adc_sql(m: int = 2, k: int = 4, n_iter: int = 2,
                 k_top: int = 10) -> str:
     """Exact mirror of embeddings_pq_adc: the PQ assignment chains of
@@ -5664,6 +5743,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _KG_COMPONENTS_SQL,
         "embeddings_pq_codes": _pq_sql(),
         "embeddings_pq_adc": _pq_adc_sql(),
+        # recall@10 of ADC vs exact L2 for 3 queries (one PQ fit)
+        "embeddings_pq_recall": _pq_recall_sql(),
         "docs_bigram_perplexity": _bigram_ppl_sql(),
         "events_cohort_retention": _COHORT_RETENTION_SQL,
         "events_funnel": _FUNNEL_SQL,

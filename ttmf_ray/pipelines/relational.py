@@ -4546,3 +4546,61 @@ def docs_dp_release(sf_dir: str, eps: float = 1.0,
     out = pd.DataFrame(rows, columns=["source", "n_true", "n_noisy"])
     return out.astype({"n_true": np.int64, "n_noisy": np.int64}) \
         .sort_values("source", ignore_index=True)
+
+
+def embeddings_pq_recall(sf_dir: str, qids=(0, 100, 200),
+                         k_top: int = 10) -> pd.DataFrame:
+    """Recall@10 of PQ ADC ranking vs exact brute-force L2 for three
+    query vectors — the accuracy half of the IVF-PQ trade (the ADC
+    ranking exists as embeddings_pq_adc; this audits what the
+    quantization costs, the same protocol as embeddings_ann_recall for
+    the hash-IVF path).  One PQ fit, per-query ADC + exact-L2 top-10
+    (both rank on ROUNDED distance with vec_id tie-break), recall =
+    overlap/10."""
+    import pyarrow.parquet as pq
+
+    from ..context import Broadcast, half_up
+    from ..stages.cluster import _pq_fit, adc_rank
+
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids_all = t.column("vec_id").to_numpy()
+    qvecs = {}
+    for qid in qids:
+        row = int(np.nonzero(ids_all == qid)[0][0])
+        qvecs[qid] = np.asarray(t.column("embedding").to_pylist()[row],
+                                np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    codes, cents, d = _pq_fit(ds, m=2, k=4, n_iter=2, seed=628,
+                              id_col="vec_id", vec_col="embedding")
+    codes = codes.materialize()
+    emb = ds.materialize()
+
+    rows = []
+    for qid in qids:
+        q = qvecs[qid]
+        adc_ids = set(adc_rank(codes, cents, q, d, m=2, k_top=k_top)
+                      ["vec_id"].tolist())
+        bc = Broadcast(q)
+
+        def bpart(b: pa.Table) -> pa.Table:
+            from ..stages.ann import list_col_matrix
+
+            M = list_col_matrix(b.column("embedding"))
+            dist = np.round(np.sqrt(((M - bc.get()) ** 2).sum(axis=1)),
+                            6)
+            vid = b.column("vec_id").to_numpy().astype(np.int64)
+            order = np.lexsort((vid, dist))[:k_top]
+            return pa.table({"vec_id": pa.array(vid[order]),
+                             "d": pa.array(dist[order])})
+
+        bp = emb.map_batches(bpart, batch_format="pyarrow").to_pandas()
+        brute_ids = set(bp.sort_values(["d", "vec_id"]).head(k_top)
+                        ["vec_id"].tolist())
+        n_common = len(adc_ids & brute_ids)
+        rows.append((int(qid), n_common,
+                     float(half_up(n_common / k_top, 6))))
+    out = pd.DataFrame(rows, columns=["query_id", "n_common", "recall"])
+    return out.astype({"query_id": np.int64, "n_common": np.int64}) \
+        .sort_values("query_id", ignore_index=True)
