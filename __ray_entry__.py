@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_budget_mixture": rel.docs_token_budget_mixture,
         "docs_ngram_coverage": rel.docs_ngram_coverage,
         "events_markov_transitions": rel.events_markov_transitions,
+        "events_markov_stationary": rel.events_markov_stationary,
         "kg_inverse_relations": cq.kg_inverse_relations,
         "docs_cdc_dedup": rel.docs_cdc_dedup,
         "part_cooccur_kcore": cq.part_cooccur_kcore,
@@ -736,6 +737,40 @@ def _wfp_sql(col: str) -> str:
     return (f"list_reduce(list_transform(split({col}, ''),"
             f" c -> unicode(c)::HUGEINT),"
             f" (x, y) -> (x * 1000003 + y) % 2305843009213693951)")
+
+
+def _markov_stationary_sql(n_iter: int = 20) -> str:
+    """Mirror of events_markov_stationary: unrolled quantized power
+    iteration over the round-9 transition matrix."""
+    ctes = ["""tys AS MATERIALIZED (
+        SELECT DISTINCT event_type AS ty FROM events)""",
+            """tp AS MATERIALIZED (
+        SELECT f, t2, round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY f),
+                            9) AS p
+        FROM (SELECT s.event_type AS f, s.nxt AS t2, count(*) AS cnt
+              FROM (SELECT user_id, event_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt
+                    FROM events) s
+              WHERE s.nxt IS NOT NULL GROUP BY s.event_type, s.nxt))""",
+            """x0 AS (SELECT ty, round(1.0 / (SELECT count(*) FROM tys),
+                               9) AS v
+         FROM tys)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""x{i} AS MATERIALIZED (
+        SELECT t.ty, COALESCE(round(s.v, 9), 0.0) AS v
+        FROM tys t LEFT JOIN (
+            SELECT tp.t2 AS ty, sum(x{i - 1}.v * tp.p) AS v
+            FROM x{i - 1} JOIN tp ON tp.f = x{i - 1}.ty
+            GROUP BY tp.t2) s USING (ty))""")
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body},
+    tot AS (SELECT sum(v) AS s FROM x{n_iter})
+    SELECT x.ty AS event_type,
+           floor(x.v / tot.s * 1000000 + 0.5) / 1000000 AS stationary
+    FROM x{n_iter} x, tot ORDER BY event_type
+"""
 
 
 def _dp_release_sql(eps: float = 1.0, seed: int = 1303) -> str:
@@ -5750,6 +5785,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        # stationary distribution of the event-type Markov chain
+        "events_markov_stationary": _markov_stationary_sql(),
         # DP per-source counts (seeded discrete-Laplace, reproducible)
         "docs_dp_release": _dp_release_sql(),
         # stratified 80/10/10 split by seeded hash rank per source

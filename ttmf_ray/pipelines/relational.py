@@ -4604,3 +4604,30 @@ def embeddings_pq_recall(sf_dir: str, qids=(0, 100, 200),
     out = pd.DataFrame(rows, columns=["query_id", "n_common", "recall"])
     return out.astype({"query_id": np.int64, "n_common": np.int64}) \
         .sort_values("query_id", ignore_index=True)
+
+
+def events_markov_stationary(sf_dir: str, n_iter: int = 20) -> pd.DataFrame:
+    """Stationary distribution of the event-type Markov chain (where
+    the user population spends its time at equilibrium — the summary
+    scalar events_markov_transitions' full table feeds): 20 quantized
+    power iterations x <- round9(x P) over the round-9 transition
+    matrix, then one round-6 normalization.  The per-iteration rounding
+    is the kg_pagerank convention — it quantizes away summation-order
+    ulps so the unrolled SQL twin lands on identical vectors."""
+    from ..context import half_up
+
+    tr = events_markov_transitions(sf_dir)
+    types = sorted(set(tr["from_type"]) | set(tr["to_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    K = len(types)
+    P = np.zeros((K, K))
+    P[tr["from_type"].map(idx), tr["to_type"].map(idx)] = \
+        np.round(tr["prob"].to_numpy(), 9)
+    x = np.full(K, np.round(1.0 / K, 9))
+    for _ in range(n_iter):
+        x = np.round(x @ P, 9)
+    s = x.sum()
+    out = pd.DataFrame({
+        "event_type": np.asarray(types, dtype=object),
+        "stationary": half_up(x / s, 6)})
+    return out.sort_values("event_type", ignore_index=True)
