@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_twins": cq.kg_twins,
         "kg_bfs_layers": cq.kg_bfs_layers,
         "kg_relation_entropy": cq.kg_relation_entropy,
+        "kg_degree_histogram": cq.kg_degree_histogram,
         "docs_split_stratified": cq.docs_split_stratified,
         "docs_bpe_merges": rel.docs_bpe_merges,
         "docs_bpe_encode": rel.docs_bpe_encode,
@@ -220,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": rel.tpch_q22,
         "docs_burstiness": rel.docs_burstiness,
         "docs_dp_release": rel.docs_dp_release,
+        "docs_hapax": rel.docs_hapax,
         "events_bot_score": rel.events_bot_score,
         "docs_watermark": rel.docs_watermark,
         "tpch_q18": rel.tpch_q18,
@@ -5791,6 +5793,27 @@ def oracle_sql() -> dict[str, str]:
         "docs_dp_release": _dp_release_sql(),
         # stratified 80/10/10 split by seeded hash rank per source
         "docs_split_stratified": _split_stratified_sql(),
+        # count-of-counts degree histogram (out / in / total)
+        "kg_degree_histogram": f"""
+            WITH idm AS MATERIALIZED ({_IDMAPPED_SQL}),
+            od AS (SELECT h AS ent, count(*)::BIGINT AS c
+                   FROM idm GROUP BY h),
+            idg AS (SELECT t AS ent, count(*)::BIGINT AS c
+                    FROM idm GROUP BY t),
+            td AS (SELECT ent, sum(c)::BIGINT AS c FROM (
+                       SELECT * FROM od UNION ALL SELECT * FROM idg)
+                   GROUP BY ent),
+            hist AS (
+                SELECT 'out' AS side, c AS degree,
+                       count(*)::BIGINT AS n_entities
+                FROM od GROUP BY c
+                UNION ALL
+                SELECT 'in', c, count(*)::BIGINT FROM idg GROUP BY c
+                UNION ALL
+                SELECT 'total', c, count(*)::BIGINT FROM td GROUP BY c)
+            SELECT side, degree::BIGINT AS degree, n_entities
+            FROM hist ORDER BY side, degree
+        """,
         # per-relation object-distribution entropy (selectivity audit)
         "kg_relation_entropy": f"""
             WITH idm AS MATERIALIZED ({_IDMAPPED_SQL}),
@@ -6255,6 +6278,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM m WHERE n_gaps >= 4)
             SELECT CAST(user_id AS BIGINT) AS user_id, n_gaps, cv2
             FROM sc ORDER BY cv2, user_id LIMIT 20
+        """,
+        # per-source hapax-legomena lexical-richness profile
+        "docs_hapax": """
+            WITH dw AS (SELECT source,
+                               unnest(regexp_extract_all(lower(text),
+                                      '[0-9a-z_]+')) AS word
+                        FROM documents),
+            wc AS (SELECT source, word, count(*)::BIGINT AS c
+                   FROM dw GROUP BY 1, 2),
+            ag AS (SELECT source, count(*)::BIGINT AS vocab_size,
+                          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                              AS n_hapax
+                   FROM wc GROUP BY source)
+            SELECT source, vocab_size, n_hapax,
+                   floor(n_hapax / vocab_size::DOUBLE * 1000000 + 0.5)
+                       / 1000000 AS hapax_ratio
+            FROM ag ORDER BY source
         """,
         # word burstiness: var/mean dispersion over all docs, top-50
         "docs_burstiness": """

@@ -1816,3 +1816,42 @@ def docs_split_stratified(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     return out.astype({"doc_id": np.int64}) \
         .sort_values("doc_id", ignore_index=True)
+
+
+def kg_degree_histogram(sf_dir: str) -> pd.DataFrame:
+    """Count-of-counts degree histogram of the KG (out / in / total
+    sides tagged in one table): how many entities have degree k — the
+    raw distribution behind kg_degree_powerlaw's fit and the
+    frontier-cap sizing.  Per-batch degree partials → one entity-domain
+    groupby → tiny histogram fold (the events_user_gini shape)."""
+    from ray.data.aggregate import Sum
+
+    _, _, ids = _relational_kg(sf_dir)
+    ds = rd.from_pandas(ids[["h", "t"]])
+
+    def part(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy().astype(np.int64)
+        t = b.column("t").to_numpy().astype(np.int64)
+        uo, co = np.unique(h, return_counts=True)
+        ui, ci = np.unique(t, return_counts=True)
+        return pa.table({
+            "ent": pa.array(np.concatenate([uo, ui])),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(uo), np.int8), np.ones(len(ui), np.int8)])),
+            "c": pa.array(np.concatenate([co, ci]).astype(np.int64))})
+
+    per = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["ent", "side"])
+           .aggregate(Sum("c", alias_name="c")).to_pandas())
+    rows = []
+    for side_name, sel in (("out", per["side"] == 0),
+                           ("in", per["side"] == 1)):
+        deg = per.loc[sel, "c"].to_numpy(np.int64)
+        u, c = np.unique(deg, return_counts=True)
+        rows += [(side_name, int(k), int(n)) for k, n in zip(u, c)]
+    tot = per.groupby("ent")["c"].sum().to_numpy(np.int64)
+    u, c = np.unique(tot, return_counts=True)
+    rows += [("total", int(k), int(n)) for k, n in zip(u, c)]
+    out = pd.DataFrame(rows, columns=["side", "degree", "n_entities"])
+    return out.astype({"degree": np.int64, "n_entities": np.int64}) \
+        .sort_values(["side", "degree"], ignore_index=True)

@@ -4631,3 +4631,48 @@ def events_markov_stationary(sf_dir: str, n_iter: int = 20) -> pd.DataFrame:
         "event_type": np.asarray(types, dtype=object),
         "stationary": half_up(x / s, 6)})
     return out.sort_values("event_type", ignore_index=True)
+
+
+def docs_hapax(sf_dir: str) -> pd.DataFrame:
+    """Hapax legomena profile per source: vocabulary size, hapax count
+    (words occurring exactly once within the source) and the hapax
+    ratio — the lexical-richness scalar heaps_law's growth curve
+    implies.  Per-batch (source, word) count partials → one groupby →
+    per-source integer fold; ratio on the shared half-up rule."""
+    from ray.data.aggregate import Sum
+
+    from ..context import half_up
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.text import _split_flat
+
+        src = t.column("source").to_numpy(zero_copy_only=False) \
+            .astype(str)
+        flat, doc_idx, _ = _split_flat(
+            pc.utf8_lower(t.column("text").combine_chunks()),
+            "[^0-9a-z_]+")
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        ws = src[doc_idx]
+        df = pd.DataFrame({"source": ws, "word": flat})
+        g = df.groupby(["source", "word"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby(["source", "word"])
+         .aggregate(Sum("c", alias_name="c")).to_pandas())
+    rows = []
+    for src, gg in g.groupby("source", sort=True):
+        c = gg["c"].to_numpy(np.int64)
+        v = len(c)
+        hap = int((c == 1).sum())
+        rows.append((src, v, hap, float(half_up(hap / v, 6))))
+    out = pd.DataFrame(rows, columns=["source", "vocab_size",
+                                      "n_hapax", "hapax_ratio"])
+    return out.astype({"vocab_size": np.int64, "n_hapax": np.int64}) \
+        .sort_values("source", ignore_index=True)
