@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": rel.ann_topk,
         "embeddings_mips": rel.embeddings_mips,
         "embeddings_pq_recall": rel.embeddings_pq_recall,
+        "embeddings_drift": rel.embeddings_drift,
         "events_ewma": rel.events_ewma,
         "events_cuped": rel.events_cuped,
         "events_hour_profile": rel.events_hour_profile,
@@ -739,6 +740,48 @@ def _wfp_sql(col: str) -> str:
     return (f"list_reduce(list_transform(split({col}, ''),"
             f" c -> unicode(c)::HUGEINT),"
             f" (x, y) -> (x * 1000003 + y) % 2305843009213693951)")
+
+
+def _drift_sql(k: int = 8, n_iter: int = 4) -> str:
+    """Mirror of embeddings_drift: the kmeans chain fit on the even-id
+    half (src= filtered subquery), assignment of ALL vectors, integer
+    per-cluster counts, fixed-order chi2."""
+    body, cfin = _kmeans_ctes(
+        k, n_iter,
+        src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")
+    return f"""
+    WITH {body},
+    aemb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                    embedding::DOUBLE[] AS v FROM embeddings),
+    dr_asg AS (SELECT id, c FROM (
+        SELECT e.id, c.c,
+               row_number() OVER (PARTITION BY e.id
+                   ORDER BY round(list_distance(e.v, c.v), 6), c.c)
+                   AS rn
+        FROM aemb e CROSS JOIN {cfin} c) WHERE rn = 1),
+    dr_cnt AS (SELECT c AS cluster,
+                   sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_even,
+                   sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_odd
+            FROM dr_asg GROUP BY c),
+    dr_grid AS (SELECT unnest(range(0, {k})) AS cluster),
+    dr_f AS (SELECT g.cluster::BIGINT AS cluster,
+                 COALESCE(dr_cnt.n_even, 0) AS n_even,
+                 COALESCE(dr_cnt.n_odd, 0) AS n_odd
+          FROM dr_grid g LEFT JOIN dr_cnt USING (cluster)),
+    dr_tot AS (SELECT CAST(sum(n_odd) AS DOUBLE)
+                   / CAST(sum(n_even) AS DOUBLE) AS scale FROM dr_f),
+    dr_ex AS (SELECT f.cluster, f.n_even, f.n_odd,
+                  f.n_even * t.scale AS e FROM dr_f f, dr_tot t),
+    dr_c2 AS (SELECT floor(sum((n_odd - e) * (n_odd - e)
+                            / greatest(e, 1e-12))
+                        * 1000000 + 0.5) / 1000000 AS chi2 FROM dr_ex)
+    SELECT ex.cluster, ex.n_even, ex.n_odd,
+           floor(ex.e * 1000000 + 0.5) / 1000000 AS expected_odd,
+           c2.chi2
+    FROM dr_ex ex, dr_c2 c2 ORDER BY cluster
+"""
 
 
 def _markov_stationary_sql(n_iter: int = 20) -> str:
@@ -5787,6 +5830,9 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "embeddings_ivfpq": _ivfpq_sql(),
         "part_cooccur_triangles": _TRIANGLES_SQL,
+        # embedding-distribution drift: even-half fit, both halves
+        # assigned, per-cluster population-stability chi2
+        "embeddings_drift": _drift_sql(),
         # stationary distribution of the event-type Markov chain
         "events_markov_stationary": _markov_stationary_sql(),
         # DP per-source counts (seeded discrete-Laplace, reproducible)

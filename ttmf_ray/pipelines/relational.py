@@ -4676,3 +4676,63 @@ def docs_hapax(sf_dir: str) -> pd.DataFrame:
                                       "n_hapax", "hapax_ratio"])
     return out.astype({"vocab_size": np.int64, "n_hapax": np.int64}) \
         .sort_values("source", ignore_index=True)
+
+
+def embeddings_drift(sf_dir: str, k: int = 8,
+                     n_iter: int = 4) -> pd.DataFrame:
+    """Embedding-distribution drift monitor (population-stability
+    check): fit k-means on the EVEN-id half (the 'reference window'),
+    assign BOTH halves to those centroids, and compare per-cluster
+    shares — chi2 = sum((n_odd - E_c)^2 / E_c) with E_c scaled from
+    the even-half counts.  A shifted upstream encoder or corpus mix
+    moves mass between clusters and spikes the statistic.
+
+    Reuses the mirrored quantized k-means chain (fit on a filtered
+    src); assignment is one broadcast-centroid pass; all counts are
+    integers, the chi2 chain is fixed-order, rounded 6 dp."""
+    import pyarrow.compute as pc
+
+    from ..context import Broadcast, half_up
+    from ..stages.ann import list_col_matrix
+    from ..stages.cluster import assign_clusters, kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .materialize()
+    even = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("vec_id").cast(pa.int64()), pa.scalar(1)),
+            pa.scalar(0))),
+        batch_format="pyarrow")
+    _, C = kmeans(even, k=k, n_iter=n_iter)
+    bc = Broadcast(C)
+
+    def part(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy().astype(np.int64)
+        M = list_col_matrix(t.column("embedding"))
+        a, _dist = assign_clusters(M, bc.get())
+        odd = (vid & 1).astype(np.int64)
+        key = a.astype(np.int64) * 2 + odd
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"cluster": pa.array(uk // 2),
+                         "odd": pa.array(uk % 2),
+                         "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby(["cluster", "odd"])
+         .aggregate(Sum("n", alias_name="n")).to_pandas())
+    ne = np.zeros(k, np.int64)
+    no = np.zeros(k, np.int64)
+    for _, r in g.iterrows():
+        (ne if r["odd"] == 0 else no)[int(r["cluster"])] = int(r["n"])
+    scale = float(no.sum()) / float(ne.sum())
+    E = ne.astype(np.float64) * scale
+    safe = np.maximum(E, 1e-12)
+    chi2 = float(half_up((((no - E) * (no - E)) / safe).sum(), 6))
+    out = pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n_even": ne, "n_odd": no,
+        "expected_odd": half_up(E, 6),
+        "chi2": np.full(k, chi2)})
+    return out
