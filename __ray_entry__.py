@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": rel.events_ewma,
         "events_cuped": rel.events_cuped,
         "events_hour_profile": rel.events_hour_profile,
+        "events_type_lift": rel.events_type_lift,
         "embeddings_kmeans": rel.embeddings_kmeans,
         "embeddings_outliers": rel.embeddings_outliers,
         "docs_compression_ratio": rel.docs_compression_ratio,
@@ -5732,6 +5733,32 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_adj,
                    floor(th.theta * 1000000 + 0.5) / 1000000 AS theta
             FROM m, th ORDER BY arm
+        """,
+        # market-basket lift over unordered event-type pairs
+        "events_type_lift": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type
+                        FROM events),
+            nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n
+                   FROM events),
+            si AS (SELECT event_type, count(*)::BIGINT AS n
+                   FROM ut GROUP BY event_type),
+            pr AS (SELECT a.event_type AS type_a,
+                          b.event_type AS type_b,
+                          count(*)::BIGINT AS n_both
+                   FROM ut a JOIN ut b ON b.user_id = a.user_id
+                                      AND b.event_type > a.event_type
+                   GROUP BY 1, 2)
+            SELECT pr.type_a, pr.type_b, pr.n_both,
+                   sa.n AS n_a, sb.n AS n_b,
+                   floor(CAST(pr.n_both AS DOUBLE) * nu.n
+                         / (CAST(sa.n AS DOUBLE)
+                            * CAST(sb.n AS DOUBLE))
+                         * 1000000 + 0.5) / 1000000 AS lift
+            FROM pr
+            JOIN si sa ON sa.event_type = pr.type_a
+            JOIN si sb ON sb.event_type = pr.type_b
+            CROSS JOIN nu
+            ORDER BY type_a, type_b
         """,
         # hour-of-day seasonality + chi-square uniformity per type
         "events_hour_profile": """

@@ -4736,3 +4736,84 @@ def embeddings_drift(sf_dir: str, k: int = 8,
         "expected_odd": half_up(E, 6),
         "chi2": np.full(k, chi2)})
     return out
+
+
+def events_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Market-basket association over event types: for each unordered
+    type pair, lift = P(user did both) / (P(a)·P(b)) — the unordered
+    association view next to events_seq_pairs' A-before-B ordering and
+    events_markov's chain.  Per-batch distinct (user, type) signature
+    rows → one user-domain groupby → per-user type-set cross pairs
+    (types are a tiny closed set, so pairs per user ≤ C(T,2)) → tiny
+    pair groupby; lift is one fixed-order integer→double chain rounded
+    6 dp (shared half-up rule)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..context import half_up
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False) \
+            .astype(str)
+        df = pd.DataFrame({"user_id": uid, "event_type": et}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ut = (ds.map_batches(sig, batch_format="pyarrow")
+          .groupby(["user_id", "event_type"])
+          .aggregate(Count(alias_name="c")))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"type_a": np.empty(0, object),
+                                 "type_b": np.empty(0, object),
+                                 "n_both": np.empty(0, np.int64)})
+        outs = []
+        for _, gg in g.groupby("user_id"):
+            ts = np.sort(gg["event_type"].to_numpy(dtype=object))
+            if len(ts) < 2:
+                continue
+            i, j = np.triu_indices(len(ts), k=1)
+            outs.append(pd.DataFrame({"type_a": ts[i], "type_b": ts[j],
+                                      "n_both": np.int64(1)}))
+        if not outs:
+            return pd.DataFrame({"type_a": np.empty(0, object),
+                                 "type_b": np.empty(0, object),
+                                 "n_both": np.empty(0, np.int64)})
+        o = pd.concat(outs, ignore_index=True)
+        return o.groupby(["type_a", "type_b"], as_index=False)["n_both"] \
+            .sum()
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return t.append_column(
+            "__part", pa.array((uid % 64).astype(np.int32)))
+
+    pair = (ut.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(pairs, batch_format="pandas")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n_both", alias_name="n_both")).to_pandas())
+    singles = (ut.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().set_index("event_type")["n"])
+    n_users = int(ut.map_batches(
+        lambda t: pa.table({"u": pa.array(np.unique(
+            t.column("user_id").to_numpy().astype(np.int64)))}),
+        batch_format="pyarrow").groupby("u").count().count())
+    na = pair["type_a"].map(singles).to_numpy(np.int64)
+    nb = pair["type_b"].map(singles).to_numpy(np.int64)
+    nboth = pair["n_both"].to_numpy(np.int64)
+    lift = (nboth.astype(np.float64) * n_users) \
+        / (na.astype(np.float64) * nb.astype(np.float64))
+    out = pd.DataFrame({
+        "type_a": pair["type_a"], "type_b": pair["type_b"],
+        "n_both": nboth, "n_a": na, "n_b": nb,
+        "lift": half_up(lift, 6)})
+    return out.astype({c: np.int64 for c in ("n_both", "n_a", "n_b")}) \
+        .sort_values(["type_a", "type_b"], ignore_index=True)
