@@ -5894,7 +5894,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM idm GROUP BY r, t),
             ag AS (SELECT r, sum(c)::BIGINT AS n,
                           count(*)::BIGINT AS k,
-                          sum(c * ln(c::DOUBLE)) AS sclc
+                          -- per-term round-9 quantization (kg_pagerank
+                          -- convention) so the parallel SUM's order
+                          -- cannot move the 6-dp result cross-engine
+                          sum(round(c * ln(c::DOUBLE), 9)) AS sclc
                    FROM rt GROUP BY r)
             SELECT r::BIGINT AS rel, n AS n_edges, k AS n_objects,
                    floor((ln(n::DOUBLE) - sclc / n::DOUBLE)

@@ -88,10 +88,13 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     # pandas renders as OBJECT columns of None — through the bucket
     # Sort at 10^6-row scale that object churn measured ~280 s and tens
     # of GiB (sf1 bench, round 4).  Typed nulls stay numeric (NaN).
-    atypes: dict[str, pa.DataType] = {}
+    # This single renamed-column → Arrow-type map serves BOTH the widen
+    # step and the empty-block stabilizer below (one source of truth).
+    arrow_types: dict[str, pa.DataType] = {}
     for schema, ren in ((left.schema(), lren), (right.schema(), rren)):
         for name, typ in zip(schema.names, schema.types):
-            atypes[ren.get(name, name)] = typ
+            arrow_types[ren.get(name, name)] = typ
+    atypes = arrow_types
 
     def widen(missing: list[str]):
         def fn(t: pa.Table) -> pa.Table:
@@ -139,11 +142,8 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
         lambda t, c=cols_order: t.select(c), batch_format="pyarrow"
     ))
     # normalize Ray's zero-column empty-partition blocks to the join's
-    # output schema (same contract as left_join_fill below)
-    arrow_types: dict[str, pa.DataType] = {}
-    for schema, ren in ((left.schema(), lren), (right.schema(), rren)):
-        for name, typ in zip(schema.names, schema.types):
-            arrow_types[ren.get(name, name)] = typ
+    # output schema (same contract as left_join_fill below), reusing the
+    # arrow_types map built for the typed-null widen above
     empty = pa.table({c: pa.array([], type=arrow_types[c])
                       for c in [on] + lset + rset})
 

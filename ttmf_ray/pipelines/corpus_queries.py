@@ -1742,7 +1742,11 @@ def kg_relation_entropy(sf_dir: str) -> pd.DataFrame:
         c = g["c"].to_numpy(np.int64).astype(np.float64)
         n = float(c.sum())
         k = len(c)
-        ent = np.log(n) - float((c * np.log(c)).sum()) / n
+        # per-term round-9 quantization (the kg_pagerank convention):
+        # DuckDB's parallel SUM over raw c*ln(c) is order-dependent;
+        # quantizing each term first makes the cross-engine sum agree
+        sclc = float(np.round(c * np.log(c), 9).sum())
+        ent = np.log(n) - sclc / n
         norm = ent / np.log(k) if k > 1 else 0.0
         rows.append((int(r_), int(n), k,
                      float(half_up(ent, 6)), float(half_up(norm, 6))))

@@ -3616,6 +3616,13 @@ def tpch_q12(sf_dir: str) -> pd.DataFrame:
         ok = t.column("l_orderkey").to_numpy().astype(np.int64)
         day = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
             // 86_400_000_000
+        # the packed key reserves 5 decimal digits for the day; a ship
+        # date at/past day 100000 (~year 2243) would silently corrupt
+        # the lateness predicate after the % recovery — fail loudly
+        if day.size and int(day.max()) >= 100_000:
+            raise ValueError(
+                "tpch_q12: l_shipdate past epoch day 99999 overflows "
+                "the orderkey*100000+day packing — widen the multiplier")
         key = ok * 100_000 + (day % 100_000)
         uk, cnt = np.unique(key, return_counts=True)
         return pa.table({
@@ -4068,11 +4075,25 @@ def events_cuped(sf_dir: str) -> pd.DataFrame:
         y = t.column("post").to_numpy().astype(np.int64)
         arm = (uid % 2).astype(np.int64)
         rows = []
+        _I64 = (1 << 63) - 1
         for a in (0, 1):
             m = arm == a
+            # products via arbitrary-precision Python ints: int64 numpy
+            # products WRAP silently on a user whose pre-period cents
+            # square past 2^63 (~3e9 cents), whereas the SQL mirror's
+            # BIGINT sum(pre*pre) RAISES — raise here too so the two
+            # engines fail loudly together instead of diverging.
+            xo = x[m].astype(object)
+            yo = y[m].astype(object)
+            sxx = int((xo * xo).sum()) if m.any() else 0
+            sxy = int((xo * yo).sum()) if m.any() else 0
+            if sxx > _I64 or abs(sxy) > _I64:
+                raise OverflowError(
+                    "events_cuped: per-arm moment exceeds int64 "
+                    "(matches the SQL mirror's BIGINT overflow raise); "
+                    "re-scale the covariate before CUPED")
             rows.append((a, int(m.sum()), int(x[m].sum()),
-                         int(y[m].sum()), int((x[m] * x[m]).sum()),
-                         int((x[m] * y[m]).sum())))
+                         int(y[m].sum()), sxx, sxy))
         return pa.table({
             "arm": pa.array([r[0] for r in rows], pa.int64()),
             "n": pa.array([r[1] for r in rows], pa.int64()),
@@ -4089,9 +4110,12 @@ def events_cuped(sf_dir: str) -> pd.DataFrame:
                     Sum("sxx", alias_name="sxx"),
                     Sum("sxy", alias_name="sxy"))
          .to_pandas().sort_values("arm", ignore_index=True))
-    n = int(g["n"].sum())
-    sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
-    sxx, sxy = int(g["sxx"].sum()), int(g["sxy"].sum())
+    # cross-arm totals in pure Python ints (pandas int64 .sum() would
+    # wrap at the same boundary the per-batch kernel now guards)
+    n = sum(int(v) for v in g["n"])
+    sx, sy = sum(int(v) for v in g["sx"]), sum(int(v) for v in g["sy"])
+    sxx = sum(int(v) for v in g["sxx"])
+    sxy = sum(int(v) for v in g["sxy"])
     denom = float(n * sxx - sx * sx)
     theta = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
     mean_pre_g = sx / n
