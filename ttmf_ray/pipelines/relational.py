@@ -4774,6 +4774,7 @@ def events_type_lift(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     from ..context import half_up
+    from ..stages.graph import segment_cross_pairs
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
@@ -4789,26 +4790,39 @@ def events_type_lift(sf_dir: str) -> pd.DataFrame:
           .groupby(["user_id", "event_type"])
           .aggregate(Count(alias_name="c")))
 
+    # sentinel key for the per-partition distinct-user count (the
+    # candidate_pairs stats-row trick): every user lands in exactly one
+    # %64 partition, so summing these rows through the SAME pair
+    # groupby yields n_users with zero extra shuffle
+    _USERS = "\x00__nusers__"
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"type_a": np.empty(0, object),
+                              "type_b": np.empty(0, object),
+                              "n_both": np.empty(0, np.int64)})
         if not len(g):
-            return pd.DataFrame({"type_a": np.empty(0, object),
-                                 "type_b": np.empty(0, object),
-                                 "n_both": np.empty(0, np.int64)})
-        outs = []
-        for _, gg in g.groupby("user_id"):
-            ts = np.sort(gg["event_type"].to_numpy(dtype=object))
-            if len(ts) < 2:
-                continue
-            i, j = np.triu_indices(len(ts), k=1)
-            outs.append(pd.DataFrame({"type_a": ts[i], "type_b": ts[j],
-                                      "n_both": np.int64(1)}))
-        if not outs:
-            return pd.DataFrame({"type_a": np.empty(0, object),
-                                 "type_b": np.empty(0, object),
-                                 "n_both": np.empty(0, np.int64)})
-        o = pd.concat(outs, ignore_index=True)
-        return o.groupby(["type_a", "type_b"], as_index=False)["n_both"] \
-            .sum()
+            return empty
+        # vectorized segment cross-product over (user-sorted, type-
+        # sorted) rows — the cooccur_pairs kernel, no per-user loop
+        codes, uniq = pd.factorize(g["event_type"].astype(str),
+                                   sort=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        order = np.lexsort((codes, uid))
+        u_s, c_s = uid[order], codes[order]
+        lefts, rights = segment_cross_pairs(u_s)
+        n_users_part = int(pd.unique(uid).size)
+        sent = pd.DataFrame({"type_a": [_USERS], "type_b": [_USERS],
+                             "n_both": np.array([n_users_part],
+                                                np.int64)})
+        if len(lefts) == 0:
+            return sent
+        df = pd.DataFrame({"ca": c_s[lefts], "cb": c_s[rights]})
+        o = df.groupby(["ca", "cb"], as_index=False).size()
+        out = pd.DataFrame({
+            "type_a": uniq[o["ca"].to_numpy()],
+            "type_b": uniq[o["cb"].to_numpy()],
+            "n_both": o["size"].to_numpy(np.int64)})
+        return pd.concat([out, sent], ignore_index=True)
 
     def tag(t: pa.Table) -> pa.Table:
         uid = t.column("user_id").to_numpy()
@@ -4826,10 +4840,9 @@ def events_type_lift(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow")
         .groupby("event_type").aggregate(Sum("n", alias_name="n"))
         .to_pandas().set_index("event_type")["n"])
-    n_users = int(ut.map_batches(
-        lambda t: pa.table({"u": pa.array(np.unique(
-            t.column("user_id").to_numpy().astype(np.int64)))}),
-        batch_format="pyarrow").groupby("u").count().count())
+    sent_mask = pair["type_a"] == _USERS
+    n_users = int(pair.loc[sent_mask, "n_both"].sum())
+    pair = pair.loc[~sent_mask].reset_index(drop=True)
     na = pair["type_a"].map(singles).to_numpy(np.int64)
     nb = pair["type_b"].map(singles).to_numpy(np.int64)
     nboth = pair["n_both"].to_numpy(np.int64)

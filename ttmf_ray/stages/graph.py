@@ -311,6 +311,42 @@ def graph_features_for_heads(heads_ds, csr: CSR, *, depth: int = 4,
 # Bipartite co-occurrence projection + triangle counting
 # ---------------------------------------------------------------------------
 
+def segment_cross_pairs(g: np.ndarray, max_group: int | None = None,
+                        label: str = "segment_cross_pairs"):
+    """Vectorized within-segment cross-product: positional index arrays
+    (lefts, rights) emitting every ordered position pair i<j inside each
+    run of equal values in the SEGMENT-SORTED array ``g`` — the shared
+    kernel under ``cooccur_pairs`` and ``events_type_lift`` (no Python
+    loop over groups; CLAUDE.md rule 3).  Segments larger than
+    ``max_group`` are dropped with a printed count, never silently."""
+    if len(g) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], len(g)]
+    sizes = ends - starts
+    if max_group is not None:
+        big = sizes > max_group
+        if big.any():
+            print(f"{label}: dropped {int(big.sum())} groups "
+                  f"over max_group={max_group}")
+    else:
+        big = np.zeros(len(sizes), dtype=bool)
+    seg_end = np.repeat(ends, sizes)
+    seg_ok = np.repeat(~big, sizes)
+    idx = np.arange(len(g))
+    rep = np.where(seg_ok, seg_end - idx - 1, 0)
+    total = int(rep.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    lefts = np.repeat(idx, rep)
+    off = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    rights = np.arange(total) - np.repeat(off, rep) \
+        + np.repeat(idx + 1, rep)
+    return lefts, rights
+
+
 def cooccur_pairs(ds, *, group_col: str, item_col: str,
                   max_group: int = 100_000):
     """Distinct co-occurring item pairs within groups — the bipartite
@@ -345,30 +381,13 @@ def cooccur_pairs(ds, *, group_col: str, item_col: str,
         df = df.sort_values([group_col, item_col])
         g = df[group_col].to_numpy(np.int64)
         it = df[item_col].to_numpy(np.int64)
-        if len(g) == 0:
-            return pd.DataFrame({"a": np.empty(0, np.int64),
-                                 "b": np.empty(0, np.int64)})
-        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
-        ends = np.r_[starts[1:], len(g)]
-        sizes = ends - starts
-        big = sizes > max_group
-        if big.any():
-            print(f"cooccur_pairs: dropped {int(big.sum())} groups "
-                  f"over max_group={max_group}")
         # per-element pair fan-out: element at local offset j of a
         # segment of size s pairs with the s-1-j later elements
-        seg_end = np.repeat(ends, sizes)
-        seg_ok = np.repeat(~big, sizes)
-        idx = np.arange(len(g))
-        rep = np.where(seg_ok, seg_end - idx - 1, 0)
-        total = int(rep.sum())
-        if total == 0:
+        lefts, rights = segment_cross_pairs(
+            g, max_group, label="cooccur_pairs")
+        if len(lefts) == 0:
             return pd.DataFrame({"a": np.empty(0, np.int64),
                                  "b": np.empty(0, np.int64)})
-        lefts = np.repeat(idx, rep)
-        off = np.concatenate(([0], np.cumsum(rep)[:-1]))
-        rights = np.arange(total) - np.repeat(off, rep) \
-            + np.repeat(idx + 1, rep)
         # segment rows are item-sorted and distinct, so a < b always
         out = pd.DataFrame({"a": it[lefts], "b": it[rights]})
         return out.drop_duplicates()
