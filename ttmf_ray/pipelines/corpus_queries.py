@@ -454,16 +454,35 @@ def kg_degree_quantiles(sf_dir: str) -> pd.DataFrame:
     instead of text lengths).  Degree rows are computed with one
     per-batch combiner groupby; quantile selection is the same
     histogram-merge rule the SQL twin reproduces."""
+    from ray.data.aggregate import Sum
+
     from ..stages.quantiles import exact_quantiles
 
-    ent_df, rel_df, ids = _relational_kg(sf_dir)
-    deg = ids.groupby(["r", "h"], as_index=False).size() \
-        .rename(columns={"size": "out_deg"})
-    din = ids.groupby(["r", "t"], as_index=False).size() \
-        .rename(columns={"size": "in_deg", "t": "h"})
-    # per (relation, node) degree rows — small (vocab-bounded); the
-    # quantile stage is the distributed part being exercised
-    merged = deg.merge(din, on=["r", "h"], how="outer").fillna(0)
+    ent_df, rel_df, ds = _kg_edges_view(
+        sf_dir, {"h": "h", "t": "t", "r": "r"})
+    n_ent = len(ent_df)
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy().astype(np.int64)
+        t = b.column("t").to_numpy().astype(np.int64)
+        r = b.column("r").to_numpy().astype(np.int64)
+        ko, co = np.unique(r * n_ent + h, return_counts=True)
+        ki, ci = np.unique(r * n_ent + t, return_counts=True)
+        return pa.table({
+            "r": pa.array(np.concatenate([ko, ki]) // n_ent),
+            "h": pa.array(np.concatenate([ko, ki]) % n_ent),
+            "out_deg": pa.array(np.concatenate(
+                [co, np.zeros(len(ci), co.dtype)]).astype(np.int64)),
+            "in_deg": pa.array(np.concatenate(
+                [np.zeros(len(co), ci.dtype), ci]).astype(np.int64))})
+
+    # per-batch (r, node) count partials → one vocab-bounded groupby;
+    # only the |V|·|R|-bounded degree table reaches the driver
+    merged = (ds.map_batches(deg_part, batch_format="pyarrow")
+              .groupby(["r", "h"])
+              .aggregate(Sum("out_deg", alias_name="out_deg"),
+                         Sum("in_deg", alias_name="in_deg"))
+              .to_pandas())
     merged["rel"] = rel_df.set_index("id")["name"] \
         .reindex(merged["r"].to_numpy()).to_numpy()
     ds = rd.from_pandas(merged[["rel", "out_deg", "in_deg"]].astype(
@@ -511,32 +530,99 @@ def kg_graph_features_sym(sf_dir: str) -> pd.DataFrame:
 
 _KG_CACHE: dict = {}
 
+# rule-13 threshold for the driver (pandas) form of the shared KG build:
+# above this edge count, queries that genuinely need driver arrays (CSR
+# feature extraction over selected heads, seeded walk tables) fail
+# loudly instead of materializing the edge stream; the audit-query
+# family below consumes the DATASET form and never hits this.
+KG_DRIVER_MAX = int(__import__("os").environ.get(
+    "GRAFT_KG_DRIVER_MAX", 5_000_000))
 
-def _relational_kg(sf_dir: str):
-    """(ent vocab, rel vocab, sorted id table) of the relational KG.
 
-    Memoized per (sf_dir, Ray job): six driver queries share this exact
-    build over read-only parquet — recomputing it per query was ~170 s
-    of the driver's correctness pass.  The key includes the Ray job id
-    so a fresh session (bench subprocess) never reuses stale state."""
+def _kg_cached(form: str, sf_dir: str, builder):
+    """Single-key two-form memo for the shared relational-KG build.
+
+    Key includes the Ray job id so a fresh session (bench subprocess)
+    never reuses stale state; key change clears every form (one sf_dir
+    live at a time — sf_dirs switch rarely)."""
     import ray as _ray
-
-    from ..functions.vocab import build_vocab, id_map_edges
-    from ..pipelines.relational import kg_edges_relational
 
     key = (sf_dir, _ray.get_runtime_context().get_job_id()
            if _ray.is_initialized() else None)
-    if key in _KG_CACHE:
-        return _KG_CACHE[key]
-    edges = kg_edges_relational(sf_dir).materialize()
-    ent_df, rel_df = build_vocab(edges)
-    # canonical order: row subsets (e.g. head(2000)) must not depend on
-    # block arrival order — and the SQL oracles mirror this exact order
-    ids = id_map_edges(edges, ent_df, rel_df).to_pandas() \
-        .sort_values(["h", "t", "r"], ignore_index=True)
-    _KG_CACHE.clear()               # one entry — sf_dirs switch rarely
-    _KG_CACHE[key] = (ent_df, rel_df, ids)
-    return _KG_CACHE[key]
+    if _KG_CACHE.get("key") != key:
+        _KG_CACHE.clear()
+        _KG_CACHE["key"] = key
+    if form not in _KG_CACHE:
+        _KG_CACHE[form] = builder()
+    return _KG_CACHE[form]
+
+
+def _relational_kg_ds(sf_dir: str):
+    """(ent vocab, rel vocab, id-mapped edge DATASET) — the streaming
+    form of the shared relational-KG build: vocabs are vocab-domain
+    pandas (build_vocab's one-pass combiner), the edge table stays a
+    materialized multi-block Dataset, and nothing edge-count-sized
+    touches the driver.  Every kg_* audit query that only aggregates
+    consumes THIS form; block order is unspecified, so only
+    order-independent consumers (groupby folds, distinct, quantized
+    iterations) may use it."""
+    from ..context import spread
+    from ..functions.vocab import build_vocab, id_map_edges
+    from ..pipelines.relational import kg_edges_relational
+
+    def build():
+        edges = kg_edges_relational(sf_dir).materialize()
+        ent_df, rel_df = build_vocab(edges)
+        ids_ds = spread(id_map_edges(edges, ent_df, rel_df)) \
+            .materialize()
+        return ent_df, rel_df, ids_ds
+
+    return _kg_cached("ds", sf_dir, build)
+
+
+def _relational_kg(sf_dir: str):
+    """(ent vocab, rel vocab, sorted id table) of the relational KG —
+    the DRIVER (rule-13) form for queries that need whole-edge numpy
+    state (CSR builds, seeded walks, packed-key membership).
+
+    Threshold-guarded: above KG_DRIVER_MAX edges this raises instead of
+    materializing (use ``_relational_kg_ds`` and stream).  Memoized per
+    (sf_dir, Ray job) alongside the Dataset form — six driver queries
+    share this exact build; recomputing per query was ~170 s."""
+
+    def build():
+        ent_df, rel_df, ids_ds = _relational_kg_ds(sf_dir)
+        n = ids_ds.count()
+        if n > KG_DRIVER_MAX:
+            raise RuntimeError(
+                f"_relational_kg: {n} edges exceeds the driver "
+                f"materialization threshold KG_DRIVER_MAX="
+                f"{KG_DRIVER_MAX}; this query needs whole-edge driver "
+                "state — stream via _relational_kg_ds instead, or "
+                "raise GRAFT_KG_DRIVER_MAX explicitly")
+        # canonical order: row subsets (e.g. head(2000)) must not
+        # depend on block arrival order — and the SQL oracles mirror
+        # this exact order
+        ids = ids_ds.to_pandas() \
+            .sort_values(["h", "t", "r"], ignore_index=True)
+        return ent_df, rel_df, ids
+
+    return _kg_cached("pandas", sf_dir, build)
+
+
+def _kg_edges_view(sf_dir: str, mapping: dict[str, str]):
+    """(ent vocab, rel vocab, column-pruned/renamed streaming view of
+    the shared id-mapped edge Dataset) — e.g. ``{"h": "src",
+    "t": "dst"}``.  The view is a zero-copy Arrow select over the
+    memoized materialized blocks; each audit query composes its own
+    combiner/groupby on top."""
+    ent_df, rel_df, ids_ds = _relational_kg_ds(sf_dir)
+
+    def sel(t: pa.Table, m=mapping) -> pa.Table:
+        return pa.table({out: t.column(src) for src, out in m.items()})
+
+    return ent_df, rel_df, ids_ds.map_batches(
+        sel, batch_format="pyarrow")
 
 
 def kg_subgraph_stats(sf_dir: str) -> pd.DataFrame:
@@ -951,14 +1037,18 @@ def kg_components(sf_dir: str) -> pd.DataFrame:
     groupby-min per round over the symmetrized id-mapped edge list,
     label-sum convergence witness.  The SQL twin runs the identical
     propagation as a recursive CTE over the same id map."""
-    from ..context import spread
     from ..stages.dedup import cluster_pairs_min_label
 
-    _ent, rel, ids = _relational_kg(sf_dir)
+    _ent, rel, ids_ds = _relational_kg_ds(sf_dir)
     rid = int(rel.loc[rel["name"] == "in_region", "id"].iloc[0])
-    pairs = ids.loc[ids["r"] != rid, ["h", "t"]] \
-        .rename(columns={"h": "a", "t": "b"})
-    out = cluster_pairs_min_label(spread(rd.from_pandas(pairs)))
+
+    def sel(t: pa.Table) -> pa.Table:
+        keep = t.column("r").to_numpy() != rid
+        return pa.table({"a": t.column("h").filter(pa.array(keep)),
+                         "b": t.column("t").filter(pa.array(keep))})
+
+    out = cluster_pairs_min_label(
+        ids_ds.map_batches(sel, batch_format="pyarrow"))
     out = out.rename(columns={"doc_id": "node", "cluster_id": "component"})
     return out.astype({"node": np.int64, "component": np.int64}) \
         .sort_values("node").reset_index(drop=True)
@@ -995,19 +1085,23 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
     (stages/graph.py:triangle_stats — broadcast oriented adjacency,
     zero shuffles); SQL twin is the shared 3-way self-join over the
     identical least/greatest-oriented distinct pair set."""
+    from ..stages.dedup import distinct_rows
     from ..stages.graph import triangle_stats
 
-    _, _, ids = _relational_kg(sf_dir)
-    h = ids["h"].to_numpy(np.int64)
-    t = ids["t"].to_numpy(np.int64)
-    keep = h != t
-    a = np.minimum(h[keep], t[keep])
-    b = np.maximum(h[keep], t[keep])
-    pairs = pd.DataFrame({"a": a, "b": b}).drop_duplicates(
-        ignore_index=True)
-    from ..context import spread
+    _, _, ids_ds = _relational_kg_ds(sf_dir)
 
-    return triangle_stats(spread(rd.from_pandas(pairs)))
+    def orient(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy().astype(np.int64)
+        t = b.column("t").to_numpy().astype(np.int64)
+        keep = h != t
+        a = np.minimum(h[keep], t[keep])
+        bb = np.maximum(h[keep], t[keep])
+        df = pd.DataFrame({"a": a, "b": bb}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = distinct_rows(
+        ids_ds.map_batches(orient, batch_format="pyarrow"), ["a", "b"])
+    return triangle_stats(pairs)
 
 
 def part_cooccur_kcore(sf_dir: str) -> pd.DataFrame:
@@ -1042,9 +1136,8 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import distinct_rows
     from ..stages.pagerank import pagerank
 
-    ent_df, rel_df, ids = _relational_kg(sf_dir)
-    e = rd.from_pandas(ids[["h", "t"]].rename(
-        columns={"h": "src", "t": "dst"}))
+    ent_df, _rel_df, e = _kg_edges_view(
+        sf_dir, {"h": "src", "t": "dst"})
     pr = pagerank(distinct_rows(e, ["src", "dst"]), len(ent_df))
     return pr.sort_values("node", ignore_index=True)
 
@@ -1060,9 +1153,8 @@ def kg_katz(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import distinct_rows
     from ..stages.pagerank import katz
 
-    ent_df, rel_df, ids = _relational_kg(sf_dir)
-    e = rd.from_pandas(ids[["h", "t"]].rename(
-        columns={"h": "src", "t": "dst"}))
+    ent_df, _rel_df, e = _kg_edges_view(
+        sf_dir, {"h": "src", "t": "dst"})
     kz = katz(distinct_rows(e, ["src", "dst"]), len(ent_df))
     return kz.sort_values("node", ignore_index=True)
 
@@ -1074,9 +1166,9 @@ def kg_relation_cardinality(sf_dir: str) -> pd.DataFrame:
     N-N at the 1.5 cutoff.  Per-batch combiner (distinct packed keys +
     counts), one driver fold — the KG vocabulary bounds the state, the
     triple stream never lands anywhere whole."""
-    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    ent_df, rel_df, ds = _kg_edges_view(
+        sf_dir, {"h": "h", "t": "t", "r": "r"})
     n_ent = len(ent_df)
-    ds = rd.from_pandas(ids[["h", "t", "r"]])
 
     # three vocab-bounded reductions: distinct (r,h), distinct (r,t),
     # triple counts per r — each a per-batch unique/bincount partial
@@ -1088,10 +1180,17 @@ def kg_relation_cardinality(sf_dir: str) -> pd.DataFrame:
         r = t.column("r").to_numpy().astype(np.int64)
         kh = np.unique(r * n_ent + h)
         kt = np.unique(r * n_ent + tt)
+        # side 2: per-batch (r, count) partials — the triple tallies
+        # fold with the distinct keys in the SAME streaming pass
+        ur, cr = np.unique(r, return_counts=True)
         side = np.concatenate([np.zeros(len(kh), np.int8),
-                               np.ones(len(kt), np.int8)])
-        return pa.table({"key": pa.array(np.concatenate([kh, kt])),
-                         "side": pa.array(side)})
+                               np.ones(len(kt), np.int8),
+                               np.full(len(ur), 2, np.int8)])
+        c = np.concatenate([np.ones(len(kh) + len(kt), np.int64),
+                            cr.astype(np.int64)])
+        return pa.table({"key": pa.array(np.concatenate([kh, kt, ur])),
+                         "side": pa.array(side),
+                         "c": pa.array(c)})
 
     tbls = _ray.get(ds.map_batches(parts, batch_format="pyarrow")
                     .to_arrow_refs())
@@ -1104,7 +1203,9 @@ def kg_relation_cardinality(sf_dir: str) -> pd.DataFrame:
     for s, acc in ((0, heads), (1, tails)):
         u = np.unique(key[side == s])
         acc += np.bincount(u // n_ent, minlength=n_rel)
-    n_tr = np.bincount(ids["r"].to_numpy(), minlength=n_rel).astype(np.int64)
+    n_tr = np.zeros(n_rel, np.int64)
+    m2 = side == 2
+    np.add.at(n_tr, key[m2], t.column("c").to_numpy()[m2])
     tph = n_tr / np.maximum(heads, 1)
     hpt = n_tr / np.maximum(tails, 1)
     cat = np.where(tph < 1.5, np.where(hpt < 1.5, "1-1", "N-1"),
@@ -1164,20 +1265,29 @@ def kg_inverse_relations(sf_dir: str) -> pd.DataFrame:
     edge stream."""
     from ..functions.joins import hash_join
 
-    ent_df, rel_df, ids = _relational_kg(sf_dir)
+    ent_df, rel_df, ids_ds = _relational_kg_ds(sf_dir)
     n_ent = len(ent_df)
     n_rel = len(rel_df)
-    h = ids["h"].to_numpy()
-    t = ids["t"].to_numpy()
-    r = ids["r"].to_numpy()
-    # symmetrized id table: reversed edges get relation id r + n_rel
-    h2 = np.concatenate([h, t])
-    t2 = np.concatenate([t, h])
-    r2 = np.concatenate([r, r + n_rel])
-    fwd = rd.from_pandas(pd.DataFrame({
-        "key": h2 * np.int64(n_ent) + t2, "r1": r2}))
-    rev = rd.from_pandas(pd.DataFrame({
-        "key": t2 * np.int64(n_ent) + h2, "r2": r2}))
+
+    # symmetrized streaming views: reversed edges get relation id
+    # r + n_rel; fwd keys h·|V|+t, rev keys t·|V|+h — built per batch,
+    # the edge stream never lands on the driver
+    def sym(rcol: str, reverse_key: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            h = b.column("h").to_numpy().astype(np.int64)
+            tt = b.column("t").to_numpy().astype(np.int64)
+            r = b.column("r").to_numpy().astype(np.int64)
+            h2 = np.concatenate([h, tt])
+            t2 = np.concatenate([tt, h])
+            r2 = np.concatenate([r, r + n_rel])
+            key = (t2 * n_ent + h2) if reverse_key \
+                else (h2 * n_ent + t2)
+            return pa.table({"key": pa.array(key),
+                             rcol: pa.array(r2)})
+        return fn
+
+    fwd = ids_ds.map_batches(sym("r1", False), batch_format="pyarrow")
+    rev = ids_ds.map_batches(sym("r2", True), batch_format="pyarrow")
     joined = hash_join(fwd, rev, on="key")
 
     import ray as _ray
@@ -1197,8 +1307,20 @@ def kg_inverse_relations(sf_dir: str) -> pd.DataFrame:
                       tb.column("c").to_numpy())
     names = np.concatenate([rel_df["name"].to_numpy(dtype=object),
                             rel_df["name"].to_numpy(dtype=object) + "_rev"])
-    sizes = np.concatenate([np.bincount(r, minlength=n_rel)] * 2) \
-        .astype(np.int64)
+    # per-relation edge counts: |R|-bounded per-batch unique partials
+    def rc(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("r").to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"r": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    rsz = np.zeros(n_rel, dtype=np.int64)
+    for tb in _ray.get(ids_ds.map_batches(
+            rc, batch_format="pyarrow").to_arrow_refs()):
+        if len(tb):
+            np.add.at(rsz, tb.column("r").to_numpy(),
+                      tb.column("c").to_numpy())
+    sizes = np.concatenate([rsz] * 2).astype(np.int64)
     nz = np.flatnonzero(cnt)
     r1i, r2i = nz // (2 * n_rel), nz % (2 * n_rel)
     frac = cnt[nz] / sizes[r1i]
@@ -1284,11 +1406,9 @@ def kg_relpath_2hop(sf_dir: str) -> pd.DataFrame:
     plain edge self-join on the shared mid node."""
     from ..stages.graph import relpath_2hop
 
-    ent_df, rel_df, ids = _relational_kg(sf_dir)
-    ds = rd.from_pandas(ids[["h", "t", "r"]])
-    from ..context import spread
-
-    return relpath_2hop(spread(ds), len(rel_df))
+    _ent_df, rel_df, ds = _kg_edges_view(
+        sf_dir, {"h": "h", "t": "t", "r": "r"})
+    return relpath_2hop(ds, len(rel_df))
 
 
 def kg_reach2(sf_dir: str) -> pd.DataFrame:
@@ -1300,12 +1420,9 @@ def kg_reach2(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import distinct_rows
     from ..stages.graph import reach2
 
-    ent_df, _rel_df, ids = _relational_kg(sf_dir)
-    e = rd.from_pandas(ids[["h", "t"]].rename(
-        columns={"h": "src", "t": "dst"}))
-    from ..context import spread
-
-    out = reach2(spread(distinct_rows(e, ["src", "dst"])), len(ent_df))
+    ent_df, _rel_df, e = _kg_edges_view(
+        sf_dir, {"h": "src", "t": "dst"})
+    out = reach2(distinct_rows(e, ["src", "dst"]), len(ent_df))
     return out.sort_values("node", ignore_index=True)
 
 
@@ -1317,9 +1434,8 @@ def kg_hits(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import distinct_rows
     from ..stages.pagerank import hits
 
-    ent_df, _rel_df, ids = _relational_kg(sf_dir)
-    e = rd.from_pandas(ids[["h", "t"]].rename(
-        columns={"h": "src", "t": "dst"}))
+    ent_df, _rel_df, e = _kg_edges_view(
+        sf_dir, {"h": "src", "t": "dst"})
     out = hits(distinct_rows(e, ["src", "dst"]), len(ent_df))
     return out.sort_values("node", ignore_index=True)
 
@@ -1331,10 +1447,8 @@ def kg_entity_types(sf_dir: str) -> pd.DataFrame:
     |V|·|R|-bounded fold, vocab-scale driver string build (rule 13)."""
     from ..stages.graph import entity_signatures
 
-    ent_df, _rel_df, ids = _relational_kg(sf_dir)
-    from ..context import spread
-
-    ds = spread(rd.from_pandas(ids[["h", "t", "r"]]))
+    ent_df, _rel_df, ds = _kg_edges_view(
+        sf_dir, {"h": "h", "t": "t", "r": "r"})
     return entity_signatures(ds, len(ent_df))
 
 
@@ -1395,9 +1509,21 @@ def kg_degree_powerlaw(sf_dir: str) -> pd.DataFrame:
     frontier caps and hot-key salting.  Same quantize-and-fixed-order
     OLS as docs_zipf_fit; counts are exact integers through one
     degree groupby."""
-    _ent_df, _rel_df, ids = _relational_kg(sf_dir)
-    deg = ids.groupby("h", as_index=False).size() \
-        .rename(columns={"size": "deg"})
+    from ray.data.aggregate import Sum
+
+    _ent_df, _rel_df, ds = _kg_edges_view(sf_dir, {"h": "h"})
+
+    def part(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("h").to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    # per-batch count partial → |V|-bounded groupby; only the vocab-
+    # scale (h, deg) table reaches the driver for the top-100 fit
+    deg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("h").aggregate(Sum("deg", alias_name="deg"))
+           .to_pandas())
     deg = deg.sort_values(["deg", "h"], ascending=[False, True],
                           ignore_index=True).head(100)
     n = float(len(deg))
@@ -1453,9 +1579,9 @@ def kg_type_violations(sf_dir: str) -> pd.DataFrame:
 
     from ..context import Broadcast, spread
 
-    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    ent_df, _rel_df, ds = _kg_edges_view(
+        sf_dir, {"h": "h", "t": "t", "r": "r"})
     n_ent = len(ent_df)
-    ds = spread(rd.from_pandas(ids[["h", "t", "r"]]))
 
     def hr_counts(t: pa.Table) -> pa.Table:
         h = t.column("h").to_numpy().astype(np.int64)
@@ -1523,9 +1649,8 @@ def kg_degree_assortativity(sf_dir: str) -> pd.DataFrame:
 
     from ..context import Broadcast, spread
 
-    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    ent_df, _rel_df, ds = _kg_edges_view(sf_dir, {"h": "h", "t": "t"})
     n_ent = len(ent_df)
-    ds = spread(rd.from_pandas(ids[["h", "t"]]))
 
     def deg_partial(t: pa.Table) -> pa.Table:
         h = t.column("h").to_numpy().astype(np.int64)
@@ -1581,12 +1706,7 @@ def kg_twins(sf_dir: str) -> pd.DataFrame:
     class size.  SQL twin string_agg's the same sorted sets."""
     from ray.data.aggregate import Count
 
-    from ..context import spread
-
-    _, _, ids = _relational_kg(sf_dir)
-    h = ids["h"].to_numpy(np.int64)
-    t = ids["t"].to_numpy(np.int64)
-    ds = spread(rd.from_pandas(pd.DataFrame({"h": h, "t": t})))
+    _, _, ds = _kg_edges_view(sf_dir, {"h": "h", "t": "t"})
 
     def pairs(b: pa.Table) -> pa.Table:
         hh = b.column("h").to_numpy().astype(np.int64)
@@ -1644,12 +1764,14 @@ def kg_bfs_layers(sf_dir: str, depth: int = 4) -> pd.DataFrame:
     NOT-EXISTS cumulative sets."""
     from ray.data.aggregate import Count
 
-    from ..context import Broadcast, spread
+    from ..context import Broadcast
 
-    ent_df, _rel_df, ids = _relational_kg(sf_dir)
+    # duplicate (h, t) edges are harmless to the frontier expansion
+    # (per-batch np.unique + the candidate groupby dedup them), so the
+    # streaming view needs no distinct pass
+    ent_df, _rel_df, ds = _kg_edges_view(sf_dir, {"h": "h", "t": "t"})
     n_ent = len(ent_df)
     seeds = [s for s in (0, 10, 20, 30, 40) if s < n_ent]
-    ds = spread(rd.from_pandas(ids[["h", "t"]].drop_duplicates()))
 
     vis = np.zeros((n_ent, len(seeds)), dtype=bool)
     frontier = np.zeros((n_ent, len(seeds)), dtype=bool)
@@ -1722,8 +1844,7 @@ def kg_relation_entropy(sf_dir: str) -> pd.DataFrame:
 
     from ..context import half_up
 
-    _, rel_df, ids = _relational_kg(sf_dir)
-    ds = rd.from_pandas(ids[["t", "r"]])
+    _, rel_df, ds = _kg_edges_view(sf_dir, {"t": "t", "r": "r"})
 
     def part(b: pa.Table) -> pa.Table:
         tt = b.column("t").to_numpy().astype(np.int64)
@@ -1830,8 +1951,7 @@ def kg_degree_histogram(sf_dir: str) -> pd.DataFrame:
     groupby → tiny histogram fold (the events_user_gini shape)."""
     from ray.data.aggregate import Sum
 
-    _, _, ids = _relational_kg(sf_dir)
-    ds = rd.from_pandas(ids[["h", "t"]])
+    _, _, ds = _kg_edges_view(sf_dir, {"h": "h", "t": "t"})
 
     def part(b: pa.Table) -> pa.Table:
         h = b.column("h").to_numpy().astype(np.int64)

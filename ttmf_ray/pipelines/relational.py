@@ -108,9 +108,9 @@ def kg_edges_relational(sf_dir: str):
 
 def kg_vocab_entities(sf_dir: str) -> pd.DataFrame:
     """Distinct entity names (subj ∪ obj) with sort-assigned int64 ids."""
-    from .corpus_queries import _relational_kg  # shared memoized build
+    from .corpus_queries import _relational_kg_ds  # shared memoized build
 
-    ent_df, _rel, _ids = _relational_kg(sf_dir)
+    ent_df, _rel, _ids_ds = _relational_kg_ds(sf_dir)
     out = ent_df.copy()
     out["id"] = out["id"].astype(np.int64)
     return out[["name", "id"]]
@@ -127,11 +127,11 @@ def kg_edges_idmapped(sf_dir: str) -> pd.DataFrame:
 def kg_split_counts(sf_dir: str) -> pd.DataFrame:
     """Deterministic arithmetic-hash split → per-split counts."""
     from ..functions.sampling import add_split_column
-    from .corpus_queries import _relational_kg
+    from .corpus_queries import _relational_kg_ds
 
-    _ent, _rel, ids = _relational_kg(sf_dir)
-    tagged = rd.from_pandas(ids).map_batches(add_split_column,
-                                             batch_format="pyarrow")
+    _ent, _rel, ids_ds = _relational_kg_ds(sf_dir)
+    tagged = ids_ds.map_batches(add_split_column,
+                                batch_format="pyarrow")
     out = tagged.groupby("split").count().to_pandas()
     out = out.rename(columns={"count()": "n"})
     return out.astype({"n": np.int64}).sort_values("split").reset_index(drop=True)
