@@ -397,6 +397,51 @@ class MemSampler:
         }
 
 
+def spill_stats() -> dict:
+    """Ray's own cumulative spill counters (machine-checkable evidence
+    for the spill exercise — VERDICT r4 item 6): parsed from the raylet
+    memory summary ('Spilled N MiB, M objects', cumulative since
+    ray.init)."""
+    import glob
+    import re
+
+    out: dict = {"spilled_mib": 0, "spilled_objects": 0}
+    try:
+        import ray
+
+        sess = ray._private.worker._global_node.get_session_dir_path()
+    except Exception:
+        sessions = sorted(glob.glob("/tmp/ray/session_*"))
+        if not sessions:
+            return out
+        sess = sessions[-1]
+    # primary: the spill directory itself (files currently on disk)
+    nbytes = nfiles = 0
+    for f in glob.glob(f"{sess}/ray_spilled_objects*/*"):
+        try:
+            nbytes += os.path.getsize(f)
+            nfiles += 1
+        except OSError:
+            pass
+    out["spill_dir_mib"] = round(nbytes / 1024 ** 2, 1)
+    out["spill_dir_files"] = nfiles
+    # secondary: the raylet's cumulative counters from its log
+    try:
+        with open(f"{sess}/logs/raylet.out", "rb") as fh:
+            tail = fh.read()[-200_000:].decode("utf-8", "replace")
+        hits = re.findall(r"Spilled (\d+) MiB, (\d+) objects", tail)
+        if hits:
+            out["spilled_mib"] = int(hits[-1][0])
+            out["spilled_objects"] = int(hits[-1][1])
+        hits = re.findall(r"Restored (\d+) MiB, (\d+) objects", tail)
+        if hits:
+            out["restored_mib"] = int(hits[-1][0])
+            out["restored_objects"] = int(hits[-1][1])
+    except OSError:
+        pass
+    return out
+
+
 def run_trust_paths() -> dict:
     """sf1-scale bench of BOTH trust paths (VERDICT r3 item 1).
 
@@ -475,7 +520,9 @@ def run_trust_paths() -> dict:
                 n_edges / (out["kg_construct_sec"] + wall), 1),
             "mem": mem.summary(),
             "trust_timings": res.get("timings", {}),
+            "spill": spill_stats(),   # cumulative since ray.init
         }
+    out["spill_final"] = spill_stats()
     ray.shutdown()
     return out
 
@@ -555,12 +602,136 @@ def run_skew() -> dict:
             rec["reach2_capped_sec"] = round(time.time() - t0, 1)
             rec["reach2_n_capped_mids"] = int(
                 stats["n_capped_mids"].iloc[0])
+            # audit-family walls over the hub KG (VERDICT r4 item 8):
+            # the two other heaviest kg_* audit kernels, bounded walls
+            import numpy as np
+
+            from ttmf_ray.stages.dedup import distinct_rows
+            from ttmf_ray.stages.graph import relpath_2hop, \
+                triangle_stats
+
+            def orient(b):
+                import pyarrow as _pa
+                h = b.column("h").to_numpy().astype(np.int64)
+                t = b.column("t").to_numpy().astype(np.int64)
+                keep = h != t
+                import pandas as _pd
+                df = _pd.DataFrame({
+                    "a": np.minimum(h[keep], t[keep]),
+                    "b": np.maximum(h[keep], t[keep])}) \
+                    .drop_duplicates()
+                return _pa.Table.from_pandas(df, preserve_index=False)
+
+            ids_ds = spread(rd.from_pandas(ids))
+            t0 = time.time()
+            tri = triangle_stats(distinct_rows(
+                ids_ds.map_batches(orient, batch_format="pyarrow"),
+                ["a", "b"]))
+            rec["triangles_sec"] = round(time.time() - t0, 1)
+            rec["triangles_nodes"] = int(len(tri))
+            rec["triangles_total"] = int(tri["tri"].sum()) // 3 \
+                if len(tri) else 0
+            t0 = time.time()
+            rp = relpath_2hop(ids_ds, len(rel_df))
+            rec["relpath_2hop_sec"] = round(time.time() - t0, 1)
+            rec["relpath_2hop_cells"] = int(len(rp))
+            rec["relpath_2hop_paths"] = int(rp["n_paths"].sum()) \
+                if len(rp) else 0
         out[label] = rec
     out["wall_ratio_skewed_vs_uniform"] = round(
         (out["hub_heavy"]["kg_construct_sec"]
          + out["hub_heavy"]["trust_sec"])
         / (out["uniformish"]["kg_construct_sec"]
            + out["uniformish"]["trust_sec"]), 3)
+    ray.shutdown()
+    return out
+
+
+def run_audit_sf1() -> dict:
+    """Audit-query family at the sf1 KG (VERDICT r4 item 1 done-check):
+    build the 2M-page corpus KG once, then run representative kg_*
+    audit kernels over the DATASET form (_relational_kg_ds-style views)
+    — no driver-side pandas copy of the edge table anywhere in the
+    path.  Reports per-query wall + output size at the 2.1M-edge
+    regime."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("GRAFT_PAGES", "2000000"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ttmf_ray.context import spread, tune_data_context
+    from ttmf_ray.functions.vocab import build_vocab, id_map_edges
+    from ttmf_ray.pipelines.kg_construct import kg_construct
+    from ttmf_ray.sources.pages import CorpusSpec, ensure_pages_parquet
+    from ttmf_ray.stages.dedup import distinct_rows
+    from ttmf_ray.stages.graph import reach2, relpath_2hop
+    from ttmf_ray.stages.pagerank import pagerank
+
+    tune_data_context(target_max_block_size=2 * 1024 * 1024)
+    spec = CorpusSpec(seed=42, n_pages=n_pages)
+    corpus_path = ensure_pages_parquet(spec)
+
+    t0 = time.time()
+    edges = kg_construct(rd.read_parquet(corpus_path)).materialize()
+    n_edges = edges.count()
+    kgc_wall = round(time.time() - t0, 1)
+    t0 = time.time()
+    ent_df, rel_df = build_vocab(edges)
+    ids_ds = spread(id_map_edges(edges, ent_df, rel_df)).materialize()
+    idmap_wall = round(time.time() - t0, 1)
+    out: dict = {
+        "metric": f"kg audit family over the sf1 KG ({n_pages} pages)",
+        "num_cpus": num_cpus, "n_pages": n_pages, "n_edges": n_edges,
+        "n_entities": len(ent_df), "n_relations": len(rel_df),
+        "kg_construct_sec": kgc_wall, "vocab_idmap_sec": idmap_wall,
+        "steal_canary": steal_canary(),
+    }
+
+    def view(mapping):
+        def sel(t, m=mapping):
+            return pa.table({o: t.column(s) for s, o in m.items()})
+        return ids_ds.map_batches(sel, batch_format="pyarrow")
+
+    t0 = time.time()
+    pr = pagerank(distinct_rows(view({"h": "src", "t": "dst"}),
+                                ["src", "dst"]), len(ent_df))
+    out["kg_pagerank"] = {"sec": round(time.time() - t0, 1),
+                          "rows": int(len(pr))}
+    t0 = time.time()
+    rp = relpath_2hop(ids_ds, len(rel_df))
+    out["kg_relpath_2hop"] = {"sec": round(time.time() - t0, 1),
+                              "cells": int(len(rp)),
+                              "paths": int(rp["n_paths"].sum())}
+    t0 = time.time()
+    _, stats = reach2(distinct_rows(view({"h": "src", "t": "dst"}),
+                                    ["src", "dst"]),
+                      len(ent_df), mid_cap=64, with_stats=True)
+    out["kg_reach2"] = {"sec": round(time.time() - t0, 1),
+                        "n_capped_mids": int(
+                            stats["n_capped_mids"].iloc[0])}
+    from ray.data.aggregate import Sum
+
+    t0 = time.time()
+
+    def dpart(b):
+        u, c = np.unique(b.column("h").to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    deg = (view({"h": "h"}).map_batches(dpart, batch_format="pyarrow")
+           .groupby("h").aggregate(Sum("deg", alias_name="deg"))
+           .to_pandas())
+    out["kg_degree"] = {"sec": round(time.time() - t0, 1),
+                        "rows": int(len(deg)),
+                        "max_deg": int(deg["deg"].max())}
     ray.shutdown()
     return out
 
@@ -572,5 +743,7 @@ if __name__ == "__main__":
         print(json.dumps(run_trust_paths()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
+    elif "--audit-sf1" in sys.argv:
+        print(json.dumps(run_audit_sf1()))
     else:
         print(json.dumps(run_bench()))

@@ -148,3 +148,56 @@ def test_left_join_fill_coalesce_fragmented_parity(ray_session):
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert len(outs[0]) == 5000 and outs[0]["hit"].sum() == 2500
+
+
+def test_left_join_fill_staged_parity(ray_session):
+    """stages>1 (sequential sub-exchanges — the 2 GiB-store livelock
+    remedy) must be a pure execution knob: identical output to the
+    single-exchange path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.functions.joins import left_join_fill
+
+    rng = np.random.default_rng(7)
+    L = pd.DataFrame({"k": np.arange(4000, dtype=np.int64),
+                      "a": rng.standard_normal(4000)})
+    R = pd.DataFrame({"k": rng.choice(4000, 1500, replace=False)
+                      .astype(np.int64)})
+    R["b"] = rng.standard_normal(1500)
+    lds = rd.from_pandas(L).repartition(16).materialize()
+    rds = rd.from_pandas(R).repartition(16).materialize()
+
+    outs = []
+    for st in (1, 4):
+        out = left_join_fill(lds, rds, on="k", fill={"b": 0.0},
+                             hit_col="hit", stages=st,
+                             n_buckets=16).to_pandas() \
+            .sort_values("k", ignore_index=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 4000 and outs[0]["hit"].sum() == 1500
+
+
+def test_hash_join_staged_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ttmf_ray.functions.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    L = pd.DataFrame({"k": rng.integers(0, 800, 3000).astype(np.int64),
+                      "a": rng.standard_normal(3000)})
+    R = pd.DataFrame({"k": np.arange(800, dtype=np.int64),
+                      "b": rng.standard_normal(800)})
+    lds = rd.from_pandas(L).repartition(8).materialize()
+    rds = rd.from_pandas(R).repartition(8).materialize()
+    outs = []
+    for st in (1, 3):
+        out = hash_join(lds, rds, on="k", stages=st, n_buckets=12) \
+            .to_pandas().sort_values(["k", "a"], ignore_index=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 3000

@@ -84,3 +84,30 @@ def test_streaming_exposes_result_dataset(both_results):
     ds = streaming["scored_ds"]
     assert hasattr(ds, "write_parquet")
     assert "conf" in ds.schema().names
+
+
+def test_streaming_slow_build_parity(both_results, monkeypatch):
+    """The >STREAM_FAST_MAX Dataset build (vocab/id-map/labeled_examples
+    executions) stays bit-identical to the fast single-task assemble —
+    forced via GRAFT_STREAM_FAST_MAX=0 on the same corpus."""
+    from dataclasses import replace
+
+    monkeypatch.setenv("GRAFT_STREAM_FAST_MAX", "0")
+    spec = CorpusSpec(seed=42, n_pages=350)
+    edges = kg_construct(pages_dataset(spec)).materialize()
+    base = TrustConfig(
+        transe=TransEConfig(dim=16, epochs=8, lr=0.02),
+        ptranse=TransEConfig(dim=16, epochs=3, lr=0.01, loss="logistic"),
+        path_max_paths=2000,
+        kge_workers=3,
+    )
+    slow = trust_pipeline(edges, replace(base, streaming=True))
+    _, fast = both_results
+    a = fast["conf_valid"]
+    b = slow["conf_valid"]
+    assert len(a) == len(b) and len(a) > 0
+    for c in a.columns:
+        assert a[c].dtype == b[c].dtype, c
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+    assert fast["theta_r"] == slow["theta_r"]
+    assert fast["theta_h"] == slow["theta_h"]

@@ -13,9 +13,53 @@ dimension sides) and the packed-key semi-join of the trust pipeline.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+def _resolve_stages(stages: "int | None") -> int:
+    if stages is None:
+        return max(1, int(os.environ.get("GRAFT_JOIN_STAGES", "1")))
+    return max(1, int(stages))
+
+
+def _staged_exchange(lt, rt, *, n_buckets: int, coalesce: bool,
+                     stages: int, join_fn, stabilize_fn):
+    """Run the bucket join as ``stages`` SEQUENTIAL sub-exchanges.
+
+    The plain path sorts the whole tagged union in one all-to-all — its
+    active working set (sort buffers + inputs + outputs) must fit the
+    object store, which LIVELOCKS the streaming final attach at a 2 GiB
+    store (BASELINE.md spill section, round 4).  Staging filters the
+    union to ``bucket % stages == s`` per pass and materializes each
+    pass's OUTPUT before the next starts: the active exchange holds
+    ~1/stages of the data, completed outputs are plain spillable
+    blocks, and the result is the exact same row multiset (buckets are
+    disjoint).  Cost: the cheap tag/widen maps re-scan the (already
+    materialized) inputs once per stage."""
+    outs = []
+    for s in range(stages):
+        def keep(t: pa.Table, s=s) -> pa.Table:
+            if not t.num_rows or "__bucket" not in t.column_names:
+                return t
+            b = t.column("__bucket").to_numpy()
+            return t.filter(pa.array(b % stages == s))
+
+        part = lt.map_batches(keep, batch_format="pyarrow").union(
+            rt.map_batches(keep, batch_format="pyarrow"))
+        outs.append(
+            _bucket_group(part, max(2, n_buckets // stages), coalesce)
+            .map_groups(join_fn, batch_format="pandas")
+            .map_batches(stabilize_fn, batch_format="pyarrow",
+                         batch_size=None)
+            .materialize())
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
 
 
 def _bucket_group(tagged, n_buckets: int, coalesce: bool):
@@ -41,7 +85,7 @@ def _bucket_group(tagged, n_buckets: int, coalesce: bool):
 
 def hash_join(left, right, *, on: str, n_buckets: int = 64,
               how: str = "inner", suffixes: tuple[str, str] = ("_l", "_r"),
-              coalesce: bool = False):
+              coalesce: bool = False, stages: "int | None" = None):
     """Dataset ⋈ Dataset on an integer key column; returns joined Dataset.
 
     Both inputs stream; only same-bucket rows meet in one reducer.
@@ -150,6 +194,16 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
     def stabilize(t: pa.Table) -> pa.Table:
         return t if t.num_rows else empty
 
+    n_stages = _resolve_stages(stages)
+    if n_stages > 1:
+        lt2 = lt.map_batches(lambda t, c=cols_order: t.select(c),
+                             batch_format="pyarrow")
+        rt2 = rt.map_batches(lambda t, c=cols_order: t.select(c),
+                             batch_format="pyarrow")
+        return _staged_exchange(lt2, rt2, n_buckets=n_buckets,
+                                coalesce=coalesce, stages=n_stages,
+                                join_fn=join_bucket,
+                                stabilize_fn=stabilize)
     return _bucket_group(unioned, n_buckets, coalesce).map_groups(
         join_bucket, batch_format="pandas"
     ).map_batches(stabilize, batch_format="pyarrow", batch_size=None)
@@ -158,7 +212,7 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
 def left_join_fill(left, right, *, on: str, fill: dict,
                    hit_col: str | None = None, n_buckets: int = 64,
                    combine_right_sum: bool = False,
-                   coalesce: bool = False):
+                   coalesce: bool = False, stages: "int | None" = None):
     """LEFT join Dataset ⋈ Dataset on an integer key with explicit miss
     defaults — the feature-ATTACH join of the streaming trust pipeline.
 
@@ -277,6 +331,12 @@ def left_join_fill(left, right, *, on: str, fill: dict,
     def stabilize(t: pa.Table) -> pa.Table:
         return t if t.num_rows else empty
 
+    n_stages = _resolve_stages(stages)
+    if n_stages > 1:
+        return _staged_exchange(lt, rt, n_buckets=n_buckets,
+                                coalesce=coalesce, stages=n_stages,
+                                join_fn=join_bucket,
+                                stabilize_fn=stabilize)
     return _bucket_group(lt.union(rt), n_buckets, coalesce).map_groups(
         join_bucket, batch_format="pandas").map_batches(
         stabilize, batch_format="pyarrow", batch_size=None)

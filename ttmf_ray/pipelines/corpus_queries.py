@@ -1653,12 +1653,18 @@ def kg_degree_assortativity(sf_dir: str) -> pd.DataFrame:
     n_ent = len(ent_df)
 
     def deg_partial(t: pa.Table) -> pa.Table:
+        # SPARSE (id, count) partials — a dense |V|-sized row block per
+        # batch would push |V|·#blocks rows through the groupby shuffle
         h = t.column("h").to_numpy().astype(np.int64)
         tt = t.column("t").to_numpy().astype(np.int64)
-        od = np.bincount(h, minlength=n_ent).astype(np.int64)
-        idg = np.bincount(tt, minlength=n_ent).astype(np.int64)
-        return pa.table({"id": pa.array(np.arange(n_ent, dtype=np.int64)),
-                         "od": pa.array(od), "idg": pa.array(idg)})
+        uo, co = np.unique(h, return_counts=True)
+        ui, ci = np.unique(tt, return_counts=True)
+        return pa.table({
+            "id": pa.array(np.concatenate([uo, ui])),
+            "od": pa.array(np.concatenate(
+                [co, np.zeros(len(ci), co.dtype)]).astype(np.int64)),
+            "idg": pa.array(np.concatenate(
+                [np.zeros(len(co), ci.dtype), ci]).astype(np.int64))})
 
     deg = (ds.map_batches(deg_partial, batch_format="pyarrow")
            .groupby("id")

@@ -89,6 +89,90 @@ def _assemble_triples(n_entities: int, n_relations: int, *tbls):
     return tr, dev, te, gold, csr, counts
 
 
+STREAM_FAST_MAX = 5_000_000     # same regime bound as trust.py's driver
+# fast path: below it ONE remote task assembles vocab/splits/conf0 from
+# the edge blocks (heap = one worker's edge copy); above it the Dataset
+# build below streams everything
+
+
+def _assemble_fast(neg_seed: int, *tbls):
+    """Edge blocks (subj, pred, obj) → ONE remote task producing what the
+    first three streaming stages previously built as separate Dataset
+    executions: the vocab tables via Arrow HASH kernels (trust.py's
+    rule-13 driver fast path — pc.unique/pc.index_in, bit-identical ids —
+    run remotely so the driver still holds refs only), the canonical
+    (h,t,r)-sorted splits + packed gold + train CSR (_assemble_triples'
+    outputs), the labeled conf table (the same NegativeSampler kernel on
+    the valid/test splits, tagged + keyed), and the conf metadata
+    (_conf_meta's outputs).  At the 2M-page sf1 regime the Dataset fixed
+    costs this replaces measured vocab_ids_split 7.8 s +
+    negative_sampling 7.4 s (BENCH_sf1_trust_paths, round 4) for
+    kernels that run in well under a second."""
+    import pyarrow.compute as pc
+
+    from ..functions.sampling import NegativeSampler
+
+    tbl = pa.concat_tables([t for t in tbls if t.num_rows]
+                           or list(tbls)[:1])
+    subj = tbl.column("subj").combine_chunks()
+    pred = tbl.column("pred").combine_chunks()
+    obj = tbl.column("obj").combine_chunks()
+    ents_u = pc.unique(pa.chunked_array([subj, obj]))
+    ents_s = ents_u.take(pc.array_sort_indices(ents_u))
+    rels_u = pc.unique(pred)
+    rels_s = rels_u.take(pc.array_sort_indices(rels_u))
+    ent_df = pd.DataFrame({"name": ents_s.to_numpy(zero_copy_only=False),
+                           "id": np.arange(len(ents_s), dtype=np.int32)})
+    rel_df = pd.DataFrame({"name": rels_s.to_numpy(zero_copy_only=False),
+                           "id": np.arange(len(rels_s), dtype=np.int32)})
+    n_ent, n_rel = len(ent_df), len(rel_df)
+    h = pc.index_in(subj, value_set=ents_s).to_numpy().astype(np.int64)
+    t_ = pc.index_in(obj, value_set=ents_s).to_numpy().astype(np.int64)
+    r = pc.index_in(pred, value_set=rels_s).to_numpy().astype(np.int64)
+    order = np.lexsort((r, t_, h))
+    h, t_, r = h[order], t_[order], r[order]
+    b = split_bucket(h, t_, r)
+
+    def pack3(m):
+        return np.ascontiguousarray(np.stack([h[m], t_[m], r[m]], axis=1))
+
+    tr, dev, te = pack3(b < 8), pack3(b == 8), pack3(b == 9)
+    gold = np.sort(pack_triples(h, t_, r, n_entities=n_ent,
+                                n_relations=n_rel))
+    csr = build_csr(tr[:, 0], tr[:, 1], tr[:, 2], n_ent)
+    counts = {"train": len(tr), "valid": len(dev), "test": len(te),
+              "total": len(h)}
+
+    # conf0: the identical seeded sampler kernel the Dataset path runs
+    # (labeled_examples), then the same tag + key columns
+    keyer = _add_keys(n_ent, n_rel)
+
+    def leg(arr, seed, which):
+        sampler = NegativeSampler(gold, n_entities=n_ent,
+                                  n_relations=n_rel, seed=seed)
+        t = sampler(pa.table({"h": pa.array(arr[:, 0]),
+                              "t": pa.array(arr[:, 1]),
+                              "r": pa.array(arr[:, 2])}))
+        t = t.append_column("which", pa.array(
+            np.full(t.num_rows, which, dtype=np.int8)))
+        return keyer(t)
+
+    conf0 = pa.concat_tables([leg(dev, neg_seed, 0),
+                              leg(te, neg_seed + 1, 1)])
+
+    # conf metadata (same kernels as _conf_meta)
+    ch = conf0.column("h").to_numpy().astype(np.int64)
+    ct = conf0.column("t").to_numpy().astype(np.int64)
+    cr = conf0.column("r").to_numpy().astype(np.int64)
+    pk = pack_triples(ch, ct, cr, n_entities=n_ent, n_relations=n_rel)
+    _, uidx = np.unique(pk, return_index=True)
+    queries = (ch[uidx], ct[uidx], cr[uidx])
+    pairs = np.unique((ch << 32) | ct)
+    heads = np.unique(ch)
+    return (ent_df, rel_df, tr, dev, te, gold, csr, counts,
+            conf0, queries, pairs, heads)
+
+
 def _conf_meta(n_entities: int, n_relations: int, *tbls):
     """Conf blocks → (sorted unique query triples, sorted packed (h,t)
     pairs, distinct heads).  Matches the driver path's drop_duplicates +
@@ -138,6 +222,26 @@ def _fusion_remote(path_emb, fusion_kwargs, *tbls):
 # ---------------------------------------------------------------------------
 # Attach stages (map_batches; lookup state broadcast once)
 # ---------------------------------------------------------------------------
+
+def _attach_stages(*sized) -> "int | None":
+    """Sub-exchange count for the attach joins (VERDICT r4 item 3): when
+    the materialized inputs' bytes approach the object store, stage the
+    bucket exchange (`joins._staged_exchange`) so its ACTIVE working set
+    is a fraction of the store — the whole-table sort otherwise
+    livelocks at a 2 GiB store (BASELINE.md spill section).  None =
+    unstaged (the plain single-exchange path)."""
+    try:
+        store = float(ray.cluster_resources().get(
+            "object_store_memory", 0))
+        sz = sum(float(d.size_bytes() or 0) for d in sized)
+    except Exception:
+        return None
+    if not store or not sz or sz < store * 0.25:
+        return None
+    import math
+
+    return min(16, max(2, math.ceil(sz / (store * 0.125))))
+
 
 def _add_keys(n_entities: int, n_relations: int):
     def fn(t: pa.Table) -> pa.Table:
@@ -283,14 +387,32 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
         _t = _time.time()
 
     # ---- vocab + id-map + remote assembly --------------------------------
+    import os as _os
+
     edges_ds = edges_ds.materialize()
-    ent_df, rel_df = build_vocab(edges_ds)
-    n_ent, n_rel = len(ent_df), len(rel_df)
-    ids_ds = id_map_edges(edges_ds, ent_df, rel_df).materialize()
-    asm = ray.remote(_assemble_triples).options(num_returns=6)
-    (tr_ref, dev_ref, test_ref, gold_ref, csr_ref,
-     counts_ref) = asm.remote(n_ent, n_rel, *ids_ds.to_arrow_refs())
-    counts = ray.get(counts_ref)
+    # GRAFT_STREAM_FAST_MAX=0 forces the Dataset build (parity test)
+    fast = edges_ds.count() <= int(_os.environ.get(
+        "GRAFT_STREAM_FAST_MAX", STREAM_FAST_MAX))
+    conf0_ref = q_ref = pairs_ref = heads_ref = None
+    if fast:
+        # ONE remote task replaces the build_vocab + id_map_edges +
+        # labeled_examples Dataset executions (see _assemble_fast);
+        # the driver receives only vocab tables + the count dict
+        asm = ray.remote(_assemble_fast).options(num_returns=12)
+        (ent_ref, rel_ref, tr_ref, dev_ref, test_ref, gold_ref,
+         csr_ref, counts_ref, conf0_ref, q_ref, pairs_ref,
+         heads_ref) = asm.remote(cfg.neg_seed, *edges_ds.to_arrow_refs())
+        ent_df, rel_df, counts = ray.get(
+            [ent_ref, rel_ref, counts_ref])
+        n_ent, n_rel = len(ent_df), len(rel_df)
+    else:
+        ent_df, rel_df = build_vocab(edges_ds)
+        n_ent, n_rel = len(ent_df), len(rel_df)
+        ids_ds = id_map_edges(edges_ds, ent_df, rel_df).materialize()
+        asm = ray.remote(_assemble_triples).options(num_returns=6)
+        (tr_ref, dev_ref, test_ref, gold_ref, csr_ref,
+         counts_ref) = asm.remote(n_ent, n_rel, *ids_ds.to_arrow_refs())
+        counts = ray.get(counts_ref)
     _lap("vocab_ids_split")
 
     kge_workers = cfg.kge_workers
@@ -319,30 +441,37 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
     th_kge.start()
 
     # ---- conf tables (Dataset-resident from here on) ----------------------
-    _, valid_pos, test_pos = split_edges(ids_ds)
-    gold_bc = Broadcast.from_ref(gold_ref)
+    from ..context import spread
 
-    def _tag(which: int):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "which", pa.array(np.full(t.num_rows, which, dtype=np.int8)))
-        return fn
+    if fast:
+        conf0 = spread(rd.from_arrow_refs([conf0_ref])).materialize()
+        _lap("negative_sampling")
+    else:
+        _, valid_pos, test_pos = split_edges(ids_ds)
+        gold_bc = Broadcast.from_ref(gold_ref)
 
-    conf0 = (
-        labeled_examples(valid_pos, gold_bc, n_entities=n_ent,
-                         n_relations=n_rel, seed=cfg.neg_seed)
-        .map_batches(_tag(0), batch_format="pyarrow")
-        .union(
-            labeled_examples(test_pos, gold_bc, n_entities=n_ent,
-                             n_relations=n_rel, seed=cfg.neg_seed + 1)
-            .map_batches(_tag(1), batch_format="pyarrow"))
-        .map_batches(_add_keys(n_ent, n_rel), batch_format="pyarrow")
-        .materialize())
-    _lap("negative_sampling")
+        def _tag(which: int):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "which", pa.array(np.full(t.num_rows, which,
+                                              dtype=np.int8)))
+            return fn
 
-    meta = ray.remote(_conf_meta).options(num_returns=3)
-    q_ref, pairs_ref, heads_ref = meta.remote(
-        n_ent, n_rel, *conf0.to_arrow_refs())
+        conf0 = (
+            labeled_examples(valid_pos, gold_bc, n_entities=n_ent,
+                             n_relations=n_rel, seed=cfg.neg_seed)
+            .map_batches(_tag(0), batch_format="pyarrow")
+            .union(
+                labeled_examples(test_pos, gold_bc, n_entities=n_ent,
+                                 n_relations=n_rel, seed=cfg.neg_seed + 1)
+                .map_batches(_tag(1), batch_format="pyarrow"))
+            .map_batches(_add_keys(n_ent, n_rel), batch_format="pyarrow")
+            .materialize())
+        _lap("negative_sampling")
+
+        meta = ray.remote(_conf_meta).options(num_returns=3)
+        q_ref, pairs_ref, heads_ref = meta.remote(
+            n_ent, n_rel, *conf0.to_arrow_refs())
     heads = ray.get(heads_ref)
     heads_ds = rd.from_pandas(pd.DataFrame({"head": heads}))
 
@@ -360,8 +489,9 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
             pairs=Broadcast.from_ref(pairs_ref), batch_size=96,
         ).map_batches(_gf_right, batch_format="pyarrow")
         return left_join_fill(conf0, gf_right, on="__ht", fill=GF_FILL,
-                              hit_col="__gf_hit",
-                              coalesce=True).materialize()
+                              hit_col="__gf_hit", coalesce=True,
+                              stages=_attach_stages(conf0, conf0)
+                              ).materialize()
 
     th_gf = _StageThread(run_gf_join)
     th_gf.start()
@@ -419,7 +549,8 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
         .materialize())
     final = (left_join_fill(conf3, paths_right, on="__htr",
                             fill=_path_fill(), combine_right_sum=True,
-                            coalesce=True)
+                            coalesce=True,
+                            stages=_attach_stages(conf2, paths_right))
              .map_batches(lambda t: t.drop_columns(["__ht", "__htr"]),
                           batch_format="pyarrow")
              .materialize())

@@ -1066,7 +1066,12 @@ def reach2(edges_ds, n_nodes: int, *, src_col: str = "src",
         for t in _ray.get(ds.map_batches(
                 part, batch_format="pyarrow").to_arrow_refs()):
             if len(t):
-                acc += t.column("c").to_numpy()
+                # a block can hold SEVERAL concatenated per-batch
+                # partials (Ray coalesces map_batches outputs — first
+                # seen at the 2M-edge sf1 audit run); fold each
+                # (n_nodes+1)-sized partial, not the raw column
+                acc += t.column("c").to_numpy() \
+                    .reshape(-1, n_nodes + 1).sum(axis=0)
         return acc
 
     folded = _count_fold(un)

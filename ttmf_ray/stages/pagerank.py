@@ -46,6 +46,20 @@ def _pr_round(x: np.ndarray) -> np.ndarray:
     return np.round(x, PR_ROUND)
 
 
+def _fold_dense(ds, n: int, col: str, dtype=np.float64) -> np.ndarray:
+    """Sum |V|-sized per-batch dense partials from a map_batches output.
+
+    A collected block may hold SEVERAL concatenated partials (Ray
+    coalesces small map_batches outputs into one block — first observed
+    at the 2M-edge sf1 audit run, where a naive ``acc += column`` crashed
+    on a 2·|V| block), so fold in n-sized stripes."""
+    acc = np.zeros(n, dtype=dtype)
+    for t in ray.get(ds.to_arrow_refs()):
+        if len(t):
+            acc += t.column(col).to_numpy().reshape(-1, n).sum(axis=0)
+    return acc
+
+
 def _pr_step(pr: np.ndarray, contrib: np.ndarray, dangling: float,
              d: float) -> np.ndarray:
     n = len(pr)
@@ -83,11 +97,8 @@ def pagerank(edges_ds, n_nodes: int, *, d: float = DAMPING,
         return pa.table({"od": pa.array(
             np.bincount(s, minlength=n_nodes).astype(np.int64))})
 
-    od = np.zeros(n_nodes, dtype=np.int64)
-    for t in ray.get(edges_ds.map_batches(
-            od_part, batch_format="pyarrow").to_arrow_refs()):
-        if len(t):            # empty blocks may arrive as pandas passthrough
-            od += t.column("od").to_numpy()
+    od = _fold_dense(edges_ds.map_batches(od_part, batch_format="pyarrow"),
+                     n_nodes, "od", dtype=np.int64)
 
     pr = _pr_round(np.full(n_nodes, 1.0 / n_nodes))
     zero_od = od == 0
@@ -101,11 +112,9 @@ def pagerank(edges_ds, n_nodes: int, *, d: float = DAMPING,
             c = np.bincount(v, weights=p[s] / o[s], minlength=n_nodes)
             return pa.table({"c": pa.array(c)})
 
-        contrib = np.zeros(n_nodes, dtype=np.float64)
-        for t in ray.get(edges_ds.map_batches(
-                contrib_part, batch_format="pyarrow").to_arrow_refs()):
-            if len(t):
-                contrib += t.column("c").to_numpy()
+        contrib = _fold_dense(
+            edges_ds.map_batches(contrib_part, batch_format="pyarrow"),
+            n_nodes, "c")
         dangling = float(pr[zero_od].sum())
         pr = _pr_step(pr, contrib, dangling, d)
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
@@ -155,11 +164,9 @@ def katz(edges_ds, n_nodes: int, *, beta: float = 0.01, n_iter: int = 8,
             return pa.table({"c": pa.array(np.bincount(
                 v, weights=1.0 + xv[s], minlength=n_nodes))})
 
-        acc = np.zeros(n_nodes, dtype=np.float64)
-        for t in ray.get(edges_ds.map_batches(
-                part, batch_format="pyarrow").to_arrow_refs()):
-            if len(t):
-                acc += t.column("c").to_numpy()
+        acc = _fold_dense(
+            edges_ds.map_batches(part, batch_format="pyarrow"),
+            n_nodes, "c")
         x = _pr_round(beta * acc)
     return pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64),
                          "katz": x})
@@ -224,12 +231,9 @@ def hits(edges_ds, n_nodes: int, *, n_iter: int = 8,
             return pa.table({"c": pa.array(
                 np.bincount(gi, weights=w[wi], minlength=n_nodes))})
 
-        acc = np.zeros(n_nodes, dtype=np.float64)
-        for t in ray.get(edges_ds.map_batches(
-                part, batch_format="pyarrow").to_arrow_refs()):
-            if len(t):
-                acc += t.column("c").to_numpy()
-        return acc
+        return _fold_dense(
+            edges_ds.map_batches(part, batch_format="pyarrow"),
+            n_nodes, "c")
 
     for _ in range(n_iter):
         auth = _hits_norm(_fold(dst_col, hub, src_col))
