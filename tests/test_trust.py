@@ -292,3 +292,133 @@ def test_fusion_batch_grads_finite_difference():
 
     # scalar-only
     check(head_params(d_scalar), None, rnn=False)
+
+
+def test_fusion_batch_grads_branch_reg_finite_difference():
+    """Numeric gradient check of the branch_reg stack (input Dropout →
+    SimpleRNN → batch-stat BatchNorm → Dropout → σ, Model1.py:86-99) —
+    every trained tensor including the BN gamma/beta, with FIXED
+    dropout masks so the loss is a deterministic function of params."""
+    import numpy as np
+
+    from ttmf_ray.functions.fusion import (MAX_P, N_BRANCH, _BN_EPS,
+                                           _batch_grads)
+
+    rng = np.random.default_rng(29)
+    B, d_scalar, hh, d_step = 12, 5, 3, 4
+    xb = rng.standard_normal((B, d_scalar))
+    yb = (rng.random(B) < 0.5).astype(np.float64)
+    tb = rng.standard_normal((B, d_step))
+    sb = rng.standard_normal((B, N_BRANCH, MAX_P, d_step))
+    lb = rng.integers(0, MAX_P + 1, (B, N_BRANCH)).astype(np.int64)
+    m_in = (rng.random((B, N_BRANCH, MAX_P, 2 * d_step)) < 0.5) / 0.5
+    m_out = (rng.random((B, N_BRANCH, hh)) < 0.5) / 0.5
+
+    params = [rng.standard_normal((d_scalar + N_BRANCH, 6)) * 0.4,
+              np.zeros(6),
+              rng.standard_normal((6, 1)) * 0.4, np.zeros(1),
+              rng.standard_normal((N_BRANCH, 2 * d_step, hh)) * 0.4,  # Wx
+              rng.standard_normal((N_BRANCH, hh, hh)) * 0.4,          # Wh
+              rng.standard_normal((N_BRANCH, hh)) * 0.2,              # bh
+              rng.standard_normal((N_BRANCH, hh)) * 0.4,              # wb
+              rng.standard_normal(N_BRANCH) * 0.2,                    # cb
+              1.0 + 0.3 * rng.standard_normal((N_BRANCH, hh)),   # gamma
+              0.2 * rng.standard_normal((N_BRANCH, hh)),         # beta
+              np.zeros((N_BRANCH, hh)),                       # run_mean
+              np.ones((N_BRANCH, hh))]                        # run_var
+
+    def loss(params):
+        W1, b1, W2, b2 = params[:4]
+        Wx, Wh, bh, wb, cb = params[4:9]
+        gamma, beta = params[9], params[10]
+        h = np.zeros((B, N_BRANCH, hh))
+        for t in range(MAX_P):
+            x = np.empty((B, N_BRANCH, 2 * d_step))
+            x[:, :, :d_step] = tb[:, None, :] * m_in[:, :, t, :d_step]
+            x[:, :, d_step:] = sb[:, :, t, :] * m_in[:, :, t, d_step:]
+            pre = (np.matmul(x.transpose(1, 0, 2), Wx)
+                   + np.matmul(h.transpose(1, 0, 2), Wh)
+                   + bh[:, None, :])
+            hn = np.tanh(pre).transpose(1, 0, 2)
+            h = np.where((lb > t)[:, :, None], hn, h)
+        mean_b, var_b = h.mean(axis=0), h.var(axis=0)
+        hN = (h - mean_b) / np.sqrt(var_b + _BN_EPS)
+        hD = (gamma * hN + beta) * m_out
+        zk = 1.0 / (1.0 + np.exp(-((hD * wb[None]).sum(axis=2) + cb)))
+        Zin = np.concatenate([zk, xb], axis=1)
+        H = np.tanh(Zin @ W1 + b1)
+        p = 1.0 / (1.0 + np.exp(-(H @ W2 + b2)))[:, 0]
+        return -np.mean(yb * np.log(p) + (1 - yb) * np.log(1 - p))
+
+    grads = _batch_grads(params, xb, yb, (tb, sb, lb), rnn=True,
+                         reg_masks=(m_in, m_out))
+    assert len(grads) == 11                  # run stats take no grads
+    eps = 1e-6
+    for k, (pm, g) in enumerate(zip(params, grads)):
+        flat = pm.reshape(-1)
+        for j in range(0, flat.size, max(1, flat.size // 7)):
+            orig = flat[j]
+            flat[j] = orig + eps
+            lp = loss(params)
+            flat[j] = orig - eps
+            lm = loss(params)
+            flat[j] = orig
+            num = (lp - lm) / (2 * eps)
+            ana = g.reshape(-1)[j]
+            assert abs(num - ana) <= 1e-6 + 1e-4 * abs(num), \
+                (k, j, num, ana)
+
+
+def test_fusion_branch_reg_train_and_score():
+    """branch_reg=True trains, scores in [0,1], is run-to-run
+    deterministic, and the stored BN running stats actually shift off
+    their init (proof the momentum update fires)."""
+    import numpy as np
+    import pandas as pd
+
+    from ttmf_ray.functions.fusion import (ALL_SEQ_COLUMNS, MAX_P,
+                                           N_BRANCH, FEATURES,
+                                           score_fusion_df, train_fusion)
+
+    rng = np.random.default_rng(47)
+    n, n_ent, n_rel, k = 240, 40, 6, 8
+    df = pd.DataFrame({f: rng.standard_normal(n) for f in FEATURES})
+    df["flag"] = rng.integers(0, 2, n)
+    df["h"] = rng.integers(0, n_ent, n)
+    df["t"] = rng.integers(0, n_ent, n)
+    df["r"] = rng.integers(0, n_rel, n)
+    for b in range(N_BRANCH):
+        for i in range(MAX_P):
+            df[f"p{b}_s{i}"] = rng.integers(0, n_ent, n)
+            df[f"p{b}_d{i}"] = rng.integers(0, n_ent, n)
+            df[f"p{b}_r{i}"] = rng.integers(0, n_rel, n)
+        df[f"p{b}_len"] = rng.integers(0, MAX_P + 1, n)
+    assert all(c in df.columns for c in ALL_SEQ_COLUMNS)
+    Ep = rng.standard_normal((n_ent, k)).astype(np.float32)
+    Rp = rng.standard_normal((n_rel, k)).astype(np.float32)
+
+    m1 = train_fusion(df, epochs=6, path_emb=(Ep, Rp),
+                      branch_mode="rnn", branch_reg=True)
+    assert m1.bn is not None
+    gamma, beta, rm, rv = m1.bn
+    assert rm.shape == (N_BRANCH, m1.branches[2].shape[1])
+    assert not np.allclose(rm, 0.0)          # momentum update fired
+    s1 = score_fusion_df(df, m1)
+    assert s1["conf"].between(0, 1).all()
+
+    m2 = train_fusion(df, epochs=6, path_emb=(Ep, Rp),
+                      branch_mode="rnn", branch_reg=True)
+    s2 = score_fusion_df(df, m2)
+    assert (s1["conf"].to_numpy() == s2["conf"].to_numpy()).all()
+
+    # reg off is bit-identical to the pre-BN kernel path (bn=None)
+    m0 = train_fusion(df, epochs=6, path_emb=(Ep, Rp),
+                      branch_mode="rnn")
+    assert m0.bn is None
+
+    # distributed local-SGD path with the reg params (stats average
+    # across workers like every other parameter)
+    mw = train_fusion(df, epochs=6, path_emb=(Ep, Rp),
+                      branch_mode="rnn", branch_reg=True, workers=2)
+    sw = score_fusion_df(df, mw)
+    assert sw["conf"].between(0, 1).all()

@@ -16,10 +16,16 @@ and deterministic, with the same topology role:
   steps then Dense(tanh) → Dense(1, sigmoid); "rnn" runs the
   reference's actual SimpleRNN cell over the 6-part per-step concat
   (triple-embedding RepeatVector ++ path step, `Model1.py:78-110`)
-  with Keras mask_zero carry semantics.  Measured at bench scale
-  (sf0.1, 200k pages): rnn acc 0.8610 / maxF1 0.8452 vs pool
-  0.8593 / 0.8432 — both beat the reference's ≈0.8; pool stays the
-  default for its 4× faster fusion_train (2.5 s vs 9.8 s);
+  with Keras mask_zero carry semantics; ``branch_reg=True`` adds the
+  reference's full per-branch regularizer stack (Dropout(0.5) on the
+  per-step concat → SimpleRNN → BatchNormalization → Dropout(0.5),
+  Model1.py:86-99) with trainable BN affine + momentum running
+  stats.  Measured at bench scale (sf0.1, 200k pages, one process):
+  rnn acc 0.8610 / maxF1 0.8452 (fusion_train 5.4 s), rnn+reg
+  0.8595 / 0.8433 (11.5 s), pool 0.8593 / 0.8432 (1.9 s) — all beat
+  the reference's ≈0.8; pool stays the default for speed, the
+  regularizers are a fidelity knob (their Keras role is to fight
+  overfit the small numpy net doesn't exhibit here);
 - the TransE margin scalar, the RRank sigmoid + 6-feature tail, and the
   top-3 path scores as scalar features;
 - concat [branch₁..₃, scalars] → Dense(tanh) → Dense(1, sigmoid)
@@ -283,16 +289,25 @@ def steps_stacked(emb: tuple, seqs: list, trip_ids: tuple, *,
             np.concatenate([p[2] for p in parts]))
 
 
+_BN_EPS = 1e-3          # Keras BatchNormalization default epsilon
+_BN_MOMENTUM = 0.99     # Keras running-stat momentum
+_DROP_RATE = 0.5        # reference Dropout(0.5), Model1.py:86,99
+
+
 def _rnn_forward(branches: tuple, trip64: np.ndarray, steps: np.ndarray,
-                 lens: np.ndarray, *, keep_states: bool = False):
+                 lens: np.ndarray, *, keep_states: bool = False,
+                 bn: tuple | None = None):
     """Masked SimpleRNN forward over MAX_P steps for all K branches →
     (zk (B, K), hs list | None).
 
     Keras ``mask_zero`` semantics (Model1.py:41-72): the state CARRIES
     through padded steps (h_t = h_{t-1} where t ≥ len); all-pad rows
-    end at the zero state.  BatchNorm/Dropout of the reference are
-    omitted (inference-time identity / regularizer — documented
-    deviation)."""
+    end at the zero state.  ``bn`` = (gamma, beta, run_mean, run_var)
+    applies the reference's BatchNormalization (Model1.py:89) in
+    inference mode (running-stat fold) between the final state and the
+    sigmoid head; Dropout is an inference-time identity.  ``bn=None``
+    (the default, and every model trained with ``branch_reg=False``)
+    is bit-identical to the pre-BN kernel."""
     Wx, Wh, bh, wb, cb = branches
     d = trip64.shape[1]
     B = len(trip64)
@@ -309,7 +324,11 @@ def _rnn_forward(branches: tuple, trip64: np.ndarray, steps: np.ndarray,
         h = np.where((lens > t)[:, :, None], hn, h)
         if keep_states:
             hs.append(h)
-    zk = 1.0 / (1.0 + np.exp(-((h * wb[None]).sum(axis=2) + cb)))
+    hout = h
+    if bn is not None:
+        gamma, beta, rm, rv = bn
+        hout = gamma * (h - rm) / np.sqrt(rv + _BN_EPS) + beta
+    zk = 1.0 / (1.0 + np.exp(-((hout * wb[None]).sum(axis=2) + cb)))
     return zk, hs
 
 
@@ -338,6 +357,11 @@ class FusionModel:
     # final state → σ(wb·h + cb).  branches then =
     # (Wx (K, 2·d_step, hh), Wh (K, hh, hh), bh (K, hh), wb, cb).
     branch_mode: str = "pool"
+    # branch_reg=True models (reference Model1.py:86-99: Dropout(0.5) on
+    # the per-step concat → SimpleRNN → BatchNormalization → Dropout(0.5)
+    # → σ head): (gamma, beta, run_mean, run_var), each (K, hh).
+    # Inference applies the running-stat BN fold; dropout is identity.
+    bn: tuple | None = None
 
     def pool(self, seq) -> np.ndarray:
         """Masked mean over real steps of the per-step embedding concat.
@@ -451,7 +475,7 @@ class FusionModel:
             s1 = min(s0 + _SCORE_CHUNK, B)
             zk[s0:s1], _ = _rnn_forward(
                 self.branches, trip[s0:s1].astype(np.float64),
-                steps[s0:s1], lens[s0:s1])
+                steps[s0:s1], lens[s0:s1], bn=self.bn)
         return zk
 
     def _zk_rnn_from_seqs(self, seqs: list, trip_ids: tuple) -> np.ndarray:
@@ -466,7 +490,8 @@ class FusionModel:
                 self.emb, tuple(x[s0:s1] for x in trip_ids),
                 _slice_seqs(seqs, s0, s1))
             zk[s0:s1], _ = _rnn_forward(
-                self.branches, trip.astype(np.float64), steps, lens)
+                self.branches, trip.astype(np.float64), steps, lens,
+                bn=self.bn)
 
         _chunk_map(work, B)
         return zk
@@ -505,6 +530,7 @@ def train_fusion(
     workers: int | None = None,
     local_epochs: int = 5,
     branch_mode: str = "pool",
+    branch_reg: bool = False,
 ) -> FusionModel:
     """BCE + Adam on (FEATURES [+ path branches] → flag==1), early stop on
     val accuracy (reference: batch 64, ≤200 epochs, patience 20 —
@@ -515,6 +541,16 @@ def train_fusion(
     ``workers`` > 1 switches to synchronous local-SGD over Ray tasks
     (``local_epochs`` per averaging round) — deterministic for a fixed
     worker count; falls back to serial when the train split is small.
+
+    ``branch_reg=True`` (rnn mode only) adds the reference's per-branch
+    regularizer stack (Model1.py:86-99): Dropout(0.5) on the 6-part
+    per-step concat entering the SimpleRNN, BatchNormalization on the
+    final state, Dropout(0.5) after it.  Training uses batch statistics
+    + seeded inverted-dropout masks (deterministic); inference folds the
+    momentum-0.99 running stats and drops the masks.  gamma/beta train
+    under the same Adam loop; the running stats ride the parameter list
+    untouched by Adam (the grads list is shorter) and average across
+    local-SGD workers like every other parameter.
     """
     rng = np.random.default_rng(seed)
     # feature hygiene: a NaN/inf leaking from any upstream stage would
@@ -572,9 +608,20 @@ def train_fusion(
                         np.stack([d[1][:, 0] for d in draws]),  # wb (K,h)
                         np.zeros(N_BRANCH))                     # cb
         params.extend(branches)
+    bn = None
+    if use_paths and branch_mode == "rnn" and branch_reg:
+        # trainable BN affine + momentum running stats (see docstring);
+        # ORDER MATTERS: gamma/beta (Adam-trained, grads exist) precede
+        # run_mean/run_var (stat-tracked only, past the grads list).
+        gamma = np.ones((N_BRANCH, branch_hidden))
+        beta = np.zeros((N_BRANCH, branch_hidden))
+        run_mean = np.zeros((N_BRANCH, branch_hidden))
+        run_var = np.ones((N_BRANCH, branch_hidden))
+        params.extend([gamma, beta, run_mean, run_var])
+        bn = (gamma, beta, run_mean, run_var)
     model = FusionModel(W1=W1, b1=b1, W2=W2, b2=b2, mu=mu, sd=sd,
                         emb=path_emb if use_paths else None,
-                        branches=branches,
+                        branches=branches, bn=bn,
                         branch_mode=branch_mode if use_paths else "pool")
     # pooled path vectors are embedding-frozen → precompute ONCE for the
     # whole table (recomputing the gather+concat per batch dominated the
@@ -686,8 +733,10 @@ def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
     """
     use_paths = pooled_all is not None
     rnn = isinstance(pooled_all, tuple)      # (trip, steps, lens) slabs
+    reg = use_paths and rnn and len(params) > 9   # + [gamma, beta, rm, rv]
     if use_paths and rnn:
         d_step = pooled_all[0].shape[1]
+        K_r, hh_r = params[6].shape            # bh (K, hh)
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     order = rng.permutation(len(ti))
     for s0 in range(0, len(ti), batch_size):
@@ -710,7 +759,17 @@ def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
             branch_batch = pooled_all[idx]
         else:
             branch_batch = None
-        grads = _batch_grads(params, xb, yb, branch_batch, rnn=rnn)
+        reg_masks = None
+        if reg:
+            # inverted dropout, drawn from the SAME epoch rng stream →
+            # deterministic for a fixed (seed, epoch, batch) path
+            keep = 1.0 - _DROP_RATE
+            m = len(idx)
+            m_in = (rng.random((m, K_r, MAX_P, 2 * d_step)) < keep) / keep
+            m_out = (rng.random((m, K_r, hh_r)) < keep) / keep
+            reg_masks = (m_in, m_out)
+        grads = _batch_grads(params, xb, yb, branch_batch, rnn=rnn,
+                             reg_masks=reg_masks)
         adam.step += 1
         st = adam.step
         for k, (pm, g) in enumerate(zip(params, grads)):
@@ -721,17 +780,61 @@ def _sgd_epoch(params, adam: _AdamState, Xz, y, pooled_all, ti, *,
             pm -= lr * mh / (np.sqrt(vh) + eps)
 
 
-def _batch_grads(params, xb, yb, branch_batch, *, rnn: bool) -> list:
+def _batch_grads(params, xb, yb, branch_batch, *, rnn: bool,
+                 reg_masks: tuple | None = None) -> list:
     """BCE gradients of every parameter for one batch — a PURE function
-    of (params, batch), shared verbatim by the serial trainer, the Ray
-    local-SGD workers and the finite-difference gradient-check test.
+    of (params, batch, masks), shared verbatim by the serial trainer,
+    the Ray local-SGD workers and the finite-difference gradient-check
+    test (the one side effect: with ``reg_masks`` the BN running stats
+    params[11:13] take their momentum update, which never feeds back
+    into this batch's loss).
 
     ``branch_batch``: None (scalar-only model), the batch's pooled slab
     ``Vm`` (branch_mode="pool"), or ``(tb, sb, lb)`` RNN input slices
-    (branch_mode="rnn")."""
+    (branch_mode="rnn").  ``reg_masks`` = (m_in (B,K,MAX_P,2d),
+    m_out (B,K,hh)) scaled inverted-dropout masks enables the
+    branch_reg stack (input Dropout → RNN → batch-stat BatchNorm →
+    Dropout → σ, reference Model1.py:86-99)."""
     use_paths = branch_batch is not None
     W1, b1, W2, b2 = params[:4]
-    if use_paths and rnn:
+    if use_paths and rnn and reg_masks is not None:
+        Wx, Wh, bh, wb, cb = params[4:9]
+        gamma, beta = params[9], params[10]
+        tb, sb, lb = branch_batch
+        m_in, m_out = reg_masks
+        d_step = tb.shape[1]
+        B = len(tb)
+        K, _, hh = Wh.shape
+        # forward with per-step input dropout: x_t = mask ⊙ [trip, step]
+        # (the repeated triple concat drops independently per step, as
+        # Keras Dropout does on the RepeatVector'ed concat)
+        h = np.zeros((B, K, hh))
+        hs, xs = [h], []
+        for t in range(MAX_P):
+            x = np.empty((B, K, 2 * d_step))
+            x[:, :, :d_step] = tb[:, None, :] * m_in[:, :, t, :d_step]
+            x[:, :, d_step:] = sb[:, :, t, :] * m_in[:, :, t, d_step:]
+            pre = np.matmul(x.transpose(1, 0, 2), Wx)
+            pre += np.matmul(h.transpose(1, 0, 2), Wh)
+            pre += bh[:, None, :]
+            hn = np.tanh(pre).transpose(1, 0, 2)
+            h = np.where((lb > t)[:, :, None], hn, h)
+            xs.append(x)
+            hs.append(h)
+        hK = hs[-1]
+        mean_b = hK.mean(axis=0)               # (K, hh) batch stats
+        var_b = hK.var(axis=0)
+        inv = 1.0 / np.sqrt(var_b + _BN_EPS)
+        hN = (hK - mean_b) * inv
+        hD = (gamma * hN + beta) * m_out        # BN affine + out-dropout
+        zk = 1.0 / (1.0 + np.exp(-((hD * wb[None]).sum(axis=2) + cb)))
+        if len(params) > 12:                    # momentum running stats
+            params[11] *= _BN_MOMENTUM
+            params[11] += (1 - _BN_MOMENTUM) * mean_b
+            params[12] *= _BN_MOMENTUM
+            params[12] += (1 - _BN_MOMENTUM) * var_b
+        Zin = np.concatenate([zk, xb], axis=1)
+    elif use_paths and rnn:
         Wx, Wh, bh, wb, cb = params[4:]
         tb, sb, lb = branch_batch
         d_step = tb.shape[1]
@@ -760,7 +863,35 @@ def _batch_grads(params, xb, yb, branch_batch, *, rnn: bool) -> list:
     gW1 = Zin.T @ gZ
     gb1 = gZ.sum(axis=0)
     grads = [gW1, gb1, gW2, gb2]
-    if use_paths and rnn:
+    if use_paths and rnn and reg_masks is not None:
+        # head + dropout + batch-stat BN backward, then masked BPTT
+        gz = gZin[:, :N_BRANCH] * zk * (1 - zk)    # (B, K)
+        gwb = (hD * gz[:, :, None]).sum(axis=0)
+        gcb = gz.sum(axis=0)
+        ghD = gz[:, :, None] * wb[None, :, :]      # (B, K, hh)
+        ghB = ghD * m_out                          # through out-dropout
+        ggamma = (ghB * hN).sum(axis=0)
+        gbeta = ghB.sum(axis=0)
+        ghN = ghB * gamma
+        # standard BN backward for biased batch var (np.var default)
+        ghK = (inv / B) * (B * ghN - ghN.sum(axis=0)
+                           - hN * (ghN * hN).sum(axis=0))
+        gh = ghK
+        gWx = np.zeros_like(Wx)
+        gWh = np.zeros_like(Wh)
+        gbh = np.zeros_like(bh)
+        for t in reversed(range(MAX_P)):
+            mt = (lb > t)[:, :, None]
+            gpre = (gh * mt * (1 - hs[t + 1] ** 2)) \
+                .transpose(1, 0, 2)                # (K, B, hh)
+            gWx += np.matmul(xs[t].transpose(1, 2, 0), gpre)
+            gWh += np.matmul(hs[t].transpose(1, 2, 0), gpre)
+            gbh += gpre.sum(axis=1)
+            gh = (np.matmul(gpre, Wh.transpose(0, 2, 1))
+                  .transpose(1, 0, 2)
+                  + gh * ~mt)
+        grads.extend([gWx, gWh, gbh, gwb, gcb, ggamma, gbeta])
+    elif use_paths and rnn:
         # BPTT over the MAX_P masked-carry steps: at step t only rows
         # with len > t flow through the tanh path; the rest carry the
         # state (identity) — gradient mirrors the carry

@@ -84,6 +84,9 @@ class TrustConfig:
     # reference's SimpleRNN cell over the 6-part per-step concat,
     # Model1.py:78-110 — see functions/fusion.py FusionModel.branch_mode)
     fusion_branch_mode: str = "pool"
+    # rnn mode only: add the reference's Dropout(0.5)→BatchNorm→
+    # Dropout(0.5) branch regularizer stack (Model1.py:86-99)
+    fusion_branch_reg: bool = False
     scorer_num_gpus: float | None = None  # per-actor GPU for the T6 pool
     checkpoint_dir: str | None = None     # stage checkpoints (KGE reuse)
     # streaming=True routes to trust_pipeline_streaming: no triple/conf
@@ -519,7 +522,8 @@ def trust_pipeline(edges_ds, cfg: TrustConfig = TrustConfig()) -> dict:
     model = train_fusion(conf_valid, batch_size=cfg.fusion_batch_size,
                          epochs=cfg.fusion_epochs, path_emb=(Ep, Rp),
                          workers=fusion_workers,
-                         branch_mode=cfg.fusion_branch_mode)
+                         branch_mode=cfg.fusion_branch_mode,
+                         branch_reg=cfg.fusion_branch_reg)
     _lap("fusion_train")
     if cfg.scorer_num_gpus is None and len(conf_test) <= 1_000_000:
         # driver fast path: per-row math on a conf table this small is

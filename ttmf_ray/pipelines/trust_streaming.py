@@ -561,7 +561,8 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
         (Ep, Rp),
         {"batch_size": cfg.fusion_batch_size, "epochs": cfg.fusion_epochs,
          "workers": fusion_workers,
-         "branch_mode": cfg.fusion_branch_mode},
+         "branch_mode": cfg.fusion_branch_mode,
+         "branch_reg": cfg.fusion_branch_reg},
         *final.to_arrow_refs()))
     _lap("fusion_train")
 
