@@ -228,6 +228,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_watermark": rel.docs_watermark,
         "tpch_q18": rel.tpch_q18,
         "tpch_q9": rel.tpch_q9,
+        "tpch_q8": rel.tpch_q8,
+        "tpch_q11": rel.tpch_q11,
+        "tpch_q15": rel.tpch_q15,
+        "tpch_q16": rel.tpch_q16,
+        "tpch_q17": rel.tpch_q17,
+        "tpch_q20": rel.tpch_q20,
+        "tpch_q21": rel.tpch_q21,
         "events_retention": rel.events_retention,
         "events_session_quantiles": rel.events_session_quantiles,
         "docs_text_norm": rel.docs_text_norm,
@@ -6530,5 +6537,149 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000 AS rate
             FROM agg a JOIN base b USING (cohort_week)
             ORDER BY cohort_week, k
+        """,
+        # top supplier by one ship-year's revenue (Q15 analogue;
+        # max compared on the 6-dp ROUNDED revenue, ties all kept)
+        "tpch_q15": """
+            WITH r AS (SELECT l_suppkey AS s_suppkey,
+                              round(sum(l_extendedprice
+                                        * (1.0 - l_discount)), 6)
+                                  AS total_revenue
+                       FROM lineitem
+                       WHERE 1970 + (epoch_us(l_shipdate)
+                                     // 31557600000000) = 1996
+                       GROUP BY 1)
+            SELECT r.s_suppkey::BIGINT AS s_suppkey, s.s_name,
+                   r.total_revenue
+            FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY r.s_suppkey
+        """,
+        # small-quantity-order revenue for one brand (Q17 analogue;
+        # qty/avg are exact integer-valued doubles -> the 0.2*avg
+        # threshold is the identical IEEE chain in both engines)
+        "tpch_q17": """
+            WITH b AS (SELECT p_partkey FROM part
+                       WHERE p_brand = 'Brand#13'),
+            s AS (SELECT l_partkey, sum(l_quantity) AS sq,
+                         count(*) AS nq
+                  FROM lineitem JOIN b ON b.p_partkey = l_partkey
+                  GROUP BY 1),
+            f AS (SELECT l.l_extendedprice
+                  FROM lineitem l JOIN s ON s.l_partkey = l.l_partkey
+                  WHERE l.l_quantity < CAST(0.2 AS DOUBLE)
+                                       * (s.sq / s.nq))
+            SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+                   count(*)::BIGINT AS n_small
+            FROM f
+        """,
+        # distinct-supplier count per part attribute group (Q16
+        # analogue over the observed lineitem part-supplier pairs)
+        "tpch_q16": """
+            WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+                           FROM lineitem),
+            j AS (SELECT p.p_brand, p.p_type,
+                         p.p_size::BIGINT AS p_size, pr.l_suppkey
+                  FROM pairs pr
+                  JOIN part p ON p.p_partkey = pr.l_partkey
+                  WHERE p.p_brand <> 'Brand#13'
+                    AND p.p_type <> 'PROMO'
+                    AND p.p_size IN (9, 16, 22, 24, 29, 33, 47, 48))
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM j GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # important parts by one region's shipped value (Q11 analogue;
+        # threshold = fraction of the sum of 6-dp-rounded per-part
+        # values — an exact fixed-quantization chain in both engines)
+        "tpch_q11": """
+            WITH sk AS (SELECT s_suppkey FROM supplier s
+                        JOIN nation n
+                          ON n.n_nationkey = s.s_nationkey
+                        JOIN region r
+                          ON r.r_regionkey = n.n_regionkey
+                        WHERE r.r_name = 'EUROPE'),
+            v AS (SELECT l_partkey AS p_partkey,
+                         round(sum(l_extendedprice * l_quantity), 6)
+                             AS value
+                  FROM lineitem l
+                  JOIN sk ON sk.s_suppkey = l.l_suppkey
+                  GROUP BY 1)
+            SELECT p_partkey::BIGINT AS p_partkey, value FROM v
+            WHERE value > (SELECT sum(value) FROM v)
+                          * CAST(0.001 AS DOUBLE)
+            ORDER BY value DESC, p_partkey
+        """,
+        # national market share per order year (Q8 analogue; share =
+        # half-up ratio of the two 6-dp-rounded sums — rule 26)
+        "tpch_q8": """
+            WITH t AS (SELECT p_partkey FROM part
+                       WHERE p_type = 'ECONOMY'),
+            ts AS (SELECT s_suppkey FROM supplier s
+                   JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   JOIN region r ON r.r_regionkey = n.n_regionkey
+                   WHERE r.r_name = 'EUROPE'),
+            rc AS (SELECT c_custkey FROM customer c
+                   JOIN nation n ON n.n_nationkey = c.c_nationkey
+                   JOIN region r ON r.r_regionkey = n.n_regionkey
+                   WHERE r.r_name = 'ASIA'),
+            l AS (SELECT l_orderkey,
+                         l_extendedprice * (1.0 - l_discount) AS rev,
+                         CASE WHEN l_suppkey IN
+                                  (SELECT s_suppkey FROM ts)
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END AS rev_target
+                  FROM lineitem
+                  JOIN t ON t.p_partkey = l_partkey),
+            o AS (SELECT o_orderkey,
+                         1970 + (epoch_us(o_orderdate)
+                                 // 31557600000000) AS o_year
+                  FROM orders JOIN rc ON rc.c_custkey = o_custkey),
+            a AS (SELECT o_year::BIGINT AS o_year,
+                         round(sum(rev_target), 6) AS rev_target,
+                         round(sum(rev), 6) AS rev_total
+                  FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+                  GROUP BY 1)
+            SELECT o_year, rev_target, rev_total,
+                   floor(rev_target / rev_total * 1000000 + 0.5)
+                       / 1000000 AS mkt_share
+            FROM a ORDER BY o_year
+        """,
+        # suppliers who shipped LAST on multi-supplier 'F' orders
+        # (Q21 analogue; all-integer ship-day arithmetic)
+        "tpch_q21": """
+            WITH f AS (SELECT o_orderkey FROM orders
+                       WHERE o_orderstatus = 'F'),
+            pm AS (SELECT l_orderkey AS o, l_suppkey AS s,
+                          max(epoch_us(l_shipdate)
+                              // 86400000000) AS d
+                   FROM lineitem
+                   JOIN f ON f.o_orderkey = l_orderkey
+                   GROUP BY 1, 2),
+            om AS (SELECT o, max(d) AS omax, min(d) AS omin
+                   FROM pm GROUP BY o)
+            SELECT s.s_name, count(*)::BIGINT AS numwait
+            FROM pm JOIN om USING (o)
+            JOIN supplier s ON s.s_suppkey = pm.s
+            WHERE pm.d = om.omax AND om.omin < om.omax
+            GROUP BY 1 ORDER BY numwait DESC, s_name
+        """,
+        # leading suppliers of a part-name class (Q20 analogue;
+        # EXACT integer near-top test 2*sq > max_sq)
+        "tpch_q20": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'cold%'),
+            ps AS (SELECT l_partkey AS p, l_suppkey AS s,
+                          sum(l_quantity::BIGINT) AS sq
+                   FROM lineitem
+                   JOIN pk ON pk.p_partkey = l_partkey
+                   GROUP BY 1, 2),
+            tot AS (SELECT p, max(sq) AS mq FROM ps GROUP BY p)
+            SELECT DISTINCT ps.s::BIGINT AS s_suppkey, su.s_name
+            FROM ps JOIN tot USING (p)
+            JOIN supplier su ON su.s_suppkey = ps.s
+            WHERE 2 * ps.sq > tot.mq
+            ORDER BY s_suppkey
         """,
     }

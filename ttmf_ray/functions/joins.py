@@ -48,8 +48,16 @@ def _staged_exchange(lt, rt, *, n_buckets: int, coalesce: bool,
             b = t.column("__bucket").to_numpy()
             return t.filter(pa.array(b % stages == s))
 
-        part = lt.map_batches(keep, batch_format="pyarrow").union(
-            rt.map_batches(keep, batch_format="pyarrow"))
+        # materialize each side BEFORE the union: a live producer and a
+        # large union queue otherwise compete for the same store budget
+        # and the executor's reservation backpressure can wedge with the
+        # producer's tasks dispatched but unable to commit outputs
+        # (observed at a 2 GiB store, round 5).  Materialized blocks
+        # are plain spillable objects; the union then only moves refs.
+        part = (lt.map_batches(keep, batch_format="pyarrow")
+                .materialize()
+                .union(rt.map_batches(keep, batch_format="pyarrow")
+                       .materialize()))
         outs.append(
             _bucket_group(part, max(2, n_buckets // stages), coalesce)
             .map_groups(join_fn, batch_format="pandas")

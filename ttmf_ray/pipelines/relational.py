@@ -4854,3 +4854,423 @@ def events_type_lift(sf_dir: str) -> pd.DataFrame:
         "lift": half_up(lift, 6)})
     return out.astype({c: np.int64 for c in ("n_both", "n_a", "n_b")}) \
         .sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+def tpch_q15(sf_dir: str, year: int = 1996) -> pd.DataFrame:
+    """TPC-H Q15 analogue (top supplier): revenue
+    Σ extendedprice·(1−discount) per supplier over one ship year, then
+    every supplier whose 6-dp-ROUNDED revenue equals the maximum (the
+    rounded-rank rule — never compare raw float sums cross-engine).
+    Plan: pruned read → stateless filter + per-suppkey pre-sum per
+    batch → tiny supplier-domain groupby; the supplier decoration is a
+    broadcast lookup (suppliers are O(100) rows at any scale)."""
+    from ray.data.aggregate import Sum
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .to_pandas().sort_values("s_suppkey")
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        yr = 1970 + sd // 31_557_600_000_000
+        keep = yr == year
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)[keep]
+        ep = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        df = pd.DataFrame({"s_suppkey": sk, "rev": ep * (1.0 - disc)})
+        g = df.groupby("s_suppkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("rev", alias_name="total_revenue")).to_pandas())
+    agg["total_revenue"] = np.round(agg["total_revenue"].to_numpy(), 6)
+    top = agg[agg["total_revenue"] == agg["total_revenue"].max()].copy()
+    sk = top["s_suppkey"].to_numpy(np.int64)
+    pos = np.searchsorted(sup["s_suppkey"].to_numpy(np.int64), sk)
+    top["s_name"] = sup["s_name"].to_numpy(dtype=object)[pos]
+    return top[["s_suppkey", "s_name", "total_revenue"]] \
+        .astype({"s_suppkey": np.int64}) \
+        .sort_values("s_suppkey", ignore_index=True)
+
+
+def tpch_q17(sf_dir: str, brand: str = "Brand#13") -> pd.DataFrame:
+    """TPC-H Q17 analogue (small-quantity-order revenue): over one
+    brand's parts, lineitems with quantity below 0.2 × that part's
+    average quantity; report Σ extendedprice / 7.0.  Two passes over
+    the pruned lineitem columns: (1) per-part (Σqty, n) partials → one
+    tiny part-domain groupby → broadcast threshold map; (2) stateless
+    filter + sum.  Quantities are integer-valued doubles, so Σqty and
+    the average are EXACT and the 0.2·avg threshold is the identical
+    IEEE chain in both engines — the comparison can't diverge.
+    Output: avg_yearly (6-dp), n_small (the count passing the filter,
+    an integer witness of the threshold agreement)."""
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    bkeys = np.sort(part.loc[part["p_brand"] == brand, "p_partkey"]
+                    .to_numpy(np.int64))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qpart(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        keep = np.isin(pk, bkeys)
+        qty = t.column("l_quantity").to_numpy()[keep]
+        df = pd.DataFrame({"p": pk[keep], "s": qty, "n": np.int64(1)})
+        g = df.groupby("p", as_index=False).agg(s=("s", "sum"),
+                                                n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (li.map_batches(qpart, batch_format="pyarrow")
+             .groupby("p").aggregate(Sum("s", alias_name="s"),
+                                     Sum("n", alias_name="n"))
+             .to_pandas())
+    pkeys = stats["p"].to_numpy(np.int64)
+    order = np.argsort(pkeys)
+    pkeys = pkeys[order]
+    thr = (0.2 * (stats["s"].to_numpy()[order]
+                  / stats["n"].to_numpy()[order]))
+
+    def spart(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        keep = np.isin(pk, pkeys)
+        pos = np.searchsorted(pkeys, pk[keep])
+        qty = t.column("l_quantity").to_numpy()[keep]
+        small = qty < thr[pos]
+        ep = t.column("l_extendedprice").to_numpy()[keep][small]
+        return pa.table({"ep": pa.array([float(ep.sum())]),
+                         "n": pa.array([np.int64(small.sum())])})
+
+    tot = (li.map_batches(spart, batch_format="pyarrow").to_pandas())
+    return pd.DataFrame({
+        "avg_yearly": [np.round(float(tot["ep"].sum()) / 7.0, 6)],
+        "n_small": [np.int64(tot["n"].sum())]})
+
+
+def tpch_q16(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 analogue (parts/supplier relationship): distinct
+    supplier count per (p_brand, p_type, p_size) over the lineitem
+    part-supplier pairs (the corpus has no partsupp table — lineitem
+    IS the observed relationship), excluding Brand#13 and PROMO parts
+    and keeping eight sizes.  Plan: per-batch distinct (partkey,
+    suppkey) → distinct_rows (signature-pair shuffle only) → broadcast
+    part-attribute decoration → integer count groupby.  All-integer
+    output; ranked desc by count with full attribute tiebreaks."""
+    from ..stages.dedup import distinct_rows
+
+    sizes = np.array([9, 16, 22, 24, 29, 33, 47, 48], np.int64)
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .to_pandas().sort_values("p_partkey")
+    pk_all = part["p_partkey"].to_numpy(np.int64)
+    keep_part = ((part["p_brand"] != "Brand#13")
+                 & (part["p_type"] != "PROMO")
+                 & part["p_size"].isin(sizes)).to_numpy()
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": t.column("l_partkey").to_numpy()
+            .astype(np.int64),
+            "l_suppkey": t.column("l_suppkey").to_numpy()
+            .astype(np.int64)}).drop_duplicates()
+        pos = np.searchsorted(pk_all, df["l_partkey"].to_numpy())
+        df = df[keep_part[pos]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uniq = distinct_rows(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"]).to_pandas()
+    pos = np.searchsorted(pk_all, uniq["l_partkey"].to_numpy(np.int64))
+    uniq["p_brand"] = part["p_brand"].to_numpy(dtype=object)[pos]
+    uniq["p_type"] = part["p_type"].to_numpy(dtype=object)[pos]
+    uniq["p_size"] = part["p_size"].to_numpy(np.int64)[pos]
+    out = (uniq.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+           .agg(supplier_cnt=("l_suppkey", "nunique")))
+    return out.astype({"p_size": np.int64,
+                       "supplier_cnt": np.int64}) \
+        .sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                     ascending=[False, True, True, True],
+                     ignore_index=True)
+
+
+def tpch_q11(sf_dir: str, region: str = "EUROPE",
+             fraction: float = 0.001) -> pd.DataFrame:
+    """TPC-H Q11 analogue (important parts): per-part shipped value
+    Σ extendedprice·quantity over lineitems supplied by one REGION's
+    suppliers, keeping parts whose value exceeds ``fraction`` of the
+    region total.  The corpus has no partsupp, so observed lineitem
+    volume replaces availqty·supplycost; the filter is regional
+    because a single synthetic nation can have zero suppliers at
+    small scale (sf0.001 has 10 suppliers over 25 nations).
+    Supplier→region is a broadcast gather (O(100) rows); per-part
+    partials shuffle only (partkey, sum) pairs.  The threshold
+    compares ROUNDED per-part values against fraction × Σ(rounded
+    values) — a fixed-order exact chain both engines reproduce (the
+    kg_relation_entropy quantize-per-term convention)."""
+    from ray.data.aggregate import Sum
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = set(reg.loc[reg["r_name"] == region, "r_regionkey"]
+               .astype(int))
+    nkeys = set(nat.loc[nat["n_regionkey"].astype(int).isin(rkey),
+                        "n_nationkey"].astype(int))
+    skeys = np.sort(sup.loc[sup["s_nationkey"].astype(int)
+                            .isin(nkeys), "s_suppkey"]
+                    .to_numpy(np.int64))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_quantity"])
+
+    def vpart(t: pa.Table) -> pa.Table:
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        keep = np.isin(sk, skeys)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)[keep]
+        val = (t.column("l_extendedprice").to_numpy()[keep]
+               * t.column("l_quantity").to_numpy()[keep])
+        df = pd.DataFrame({"p_partkey": pk, "value": val})
+        g = df.groupby("p_partkey", as_index=False)["value"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (li.map_batches(vpart, batch_format="pyarrow")
+           .groupby("p_partkey")
+           .aggregate(Sum("value", alias_name="value")).to_pandas())
+    if agg.empty:
+        return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                             "value": pd.Series(dtype=np.float64)})
+    agg["value"] = np.round(agg["value"].to_numpy(), 6)
+    total = float(agg["value"].sum())     # sum of 6-dp values: exact
+    out = agg[agg["value"] > total * fraction].copy()
+    return out.astype({"p_partkey": np.int64}) \
+        .sort_values(["value", "p_partkey"],
+                     ascending=[False, True], ignore_index=True)
+
+
+def tpch_q8(sf_dir: str, supplier_region: str = "EUROPE",
+            region: str = "ASIA", ptype: str = "ECONOMY") -> pd.DataFrame:
+    """TPC-H Q8 analogue (market share): per order year, the revenue
+    share supplied by ``supplier_region``'s suppliers among ``ptype``
+    lineitems ordered by customers in ``region``.  (Q8 targets one
+    NATION's suppliers; the analogue widens to a region because a
+    single synthetic nation can have zero suppliers at small scale.)
+    Plan: part-type and supplier-region membership are broadcast masks
+    folded per lineitem batch into per-orderkey (rev, rev_target)
+    partials; orders decorate per batch with year + customer-region
+    keep (customer→nation→region via broadcast gathers); ONE bucketed
+    hash_join on orderkey; per-year sums round to 6 dp before the
+    share ratio (the tpch_q14 rounded-numerator/denominator rule)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    tkeys = np.sort(part.loc[part["p_type"] == ptype, "p_partkey"]
+                    .to_numpy(np.int64))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    srkey = set(reg.loc[reg["r_name"] == supplier_region,
+                        "r_regionkey"].astype(int))
+    nkeys = set(nat.loc[nat["n_regionkey"].astype(int).isin(srkey),
+                        "n_nationkey"].astype(int))
+    t_sup = np.sort(sup.loc[sup["s_nationkey"].astype(int).isin(nkeys),
+                            "s_suppkey"].to_numpy(np.int64))
+    rkey = set(reg.loc[reg["r_name"] == region, "r_regionkey"]
+               .astype(int))
+    rnat = np.sort(nat.loc[nat["n_regionkey"].astype(int).isin(rkey),
+                           "n_nationkey"].to_numpy(np.int64))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    ckeys = np.sort(cust.loc[np.isin(cust["c_nationkey"]
+                                     .to_numpy(np.int64), rnat),
+                             "c_custkey"].to_numpy(np.int64))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        keep = np.isin(pk, tkeys)
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)[keep]
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)[keep]
+        rev = (t.column("l_extendedprice").to_numpy()[keep]
+               * (1.0 - t.column("l_discount").to_numpy()[keep]))
+        tgt = np.isin(sk, t_sup)
+        df = pd.DataFrame({"l_orderkey": ok, "rev": rev,
+                           "rev_target": np.where(tgt, rev, 0.0)})
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            rev=("rev", "sum"), rev_target=("rev_target", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def opart(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        keep = np.isin(ck, ckeys)
+        ok = t.column("o_orderkey").to_numpy().astype(np.int64)[keep]
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy()[keep]
+        yr = (1970 + od // 31_557_600_000_000).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(ok),
+                         "o_year": pa.array(yr)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(opart, batch_format="pyarrow")
+    joined = hash_join(li.map_batches(lpart, batch_format="pyarrow"),
+                       orders, on="l_orderkey")
+    agg = (joined.groupby("o_year")
+           .aggregate(Sum("rev", alias_name="rev_total"),
+                      Sum("rev_target", alias_name="rev_target"))
+           .to_pandas())
+    agg["rev_total"] = np.round(agg["rev_total"].to_numpy(), 6)
+    agg["rev_target"] = np.round(agg["rev_target"].to_numpy(), 6)
+    # ratio of two rounded sums CAN land on the rounding grid's half
+    # (identical revenues) — half_up both engines (CLAUDE.md rule 26)
+    agg["mkt_share"] = half_up(
+        agg["rev_target"].to_numpy() / agg["rev_total"].to_numpy(), 6)
+    return agg[["o_year", "rev_target", "rev_total", "mkt_share"]] \
+        .astype({"o_year": np.int64}) \
+        .sort_values("o_year", ignore_index=True)
+
+
+def tpch_q21(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 analogue (suppliers who kept orders waiting): the
+    corpus has no commit/receipt dates, so the lateness analogue is
+    shipping LAST — for each multi-supplier order of status 'F', blame
+    the supplier(s) whose per-order max ship day equals the order's
+    max, provided some OTHER supplier finished strictly earlier.
+    All-integer day arithmetic end to end.  Plan: per-batch
+    (orderkey, suppkey, max-day) partials → pair-domain groupby →
+    broadcast order-status filter happens inside the first pass
+    (orders joined per batch via a bucketed hash_join would also work,
+    but status 'F' keeps ~half the orders, so the semi-join mask is a
+    cheap broadcast at any scale ≤ billions of orders; past that,
+    swap for hash_join) → per-order (max, min) second groupby →
+    per-supplier count.  Output: s_name, numwait desc, name asc."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .to_pandas().sort_values("s_suppkey")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
+        .to_pandas()
+    fkeys = np.sort(orders.loc[orders["o_orderstatus"] == "F",
+                               "o_orderkey"].to_numpy(np.int64))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def pair_max(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        keep = np.isin(ok, fkeys)
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)[keep]
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()[keep]
+               // 86_400_000_000).astype(np.int64)
+        df = pd.DataFrame({"o": ok[keep], "s": sk, "d": day})
+        g = df.groupby(["o", "s"], as_index=False)["d"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..functions.joins import hash_join
+
+    pairs = (li.map_batches(pair_max, batch_format="pyarrow")
+             .groupby(["o", "s"]).aggregate(Max("d", alias_name="d"))
+             .materialize())
+    omax = (pairs.groupby("o")
+            .aggregate(Max("d", alias_name="omax"),
+                       Min("d", alias_name="omin")))
+    # pair and order domains both scale with the data — never the
+    # driver: bucketed join + stateless blame filter + tiny supplier
+    # groupby (the only driver-sized object is the supplier count)
+    joined = hash_join(pairs, omax, on="o")
+
+    def blame(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy().astype(np.int64)
+        mx = t.column("omax").to_numpy().astype(np.int64)
+        mn = t.column("omin").to_numpy().astype(np.int64)
+        keep = (d == mx) & (mn < mx)
+        s = t.column("s").to_numpy().astype(np.int64)[keep]
+        df = pd.DataFrame({"s": s, "n": np.int64(1)})
+        g = df.groupby("s", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = (joined.map_batches(blame, batch_format="pyarrow")
+           .groupby("s").aggregate(Sum("n", alias_name="numwait"))
+           .to_pandas())
+    sk = cnt["s"].to_numpy(np.int64)
+    pos = np.searchsorted(sup["s_suppkey"].to_numpy(np.int64), sk)
+    out = pd.DataFrame({"s_name": sup["s_name"]
+                        .to_numpy(dtype=object)[pos],
+                        "numwait": cnt["numwait"].to_numpy(np.int64)})
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True], ignore_index=True)
+
+
+def tpch_q20(sf_dir: str, name_prefix: str = "cold") -> pd.DataFrame:
+    """TPC-H Q20 analogue (leading suppliers of a part class): for
+    parts whose name starts with ``name_prefix``, suppliers whose
+    shipped quantity is within a factor 2 of that part's TOP supplier
+    volume (availqty has no corpus twin; observed near-top volume
+    replaces the excess-stock test, and — unlike a half-of-total
+    rule, which goes empty once supplier counts grow — is non-trivial
+    at every scale because each part's max supplier always
+    qualifies).  Quantities are integer-valued, so the test is the
+    EXACT integer comparison 2·sq > max_sq — no float anywhere.
+    Output: distinct qualifying suppliers (s_suppkey, s_name)."""
+    from ray.data.aggregate import Max, Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_name"].str.startswith(name_prefix),
+                             "p_partkey"].to_numpy(np.int64))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .to_pandas().sort_values("s_suppkey")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def qpart(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        keep = np.isin(pk, pkeys)
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)[keep]
+        qty = t.column("l_quantity").to_numpy()[keep] \
+            .astype(np.int64)
+        df = pd.DataFrame({"p": pk[keep], "s": sk, "q": qty})
+        g = df.groupby(["p", "s"], as_index=False)["q"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..functions.joins import hash_join
+
+    ps = (li.map_batches(qpart, batch_format="pyarrow")
+          .groupby(["p", "s"]).aggregate(Sum("q", alias_name="sq"))
+          .materialize())
+    tot = ps.groupby("p").aggregate(Max("sq", alias_name="mq"))
+    # part×supplier and part domains stay distributed; only the
+    # qualifying supplier ids (≤ supplier count) reach the driver
+    joined = hash_join(ps, tot, on="p")
+
+    def leading(t: pa.Table) -> pa.Table:
+        if not t.num_rows or "sq" not in t.column_names:
+            return pa.table({"s": pa.array([], pa.int64())})
+        sq = t.column("sq").to_numpy().astype(np.int64)
+        mq = t.column("mq").to_numpy().astype(np.int64)
+        s = t.column("s").to_numpy().astype(np.int64)[2 * sq > mq]
+        return pa.table({"s": pa.array(np.unique(s))})
+
+    win = (joined.map_batches(leading, batch_format="pyarrow")
+           .to_pandas())
+    if win.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype=object)})
+    sk = np.unique(win["s"].to_numpy(np.int64))
+    pos = np.searchsorted(sup["s_suppkey"].to_numpy(np.int64), sk)
+    return pd.DataFrame({
+        "s_suppkey": sk,
+        "s_name": sup["s_name"].to_numpy(dtype=object)[pos]})

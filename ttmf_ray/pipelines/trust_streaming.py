@@ -236,11 +236,16 @@ def _attach_stages(*sized) -> "int | None":
         sz = sum(float(d.size_bytes() or 0) for d in sized)
     except Exception:
         return None
-    if not store or not sz or sz < store * 0.25:
+    # the exchange's ACTIVE working set is ~4x its input bytes (tagged
+    # + widened copies, the union queue, sort buffers, join outputs) —
+    # round 5 measured a ~550 MB input pair livelocking a 2 GiB store
+    # after the old 0.25-of-store trigger judged it safe.  Stage so one
+    # sub-exchange's ~4.sz/stages stays under half the store.
+    if not store or not sz or 8.0 * sz <= store:
         return None
     import math
 
-    return min(16, max(2, math.ceil(sz / (store * 0.125))))
+    return min(16, max(2, math.ceil(8.0 * sz / store)))
 
 
 def _add_keys(n_entities: int, n_relations: int):
