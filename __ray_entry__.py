@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": rel.tpch_q17,
         "tpch_q20": rel.tpch_q20,
         "tpch_q21": rel.tpch_q21,
+        "tpch_q2": rel.tpch_q2,
         "events_retention": rel.events_retention,
         "events_session_quantiles": rel.events_session_quantiles,
         "docs_text_norm": rel.docs_text_norm,
@@ -6681,5 +6682,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier su ON su.s_suppkey = ps.s
             WHERE 2 * ps.sq > tot.mq
             ORDER BY s_suppkey
+        """,
+        # minimum-cost supplier per part (Q2 analogue; packed
+        # (cost_micro, suppkey) integer argmin — exact tiebreaks)
+        "tpch_q2": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_type = 'STANDARD'
+                          AND p_size IN (9, 16, 22)),
+            ps AS (SELECT l_partkey AS p, l_suppkey AS s,
+                          sum(l_extendedprice) AS ep,
+                          sum(l_quantity::BIGINT) AS q
+                   FROM lineitem
+                   JOIN pk ON pk.p_partkey = l_partkey
+                   GROUP BY 1, 2),
+            m AS (SELECT p,
+                         min(CAST(floor(ep / q::DOUBLE * 1000000 + 0.5)
+                                  AS BIGINT) * 10000000 + s) AS key
+                  FROM ps GROUP BY p)
+            SELECT m.p::BIGINT AS p_partkey,
+                   (m.key % 10000000)::BIGINT AS s_suppkey,
+                   su.s_name, n.n_name,
+                   round(su.s_acctbal, 2) AS s_acctbal,
+                   (m.key // 10000000) / 1000000.0 AS unit_cost
+            FROM m
+            JOIN supplier su ON su.s_suppkey = m.key % 10000000
+            JOIN nation n ON n.n_nationkey = su.s_nationkey
+            ORDER BY p_partkey
         """,
     }

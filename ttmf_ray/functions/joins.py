@@ -203,7 +203,10 @@ def hash_join(left, right, *, on: str, n_buckets: int = 64,
         return t if t.num_rows else empty
 
     n_stages = _resolve_stages(stages)
-    if n_stages > 1:
+    # explicit stages=1 still routes through _staged_exchange for its
+    # materialize-the-union-sides behavior (single pass) — the caller
+    # is saying "store headroom is tight but one exchange fits"
+    if n_stages > 1 or stages == 1:
         lt2 = lt.map_batches(lambda t, c=cols_order: t.select(c),
                              batch_format="pyarrow")
         rt2 = rt.map_batches(lambda t, c=cols_order: t.select(c),
@@ -340,7 +343,7 @@ def left_join_fill(left, right, *, on: str, fill: dict,
         return t if t.num_rows else empty
 
     n_stages = _resolve_stages(stages)
-    if n_stages > 1:
+    if n_stages > 1 or stages == 1:     # see hash_join: 1 = materialize
         return _staged_exchange(lt, rt, n_buckets=n_buckets,
                                 coalesce=coalesce, stages=n_stages,
                                 join_fn=join_bucket,

@@ -5274,3 +5274,87 @@ def tpch_q20(sf_dir: str, name_prefix: str = "cold") -> pd.DataFrame:
     return pd.DataFrame({
         "s_suppkey": sk,
         "s_name": sup["s_name"].to_numpy(dtype=object)[pos]})
+
+
+def tpch_q2(sf_dir: str, ptype: str = "STANDARD") -> pd.DataFrame:
+    """TPC-H Q2 analogue (minimum-cost supplier): for each part of one
+    type in a size slice, the supplier with the lowest observed unit
+    price Σ extendedprice / Σ quantity (no partsupp/supplycost in the
+    corpus; observed price replaces it).  The per-part argmin is an
+    EXACT integer min over packed (cost_micro, suppkey) keys —
+    cost_micro = floor(cost·10⁶ + 0.5) — so cost ties break on
+    suppkey identically in both engines (the grouped_topk packed-key
+    rule).  Plan: per-(part, supplier) partials → pair-domain groupby
+    → packed-key per-part Min → broadcast supplier/nation decoration.
+    Output sorted by p_partkey."""
+    from ray.data.aggregate import Min, Sum
+
+    sizes = np.array([9, 16, 22], np.int64)
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_type", "p_size"]).to_pandas()
+    pkeys = np.sort(part.loc[(part["p_type"] == ptype)
+                             & part["p_size"].isin(sizes),
+                             "p_partkey"].to_numpy(np.int64))
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]) \
+        .to_pandas().sort_values("s_suppkey")
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    n_names = np.empty(int(nk.max()) + 1, dtype=object)
+    n_names[nk] = nat["n_name"].to_numpy(dtype=object)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_quantity"])
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        keep = np.isin(pk, pkeys)
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)[keep]
+        ep = t.column("l_extendedprice").to_numpy()[keep]
+        qty = t.column("l_quantity").to_numpy()[keep] \
+            .astype(np.int64)
+        df = pd.DataFrame({"p": pk[keep], "s": sk, "ep": ep, "q": qty})
+        g = df.groupby(["p", "s"], as_index=False).agg(
+            ep=("ep", "sum"), q=("q", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (li.map_batches(pair_part, batch_format="pyarrow")
+             .groupby(["p", "s"])
+             .aggregate(Sum("ep", alias_name="ep"),
+                        Sum("q", alias_name="q")))
+
+    def pack(t: pa.Table) -> pa.Table:
+        if not t.num_rows or "ep" not in t.column_names:
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        cost = (t.column("ep").to_numpy()
+                / t.column("q").to_numpy().astype(np.float64))
+        micro = np.floor(cost * 1_000_000 + 0.5).astype(np.int64)
+        s = t.column("s").to_numpy().astype(np.int64)
+        return pa.table({"p": t.column("p").cast(pa.int64()),
+                         "key": pa.array(micro * 10_000_000 + s)})
+
+    best = (pairs.map_batches(pack, batch_format="pyarrow")
+            .groupby("p").aggregate(Min("key", alias_name="key"))
+            .to_pandas())
+    if best.empty:
+        return pd.DataFrame({
+            "p_partkey": pd.Series(dtype=np.int64),
+            "s_suppkey": pd.Series(dtype=np.int64),
+            "s_name": pd.Series(dtype=object),
+            "n_name": pd.Series(dtype=object),
+            "s_acctbal": pd.Series(dtype=np.float64),
+            "unit_cost": pd.Series(dtype=np.float64)})
+    key = best["key"].to_numpy(np.int64)
+    sk = key % 10_000_000
+    cost = (key // 10_000_000) / 1e6
+    pos = np.searchsorted(sup["s_suppkey"].to_numpy(np.int64), sk)
+    out = pd.DataFrame({
+        "p_partkey": best["p"].to_numpy(np.int64),
+        "s_suppkey": sk,
+        "s_name": sup["s_name"].to_numpy(dtype=object)[pos],
+        "n_name": n_names[sup["s_nationkey"].to_numpy(np.int64)[pos]],
+        "s_acctbal": np.round(sup["s_acctbal"].to_numpy()[pos], 2),
+        "unit_cost": cost})
+    return out.sort_values("p_partkey", ignore_index=True)

@@ -223,29 +223,44 @@ def _fusion_remote(path_emb, fusion_kwargs, *tbls):
 # Attach stages (map_batches; lookup state broadcast once)
 # ---------------------------------------------------------------------------
 
-def _attach_stages(*sized) -> "int | None":
+def _attach_stages(left, fill: dict, right=None) -> "int | None":
     """Sub-exchange count for the attach joins (VERDICT r4 item 3): when
-    the materialized inputs' bytes approach the object store, stage the
+    the exchange's working set approaches the object store, stage the
     bucket exchange (`joins._staged_exchange`) so its ACTIVE working set
     is a fraction of the store — the whole-table sort otherwise
     livelocks at a 2 GiB store (BASELINE.md spill section).  None =
-    unstaged (the plain single-exchange path)."""
+    unstaged (the plain single-exchange path).
+
+    Sizing: left_join_fill WIDENS every left row with the full right
+    schema (``fill``) before the union, so the exchange moves
+    ~left_rows × joined-width bytes — NOT the raw input bytes (round 5
+    measured the widened final path attach at ~4x its input bytes;
+    sizing from inputs alone judged the livelocking join safe TWICE).
+    ``left``/``right`` must be materialized (metadata-only count/size);
+    an unmaterialized right contributes its fill-width only."""
     try:
         store = float(ray.cluster_resources().get(
             "object_store_memory", 0))
-        sz = sum(float(d.size_bytes() or 0) for d in sized)
+        sz = float(left.size_bytes() or 0)
+        sz += float(left.count()) * 8.0 * max(1, len(fill))
+        if right is not None:
+            sz += float(right.size_bytes() or 0)
     except Exception:
         return None
-    # the exchange's ACTIVE working set is ~4x its input bytes (tagged
-    # + widened copies, the union queue, sort buffers, join outputs) —
-    # round 5 measured a ~550 MB input pair livelocking a 2 GiB store
-    # after the old 0.25-of-store trigger judged it safe.  Stage so one
-    # sub-exchange's ~4.sz/stages stays under half the store.
-    if not store or not sz or 8.0 * sz <= store:
+    # active set ≈ 4.sz/stages (tagged+widened copies, union queue,
+    # sort buffers, join outputs).  Three tiers: comfortable → plain
+    # streaming exchange; tight → stages=1 (one exchange over
+    # MATERIALIZED union sides, removing the producer-vs-queue wedge);
+    # over budget → N sub-exchanges sized to ~store/3 active each.
+    if not store or not sz:
         return None
     import math
 
-    return min(16, max(2, math.ceil(8.0 * sz / store)))
+    if 4.0 * sz > store:
+        return min(16, max(2, math.ceil(12.0 * sz / store)))
+    if 2.0 * sz > store:
+        return 1
+    return None
 
 
 def _add_keys(n_entities: int, n_relations: int):
@@ -495,7 +510,7 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
         ).map_batches(_gf_right, batch_format="pyarrow")
         return left_join_fill(conf0, gf_right, on="__ht", fill=GF_FILL,
                               hit_col="__gf_hit", coalesce=True,
-                              stages=_attach_stages(conf0, conf0)
+                              stages=_attach_stages(conf0, GF_FILL)
                               ).materialize()
 
     th_gf = _StageThread(run_gf_join)
@@ -555,7 +570,8 @@ def trust_pipeline_streaming(edges_ds, cfg=None) -> dict:
     final = (left_join_fill(conf3, paths_right, on="__htr",
                             fill=_path_fill(), combine_right_sum=True,
                             coalesce=True,
-                            stages=_attach_stages(conf2, paths_right))
+                            stages=_attach_stages(conf2, _path_fill(),
+                                                  paths_right))
              .map_batches(lambda t: t.drop_columns(["__ht", "__htr"]),
                           batch_format="pyarrow")
              .materialize())
