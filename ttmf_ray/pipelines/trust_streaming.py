@@ -247,20 +247,36 @@ def _attach_stages(left, fill: dict, right=None) -> "int | None":
             sz += float(right.size_bytes() or 0)
     except Exception:
         return None
-    # active set ≈ 4.sz/stages (tagged+widened copies, union queue,
-    # sort buffers, join outputs).  Three tiers: comfortable → plain
-    # streaming exchange; tight → stages=1 (one exchange over
-    # MATERIALIZED union sides, removing the producer-vs-queue wedge);
-    # over budget → N sub-exchanges sized to ~store/3 active each.
+    # the exchange does NOT get the whole store: the pipeline's other
+    # materialized datasets (conf tables, CSR shards, path pivots, KGE
+    # slabs) stay resident beside it, and the active set itself is
+    # ~4x sz (tagged+widened copies, union queue, sort buffers,
+    # outputs).  Empirically (round 5, 2 GiB store) a sz≈460 MB attach
+    # wedged — the effective need is ≥5x sz of free store.  Tiers:
+    # comfortable → plain streaming exchange; tight → stages=1 (one
+    # exchange over MATERIALIZED union sides, removing the
+    # producer-vs-queue wedge); over budget → N sub-exchanges.
+    # GRAFT_JOIN_STAGES overrides when we return None (joins'
+    # _resolve_stages reads it) — the operational escape hatch.
     if not store or not sz:
         return None
     import math
 
-    if 4.0 * sz > store:
-        return min(16, max(2, math.ceil(12.0 * sz / store)))
-    if 2.0 * sz > store:
-        return 1
-    return None
+    if 8.0 * sz > store:
+        n = min(16, max(2, math.ceil(8.0 * sz / store)))
+    elif 4.0 * sz > store:
+        n = 1
+    else:
+        n = None
+    import os as _os
+
+    if _os.environ.get("GRAFT_DEBUG_STAGES"):
+        import sys as _sys
+
+        print(f"[attach_stages] sz={sz / 1e6:.0f}MB "
+              f"store={store / 1e9:.2f}GB -> stages={n}",
+              file=_sys.stderr, flush=True)
+    return n
 
 
 def _add_keys(n_entities: int, n_relations: int):
