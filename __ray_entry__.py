@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q20": rel.tpch_q20,
         "tpch_q21": rel.tpch_q21,
         "tpch_q2": rel.tpch_q2,
+        "events_user_entropy": rel.events_user_entropy,
         "events_retention": rel.events_retention,
         "events_session_quantiles": rel.events_session_quantiles,
         "docs_text_norm": rel.docs_text_norm,
@@ -6708,5 +6709,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier su ON su.s_suppkey = m.key % 10000000
             JOIN nation n ON n.n_nationkey = su.s_nationkey
             ORDER BY p_partkey
+        """,
+        # per-user event-type entropy band histogram (quantized-per-term
+        # sum + half-up 6-dp entropy; integer banding on the rounded H)
+        "events_user_entropy": """
+            WITH ut AS (SELECT user_id, event_type,
+                               count(*)::BIGINT AS c
+                        FROM events GROUP BY 1, 2),
+            u AS (SELECT user_id, sum(c) AS n,
+                         count(*)::BIGINT AS k,
+                         sum(round(c * ln(c::DOUBLE), 9)) AS s
+                  FROM ut GROUP BY 1),
+            h AS (SELECT user_id, k,
+                         CASE WHEN n <= 1 THEN 0.0
+                              ELSE floor((ln(n::DOUBLE) - s / n::DOUBLE)
+                                         * 1000000 + 0.5) / 1000000
+                         END AS ent
+                  FROM u)
+            SELECT CAST(floor(ent / 0.25) AS BIGINT) AS band,
+                   count(*)::BIGINT AS n_users,
+                   sum(k)::BIGINT AS sum_types,
+                   min(ent) AS min_ent, max(ent) AS max_ent
+            FROM h GROUP BY 1 ORDER BY band
         """,
     }

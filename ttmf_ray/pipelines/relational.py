@@ -5358,3 +5358,84 @@ def tpch_q2(sf_dir: str, ptype: str = "STANDARD") -> pd.DataFrame:
         "s_acctbal": np.round(sup["s_acctbal"].to_numpy()[pos], 2),
         "unit_cost": cost})
     return out.sort_values("p_partkey", ignore_index=True)
+
+
+def events_user_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type entropy, reported as a bounded band
+    histogram (the user domain itself never leaves the cluster).
+    H(u) = ln n_u − (Σ_t c·ln c)/n_u over the user's per-type counts;
+    the Σ term is quantized PER TERM (round 9) so the cross-type sum
+    is order-independent and exact in both engines (the
+    kg_relation_entropy convention), H is half-up 6-dp, and the band
+    floor(H/0.25) is integer arithmetic on the rounded value.  Plan:
+    per-batch (user, type) count partials → one pair-domain groupby →
+    stateless per-row entropy terms → user-domain groupby → banded
+    integer aggregate (output ≤ ~20 rows)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy().astype(np.int64),
+            "event_type": t.column("event_type")
+            .to_numpy(zero_copy_only=False).astype(str)})
+        g = df.groupby(["user_id", "event_type"], as_index=False) \
+            .agg(c=("event_type", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ut = (ds.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["user_id", "event_type"])
+          .aggregate(Sum("c", alias_name="c")))
+
+    def terms(t: pa.Table) -> pa.Table:
+        if not t.num_rows or "c" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        c = t.column("c").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "n": pa.array(c),
+            "k": pa.array(np.ones(len(c), np.int64)),
+            "s": pa.array(np.round(c * np.log(c.astype(np.float64)),
+                                   9))})
+
+    u = (ut.map_batches(terms, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"),
+                    Sum("s", alias_name="s")))
+
+    def band(t: pa.Table) -> pa.Table:
+        if not t.num_rows or "n" not in t.column_names:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64()),
+                             "sum_types": pa.array([], pa.int64()),
+                             "min_ent": pa.array([], pa.float64()),
+                             "max_ent": pa.array([], pa.float64())})
+        n = t.column("n").to_numpy().astype(np.int64)
+        k = t.column("k").to_numpy().astype(np.int64)
+        s = t.column("s").to_numpy()
+        ent = np.where(n <= 1, 0.0,
+                       half_up(np.log(n.astype(np.float64))
+                               - s / n.astype(np.float64), 6))
+        df = pd.DataFrame({
+            "band": np.floor(ent / 0.25).astype(np.int64),
+            "n_users": np.int64(1), "sum_types": k,
+            "min_ent": ent, "max_ent": ent})
+        g = df.groupby("band", as_index=False).agg(
+            n_users=("n_users", "sum"), sum_types=("sum_types", "sum"),
+            min_ent=("min_ent", "min"), max_ent=("max_ent", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (u.map_batches(band, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Sum("sum_types", alias_name="sum_types"),
+                      Min("min_ent", alias_name="min_ent"),
+                      Max("max_ent", alias_name="max_ent"))
+           .to_pandas())
+    return out.astype({c: np.int64
+                       for c in ("band", "n_users", "sum_types")}) \
+        .sort_values("band", ignore_index=True)
