@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21": rel.tpch_q21,
         "tpch_q2": rel.tpch_q2,
         "events_user_entropy": rel.events_user_entropy,
+        "docs_edit_similarity": rel.docs_edit_similarity,
         "events_retention": rel.events_retention,
         "events_session_quantiles": rel.events_session_quantiles,
         "docs_text_norm": rel.docs_text_norm,
@@ -6044,6 +6045,27 @@ def oracle_sql() -> dict[str, str]:
         "docs_source_overlap": _source_overlap_sql(),
         "events_hourly_anomaly": _HOURLY_ANOMALY_SQL,
         "docs_minhash_estimate": _minhash_estimate_sql(),
+        # exact Levenshtein audit over the same candidate chain
+        # (DuckDB native levenshtein == the numpy row DP, all-integer)
+        "docs_edit_similarity": _minhash_estimate_sql(final="""
+            SELECT c.a, c.b,
+                   levenshtein(substr(da.text, 1, 400),
+                               substr(db.text, 1, 400))::BIGINT AS dist,
+                   CASE WHEN greatest(length(substr(da.text, 1, 400)),
+                                      length(substr(db.text, 1, 400)))
+                             = 0 THEN 1.0
+                        ELSE floor((1.0 -
+                              levenshtein(substr(da.text, 1, 400),
+                                          substr(db.text, 1, 400))
+                              ::DOUBLE
+                              / greatest(length(substr(da.text, 1, 400)),
+                                         length(substr(db.text, 1, 400)))
+                             ) * 1000000 + 0.5) / 1000000
+                   END AS sim
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.a
+            JOIN documents db ON db.doc_id = c.b
+            ORDER BY c.a, c.b"""),
         # Moore-Lewis selection: two rebuilt add-one unigram LMs
         # (in-domain sources vs full corpus), per-doc mean log-prob
         # difference rounded 6 dp, keep on the rounded value
