@@ -23,9 +23,22 @@ def _init_ray(num_cpus: int | None):
     if not ray.is_initialized():
         kw = {"include_dashboard": False, "ignore_reinit_error": True,
               "logging_level": "ERROR"}
-        if num_cpus:
+        # RAY_GRAFT_ADDRESS=auto (or a host:port) attaches the CLI to a
+        # RUNNING cluster — the `ray job submit` execution model, where
+        # the job driver joins the cluster that launched it.  Default
+        # stays a self-contained local session (num_cpus applies only
+        # there; an attached cluster owns its own resources).
+        import os as _os
+
+        addr = _os.environ.get("RAY_GRAFT_ADDRESS", "local")
+        if addr == "local" and num_cpus:
             kw["num_cpus"] = num_cpus
-        ray.init(address="local", **kw)
+        if addr != "local":
+            # the RAY_ADDRESS env var silently OVERRIDES the address=
+            # parameter (this sandbox presets RAY_ADDRESS=local) — pin
+            # it so the attach actually attaches
+            _os.environ["RAY_ADDRESS"] = addr
+        ray.init(address=addr, **kw)
 
 
 def main(argv: list[str] | None = None) -> int:
