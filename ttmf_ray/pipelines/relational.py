@@ -4972,14 +4972,17 @@ def tpch_q16(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
+    kept_keys = pk_all[keep_part]       # sorted (pk_all is sorted)
+
     def pairs(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "l_partkey": t.column("l_partkey").to_numpy()
             .astype(np.int64),
             "l_suppkey": t.column("l_suppkey").to_numpy()
             .astype(np.int64)}).drop_duplicates()
-        pos = np.searchsorted(pk_all, df["l_partkey"].to_numpy())
-        df = df[keep_part[pos]]
+        # membership test, not positional lookup — a partkey outside
+        # the part table must drop, not index out of bounds
+        df = df[np.isin(df["l_partkey"].to_numpy(), kept_keys)]
         return pa.Table.from_pandas(df, preserve_index=False)
 
     uniq = distinct_rows(
