@@ -146,7 +146,7 @@ def run_bench() -> dict:
     # The sandbox host steals CPU in multi-minute episodes (identical code
     # measured 64-190 s end-to-end, and the FIRST reps absorb the worst of
     # an ongoing episode); the headline pair is repeated
-    # RAY_GRAFT_BENCH_REPS times (default 3) in this session and the
+    # RAY_GRAFT_BENCH_REPS times (default 4) in this session and the
     # fastest pair reported, with every rep wall in the JSON.
     cfg = TrustConfig(
         transe=TransEConfig(dim=32, epochs=20, lr=0.02,
@@ -158,7 +158,7 @@ def run_bench() -> dict:
         fusion_batch_size=2048,
         fusion_epochs=60,
     )
-    reps = max(1, int(os.environ.get("RAY_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("RAY_GRAFT_BENCH_REPS", "4")))
     attempts = []
     canaries = []
     bw_canaries = []
